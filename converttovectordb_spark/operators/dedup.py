@@ -1,0 +1,362 @@
+"""Deduplication operators for LLM-corpus curation.
+
+Not present in the reference (it has no dedup at all — SURVEY §2.5);
+these are the standard large-corpus curation operators, each designed
+around Spark's shuffle model:
+
+  exact_dedup       — md5(content) groupBy; one shuffle on the hash.
+  jaccard_neardup   — word-shingle INVERTED-INDEX join (never a cross
+                      join): pairs only form where a shingle is shared,
+                      so cost ~ Σ_shingle df(shingle)² instead of N².
+                      Hot shingles are capped (stop-shingle pruning) —
+                      the classic skew guard at corpus scale.
+  minhash_lsh_neardup — MinHash signatures (min over md5(seed‖shingle))
+                      banded into buckets; candidate pairs only within
+                      a bucket, verified by true Jaccard. The 100 TB
+                      path: cost is linear in N + bucket collisions.
+  simhash           — 64-bit SimHash fingerprint per doc from token
+                      hashes; near-dup = small Hamming distance.
+  embedding_neardup — cosine near-duplicate pairs over an embedding
+                      column via the normalized dot-product join.
+
+The md5-based hashing is deliberate: both Spark and DuckDB expose
+identical md5 → substring → hex-to-int primitives, so every operator
+here has a bit-exact ANSI-SQL oracle formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from converttovectordb_spark.functions.text import word_shingles
+from converttovectordb_spark.functions.vector import dot_product, l2_normalize
+
+
+def exact_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep the lowest-id row per exact content hash.
+
+    One row_number window partitioned by md5(text) — a single hash
+    shuffle on a 32-byte key, independent of document size. At scale
+    prefer this over groupBy+join-back (one shuffle, not two).
+    """
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dup_stats(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group duplication report: rows, distinct contents, dup count."""
+    return (
+        docs.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5(F.col(text_col))).alias("n_unique"),
+            (
+                F.count(F.lit(1)) - F.countDistinct(F.md5(F.col(text_col)))
+            ).alias("n_dups"),
+        )
+    )
+
+
+def jaccard_neardup_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by word-shingle Jaccard similarity.
+
+    Inverted-index join: explode distinct shingles, self-join on the
+    shingle value, count common shingles per (a,b) pair, then
+    jaccard = common / (|A| + |B| - common), keep >= threshold, a < b.
+
+    ``max_shingle_df`` drops shingles occurring in more than that many
+    docs before the join — the skew/stop-shingle guard: one shingle in
+    every doc would otherwise create an N² partition.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_words))
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") > max_shingle_df
+        )
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def _minhash_sig(shingle_col, seed: int):
+    """One MinHash component: lexicographic min of md5(seed‖shingle).
+
+    Using the md5 hex string itself as the hash keeps the operator
+    bit-identical between Spark and any ANSI-SQL oracle engine.
+    """
+    return F.min(F.md5(F.concat(F.lit(f"s{seed}|"), shingle_col)))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: documents sharing at least one band of
+    identical MinHash components.
+
+    num_hashes/bands rows per doc after banding — the only shuffle is
+    the groupBy on (band_id, band_key), linear in N. With r = hashes
+    per band = num_hashes/bands, P(candidate) = 1-(1-j^r)^bands.
+    """
+    rows_per_band = num_hashes // bands
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_words))
+        ).alias("shingle"),
+    )
+    sig = sh.groupBy(id_col).agg(
+        *[
+            _minhash_sig(F.col("shingle"), i).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_rows.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionByName(br)
+    left = banded.select(
+        F.col(id_col).alias("a"), "band_id", "band_key"
+    )
+    right = banded.select(
+        F.col(id_col).alias("b"), "band_id", "band_key"
+    )
+    return (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_lsh_neardup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified with true shingle Jaccard (exact check
+    only on the candidate set — the two-phase pattern that makes
+    near-dup linear at corpus scale)."""
+    cands = minhash_lsh_candidates(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_words=shingle_words,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_words))
+        ).alias("shingle"),
+    )
+    sa = sh.select(F.col(id_col).alias("a"), F.col("shingle"))
+    sb = sh.select(F.col(id_col).alias("b"), F.col("shingle"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        cands.join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("n_a")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("n_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash64(text_col, *, ngram: int = 2):
+    """64-bit-ish SimHash as a column expression (60 bits used, so the
+    value stays inside a signed bigint without overflow).
+
+    Token hashes come from md5 hex → first 15 hex chars → unsigned int.
+    Each bit contributes +1/-1 per token; the fingerprint takes the
+    sign. Pure Catalyst expressions (explode-free: aggregate over the
+    token array), so it runs in codegen.
+    """
+    from converttovectordb_spark.functions.text import tokens
+
+    toks = tokens(text_col)
+    tok_hash = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+    )
+    # For each bit position, sum(+1/-1) over tokens, then sign bit.
+    bit_vals = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda bit: F.when(
+            F.aggregate(
+                tok_hash,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+            )
+            > 0,
+            F.lit(1).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_vals,
+            F.sequence(F.lit(0), F.lit(59)),
+            lambda v, i: v * F.shiftleft(F.lit(1).cast("bigint"), i),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    band_bits: int = 15,
+) -> DataFrame:
+    """SimHash near-dup: bucket by 4 bands of 15 bits (any pair within
+    Hamming distance 3 of a 60-bit hash shares at least one exact band
+    — pigeonhole), verify Hamming distance on candidates."""
+    fp = docs.select(
+        F.col(id_col), simhash64(F.col(text_col)).alias("simhash")
+    )
+    bands = None
+    for b in range(4):
+        part = fp.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(b).alias("band_id"),
+            F.shiftright(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
+            .alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    left = bands.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"), "band_id", "band_key"
+    )
+    right = bands.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"), "band_id", "band_key"
+    )
+    cand = (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    With ``bucket_col`` (e.g. a coarse cluster label) the join is
+    equi-bucketed — near-dups almost surely share a cluster, and the
+    pair space shrinks from N² to Σ bucket². Without it, a full
+    normalized dot-product self-join (exact, small-N fallback).
+    """
+    n = vectors.select(
+        F.col(id_col), l2_normalize(F.col(vec_col)).alias("_v"),
+        *([F.col(bucket_col)] if bucket_col else []),
+    )
+    a = n.select(
+        F.col(id_col).alias("a"), F.col("_v").alias("_va"),
+        *([F.col(bucket_col)] if bucket_col else []),
+    )
+    b = n.select(
+        F.col(id_col).alias("b"), F.col("_v").alias("_vb"),
+        *([F.col(bucket_col)] if bucket_col else []),
+    )
+    joined = a.join(b, on=bucket_col) if bucket_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", dot_product(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

@@ -1,0 +1,222 @@
+"""Vector-similarity search operators.
+
+Reference semantics being reproduced (mock_vector_db_api.py:230-312):
+  Q2: brute-force cosine of the query vector vs EVERY stored embedding
+      (:274-279) — a 1×N broadcast nested-loop scan.
+  Q3: top-k by score descending via argsort (:282).
+  Q4: threshold filter `score >= 0.1` applied AFTER the limit (:284-300)
+      — the result may therefore hold FEWER than k rows, and low-score
+      rows are NOT replaced by next-best ones. Observable behavior; kept.
+  Q5: query dimension must match stored dimension (:269-272).
+  T5: the embedding column is dropped from results (:296-298).
+
+Spark-first design notes:
+  * single-probe search compiles to scan → project(score) →
+    TakeOrderedAndProject(k) — no full sort, no shuffle of the data,
+    the probe vector travels as a literal in the plan.
+  * batch (many-probe) search is a broadcast nested-loop join probe×N
+    with a per-probe top-k window — the probe side is broadcast, the
+    corpus side never shuffles.
+  * at 100 TB the corpus is partitioned parquet; the scan parallelizes
+    per-file, partial top-k runs map-side (TakeOrderedAndProject is a
+    partial-then-merge operator), and only k rows per partition reach
+    the driver-side merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from converttovectordb_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    l2_normalize,
+)
+
+#: Reference's hardcoded post-limit score threshold
+#: (mock_vector_db_api.py:290).
+DEFAULT_SCORE_THRESHOLD = 0.1
+DEFAULT_TOP_K = 5
+
+
+def validate_top_k(top_k: object) -> int:
+    """Reference Q6: non-int or <=0 top_k falls back to 5
+    (mock_vector_db_api.py:248,254-256)."""
+    if not isinstance(top_k, int) or isinstance(top_k, bool) or top_k <= 0:
+        return DEFAULT_TOP_K
+    return top_k
+
+
+def knn_topk(
+    docs: DataFrame,
+    query_vector: list[float],
+    top_k: int = DEFAULT_TOP_K,
+    *,
+    embedding_col: str = "embedding",
+    score_threshold: float = DEFAULT_SCORE_THRESHOLD,
+    id_cols: list[str] | None = None,
+    drop_embedding: bool = True,
+) -> DataFrame:
+    """Single-probe exact KNN: score every row, keep top-k, then apply
+    the score threshold (threshold-AFTER-limit, reference Q4).
+
+    ``id_cols`` is the deterministic tie-break order (the reference's
+    argsort tie order is an implementation artifact; we document ours:
+    ascending id columns).
+    """
+    top_k = validate_top_k(top_k)
+    dim_ok = docs.limit(1).select(
+        F.size(F.col(embedding_col)).alias("d")
+    ).collect()
+    if dim_ok and dim_ok[0]["d"] != len(query_vector):
+        raise ValueError(
+            f"query dimension {len(query_vector)} != stored dimension "
+            f"{dim_ok[0]['d']}"  # reference Q5, mock_vector_db_api.py:269-272
+        )
+
+    q = F.lit([float(x) for x in query_vector]).cast("array<double>")
+    scored = docs.withColumn(
+        "score", cosine_similarity(F.col(embedding_col), q)
+    )
+    order: list[Column] = [F.col("score").desc()]
+    for c in id_cols or []:
+        order.append(F.col(c).asc())
+    out = (
+        scored.orderBy(*order)
+        .limit(top_k)
+        # Threshold AFTER limit — observable reference behavior (Q4).
+        .filter(F.col("score") >= score_threshold)
+    )
+    if drop_embedding:
+        out = out.drop(embedding_col)  # reference T5
+    return out
+
+
+def knn_join(
+    queries: DataFrame,
+    docs: DataFrame,
+    top_k: int = DEFAULT_TOP_K,
+    *,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    doc_id_col: str = "vec_id",
+    doc_vec_col: str = "embedding",
+    score_threshold: float | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Batch top-k similarity join: for every query row, the k most
+    cosine-similar doc rows.
+
+    Scale shape: the query side is broadcast (it is the small side by
+    construction); the corpus side streams through a single nested-loop
+    join stage with no shuffle of the corpus. Both sides are
+    L2-normalized FIRST so the pairwise work is one dot product, not
+    dot + two norms (3× less arithmetic than the reference's per-pair
+    recomputation at mock_vector_db_api.py:48-49). Per-query top-k is a
+    rank-window over the (small) joined result, partitioned by query.
+    """
+    top_k = validate_top_k(top_k)
+    qn = queries.select(
+        F.col(query_id_col),
+        l2_normalize(F.col(query_vec_col)).alias("_qvec"),
+    )
+    dn = docs.select(
+        F.col(doc_id_col),
+        l2_normalize(F.col(doc_vec_col)).alias("_dvec"),
+    )
+    pairs = F.broadcast(qn).crossJoin(dn)
+    if exclude_self:
+        pairs = pairs.filter(F.col(query_id_col) != F.col(doc_id_col))
+    scored = pairs.withColumn(
+        "score", dot_product(F.col("_qvec"), F.col("_dvec"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(doc_id_col).asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(query_id_col, doc_id_col, "score", "rank")
+    )
+    if score_threshold is not None:
+        out = out.filter(F.col("score") >= score_threshold)
+    return out
+
+
+def ivf_knn_join(
+    queries: DataFrame,
+    docs: DataFrame,
+    top_k: int = DEFAULT_TOP_K,
+    nprobe: int = 2,
+    *,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    doc_id_col: str = "vec_id",
+    doc_vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """IVF-style approximate KNN: prune the corpus to the ``nprobe``
+    clusters whose centroids are nearest each query, then exact-rerank
+    inside those clusters only.
+
+    This is the 100 TB path: with C clusters, each query touches
+    ~nprobe/C of the data. Centroids are computed with a position-
+    explode + groupBy (one shuffle of d×C rows — tiny), then broadcast.
+    The cluster assignment doubles as the parquet partition key at
+    scale, so pruning becomes partition pruning at the file level.
+    """
+    top_k = validate_top_k(top_k)
+    # Centroids: mean per (cluster, dimension position), re-assembled in
+    # position order. d×C intermediate rows — negligible at any scale.
+    pos = docs.select(
+        F.col(cluster_col),
+        F.posexplode(F.col(doc_vec_col).cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    )
+    centroids = (
+        pos.groupBy(cluster_col, "pos")
+        .agg(F.avg("val").alias("cval"))
+        .groupBy(cluster_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("cval")))
+                ),
+                lambda s: s.getField("cval"),
+            ).alias("centroid")
+        )
+    )
+    # nprobe nearest centroids per query (broadcast both tiny sides).
+    qc = (
+        F.broadcast(
+            queries.select(query_id_col, F.col(query_vec_col).alias("_qvec"))
+        )
+        .crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "csim", cosine_similarity(F.col("_qvec"), F.col("centroid"))
+        )
+    )
+    wc = Window.partitionBy(query_id_col).orderBy(
+        F.col("csim").desc(), F.col(cluster_col).asc()
+    )
+    probe = (
+        qc.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= nprobe)
+        .select(query_id_col, "_qvec", cluster_col)
+    )
+    # Exact rerank inside the selected clusters: equi-join on cluster id
+    # → at scale this is partition pruning, not a full scan.
+    cand = F.broadcast(probe).join(docs, on=cluster_col, how="inner")
+    scored = cand.withColumn(
+        "score", cosine_similarity(F.col("_qvec"), F.col(doc_vec_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(doc_id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(query_id_col, doc_id_col, "score", "rank")
+    )

@@ -1,0 +1,69 @@
+"""Corpus statistics — the reference's `/stats` aggregate suite.
+
+Reference (mock_vector_db_api.py:314-379) computes in one Python loop:
+  A1 total row count                     (:366)
+  A2 count grouped by extension, missing → 'unknown'   (:334,340-342)
+  A3 exact distinct count of non-empty paths           (:335,344-347)
+  A4 sum of content sizes, reported in KB              (:336,349-351,369)
+  A5 avg chunks per file: per-path last total_chunks, then mean
+     (:337,353-360,370)
+
+Spark-first: A1/A3/A4 collapse into ONE hash-aggregate pass; A2 is one
+groupBy; A5 is a two-level aggregate (groupBy path → avg). Catalyst
+prunes the embedding column out of all of them automatically — the
+reference reads every full row. At 100 TB these are map-side partial
+aggregates + a single tiny shuffle of the partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """A1+A3+A4 (+avg content length) in a single aggregate pass over the
+    engine's documents table (path/extension/content/total_chunks)."""
+    return docs.agg(
+        F.count(F.lit(1)).alias("total_documents"),
+        F.countDistinct(
+            F.when(F.col("path") != "", F.col("path"))
+        ).alias("unique_files"),
+        (F.sum(F.length("content")) / F.lit(1024.0)).alias(
+            "total_content_kb"
+        ),
+        F.avg(F.length("content")).alias("avg_content_chars"),
+    )
+
+
+def docs_by_extension(docs: DataFrame) -> DataFrame:
+    """A2: per-extension counts with the reference's 'unknown' default
+    for missing extensions (mock_vector_db_api.py:341)."""
+    return (
+        docs.groupBy(
+            F.coalesce(F.col("extension"), F.lit("unknown")).alias("extension")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def avg_chunks_per_file(docs: DataFrame) -> DataFrame:
+    """A5: per-path total_chunks (constant per path — max==last), then
+    mean across paths."""
+    per_file = docs.groupBy("path").agg(
+        F.max("total_chunks").alias("chunks")
+    )
+    return per_file.agg(F.avg("chunks").alias("avg_chunks_per_file"))
+
+
+def health(docs: DataFrame) -> dict:
+    """A6 analog: basic liveness counters."""
+    row = docs.agg(
+        F.count(F.lit(1)).alias("documents_count"),
+        F.count(F.col("embedding")).alias("embeddings_count"),
+    ).collect()[0]
+    return {
+        "status": "healthy",
+        "documents_count": row["documents_count"],
+        "embeddings_count": row["embeddings_count"],
+    }

@@ -1,0 +1,896 @@
+"""The engine's declared query suite.
+
+Each entry pairs a Spark DataFrame implementation with a bit-matching
+ANSI-SQL oracle (run by the driver on DuckDB over the same parquet).
+Conventions that make hash-parity hold:
+
+  * every float output is ``round(CAST(x AS DOUBLE), 6)`` in both
+    engines;
+  * money aggregations cast row values to DECIMAL first so the sum is
+    exact and order-independent (a parallel double-sum is not), then
+    cast the final aggregate to DOUBLE;
+  * counts that DuckDB would widen to HUGEINT are cast to BIGINT;
+  * every computed column is aliased identically on both sides;
+  * deterministic tie-breaks (id columns) on every top-k / window rank.
+
+Scale notes are inline per query — each one states the shuffle/broadcast
+shape it compiles to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from converttovectordb_spark.functions.text import (
+    distinct_token_count,
+    token_count,
+)
+from converttovectordb_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    l2_normalize,
+)
+from converttovectordb_spark.operators.dedup import (
+    dup_stats,
+    exact_dedup,
+    jaccard_neardup_pairs,
+    minhash_lsh_neardup,
+)
+from converttovectordb_spark.operators.search import ivf_knn_join, knn_join
+from converttovectordb_spark.operators.textstats import (
+    doc_fingerprints,
+    lang_id_report,
+    token_stats,
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table is written with Parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects. Read nanos as long (session conf)
+    and convert to a microsecond timestamp (truncating, which matches
+    DuckDB's ns→us cast)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # Integral division — a double `/` would round the microsecond up
+    # for half the rows, a 1µs divergence from DuckDB's truncation.
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _round6(col) -> F.Column:
+    return F.round(col.cast("double"), 6)
+
+
+# ---------------------------------------------------------------------------
+# Vector search
+# ---------------------------------------------------------------------------
+
+def q_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference read path (Q2→Q3→Q4): brute-force cosine of one probe
+    vs every embedding, top-10, threshold>=0.1 AFTER the limit.
+
+    Plan: parquet scan → project(score) → TakeOrderedAndProject(10) —
+    no shuffle of the table, probe travels as a plan literal.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = F.lit([float(x) for x in probe]).cast("array<double>")
+    scored = emb.withColumn("score", cosine_similarity(F.col("embedding"), q))
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .filter(F.col("score") >= 0.1)
+        .select("vec_id", "label", _round6(F.col("score")).alias("score"))
+    )
+
+
+_SQL_COSINE = """
+  list_sum(list_transform(list_zip(a, b), x -> x[1] * x[2]))
+"""
+
+
+ORACLE_VECTOR_TOPK = """
+WITH probe AS (
+  SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (na * nb) END AS score
+  FROM (
+    SELECT e.vec_id, e.label,
+           list_sum(list_transform(list_zip(e.embedding::DOUBLE[], p.q),
+                                   x -> x[1] * x[2])) AS dot,
+           sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x))) AS na,
+           sqrt(list_sum(list_transform(p.q, x -> x * x))) AS nb
+    FROM embeddings e CROSS JOIN probe p
+  ) e
+),
+topk AS (
+  SELECT * FROM scored ORDER BY score DESC, vec_id LIMIT 10
+)
+SELECT vec_id, label, round(CAST(score AS DOUBLE), 6) AS score
+FROM topk WHERE score >= 0.1
+"""
+
+
+def q_vector_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch top-k similarity join: probes = vec_id < 8, k=3 neighbors
+    each (self excluded). Probe side broadcast; corpus never shuffles;
+    per-probe top-k via rank window on the joined (small) result.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn_join(probes, emb, top_k=3, exclude_self=True)
+    return out.select(
+        "query_id",
+        "vec_id",
+        _round6(F.col("score")).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+ORACLE_VECTOR_KNN_BATCH = """
+WITH norm AS (
+  SELECT vec_id,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS n,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+unit AS (
+  SELECT vec_id,
+         CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS u
+  FROM norm
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS vec_id,
+         list_sum(list_transform(list_zip(q.u, d.u), x -> x[1] * x[2])) AS score
+  FROM unit q CROSS JOIN unit d
+  WHERE q.vec_id < 8 AND q.vec_id <> d.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, round(CAST(score AS DOUBLE), 6) AS score,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_vector_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned approximate KNN (nprobe=2 of 10 clusters): the 100 TB
+    search path — each query touches ~20% of the corpus; cluster id is
+    the partition-pruning key at scale. Rows-only check (the pruning
+    decision is not reasonably ANSI-SQL-expressible)."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_knn_join(probes, emb, top_k=3, nprobe=2)
+    return out.select(
+        "query_id",
+        "vec_id",
+        _round6(F.col("score")).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster embedding profile: count + mean L2 norm + mean of the
+    first coordinate — exercises array math natively per row."""
+    emb = load(spark, sf_dir, "embeddings")
+    ad = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(ad, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    per = emb.select(
+        "label",
+        norm.alias("n"),
+        F.element_at(ad, 1).alias("c0"),
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        _round6(F.avg("n")).alias("avg_norm"),
+        _round6(F.avg("c0")).alias("avg_c0"),
+    )
+
+
+ORACLE_EMBEDDING_STATS = """
+SELECT label,
+       count(*) AS n_vecs,
+       round(CAST(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                   x -> x * x)))) AS DOUBLE), 6)
+         AS avg_norm,
+       round(CAST(avg(embedding[1]::DOUBLE) AS DOUBLE), 6) AS avg_c0
+FROM embeddings
+GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Documents: stats / dedup / text analysis
+# ---------------------------------------------------------------------------
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference /stats suite (A1/A3/A4 analogs) in ONE aggregate pass;
+    Catalyst prunes unscanned columns at the parquet reader."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("total_documents"),
+        F.countDistinct("source").alias("unique_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        _round6(F.sum("n_chars") / F.lit(1024.0)).alias("total_content_kb"),
+        _round6(F.avg("n_chars")).alias("avg_chars"),
+    )
+
+
+ORACLE_DOC_STATS = """
+SELECT CAST(count(*) AS BIGINT) AS total_documents,
+       CAST(count(DISTINCT source) AS BIGINT) AS unique_sources,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       round(CAST(sum(n_chars) AS DOUBLE) / 1024.0, 6) AS total_content_kb,
+       round(CAST(avg(n_chars) AS DOUBLE), 6) AS avg_chars
+FROM documents
+"""
+
+
+def q_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A2 analog (group-count with 'unknown' default)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.coalesce(F.col("lang"), F.lit("unknown")).alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _round6(F.avg("n_chars")).alias("avg_chars"),
+        )
+    )
+
+
+ORACLE_DOCS_BY_LANG = """
+SELECT coalesce(lang, 'unknown') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(avg(n_chars) AS DOUBLE), 6) AS avg_chars
+FROM documents
+GROUP BY coalesce(lang, 'unknown')
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep lowest doc_id per md5(text). One 32-byte-key
+    shuffle regardless of document size."""
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "lang", "source")
+
+
+ORACLE_EXACT_DEDUP = """
+SELECT doc_id, lang, source
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+"""
+
+
+def q_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dup_stats(docs)
+
+
+ORACLE_DUP_STATS = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups
+FROM documents
+GROUP BY source
+"""
+
+
+def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-word-shingle Jaccard >= 0.2 via an
+    INVERTED-INDEX self-join (pairs only where a shingle is shared —
+    never a cross join; hot-shingle cap guards skew at scale)."""
+    docs = load(spark, sf_dir, "documents")
+    out = jaccard_neardup_pairs(
+        docs, threshold=0.2, max_shingle_df=10000
+    )
+    return out.select("a", "b", _round6(F.col("jaccard")).alias("jaccard"))
+
+
+ORACLE_NEARDUP_JACCARD = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 10000),
+cold AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+  FROM cold x JOIN cold y USING (shingle)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b,
+       round(CAST(n_common AS DOUBLE) /
+             (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 hashes)+LSH(4 bands) candidates verified by true
+    Jaccard >= 0.2 — the linear-cost near-dup path for 100 TB. Hashes
+    are md5-based so the oracle reproduces them bit-for-bit."""
+    docs = load(spark, sf_dir, "documents")
+    out = minhash_lsh_neardup(docs, threshold=0.2)
+    return out.select("a", "b", _round6(F.col("jaccard")).alias("jaccard"))
+
+
+# Oracle: same signature scheme in SQL. Bands of 4 minhash components
+# (min over md5('s<i>|' || shingle)), candidates share any band key,
+# then exact Jaccard verification on candidates only.
+def _oracle_minhash() -> str:
+    sig_cols = ",\n         ".join(
+        f"min(md5('s{i}|' || shingle)) AS h{i}" for i in range(16)
+    )
+    band_keys = []
+    for b in range(4):
+        cols = " || '|' || ".join(f"h{i}" for i in range(b * 4, (b + 1) * 4))
+        band_keys.append(f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_key FROM sig")
+    bands = "\n  UNION ALL\n  ".join(band_keys)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y USING (band_id, band_key)
+  WHERE x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.a, c.b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+)
+SELECT a, b,
+       round(CAST(n_common AS DOUBLE) /
+             (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+"""
+
+
+ORACLE_MINHASH_LSH = _oracle_minhash()
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token statistics — whitespace tokenization, all
+    native expressions (codegen, no Python)."""
+    docs = load(spark, sf_dir, "documents")
+    out = token_stats(docs)
+    return out.select(
+        "lang",
+        "n_docs",
+        _round6(F.col("avg_tokens")).alias("avg_tokens"),
+        _round6(F.col("avg_ttr")).alias("avg_ttr"),
+        _round6(F.col("chars_per_token")).alias("chars_per_token"),
+    )
+
+
+ORACLE_TOKEN_STATS = """
+WITH per AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> ''))) AS BIGINT) AS n_distinct,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(avg(n_tokens) AS DOUBLE), 6) AS avg_tokens,
+       round(CAST(avg(CASE WHEN n_tokens = 0 THEN 0.0
+                      ELSE CAST(n_distinct AS DOUBLE) / n_tokens END) AS DOUBLE), 6)
+         AS avg_ttr,
+       round(CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE), 6)
+         AS chars_per_token
+FROM per
+GROUP BY lang
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (marker-word argmax, priority-ordered tie
+    break) × the labeled language — confusion counts."""
+    docs = load(spark, sf_dir, "documents")
+    return lang_id_report(docs)
+
+
+ORACLE_LANG_ID = """
+WITH scored AS (
+  SELECT lang,
+         len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'),
+             x -> x <> ''), x -> x IN ('der','die','und','das','ist'))) AS s_de,
+         len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'),
+             x -> x <> ''), x -> x IN ('le','la','et','les','est'))) AS s_fr,
+         len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'),
+             x -> x <> ''), x -> x IN ('el','los','las','una','por'))) AS s_es,
+         len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'),
+             x -> x <> ''), x -> x IN ('the','a','of','to','and'))) AS s_en
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN s_de = 0 AND s_fr = 0 AND s_es = 0 AND s_en = 0 THEN 'und'
+              WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_en THEN 'de'
+              WHEN s_fr >= s_es AND s_fr >= s_en THEN 'fr'
+              WHEN s_es >= s_en THEN 'es'
+              ELSE 'en' END AS predicted
+  FROM scored
+)
+SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY lang, predicted
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: 4 smallest md5(16-char-gram) hashes
+    per doc — md5-based for bit-exact oracle parity."""
+    docs = load(spark, sf_dir, "documents")
+    return doc_fingerprints(docs)
+
+
+ORACLE_DOC_FINGERPRINT = """
+SELECT doc_id,
+       CASE WHEN length(text) < 16 THEN ''
+            ELSE array_to_string(
+              list_sort(list_transform(generate_series(1, length(text) - 15),
+                                       i -> md5(substr(text, i, 16))))[1:4], '|')
+       END AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational suite (TPC-H-shaped)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with decimal-exact money
+    math. Map-side partial aggregation → one tiny shuffle of partials."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    tax = F.col("l_tax").cast("decimal(12,2)")
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("_sq"),
+            F.sum(price).alias("_sp"),
+            F.sum(price * (F.lit(1).cast("decimal(12,2)") - disc)).alias("_sdp"),
+            F.sum(
+                price
+                * (F.lit(1).cast("decimal(12,2)") - disc)
+                * (F.lit(1).cast("decimal(12,2)") + tax)
+            ).alias("_sc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        _round6(F.col("_sq")).alias("sum_qty"),
+        _round6(F.col("_sp")).alias("sum_base_price"),
+        _round6(F.col("_sdp")).alias("sum_disc_price"),
+        _round6(F.col("_sc")).alias("sum_charge"),
+        _round6(F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+        _round6(F.col("_sp").cast("double") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+WITH t AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+         CAST(l_discount AS DECIMAL(12,2)) AS disc,
+         CAST(l_tax AS DECIMAL(12,2)) AS tax
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+),
+g AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(qty) AS _sq,
+         sum(price) AS _sp,
+         sum(price * (CAST(1 AS DECIMAL(12,2)) - disc)) AS _sdp,
+         sum(price * (CAST(1 AS DECIMAL(12,2)) - disc)
+                   * (CAST(1 AS DECIMAL(12,2)) + tax)) AS _sc,
+         count(*) AS count_order
+  FROM t GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       round(CAST(_sq AS DOUBLE), 6) AS sum_qty,
+       round(CAST(_sp AS DOUBLE), 6) AS sum_base_price,
+       round(CAST(_sdp AS DOUBLE), 6) AS sum_disc_price,
+       round(CAST(_sc AS DOUBLE), 6) AS sum_charge,
+       round(CAST(_sq AS DOUBLE) / count_order, 6) AS avg_qty,
+       round(CAST(_sp AS DOUBLE) / count_order, 6) AS avg_price,
+       CAST(count_order AS BIGINT) AS count_order
+FROM g
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join. All dimension tables are broadcast
+    (no shuffle of lineitem); only the final groupBy shuffles partials."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    out = (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(12,2)") - disc)).alias("_rev"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return out.select(
+        "r_name",
+        "n_name",
+        _round6(F.col("_rev")).alias("revenue"),
+        "n_items",
+    )
+
+
+ORACLE_REGION_REVENUE = """
+SELECT r_name, n_name,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                  AS DOUBLE), 6) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — rank window, single shuffle on the
+    partition key."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            _round6(F.col("o_totalprice")).alias("o_totalprice"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+ORACLE_TOP_ORDERS_PER_CUST = """
+SELECT o_custkey, o_orderkey,
+       round(CAST(o_totalprice AS DOUBLE), 6) AS o_totalprice,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+)
+WHERE rank <= 3
+"""
+
+
+def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no orders. Broadcast the distinct key
+    set; no shuffle of the customer side."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        F.broadcast(orders.select("o_custkey").distinct()),
+        cust.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+ORACLE_CUST_NO_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(status, priority) with decimal-exact totals; NULL rollup
+    levels labeled 'ALL' on both sides."""
+    orders = load(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(14,2)")
+    out = (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum(price).alias("_tp"))
+    )
+    return out.select(
+        F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+        "n_orders",
+        _round6(F.col("_tp")).alias("total_price"),
+    )
+
+
+ORACLE_ORDER_ROLLUP = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+         AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_mktsegment_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + grouped agg: revenue by market segment and order year —
+    date function coverage (year()) + broadcast dim join."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    price = F.col("o_totalprice").cast("decimal(14,2)")
+    out = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            "c_mktsegment", F.year("o_orderdate").cast("int").alias("order_year")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum(price).alias("_rev"))
+    )
+    return out.select(
+        "c_mktsegment", "order_year", "n_orders",
+        _round6(F.col("_rev")).alias("revenue"),
+    )
+
+
+ORACLE_MKTSEGMENT_SALES = """
+SELECT c_mktsegment,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+         AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, year(o_orderdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events: time-series / JSON / sessionization
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour aggregate (the batch twin of the streaming windowed
+    agg in streaming/jobs.py)."""
+    ev = load_events(spark, sf_dir)
+    val = F.col("value").cast("decimal(14,2)")
+    out = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(val).alias("_tv"))
+    )
+    return out.select(
+        "hour", "event_type", "n_events",
+        _round6(F.col("_tv")).alias("total_value"),
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 6) AS total_value
+FROM events
+GROUP BY CAST(date_trunc('hour', ts) AS TIMESTAMP), event_type
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props column + grouped agg."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _round6(F.avg("k")).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_EVENTS_JSON = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(avg(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE), 6)
+         AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap → new session; lag +
+    running cumsum windows, single shuffle on user_id."""
+    ev = load_events(spark, sf_dir)
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(
+        w_user
+    )
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn("_new", is_new).withColumn(
+        "session_seq",
+        F.sum("_new").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            _round6(F.sum(F.col("value").cast("decimal(14,2)"))).alias(
+                "session_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("bigint").alias("session_seq"),
+            "session_start",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH ev AS (
+  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS _new
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 6)
+         AS session_value
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "vector_topk": q_vector_topk,
+    "vector_knn_batch": q_vector_knn_batch,
+    "vector_ivf_knn": q_vector_ivf_knn,
+    "embedding_stats": q_embedding_stats,
+    "doc_stats": q_doc_stats,
+    "docs_by_lang": q_docs_by_lang,
+    "exact_dedup": q_exact_dedup,
+    "dup_stats": q_dup_stats,
+    "neardup_jaccard": q_neardup_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "token_stats": q_token_stats,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "pricing_summary": q_pricing_summary,
+    "region_revenue": q_region_revenue,
+    "top_orders_per_cust": q_top_orders_per_cust,
+    "cust_no_orders": q_cust_no_orders,
+    "order_rollup": q_order_rollup,
+    "mktsegment_sales": q_mktsegment_sales,
+    "events_hourly": q_events_hourly,
+    "events_json": q_events_json,
+    "sessionize": q_sessionize,
+}
+
+ORACLES = {
+    "vector_topk": ORACLE_VECTOR_TOPK,
+    "vector_knn_batch": ORACLE_VECTOR_KNN_BATCH,
+    # vector_ivf_knn: rows-only (pruning heuristic not ANSI-SQL-shaped)
+    "embedding_stats": ORACLE_EMBEDDING_STATS,
+    "doc_stats": ORACLE_DOC_STATS,
+    "docs_by_lang": ORACLE_DOCS_BY_LANG,
+    "exact_dedup": ORACLE_EXACT_DEDUP,
+    "dup_stats": ORACLE_DUP_STATS,
+    "neardup_jaccard": ORACLE_NEARDUP_JACCARD,
+    "minhash_lsh": ORACLE_MINHASH_LSH,
+    "token_stats": ORACLE_TOKEN_STATS,
+    "lang_id": ORACLE_LANG_ID,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "region_revenue": ORACLE_REGION_REVENUE,
+    "top_orders_per_cust": ORACLE_TOP_ORDERS_PER_CUST,
+    "cust_no_orders": ORACLE_CUST_NO_ORDERS,
+    "order_rollup": ORACLE_ORDER_ROLLUP,
+    "mktsegment_sales": ORACLE_MKTSEGMENT_SALES,
+    "events_hourly": ORACLE_EVENTS_HOURLY,
+    "events_json": ORACLE_EVENTS_JSON,
+    "sessionize": ORACLE_SESSIONIZE,
+}
