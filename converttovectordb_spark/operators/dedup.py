@@ -29,8 +29,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from converttovectordb_spark.functions.text import word_shingles
+from converttovectordb_spark.functions.text import tokens, word_shingles
 from converttovectordb_spark.functions.vector import dot_product, l2_normalize
+
+
+def _exploded_shingles(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, shingle) rows, one per DISTINCT word n-gram per document.
+
+    Tokens are materialized as a projected column FIRST: referencing the
+    tokenize expression inside the shingle lambda would re-run the regex
+    split once per shingle position (whole-stage codegen does not CSE
+    inside higher-order-function lambdas) — a ~100× blowup on long docs.
+    """
+    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    t = F.col("_toks")
+    shingles = F.when(
+        F.size(t) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + k + 1).cast("int")) for k in range(n)]
+            ),
+        )
+    )
+    return toked.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
 
 
 def exact_dedup(
@@ -91,18 +118,19 @@ def jaccard_neardup_pairs(
     docs before the join — the skew/stop-shingle guard: one shingle in
     every doc would otherwise create an N² partition.
     """
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(word_shingles(F.col(text_col), shingle_words))
-        ).alias("shingle"),
-    )
+    sh = _exploded_shingles(docs, id_col, text_col, shingle_words)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
             F.col("df") > max_shingle_df
         )
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    # Explicit hash-partition on the join key: the shingle rows are few
+    # BYTES but the pair fanout downstream is CPU-heavy — AQE's
+    # size-based coalescing would collapse this to one task otherwise.
+    # User-specified repartition counts are preserved by AQE.
+    par = sh.sparkSession.sparkContext.defaultParallelism
+    sh = sh.repartition(par, F.col("shingle"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")
     common = (
@@ -152,31 +180,33 @@ def minhash_lsh_candidates(
     per band = num_hashes/bands, P(candidate) = 1-(1-j^r)^bands.
     """
     rows_per_band = num_hashes // bands
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(word_shingles(F.col(text_col), shingle_words))
-        ).alias("shingle"),
-    )
+    sh = _exploded_shingles(docs, id_col, text_col, shingle_words)
     sig = sh.groupBy(id_col).agg(
         *[
             _minhash_sig(F.col("shingle"), i).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_rows.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+    # All band keys in ONE pass (posexplode over an array of per-band
+    # hashes) — a per-band union would re-execute the whole signature
+    # pipeline once per band per join side.
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{i}")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
             )
-        )
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionByName(br)
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band_id", "band_key")
+    )
     left = banded.select(
         F.col(id_col).alias("a"), "band_id", "band_key"
     )
@@ -212,12 +242,7 @@ def minhash_lsh_neardup(
         num_hashes=num_hashes,
         bands=bands,
     )
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(word_shingles(F.col(text_col), shingle_words))
-        ).alias("shingle"),
-    )
+    sh = _exploded_shingles(docs, id_col, text_col, shingle_words)
     sa = sh.select(F.col(id_col).alias("a"), F.col("shingle"))
     sb = sh.select(F.col(id_col).alias("b"), F.col("shingle"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))

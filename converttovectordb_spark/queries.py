@@ -65,6 +65,14 @@ def _round6(col) -> F.Column:
     return F.round(col.cast("double"), 6)
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition a small-file scan across all cores before CPU-heavy
+    per-row work (shingling, md5 batteries). At 100 TB the parquet
+    scan itself yields thousands of splits and this is a no-op choice;
+    the test tables are single small files → single task without it."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # Vector search
 # ---------------------------------------------------------------------------
@@ -296,7 +304,7 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by 3-word-shingle Jaccard >= 0.2 via an
     INVERTED-INDEX self-join (pairs only where a shingle is shared —
     never a cross join; hot-shingle cap guards skew at scale)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
     out = jaccard_neardup_pairs(
         docs, threshold=0.2, max_shingle_df=10000
     )
@@ -338,7 +346,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16 hashes)+LSH(4 bands) candidates verified by true
     Jaccard >= 0.2 — the linear-cost near-dup path for 100 TB. Hashes
     are md5-based so the oracle reproduces them bit-for-bit."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
     out = minhash_lsh_neardup(docs, threshold=0.2)
     return out.select("a", "b", _round6(F.col("jaccard")).alias("jaccard"))
 
@@ -441,7 +449,7 @@ GROUP BY lang
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (marker-word argmax, priority-ordered tie
     break) × the labeled language — confusion counts."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
     return lang_id_report(docs)
 
 
@@ -475,7 +483,7 @@ FROM pred GROUP BY lang, predicted
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: 4 smallest md5(16-char-gram) hashes
     per doc — md5-based for bit-exact oracle parity."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
     return doc_fingerprints(docs)
 
 
