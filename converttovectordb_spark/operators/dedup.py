@@ -265,44 +265,48 @@ def minhash_lsh_neardup(
     )
 
 
-def simhash64(text_col, *, ngram: int = 2):
-    """64-bit-ish SimHash as a column expression (60 bits used, so the
-    value stays inside a signed bigint without overflow).
+SIMHASH_BITS = 60  # stays inside a signed bigint
 
-    Token hashes come from md5 hex → first 15 hex chars → unsigned int.
-    Each bit contributes +1/-1 per token; the fingerprint takes the
-    sign. Pure Catalyst expressions (explode-free: aggregate over the
-    token array), so it runs in codegen.
+
+def simhash_fingerprints(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """60-bit SimHash per document → DataFrame(id, simhash bigint).
+
+    Shape: explode tokens → hash each token ONCE (md5 hex → first 15
+    hex chars → bigint) → one groupBy(id) computing all 60 bit-sums as
+    independent ±1 aggregates → sign → weighted bit sum. One shuffle on
+    the doc id; the md5 runs once per token, not once per (token, bit).
     """
     from converttovectordb_spark.functions.text import tokens
 
-    toks = tokens(text_col)
-    tok_hash = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("_tok"),
+    ).withColumn(
+        "_h", F.conv(F.substring(F.md5(F.col("_tok")), 1, 15), 16, 10).cast("bigint")
     )
-    # For each bit position, sum(+1/-1) over tokens, then sign bit.
-    bit_vals = F.transform(
-        F.sequence(F.lit(0), F.lit(59)),
-        lambda bit: F.when(
-            F.aggregate(
-                tok_hash,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
-            )
-            > 0,
-            F.lit(1).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint")),
+    bit_sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"_b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    return F.aggregate(
-        F.zip_with(
-            bit_vals,
-            F.sequence(F.lit(0), F.lit(59)),
-            lambda v, i: v * F.shiftleft(F.lit(1).cast("bigint"), i),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    fingerprint = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"_b{b}") > 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return bit_sums.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def simhash_neardup_pairs(
@@ -316,9 +320,7 @@ def simhash_neardup_pairs(
     """SimHash near-dup: bucket by 4 bands of 15 bits (any pair within
     Hamming distance 3 of a 60-bit hash shares at least one exact band
     — pigeonhole), verify Hamming distance on candidates."""
-    fp = docs.select(
-        F.col(id_col), simhash64(F.col(text_col)).alias("simhash")
-    )
+    fp = simhash_fingerprints(docs, id_col=id_col, text_col=text_col)
     bands = None
     for b in range(4):
         part = fp.select(

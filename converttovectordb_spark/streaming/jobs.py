@@ -1,0 +1,140 @@
+"""Structured Streaming upgrades of the engine's batch paths.
+
+The reference has no streaming at all (SURVEY §2.5) — its "incremental"
+ingest is append + full-file JSON rewrite. These jobs are the Spark-
+native continuous versions:
+
+  * stream_ingest_documents — file-source stream over a drop directory
+    → the same chunk→embed lineage as batch ingest → parquet/Delta
+    append via foreachBatch (exactly-once per epoch on a transactional
+    sink).
+  * stream_events_hourly — watermarked tumbling-window aggregate, the
+    streaming twin of queries.q_events_hourly; late rows beyond the
+    watermark are dropped deterministically.
+
+Scale posture: the file source tracks processed files in the checkpoint
+(no re-listing of old data); state for the windowed agg is bounded by
+the watermark horizon; `availableNow` triggers let the same job run as
+a catch-up batch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from converttovectordb_spark.embeddings import embed_column
+from converttovectordb_spark.sources.chunker import explode_chunks
+
+#: Schema for streamed raw text-file records dropped into the ingest dir
+#: (one JSON per file batch: {path, content, extension}).
+RAW_FILES_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("content", StringType(), True),
+        StructField("extension", StringType(), True),
+    ]
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+    ]
+)
+
+
+def stream_ingest_documents(
+    spark: SparkSession,
+    drop_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    *,
+    embedder: Callable | None = None,
+    dim: int = 384,
+    chunk_size: int = 1000,
+    overlap: int = 200,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous ingest: JSON records land in ``drop_dir``; each
+    micro-batch runs the batch chunk→embed lineage and appends to the
+    parquet store via foreachBatch."""
+    raw = (
+        spark.readStream.schema(RAW_FILES_SCHEMA)
+        .json(drop_dir)
+        .filter(F.col("content").isNotNull())
+    )
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        chunks = explode_chunks(
+            batch_df, chunk_size=chunk_size, overlap=overlap
+        )
+        docs = embed_column(chunks, "content", "embedding", embedder, dim)
+        (
+            docs.withColumn("timestamp", F.lit(float(epoch_id)))
+            .write.mode("append")
+            .parquet(store_path)
+        )
+
+    writer = (
+        raw.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_events_hourly(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-hour aggregate over a parquet event stream.
+    Returns the streaming DataFrame; caller attaches the sink."""
+    ev = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, *, output_mode: str = "append"
+) -> StreamingQuery:
+    """Attach a memory sink and drain all available input synchronously
+    (test/dev helper)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

@@ -1,0 +1,105 @@
+"""Dedup operator tests: exact, Jaccard, MinHash-LSH, SimHash,
+embedding near-dup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from converttovectordb_spark.operators.dedup import (
+    dup_stats,
+    embedding_neardup_pairs,
+    exact_dedup,
+    jaccard_neardup_pairs,
+    minhash_lsh_candidates,
+    minhash_lsh_neardup,
+    simhash_fingerprints,
+    simhash_neardup_pairs,
+)
+
+DOC = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun"
+)
+NEAR = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the evening sun"
+)
+OTHER = "completely different words about spark engines and parquet files here"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, DOC, "s1"),
+            (2, DOC, "s1"),      # exact duplicate of 1
+            (3, NEAR, "s2"),     # near duplicate of 1
+            (4, OTHER, "s2"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    kept = exact_dedup(_docs(spark)).select("doc_id").collect()
+    ids = sorted(r.doc_id for r in kept)
+    assert ids == [1, 3, 4]  # doc 2 (dup of 1) removed, lowest id kept
+
+
+def test_dup_stats(spark):
+    rows = {r.source: r for r in dup_stats(_docs(spark)).collect()}
+    assert rows["s1"].n_docs == 2 and rows["s1"].n_dups == 1
+    assert rows["s2"].n_docs == 2 and rows["s2"].n_dups == 0
+
+
+def test_jaccard_pairs(spark):
+    out = jaccard_neardup_pairs(
+        _docs(spark), threshold=0.5, max_shingle_df=None
+    ).collect()
+    pairs = {(r.a, r.b): r.jaccard for r in out}
+    assert pairs[(1, 2)] == pytest.approx(1.0)  # identical docs
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5  # near dup
+    assert not any(4 in p for p in pairs)  # unrelated doc in no pair
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    cands = {
+        (r.a, r.b) for r in minhash_lsh_candidates(_docs(spark)).collect()
+    }
+    assert (1, 2) in cands
+    verified = {
+        (r.a, r.b): r.jaccard
+        for r in minhash_lsh_neardup(_docs(spark), threshold=0.5).collect()
+    }
+    assert verified[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) in verified
+
+
+def test_simhash_identical_and_near(spark):
+    df = simhash_fingerprints(_docs(spark))
+    sh = {r.doc_id: r.simhash for r in df.collect()}
+    assert sh[1] == sh[2]  # identical text → identical fingerprint
+    assert sh[1] != sh[4]
+    pairs = {
+        (r.a, r.b): r.hamming
+        for r in simhash_neardup_pairs(_docs(spark), max_hamming=10).collect()
+    }
+    assert pairs[(1, 2)] == 0
+
+
+def test_embedding_neardup(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [0.999, 0.04, 0.0], 0),   # near dup of 1
+            (3, [0.0, 1.0, 0.0], 1),
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    out = embedding_neardup_pairs(vecs, threshold=0.95).collect()
+    assert [(r.a, r.b) for r in out] == [(1, 2)]
+    # bucketed variant finds the same pair (same cluster)
+    out_b = embedding_neardup_pairs(
+        vecs, threshold=0.95, bucket_col="label"
+    ).collect()
+    assert [(r.a, r.b) for r in out_b] == [(1, 2)]

@@ -1,0 +1,78 @@
+"""Structured Streaming job tests (memory sink + availableNow drain)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from converttovectordb_spark.embeddings import hash_embedder
+from converttovectordb_spark.streaming.jobs import (
+    EVENTS_SCHEMA,
+    run_stream_to_memory,
+    stream_events_hourly,
+    stream_ingest_documents,
+)
+
+
+def test_stream_ingest_documents(spark, tmp_path):
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    recs = [
+        {"path": "a.py", "content": "alpha " * 300, "extension": ".py"},
+        {"path": "b.md", "content": "beta doc", "extension": ".md"},
+    ]
+    (drop / "batch1.json").write_text("\n".join(json.dumps(r) for r in recs))
+
+    q = stream_ingest_documents(
+        spark,
+        str(drop),
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        embedder=hash_embedder(16),
+        dim=16,
+        chunk_size=500,
+        overlap=100,
+    )
+    q.awaitTermination(60)
+
+    out = spark.read.parquet(str(tmp_path / "store"))
+    paths = {r.path for r in out.select("path").distinct().collect()}
+    assert paths == {"a.py", "b.md"}
+    multi = out.filter(out.path == "a.py").count()
+    assert multi > 1  # long doc chunked
+    assert out.filter(out.embedding.isNull()).count() == 0
+
+    # idempotent restart: same checkpoint, no new files → no new rows
+    n = out.count()
+    q2 = stream_ingest_documents(
+        spark, str(drop), str(tmp_path / "store"), str(tmp_path / "ckpt"),
+        embedder=hash_embedder(16), dim=16,
+    )
+    q2.awaitTermination(60)
+    assert spark.read.parquet(str(tmp_path / "store")).count() == n
+
+
+def test_stream_events_hourly(spark, tmp_path):
+    src = tmp_path / "events"
+    base = dt.datetime(2024, 1, 1, 0, 5, 0)
+    rows = [
+        (1, base, 1, "click", 1.0),
+        (2, base + dt.timedelta(minutes=10), 1, "click", 2.0),
+        (3, base + dt.timedelta(hours=1), 2, "view", 5.0),
+    ]
+    spark.createDataFrame(rows, EVENTS_SCHEMA).write.parquet(str(src))
+
+    agg = stream_events_hourly(spark, str(src))
+    q = run_stream_to_memory(agg, "hourly_test")
+    q.stop()
+    got = {
+        (r.hour, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM hourly_test").collect()
+    }
+    # append mode only emits windows closed by the watermark; with
+    # availableNow + 2h watermark the first window may be withheld, so
+    # just assert the plan runs and state keys are sane.
+    for (hour, etype), (n, v) in got.items():
+        assert hour.minute == 0 and hour.second == 0
+        assert etype in {"click", "view"}
+        assert n >= 1

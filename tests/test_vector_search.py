@@ -1,0 +1,151 @@
+"""Vector math + search-semantics tests (reference Q1-Q7)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from converttovectordb_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+    l2_normalize,
+)
+from converttovectordb_spark.operators.search import (
+    ivf_knn_join,
+    knn_join,
+    knn_topk,
+    validate_top_k,
+)
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_basics(spark):
+    df = _vec_df(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 2.0]),
+            (3, [2.0, 0.0]),
+            (4, [0.0, 0.0]),  # zero vector → cosine 0 (reference :50-51)
+        ],
+    )
+    q = F.lit([1.0, 0.0]).cast("array<double>")
+    got = {
+        r.vec_id: r.c
+        for r in df.select(
+            "vec_id", cosine_similarity(F.col("embedding"), q).alias("c")
+        ).collect()
+    }
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(0.0)
+    assert got[3] == pytest.approx(1.0)
+    assert got[4] == 0.0  # exact zero from the guard
+
+
+def test_norm_and_normalize(spark):
+    df = _vec_df(spark, [(1, [3.0, 4.0]), (2, [0.0, 0.0])])
+    rows = {
+        r.vec_id: (r.n, r.u)
+        for r in df.select(
+            "vec_id",
+            l2_norm(F.col("embedding")).alias("n"),
+            l2_normalize(F.col("embedding")).alias("u"),
+        ).collect()
+    }
+    assert rows[1][0] == pytest.approx(5.0)
+    assert rows[1][1] == pytest.approx([0.6, 0.8])
+    assert rows[2][1] == [0.0, 0.0]  # zero vector passes through
+
+
+def test_validate_top_k():
+    # reference Q6: non-int or <=0 → 5 (mock_vector_db_api.py:254-256)
+    assert validate_top_k(3) == 3
+    assert validate_top_k(0) == 5
+    assert validate_top_k(-2) == 5
+    assert validate_top_k("7") == 5
+    assert validate_top_k(True) == 5
+    assert validate_top_k(None) == 5
+
+
+def test_threshold_after_limit(spark):
+    """Reference Q4: threshold applies AFTER top-k — low-score rows are
+    dropped, NOT replaced by next-best rows."""
+    df = _vec_df(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),   # orthogonal: score 0 < 0.1
+            (4, [-1.0, 0.0]),  # negative score
+        ],
+    )
+    out = knn_topk(df, [1.0, 0.0], top_k=3, id_cols=["vec_id"],
+                   drop_embedding=False)
+    rows = out.collect()
+    # top-3 by score = [1, 2, 3-or-4...]; threshold kills scores < 0.1
+    assert [r.vec_id for r in rows] == [1, 2]
+    # vec 4 must NOT appear even though k=3 allowed 3 rows
+    assert all(r.score >= 0.1 for r in rows)
+
+
+def test_topk_tiebreak_deterministic(spark):
+    df = _vec_df(
+        spark,
+        [(i, [1.0, 0.0]) for i in range(10)],  # all identical scores
+    )
+    out = knn_topk(df, [1.0, 0.0], top_k=4, id_cols=["vec_id"],
+                   drop_embedding=False)
+    assert [r.vec_id for r in out.collect()] == [0, 1, 2, 3]
+
+
+def test_dim_mismatch_rejected(spark):
+    df = _vec_df(spark, [(1, [1.0, 0.0, 0.0])])
+    with pytest.raises(ValueError, match="dimension"):
+        knn_topk(df, [1.0, 0.0], top_k=2)
+
+
+def test_knn_join_excludes_self_and_ranks(spark):
+    docs = _vec_df(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.99, 0.14]),
+            (3, [0.0, 1.0]),
+        ],
+    )
+    queries = docs.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn_join(queries, docs, top_k=1, exclude_self=True).collect()
+    by_q = {r.query_id: r for r in out}
+    assert by_q[1].vec_id == 2  # nearest non-self
+    assert by_q[2].vec_id == 1
+    assert all(r.rank == 1 for r in out)
+    # normalized dot == cosine
+    expected = (1.0 * 0.99) / math.sqrt(0.99**2 + 0.14**2)
+    assert by_q[1].score == pytest.approx(expected)
+
+
+def test_ivf_matches_bruteforce_on_clustered_data(spark):
+    # two tight clusters; nprobe=1 must still find the true neighbors
+    rows = [(i, [10.0 + i * 0.01, 0.0, 1.0], 0) for i in range(5)]
+    rows += [(10 + i, [0.0, 10.0 + i * 0.01, 1.0], 1) for i in range(5)]
+    docs = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    queries = docs.filter(F.col("vec_id").isin(0, 10)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn_join(queries, docs, top_k=3).select(
+        "query_id", "vec_id", "rank"
+    )
+    approx = ivf_knn_join(queries, docs, top_k=3, nprobe=1).select(
+        "query_id", "vec_id", "rank"
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, approx.collect())
+    )
