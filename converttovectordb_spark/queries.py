@@ -32,15 +32,19 @@ from converttovectordb_spark.functions.vector import (
     l2_normalize,
 )
 from converttovectordb_spark.operators.dedup import (
+    SIMHASH_BITS,
     dup_stats,
+    embedding_neardup_pairs,
     exact_dedup,
     jaccard_neardup_pairs,
     minhash_lsh_neardup,
+    simhash_neardup_pairs,
 )
 from converttovectordb_spark.operators.search import ivf_knn_join, knn_join
 from converttovectordb_spark.operators.textstats import (
     doc_fingerprints,
     lang_id_report,
+    quality_report,
     token_stats,
 )
 
@@ -409,6 +413,86 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
 ORACLE_MINHASH_LSH = _oracle_minhash()
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (60-bit fingerprint, Hamming <= 3) via
+    4×15-bit band bucketing — complete for Hamming<=3 by pigeonhole, so
+    the oracle can check ALL pairs directly and still match. Linear
+    shuffle cost at scale (band keys, not pairs)."""
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
+    out = simhash_neardup_pairs(docs, max_hamming=3)
+    return out.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _oracle_simhash() -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_reduce(list_transform(generate_series(1, 15),
+           i -> CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)),
+           (a, b) -> a * 16 + b) AS hv
+  FROM toks
+),
+bits AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM h GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id, {fp} AS simhash FROM bits
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+"""
+
+
+ORACLE_SIMHASH_NEARDUP = _oracle_simhash()
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, bucketed by the coarse cluster
+    label — the pair space is Σ bucket² instead of N², and at 100 TB the
+    bucket is the partition key (each task sees one bucket)."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs(emb, threshold=0.3, bucket_col="label")
+    return out.select("a", "b", _round6(F.col("cosine")).alias("cosine"))
+
+
+ORACLE_EMBEDDING_NEARDUP = """
+WITH n AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nn
+  FROM embeddings
+),
+unit AS (
+  SELECT vec_id, label,
+         CASE WHEN nn = 0 THEN v ELSE list_transform(v, x -> x / nn) END AS u
+  FROM n
+),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         list_sum(list_transform(list_zip(a.u, b.u), x -> x[1] * x[2])) AS cosine
+  FROM unit a JOIN unit b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT a, b, round(CAST(cosine AS DOUBLE), 6) AS cosine
+FROM pairs WHERE cosine >= 0.3
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token statistics — whitespace tokenization, all
     native expressions (codegen, no Python)."""
@@ -477,6 +561,58 @@ pred AS (
 )
 SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
 FROM pred GROUP BY lang, predicted
+"""
+
+
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-quality report (length band, punct ratio,
+    stopword ratio → composite score) — all codegen expressions, one
+    tiny partial-agg shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    out = quality_report(docs)
+    return out.select(
+        "source",
+        "n_docs",
+        _round6(F.col("avg_quality")).alias("avg_quality"),
+        _round6(F.col("avg_punct_ratio")).alias("avg_punct_ratio"),
+        _round6(F.col("avg_stopword_ratio")).alias("avg_stopword_ratio"),
+        F.col("n_low_quality").cast("bigint").alias("n_low_quality"),
+    )
+
+
+_SW_LIST = "'the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'"
+
+ORACLE_QUALITY_REPORT = f"""
+WITH per AS (
+  SELECT source,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                        AS DOUBLE) / length(text) END AS p,
+         CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '')) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(list_filter(
+                       string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+                       x -> x IN ({_SW_LIST}))) AS DOUBLE)
+                   / len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x <> '')) END AS s,
+         CASE WHEN length(text) >= 50 AND length(text) <= 5000
+              THEN 1.0 ELSE 0.0 END AS length_ok
+  FROM documents
+),
+scored AS (
+  SELECT source, p, s,
+         0.4 * length_ok + 0.3 * (1.0 - p)
+           + 0.3 * (CASE WHEN s >= 0.05 AND s <= 0.6 THEN 1.0 ELSE 0.0 END) AS q
+  FROM per
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(avg(q) AS DOUBLE), 6) AS avg_quality,
+       round(CAST(avg(p) AS DOUBLE), 6) AS avg_punct_ratio,
+       round(CAST(avg(s) AS DOUBLE), 6) AS avg_stopword_ratio,
+       CAST(sum(CASE WHEN q < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+FROM scored
+GROUP BY source
 """
 
 
@@ -864,6 +1000,9 @@ QUERIES = {
     "dup_stats": q_dup_stats,
     "neardup_jaccard": q_neardup_jaccard,
     "minhash_lsh": q_minhash_lsh,
+    "simhash_neardup": q_simhash_neardup,
+    "embedding_neardup": q_embedding_neardup,
+    "quality_report": q_quality_report,
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -889,6 +1028,9 @@ ORACLES = {
     "dup_stats": ORACLE_DUP_STATS,
     "neardup_jaccard": ORACLE_NEARDUP_JACCARD,
     "minhash_lsh": ORACLE_MINHASH_LSH,
+    "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
+    "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+    "quality_report": ORACLE_QUALITY_REPORT,
     "token_stats": ORACLE_TOKEN_STATS,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
