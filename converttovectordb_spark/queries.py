@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 from converttovectordb_spark.functions.text import (
     distinct_token_count,
     token_count,
+    word_shingles,
 )
+from converttovectordb_spark.operators.joins import asof_join, band_join
 from converttovectordb_spark.functions.vector import (
     cosine_similarity,
     dot_product,
@@ -867,6 +869,202 @@ GROUP BY c_mktsegment, year(o_orderdate)
 """
 
 
+def q_cust_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join chain: customers with at least one returned
+    lineitem. Both semi joins broadcast the (small, distinct) key set —
+    the fact tables are never shuffled."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    ret_orders = orders.join(
+        F.broadcast(
+            li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+        ),
+        orders.o_orderkey == F.col("l_orderkey"),
+        "left_semi",
+    )
+    return cust.join(
+        F.broadcast(ret_orders.select("o_custkey").distinct()),
+        cust.c_custkey == F.col("o_custkey"),
+        "left_semi",
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+ORACLE_CUST_WITH_RETURNS = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (
+  SELECT o_custkey FROM orders
+  WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+)
+"""
+
+
+def q_cust_year_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation suite on yearly active-customer key sets:
+    INTERSECT (both years), EXCEPT (each year only), tagged and
+    UNION ALL-ed into one result."""
+    orders = load(spark, sf_dir, "orders")
+
+    def active(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    c95, c96 = active(1995), active(1996)
+    both = c95.intersect(c96).withColumn("op", F.lit("both"))
+    only95 = c95.subtract(c96).withColumn("op", F.lit("only_1995"))
+    only96 = c96.subtract(c95).withColumn("op", F.lit("only_1996"))
+    return (
+        both.unionByName(only95)
+        .unionByName(only96)
+        .select("op", "o_custkey")
+    )
+
+
+ORACLE_CUST_YEAR_SETS = """
+WITH c95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     c96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT 'both' AS op, o_custkey
+FROM (SELECT o_custkey FROM c95 INTERSECT SELECT o_custkey FROM c96)
+UNION ALL
+SELECT 'only_1995' AS op, o_custkey
+FROM (SELECT o_custkey FROM c95 EXCEPT SELECT o_custkey FROM c96)
+UNION ALL
+SELECT 'only_1996' AS op, o_custkey
+FROM (SELECT o_custkey FROM c96 EXCEPT SELECT o_custkey FROM c95)
+"""
+
+
+def q_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast range (band) join: parts mapped to retail-price bands
+    [lo, hi) from a 4-row band table, then grouped. The band table is
+    broadcast; the part scan is never shuffled (nested-loop probe over
+    4 bands per row)."""
+    part = load(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [
+            ("b900_925", 900.0, 925.0),
+            ("b925_950", 925.0, 950.0),
+            ("b950_975", 950.0, 975.0),
+            ("b975_1000", 975.0, 1000.0),
+        ],
+        ["band", "lo", "hi"],
+    )
+    joined = band_join(part, bands, value_col="p_retailprice")
+    price = F.col("p_retailprice").cast("decimal(12,2)")
+    out = joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(price).alias("_sp"),
+    )
+    return out.select(
+        "band",
+        "n_parts",
+        _round6(F.col("_sp")).alias("sum_price"),
+        _round6(F.col("_sp").cast("double") / F.col("n_parts")).alias("avg_price"),
+    )
+
+
+ORACLE_PRICE_BAND_JOIN = """
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE), 6)
+         AS sum_price,
+       round(CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*), 6) AS avg_price
+FROM part
+JOIN (VALUES ('b900_925', 900.0, 925.0),
+             ('b925_950', 925.0, 950.0),
+             ('b950_975', 950.0, 975.0),
+             ('b975_1000', 975.0, 1000.0)) AS b(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+"""
+
+
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue + 7-day rolling sum. Pre-aggregating to day grain
+    FIRST shrinks the window input to date-cardinality rows (~2.4k), so
+    the unpartitioned range window is a non-issue even at 100 TB — the
+    heavy lifting is the partial-agg groupBy."""
+    orders = load(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(14,2)")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("order_day")
+    ).agg(F.sum(price).alias("_rev"))
+    day_num = F.datediff(F.col("order_day"), F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy(day_num.asc()).rangeBetween(-6, 0)
+    return daily.select(
+        "order_day",
+        _round6(F.col("_rev")).alias("daily_revenue"),
+        _round6(F.sum("_rev").over(w)).alias("rolling_7d_revenue"),
+    )
+
+
+ORACLE_ROLLING_REVENUE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS order_day,
+         sum(CAST(o_totalprice AS DECIMAL(14,2))) AS _rev
+  FROM orders GROUP BY 1
+),
+d2 AS (
+  SELECT order_day, _rev,
+         order_day - DATE '1970-01-01' AS day_num
+  FROM daily
+)
+SELECT order_day,
+       round(CAST(_rev AS DOUBLE), 6) AS daily_revenue,
+       round(CAST(sum(_rev) OVER (ORDER BY day_num
+                                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                  AS DOUBLE), 6) AS rolling_7d_revenue
+FROM d2
+"""
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word trigrams per language (all positions, not distinct):
+    explode → count → rank window. The groupBy pre-aggregates before the
+    per-language rank, so the window input is unique-ngram-sized."""
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "lang", F.explode(word_shingles(F.col("text"), 3)).alias("shingle")
+    )
+    counts = sh.groupBy("lang", "shingle").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.col("shingle").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "shingle", "n", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+ORACLE_TOP_NGRAMS = """
+WITH toks AS (
+  SELECT lang,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT lang, unnest(
+           list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+c AS (SELECT lang, shingle, count(*) AS n FROM sh GROUP BY lang, shingle),
+r AS (
+  SELECT lang, shingle, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, shingle) AS rank
+  FROM c
+)
+SELECT lang, shingle, CAST(n AS BIGINT) AS n, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Events: time-series / JSON / sessionization
 # ---------------------------------------------------------------------------
@@ -918,6 +1116,91 @@ SELECT event_type,
        round(CAST(avg(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE), 6)
          AS avg_k,
        max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event joined to the user's latest
+    click at-or-before it (null if none). Union + running-last window —
+    one shuffle on user_id, linear cost; the oracle uses DuckDB's native
+    ASOF LEFT JOIN to cross-check the semantics."""
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        right_payload=["ts", "value"],
+        prefix="click_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        _round6(F.col("value")).alias("value"),
+        F.col("click_ts"),
+        _round6(F.col("click_value")).alias("click_value"),
+    )
+
+
+ORACLE_ASOF_PURCHASE_CLICK = """
+WITH ev AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type
+  FROM events
+),
+l AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'purchase'),
+r0 AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY value DESC) AS rn
+  FROM ev WHERE event_type = 'click'
+),
+r AS (SELECT user_id, ts, value FROM r0 WHERE rn = 1)
+SELECT l.event_id, l.user_id, l.ts,
+       round(CAST(l.value AS DOUBLE), 6) AS value,
+       r.ts AS click_ts,
+       round(CAST(r.value AS DOUBLE), 6) AS click_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of event value per type.
+    At 100 TB swap percentile() for approx_percentile() — same plan
+    shape, bounded memory; exact here so the oracle can hash-match."""
+    ev = load_events(spark, sf_dir)
+    pct = F.percentile(F.col("value"), F.lit([0.25, 0.5, 0.75]))
+    out = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        pct.alias("_p"),
+        F.min("value").alias("_mn"),
+        F.max("value").alias("_mx"),
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        _round6(F.element_at("_p", 1)).alias("p25"),
+        _round6(F.element_at("_p", 2)).alias("p50"),
+        _round6(F.element_at("_p", 3)).alias("p75"),
+        _round6(F.col("_mn")).alias("min_value"),
+        _round6(F.col("_mx")).alias("max_value"),
+    )
+
+
+ORACLE_VALUE_PERCENTILES = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(quantile_cont(value, 0.25) AS DOUBLE), 6) AS p25,
+       round(CAST(quantile_cont(value, 0.50) AS DOUBLE), 6) AS p50,
+       round(CAST(quantile_cont(value, 0.75) AS DOUBLE), 6) AS p75,
+       round(CAST(min(value) AS DOUBLE), 6) AS min_value,
+       round(CAST(max(value) AS DOUBLE), 6) AS max_value
 FROM events
 GROUP BY event_type
 """
@@ -1012,8 +1295,15 @@ QUERIES = {
     "cust_no_orders": q_cust_no_orders,
     "order_rollup": q_order_rollup,
     "mktsegment_sales": q_mktsegment_sales,
+    "cust_with_returns": q_cust_with_returns,
+    "cust_year_sets": q_cust_year_sets,
+    "price_band_join": q_price_band_join,
+    "rolling_revenue": q_rolling_revenue,
+    "top_ngrams": q_top_ngrams,
     "events_hourly": q_events_hourly,
     "events_json": q_events_json,
+    "asof_purchase_click": q_asof_purchase_click,
+    "value_percentiles": q_value_percentiles,
     "sessionize": q_sessionize,
 }
 
@@ -1040,7 +1330,14 @@ ORACLES = {
     "cust_no_orders": ORACLE_CUST_NO_ORDERS,
     "order_rollup": ORACLE_ORDER_ROLLUP,
     "mktsegment_sales": ORACLE_MKTSEGMENT_SALES,
+    "cust_with_returns": ORACLE_CUST_WITH_RETURNS,
+    "cust_year_sets": ORACLE_CUST_YEAR_SETS,
+    "price_band_join": ORACLE_PRICE_BAND_JOIN,
+    "rolling_revenue": ORACLE_ROLLING_REVENUE,
+    "top_ngrams": ORACLE_TOP_NGRAMS,
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "events_json": ORACLE_EVENTS_JSON,
+    "asof_purchase_click": ORACLE_ASOF_PURCHASE_CLICK,
+    "value_percentiles": ORACLE_VALUE_PERCENTILES,
     "sessionize": ORACLE_SESSIONIZE,
 }
