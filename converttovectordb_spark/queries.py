@@ -28,6 +28,7 @@ from converttovectordb_spark.functions.text import (
     word_shingles,
 )
 from converttovectordb_spark.operators.joins import asof_join, band_join
+from converttovectordb_spark.sources.chunker import chunk_fixed_expr
 from converttovectordb_spark.functions.vector import (
     cosine_similarity,
     dot_product,
@@ -566,6 +567,47 @@ FROM pred GROUP BY lang, predicted
 """
 
 
+def q_chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference T1+T2 as one native flatMap: fixed-stride overlap
+    chunker (200 chars, 40 overlap) → posexplode gives chunk_index and
+    array size gives total_chunks — no window, no shuffle at all."""
+    docs = load(spark, sf_dir, "documents")
+    chunks = chunk_fixed_expr(F.col("text"), chunk_size=200, overlap=40)
+    return (
+        docs.withColumn("_chunks", chunks)
+        .select(
+            "doc_id",
+            F.size("_chunks").cast("int").alias("total_chunks"),
+            F.posexplode("_chunks").alias("chunk_index", "_chunk"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_index").cast("int").alias("chunk_index"),
+            "total_chunks",
+            F.length("_chunk").cast("int").alias("chunk_len"),
+            F.md5(F.col("_chunk")).alias("chunk_md5"),
+        )
+    )
+
+
+ORACLE_CHUNK_EXPLODE = """
+WITH c AS (
+  SELECT doc_id,
+         CASE WHEN length(text) <= 0 THEN []
+              ELSE list_transform(generate_series(1, length(text), 160),
+                                  i -> substr(text, i, 200)) END AS chunks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(unnest(generate_series(0, len(chunks) - 1)) AS INT) AS chunk_index,
+       CAST(len(chunks) AS INT) AS total_chunks,
+       CAST(length(chunks[unnest(generate_series(0, len(chunks) - 1)) + 1]) AS INT)
+         AS chunk_len,
+       md5(chunks[unnest(generate_series(0, len(chunks) - 1)) + 1]) AS chunk_md5
+FROM c
+"""
+
+
 def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-quality report (length band, punct ratio,
     stopword ratio → composite score) — all codegen expressions, one
@@ -1095,6 +1137,62 @@ GROUP BY CAST(date_trunc('hour', ts) AS TIMESTAMP), event_type
 """
 
 
+def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of events_hourly: the SAME tumbling-
+    hour aggregate run through the streaming engine (file source →
+    watermark → window agg → memory sink) as an availableNow catch-up
+    batch. Complete output mode ⇒ bit-identical to the batch oracle.
+
+    At scale this is the continuous-ingest path: the file source
+    checkpoint tracks processed files, and state is bounded by the
+    watermark horizon.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    # The streaming file source requires a DIRECTORY; expose the single
+    # test file through a temp dir symlink.
+    stream_dir = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    ev = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    val = F.col("value").cast("decimal(14,2)")
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(val).alias("_tv"))
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            _round6(F.col("_tv")).alias("total_value"),
+        )
+    )
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the props column + grouped agg."""
     ev = load_events(spark, sf_dir)
@@ -1286,6 +1384,7 @@ QUERIES = {
     "simhash_neardup": q_simhash_neardup,
     "embedding_neardup": q_embedding_neardup,
     "quality_report": q_quality_report,
+    "chunk_explode": q_chunk_explode,
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1301,6 +1400,7 @@ QUERIES = {
     "rolling_revenue": q_rolling_revenue,
     "top_ngrams": q_top_ngrams,
     "events_hourly": q_events_hourly,
+    "stream_events_hourly": q_stream_events_hourly,
     "events_json": q_events_json,
     "asof_purchase_click": q_asof_purchase_click,
     "value_percentiles": q_value_percentiles,
@@ -1321,6 +1421,7 @@ ORACLES = {
     "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "quality_report": ORACLE_QUALITY_REPORT,
+    "chunk_explode": ORACLE_CHUNK_EXPLODE,
     "token_stats": ORACLE_TOKEN_STATS,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
@@ -1336,6 +1437,7 @@ ORACLES = {
     "rolling_revenue": ORACLE_ROLLING_REVENUE,
     "top_ngrams": ORACLE_TOP_NGRAMS,
     "events_hourly": ORACLE_EVENTS_HOURLY,
+    "stream_events_hourly": ORACLE_EVENTS_HOURLY,
     "events_json": ORACLE_EVENTS_JSON,
     "asof_purchase_click": ORACLE_ASOF_PURCHASE_CLICK,
     "value_percentiles": ORACLE_VALUE_PERCENTILES,

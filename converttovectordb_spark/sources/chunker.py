@@ -65,6 +65,29 @@ def chunk_string(
     return out
 
 
+def chunk_fixed_expr(
+    text: Column,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    overlap: int = DEFAULT_CHUNK_OVERLAP,
+) -> Column:
+    """Fixed-stride overlap chunker as a NATIVE Catalyst expression
+    (sequence → transform → substr): windows of ``chunk_size`` chars
+    starting every ``chunk_size - overlap`` chars; empty text → no
+    chunks. No boundary snapping (that variant needs per-char scanning
+    — see chunk_string); in exchange this one stays in whole-stage
+    codegen and is ANSI-SQL-expressible for the oracle.
+    """
+    stride = chunk_size - overlap
+    if stride <= 0:
+        raise ValueError("chunk_size must exceed overlap")
+    starts = F.sequence(F.lit(1), F.length(text), F.lit(stride))
+    return F.when(
+        F.length(text) <= 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(starts, lambda i: F.substr(text, i, F.lit(chunk_size)))
+    )
+
+
 def chunk_udf(
     chunk_size: int = DEFAULT_CHUNK_SIZE,
     overlap: int = DEFAULT_CHUNK_OVERLAP,

@@ -89,3 +89,22 @@ def test_explode_chunks_indexes(spark):
     assert all(r.total_chunks == len(a) for r in a)
     b = by_path["b.py"]
     assert len(b) == 1 and b[0].content == "short" and b[0].total_chunks == 1
+
+
+def test_chunk_fixed_expr_strides(spark):
+    from pyspark.sql import functions as F
+
+    from converttovectordb_spark.sources.chunker import chunk_fixed_expr
+
+    df = spark.createDataFrame(
+        [("", ), ("x" * 100, ), ("a" * 1000, )], ["text"]
+    )
+    out = df.select(
+        chunk_fixed_expr(F.col("text"), chunk_size=500, overlap=100).alias("c")
+    ).collect()
+    assert out[0]["c"] == []                      # empty text -> no chunks
+    assert out[1]["c"] == ["x" * 100]             # short text -> one chunk
+    chunks = out[2]["c"]                          # stride 400: starts 1,401,801
+    assert [len(c) for c in chunks] == [500, 500, 200]
+    # overlap: each chunk after the first repeats the prior 100 chars
+    assert chunks[1][:100] == chunks[0][-100:]
