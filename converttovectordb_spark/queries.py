@@ -567,6 +567,48 @@ FROM pred GROUP BY lang, predicted
 """
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched Pandas-UDF text normalization (lower → collapse
+    non-alphanumerics → strip) — the Python-UDF extension surface, with
+    the result hashed so the oracle verifies the Python path matches
+    ANSI-SQL regexp semantics byte-for-byte. At scale this is the shape
+    every custom Python cleaner takes: Arrow in, Arrow out, no
+    per-row pickling."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    pat = re.compile(r"[^a-z0-9]+")
+
+    # No type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf's signature inspection rejects.
+    @pandas_udf("string")
+    def _norm(s):
+        return s.map(lambda t: pat.sub(" ", (t or "").lower()).strip(" "))
+
+    docs = load(spark, sf_dir, "documents")
+    normed = docs.select("doc_id", _norm(F.col("text")).alias("_n"))
+    return normed.select(
+        "doc_id",
+        F.length("_n").cast("int").alias("norm_len"),
+        F.md5(F.col("_n")).alias("norm_md5"),
+    )
+
+
+ORACLE_NORMALIZE_TEXT = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ') AS _n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(_n) AS INT) AS norm_len,
+       md5(_n) AS norm_md5
+FROM n
+"""
+
+
 def q_chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference T1+T2 as one native flatMap: fixed-stride overlap
     chunker (200 chars, 40 overlap) → posexplode gives chunk_index and
@@ -908,6 +950,185 @@ SELECT c_mktsegment,
          AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment, year(o_orderdate)
+"""
+
+
+def q_order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(status, order-year): all four grouping-set combinations in
+    one pass (Expand + single shuffle). NULL levels labeled 'ALL'/-1."""
+    orders = load(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(14,2)")
+    out = orders.cube(
+        F.col("o_orderstatus"), F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg(F.count(F.lit(1)).alias("n_orders"), F.sum(price).alias("_tp"))
+    return out.select(
+        F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+        F.coalesce(F.col("order_year"), F.lit(-1)).alias("order_year"),
+        "n_orders",
+        _round6(F.col("_tp")).alias("total_price"),
+    )
+
+
+ORACLE_ORDER_CUBE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(CAST(year(o_orderdate) AS INT), -1) AS order_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+         AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, CAST(year(o_orderdate) AS INT))
+"""
+
+
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + datediff + ntile windows: days since the customer's
+    previous order and the order's spend quartile within the customer.
+    Both windows share the o_custkey shuffle partitioning."""
+    orders = load(spark, sf_dir, "orders")
+    w_seq = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    w_spend = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w_seq),
+        ).cast("int").alias("gap_days"),
+        F.ntile(4).over(w_spend).cast("int").alias("spend_quartile"),
+    )
+
+
+ORACLE_ORDER_GAPS = """
+SELECT o_orderkey, o_custkey,
+       CAST(date_diff('day',
+            lag(CAST(o_orderdate AS DATE)) OVER
+              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+            CAST(o_orderdate AS DATE)) AS INT) AS gap_days,
+       CAST(ntile(4) OVER
+              (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+            AS INT) AS spend_quartile
+FROM orders
+"""
+
+
+def q_returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: lineitem counts by linestatus × returnflag as wide
+    columns. Spark's pivot compiles to conditional aggregates — exactly
+    the oracle formulation; one partial-agg shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "l_linestatus",
+        F.coalesce(F.col("A"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.col("N"), F.lit(0)).cast("bigint").alias("n_n"),
+        F.coalesce(F.col("R"), F.lit(0)).cast("bigint").alias("n_r"),
+    )
+
+
+ORACLE_RETURNFLAG_PIVOT = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_n,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+def q_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregate: salt the key (8 shards) → partial
+    agg on (key, salt) → final agg on key. Identical result to a plain
+    groupBy (the oracle), but a hot key's rows split across 8 tasks
+    instead of one — the standard skew guard when AQE's skew handling
+    can't apply (e.g. a single giant group in an aggregation)."""
+    ev = load_events(spark, sf_dir)
+    val = F.col("value").cast("decimal(14,2)")
+    partial = (
+        ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(8)))
+        .groupBy("user_id", "_salt")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum(val).alias("_v"))
+    )
+    out = partial.groupBy("user_id").agg(
+        F.sum("_n").alias("n_events"), F.sum("_v").alias("_tv")
+    )
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        _round6(F.col("_tv")).alias("total_value"),
+    )
+
+
+ORACLE_SALTED_USER_TOTALS = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 6) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_sql_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the spark.sql() surface:
+    orders above their status group's average price. Catalyst
+    decorrelates the subquery into an aggregate + broadcast join."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+               round(CAST(o.o_totalprice AS DOUBLE), 6) AS o_totalprice
+        FROM orders_v o
+        WHERE o.o_totalprice > (
+          SELECT CAST(avg(CAST(i.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+          FROM orders_v i WHERE i.o_orderstatus = o.o_orderstatus
+        )
+        """
+    )
+
+
+ORACLE_SQL_ORDERS_ABOVE_AVG = """
+SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+       round(CAST(o.o_totalprice AS DOUBLE), 6) AS o_totalprice
+FROM orders o
+WHERE o.o_totalprice > (
+  SELECT CAST(avg(CAST(i.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+  FROM orders i WHERE i.o_orderstatus = o.o_orderstatus
+)
+"""
+
+
+def q_part_name_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function battery (upper / split / element_at /
+    replace / LIKE / length) — pure codegen projection, no shuffle."""
+    part = load(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return part.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_u"),
+        F.size(words).cast("int").alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.regexp_replace(F.col("p_type"), " ", "_").alias("type_u"),
+        F.col("p_name").like("%a%").alias("has_a"),
+        F.length("p_name").cast("int").alias("name_len"),
+    )
+
+
+ORACLE_PART_NAME_STATS = """
+SELECT p_partkey,
+       upper(p_brand) AS brand_u,
+       CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+       string_split(p_name, ' ')[1] AS first_word,
+       replace(p_type, ' ', '_') AS type_u,
+       p_name LIKE '%a%' AS has_a,
+       CAST(length(p_name) AS INT) AS name_len
+FROM part
 """
 
 
@@ -1384,6 +1605,7 @@ QUERIES = {
     "simhash_neardup": q_simhash_neardup,
     "embedding_neardup": q_embedding_neardup,
     "quality_report": q_quality_report,
+    "normalize_text": q_normalize_text,
     "chunk_explode": q_chunk_explode,
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
@@ -1394,6 +1616,12 @@ QUERIES = {
     "cust_no_orders": q_cust_no_orders,
     "order_rollup": q_order_rollup,
     "mktsegment_sales": q_mktsegment_sales,
+    "order_cube": q_order_cube,
+    "order_gaps": q_order_gaps,
+    "returnflag_pivot": q_returnflag_pivot,
+    "salted_user_totals": q_salted_user_totals,
+    "sql_orders_above_avg": q_sql_orders_above_avg,
+    "part_name_stats": q_part_name_stats,
     "cust_with_returns": q_cust_with_returns,
     "cust_year_sets": q_cust_year_sets,
     "price_band_join": q_price_band_join,
@@ -1421,6 +1649,7 @@ ORACLES = {
     "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "quality_report": ORACLE_QUALITY_REPORT,
+    "normalize_text": ORACLE_NORMALIZE_TEXT,
     "chunk_explode": ORACLE_CHUNK_EXPLODE,
     "token_stats": ORACLE_TOKEN_STATS,
     "lang_id": ORACLE_LANG_ID,
@@ -1431,6 +1660,12 @@ ORACLES = {
     "cust_no_orders": ORACLE_CUST_NO_ORDERS,
     "order_rollup": ORACLE_ORDER_ROLLUP,
     "mktsegment_sales": ORACLE_MKTSEGMENT_SALES,
+    "order_cube": ORACLE_ORDER_CUBE,
+    "order_gaps": ORACLE_ORDER_GAPS,
+    "returnflag_pivot": ORACLE_RETURNFLAG_PIVOT,
+    "salted_user_totals": ORACLE_SALTED_USER_TOTALS,
+    "sql_orders_above_avg": ORACLE_SQL_ORDERS_ABOVE_AVG,
+    "part_name_stats": ORACLE_PART_NAME_STATS,
     "cust_with_returns": ORACLE_CUST_WITH_RETURNS,
     "cust_year_sets": ORACLE_CUST_YEAR_SETS,
     "price_band_join": ORACLE_PRICE_BAND_JOIN,
