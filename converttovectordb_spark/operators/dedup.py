@@ -33,6 +33,18 @@ from converttovectordb_spark.functions.text import tokens, word_shingles
 from converttovectordb_spark.functions.vector import dot_product, l2_normalize
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Persist + force a small intermediate that multiple join sides
+    re-derive (signatures, shingles). Without this, Spark re-executes
+    the whole upstream pipeline once per reference — e.g. a self-join
+    recomputes the 60-aggregate SimHash job for BOTH sides. At cluster
+    scale the equivalent move is writing the signature table out once
+    and joining against the materialized copy."""
+    df = df.persist()
+    df.count()
+    return df
+
+
 def _exploded_shingles(
     docs: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
@@ -118,6 +130,10 @@ def jaccard_neardup_pairs(
     docs before the join — the skew/stop-shingle guard: one shingle in
     every doc would otherwise create an N² partition.
     """
+    # NOT materialized: the a/b self-join sides read the same
+    # repartition Exchange (ReuseExchange), so recompute is ~free and
+    # a persist here measurably loses to it (cache round-trip + extra
+    # count job > one cheap explode).
     sh = _exploded_shingles(docs, id_col, text_col, shingle_words)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:
@@ -171,6 +187,7 @@ def minhash_lsh_candidates(
     shingle_words: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: documents sharing at least one band of
     identical MinHash components.
@@ -178,9 +195,15 @@ def minhash_lsh_candidates(
     num_hashes/bands rows per doc after banding — the only shuffle is
     the groupBy on (band_id, band_key), linear in N. With r = hashes
     per band = num_hashes/bands, P(candidate) = 1-(1-j^r)^bands.
+    ``_shingles`` lets a caller pass an already-materialized shingle
+    DataFrame so the explode isn't recomputed.
     """
     rows_per_band = num_hashes // bands
-    sh = _exploded_shingles(docs, id_col, text_col, shingle_words)
+    sh = (
+        _shingles
+        if _shingles is not None
+        else _exploded_shingles(docs, id_col, text_col, shingle_words)
+    )
     sig = sh.groupBy(id_col).agg(
         *[
             _minhash_sig(F.col("shingle"), i).alias(f"h{i}")
@@ -234,6 +257,7 @@ def minhash_lsh_neardup(
     """LSH candidates verified with true shingle Jaccard (exact check
     only on the candidate set — the two-phase pattern that makes
     near-dup linear at corpus scale)."""
+    sh = _exploded_shingles(docs, id_col, text_col, shingle_words)
     cands = minhash_lsh_candidates(
         docs,
         id_col=id_col,
@@ -241,8 +265,8 @@ def minhash_lsh_neardup(
         shingle_words=shingle_words,
         num_hashes=num_hashes,
         bands=bands,
+        _shingles=sh,
     )
-    sh = _exploded_shingles(docs, id_col, text_col, shingle_words)
     sa = sh.select(F.col(id_col).alias("a"), F.col("shingle"))
     sb = sh.select(F.col(id_col).alias("b"), F.col("shingle"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -320,18 +344,24 @@ def simhash_neardup_pairs(
     """SimHash near-dup: bucket by 4 bands of 15 bits (any pair within
     Hamming distance 3 of a 60-bit hash shares at least one exact band
     — pigeonhole), verify Hamming distance on candidates."""
-    fp = simhash_fingerprints(docs, id_col=id_col, text_col=text_col)
-    bands = None
-    for b in range(4):
-        part = fp.select(
-            F.col(id_col),
-            F.col("simhash"),
-            F.lit(b).alias("band_id"),
-            F.shiftright(F.col("simhash"), b * band_bits)
-            .bitwiseAND(F.lit((1 << band_bits) - 1))
-            .alias("band_key"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    fp = _materialize(
+        simhash_fingerprints(docs, id_col=id_col, text_col=text_col)
+    )
+    # All 4 band keys in one pass over the (tiny, materialized)
+    # fingerprint table — a per-band union would scan it 4× per side.
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(
+                F.lit((1 << band_bits) - 1)
+            )
+            for b in range(4)
+        ]
+    )
+    bands = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(band_arr).alias("band_id", "band_key"),
+    )
     left = bands.select(
         F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"), "band_id", "band_key"
     )
