@@ -28,6 +28,10 @@ from converttovectordb_spark.functions.text import (
     word_shingles,
 )
 from converttovectordb_spark.operators.joins import asof_join, band_join
+from converttovectordb_spark.operators.multimodal import (
+    extract_image_features,
+    sample_frames,
+)
 from converttovectordb_spark.sources.chunker import chunk_fixed_expr
 from converttovectordb_spark.functions.vector import (
     cosine_similarity,
@@ -720,6 +724,118 @@ FROM documents
 """
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting ([A-Za-z]+ | digit runs | single
+    punctuation) vs whitespace tokens, per language — the token-budget
+    estimator of a training-data pipeline, all regexp codegen."""
+    docs = load(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    per = docs.select(
+        "lang",
+        F.regexp_count(F.col("text"), F.lit(pat)).cast("bigint").alias("n_bpe"),
+        token_count(F.col("text")).alias("n_ws"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _round6(F.avg("n_bpe")).alias("avg_bpe_tokens"),
+        _round6(F.avg("n_ws")).alias("avg_ws_tokens"),
+        _round6(F.sum("n_bpe").cast("double") / F.sum("n_ws")).alias(
+            "bpe_per_ws"
+        ),
+    )
+
+
+ORACLE_BPE_TOKENS = """
+WITH per AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+              AS BIGINT) AS n_bpe,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+              AS BIGINT) AS n_ws
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(avg(n_bpe) AS DOUBLE), 6) AS avg_bpe_tokens,
+       round(CAST(avg(n_ws) AS DOUBLE), 6) AS avg_ws_tokens,
+       round(CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_ws) AS DOUBLE), 6)
+         AS bpe_per_ws
+FROM per
+GROUP BY lang
+"""
+
+
+def _fake_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media assets fabricated from the documents table
+    (no media libs in this container): payload = utf-8 bytes of the
+    text, duration scaled from the char count. The multimodal operators
+    treat payloads as opaque, so the plumbing they exercise — binary
+    columns, Arrow batches, bounded fan-out — is exactly the real
+    thing."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        (F.col("n_chars") * 10).cast("bigint").alias("duration_ms"),
+    )
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over binary payloads via mapInPandas:
+    one row per sampled frame (1 Hz, capped at 32 frames/asset). The
+    oracle checks the fan-out contract (indices and timestamps); the
+    frame hashes themselves are exercised by unit tests."""
+    assets = _fake_assets(spark, sf_dir)
+    out = sample_frames(assets, every_ms=1000, max_frames=32)
+    return out.select(
+        "asset_id",
+        F.col("frame_index").cast("int").alias("frame_index"),
+        F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"),
+    )
+
+
+ORACLE_MEDIA_FRAME_SAMPLE = """
+WITH assets AS (
+  SELECT doc_id AS asset_id, n_chars * 10 AS duration_ms FROM documents
+),
+n AS (
+  SELECT asset_id,
+         least(32, greatest(0, duration_ms // 1000)) AS n_frames
+  FROM assets
+)
+SELECT asset_id,
+       CAST(unnest(generate_series(0, CAST(n_frames AS INT) - 1)) AS INT)
+         AS frame_index,
+       CAST(unnest(generate_series(0, CAST(n_frames AS INT) - 1)) * 1000
+            AS BIGINT) AS frame_ts_ms
+FROM n WHERE n_frames > 0
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-feature extraction plumbing via mapInPandas (decode is the
+    deterministic fake; a real codec plugs into the same batch shape).
+    Oracle verifies the metadata contract: 8×8 decoded shape and exact
+    payload byte counts."""
+    assets = _fake_assets(spark, sf_dir)
+    out = extract_image_features(assets)
+    return out.select(
+        "asset_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+    )
+
+
+ORACLE_MEDIA_FEATURES = """
+SELECT doc_id AS asset_id,
+       CAST(8 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational suite (TPC-H-shaped)
 # ---------------------------------------------------------------------------
@@ -950,6 +1066,36 @@ SELECT c_mktsegment,
          AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment, year(o_orderdate)
+"""
+
+
+def q_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of per-nation customer and supplier counts —
+    null-side handling via coalesce on keys and counts. Both inputs are
+    pre-aggregated (25-row sides), so the join is broadcast-trivial."""
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("nk_c")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s = supp.groupBy(F.col("s_nationkey").alias("nk_s")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    out = c.join(s, c.nk_c == s.nk_s, "full_outer")
+    return out.select(
+        F.coalesce(F.col("nk_c"), F.col("nk_s")).cast("int").alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).cast("bigint").alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).cast("bigint").alias("n_supp"),
+    )
+
+
+ORACLE_NATION_PRESENCE = """
+WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT CAST(coalesce(c.nk, s.nk) AS INT) AS nationkey,
+       CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+       CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
 """
 
 
@@ -1607,6 +1753,10 @@ QUERIES = {
     "quality_report": q_quality_report,
     "normalize_text": q_normalize_text,
     "chunk_explode": q_chunk_explode,
+    "bpe_tokens": q_bpe_tokens,
+    "media_frame_sample": q_media_frame_sample,
+    "media_features": q_media_features,
+    "nation_presence": q_nation_presence,
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1651,6 +1801,10 @@ ORACLES = {
     "quality_report": ORACLE_QUALITY_REPORT,
     "normalize_text": ORACLE_NORMALIZE_TEXT,
     "chunk_explode": ORACLE_CHUNK_EXPLODE,
+    "bpe_tokens": ORACLE_BPE_TOKENS,
+    "media_frame_sample": ORACLE_MEDIA_FRAME_SAMPLE,
+    "media_features": ORACLE_MEDIA_FEATURES,
+    "nation_presence": ORACLE_NATION_PRESENCE,
     "token_stats": ORACLE_TOKEN_STATS,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
