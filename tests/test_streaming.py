@@ -76,3 +76,56 @@ def test_stream_events_hourly(spark, tmp_path):
         assert hour.minute == 0 and hour.second == 0
         assert etype in {"click", "view"}
         assert n >= 1
+
+
+def test_stream_sessionize_state_across_batches(spark, tmp_path):
+    """Sessions persist in state across micro-batches and are emitted
+    exactly once, when closed by a later event (maxFilesPerTrigger=1
+    forces the two files into separate micro-batches of one run)."""
+    import json as _json
+    import os
+    import time as _time
+
+    from converttovectordb_spark.streaming.stateful import stream_sessionize
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def rec(eid, uid, minutes, value):
+        ts = base + dt.timedelta(minutes=minutes)
+        return {"event_id": eid, "ts": ts.isoformat(), "user_id": uid,
+                "event_type": "click", "value": value, "props": "{}"}
+
+    # batch 1: user 1 opens a session (2 events, 10 min apart); batch 2
+    # (newer mtime): a 40-min gap closes it and opens a new one.
+    b1 = src / "b1.json"
+    b1.write_text(
+        "\n".join(_json.dumps(r) for r in [rec(1, 1, 0, 1.0), rec(2, 1, 10, 2.0)])
+    )
+    b2 = src / "b2.json"
+    b2.write_text(_json.dumps(rec(3, 1, 50, 5.0)))
+    now = _time.time()
+    os.utime(b1, (now - 60, now - 60))
+    os.utime(b2, (now, now))
+
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    ev = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).json(str(src)))
+    out = stream_sessionize(ev, gap_s=1800)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("sessions_out")
+         .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+         .trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.table("sessions_out").collect()
+    # only the CLOSED session is emitted; the one opened by event 3 stays in state
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 1 and r["n_events"] == 2
+    assert r["total_value"] == 3.0
+    assert r["session_start"] == base
+    assert r["session_end"] == base + dt.timedelta(minutes=10)
