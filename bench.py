@@ -53,6 +53,53 @@ def main() -> int:
         total += dt
         print(f"bench: {name} {dt:.2f}s", file=sys.stderr)
 
+    # Reference-comparable headline numbers (BASELINE.md):
+    #  * knn_scan_warm_sec — brute-force cosine top-k over the CACHED
+    #    corpus (the serving path; reference: 0.11 s at N=13.5k, O(N)).
+    #  * ingest_chunks_per_sec — chunk + hash-embed + write throughput
+    #    (reference: ~32-74 chunks/s on the embedding-dominated path).
+    from pyspark.sql import functions as F
+
+    from converttovectordb_spark.functions.vector import cosine_similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    n_vecs = emb.count()
+    probe = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = F.lit([float(x) for x in probe]).cast("array<double>")
+
+    def knn_once() -> None:
+        (
+            emb.withColumn("score", cosine_similarity(F.col("embedding"), q))
+            .orderBy(F.col("score").desc(), F.col("vec_id"))
+            .limit(5)
+            .collect()
+        )
+
+    knn_once()  # warm
+    t0 = time.time()
+    knn_once()
+    knn_warm = round(time.time() - t0, 4)
+    emb.unpersist()
+
+    import tempfile
+
+    from converttovectordb_spark.embeddings import embed_column
+    from converttovectordb_spark.sources.chunker import explode_chunks
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("cast(doc_id as string) AS path", "text AS content")
+        .repartition(int(cpus))
+    )
+    t0 = time.time()
+    with tempfile.TemporaryDirectory(prefix="bench_ingest_") as tmp:
+        chunks = explode_chunks(docs, chunk_size=200, overlap=40)
+        embedded = embed_column(chunks, "content", "embedding", None, 64)
+        embedded.write.mode("overwrite").parquet(f"{tmp}/store")
+        n_chunks = spark.read.parquet(f"{tmp}/store").count()
+    ingest_sec = time.time() - t0
+    chunks_per_sec = round(n_chunks / ingest_sec, 1)
+
     print(
         json.dumps(
             {
@@ -61,6 +108,12 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reference_comparison": {
+                    "knn_scan_warm_sec": knn_warm,
+                    "knn_corpus_size": n_vecs,
+                    "ingest_chunks_per_sec": chunks_per_sec,
+                    "ingest_n_chunks": n_chunks,
+                },
             }
         )
     )
