@@ -1069,6 +1069,135 @@ GROUP BY c_mktsegment, year(o_orderdate)
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter → 3-way join → revenue per order
+    → global top-10. Dims broadcast; the order-level aggregate feeds
+    TakeOrderedAndProject (never a full sort)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1996-01-01").cast("timestamp")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    out = (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            F.broadcast(orders.filter(F.col("o_orderdate") < cutoff)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+                    "c_custkey"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(12,2)") - disc)).alias("_rev")
+        )
+        .orderBy(F.col("_rev").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+    return out.select(
+        "l_orderkey", "o_orderdate", _round6(F.col("_rev")).alias("revenue")
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                  AS DOUBLE), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+  AND c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) DESC,
+         l_orderkey
+LIMIT 10
+"""
+
+
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on an order-level sum, joined back to
+    orders + customer. The quantity aggregate shuffles once on
+    l_orderkey; the filtered survivor set is tiny, so both join-backs
+    broadcast it."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_tq"))
+        .filter(F.col("_tq") > 150)
+    )
+    out = (
+        orders.join(
+            F.broadcast(big), orders.o_orderkey == big.l_orderkey
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return out.select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        "o_orderdate",
+        _round6(F.col("_tq")).alias("total_qty"),
+    )
+
+
+ORACLE_LARGE_VOLUME_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS _tq
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       round(CAST(_tq AS DOUBLE), 6) AS total_qty
+FROM orders
+JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status), (priority)) through the SQL
+    surface — neither rollup nor cube; one Expand + single shuffle."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+                 AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+ORACLE_ORDER_GROUPING_SETS = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 6)
+         AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
 def q_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-outer join of per-nation customer and supplier counts —
     null-side handling via coalesce on keys and counts. Both inputs are
@@ -1671,6 +1800,63 @@ GROUP BY event_type
 """
 
 
+def q_user_hourly_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 1-hour rolling event count: a PARTITIONED range window
+    (cf. rolling_revenue's global one) — shuffles once on user_id and
+    scales with users × events/user."""
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_hour"),
+    )
+
+
+ORACLE_USER_HOURLY_ROLLING = """
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_last_hour
+FROM events
+"""
+
+
+def q_vector_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function battery per vector (aggregate /
+    filter / slice / array_max) — all codegen, no Python, no shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    ad = F.col("embedding").cast("array<double>")
+    l1 = F.aggregate(ad, F.lit(0.0), lambda acc, v: acc + F.abs(v))
+    head5 = F.aggregate(
+        F.slice(ad, 1, 5), F.lit(0.0), lambda acc, v: acc + v
+    ) / F.lit(5.0)
+    return emb.select(
+        "vec_id",
+        _round6(l1).alias("l1_norm"),
+        _round6(F.array_max(ad)).alias("max_coord"),
+        F.size(F.filter(ad, lambda v: v > 0)).cast("bigint").alias("n_pos"),
+        _round6(head5).alias("head5_mean"),
+    )
+
+
+ORACLE_VECTOR_MATH = """
+SELECT vec_id,
+       round(CAST(list_sum(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                  AS DOUBLE), 6) AS l1_norm,
+       round(CAST(list_max(embedding::DOUBLE[]) AS DOUBLE), 6) AS max_coord,
+       CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS BIGINT) AS n_pos,
+       round(CAST(list_sum((embedding::DOUBLE[])[1:5]) AS DOUBLE) / 5.0, 6)
+         AS head5_mean
+FROM embeddings
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute inactivity gap → new session; lag +
     running cumsum windows, single shuffle on user_id."""
@@ -1757,6 +1943,11 @@ QUERIES = {
     "media_frame_sample": q_media_frame_sample,
     "media_features": q_media_features,
     "nation_presence": q_nation_presence,
+    "shipping_priority": q_shipping_priority,
+    "large_volume_orders": q_large_volume_orders,
+    "order_grouping_sets": q_order_grouping_sets,
+    "user_hourly_rolling": q_user_hourly_rolling,
+    "vector_math": q_vector_math,
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1805,6 +1996,11 @@ ORACLES = {
     "media_frame_sample": ORACLE_MEDIA_FRAME_SAMPLE,
     "media_features": ORACLE_MEDIA_FEATURES,
     "nation_presence": ORACLE_NATION_PRESENCE,
+    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "large_volume_orders": ORACLE_LARGE_VOLUME_ORDERS,
+    "order_grouping_sets": ORACLE_ORDER_GROUPING_SETS,
+    "user_hourly_rolling": ORACLE_USER_HOURLY_ROLLING,
+    "vector_math": ORACLE_VECTOR_MATH,
     "token_stats": ORACLE_TOKEN_STATS,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
