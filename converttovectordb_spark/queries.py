@@ -187,8 +187,9 @@ FROM ranked WHERE rank <= 3
 def q_vector_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned approximate KNN (nprobe=2 of 10 clusters): the 100 TB
     search path — each query touches ~20% of the corpus; cluster id is
-    the partition-pruning key at scale. Rows-only check (the pruning
-    decision is not reasonably ANSI-SQL-expressible)."""
+    the partition-pruning key at scale. Fully deterministic (mean
+    centroids, fixed tie-breaks), so the pruning decision itself is
+    oracle-checked in SQL."""
     emb = load(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -200,6 +201,59 @@ def q_vector_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("score")).alias("score"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+ORACLE_VECTOR_IVF_KNN = """
+WITH docs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+probes AS (SELECT vec_id AS query_id, v AS q FROM docs WHERE vec_id < 8),
+pos AS (
+  SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM docs
+),
+cpos AS (SELECT label, pos, avg(val) AS cval FROM pos GROUP BY label, pos),
+cent AS (SELECT label, list(cval ORDER BY pos) AS c FROM cpos GROUP BY label),
+qc AS (
+  SELECT query_id, q, label,
+         CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS csim
+  FROM (
+    SELECT p.query_id, p.q, ct.label,
+           list_sum(list_transform(list_zip(p.q, ct.c), x -> x[1] * x[2])) AS dot,
+           sqrt(list_sum(list_transform(p.q, x -> x * x))) AS nq,
+           sqrt(list_sum(list_transform(ct.c, x -> x * x))) AS nc
+    FROM probes p CROSS JOIN cent ct
+  )
+),
+probe AS (
+  SELECT query_id, q, label
+  FROM (
+    SELECT query_id, q, label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY csim DESC, label) AS crank
+    FROM qc
+  ) WHERE crank <= 2
+),
+scored AS (
+  SELECT query_id, vec_id,
+         CASE WHEN nq = 0 OR nd = 0 THEN 0.0 ELSE dot / (nq * nd) END AS score
+  FROM (
+    SELECT p.query_id, d.vec_id,
+           list_sum(list_transform(list_zip(p.q, d.v), x -> x[1] * x[2])) AS dot,
+           sqrt(list_sum(list_transform(p.q, x -> x * x))) AS nq,
+           sqrt(list_sum(list_transform(d.v, x -> x * x))) AS nd
+    FROM probe p JOIN docs d ON d.label = p.label
+  )
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(CAST(score AS DOUBLE), 6) AS score,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
 
 
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1979,7 +2033,7 @@ QUERIES = {
 ORACLES = {
     "vector_topk": ORACLE_VECTOR_TOPK,
     "vector_knn_batch": ORACLE_VECTOR_KNN_BATCH,
-    # vector_ivf_knn: rows-only (pruning heuristic not ANSI-SQL-shaped)
+    "vector_ivf_knn": ORACLE_VECTOR_IVF_KNN,
     "embedding_stats": ORACLE_EMBEDDING_STATS,
     "doc_stats": ORACLE_DOC_STATS,
     "docs_by_lang": ORACLE_DOCS_BY_LANG,
