@@ -99,6 +99,7 @@ class VectorEngine:
             validate_top_k(top_k),
             id_cols=["path", "chunk_index"],
             score_threshold=DEFAULT_SCORE_THRESHOLD,
+            expected_dim=self.dim,  # engine knows its dim → zero-job Q5 guard
         )
 
     def search_vector(self, query_vector: list[float], top_k: int = 5) -> DataFrame:
@@ -107,6 +108,7 @@ class VectorEngine:
             query_vector,
             validate_top_k(top_k),
             id_cols=["path", "chunk_index"],
+            expected_dim=self.dim,
         )
 
     # -- stats / admin ---------------------------------------------------

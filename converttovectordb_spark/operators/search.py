@@ -57,6 +57,7 @@ def knn_topk(
     score_threshold: float = DEFAULT_SCORE_THRESHOLD,
     id_cols: list[str] | None = None,
     drop_embedding: bool = True,
+    expected_dim: int | None = None,
 ) -> DataFrame:
     """Single-probe exact KNN: score every row, keep top-k, then apply
     the score threshold (threshold-AFTER-limit, reference Q4).
@@ -64,21 +65,36 @@ def knn_topk(
     ``id_cols`` is the deterministic tie-break order (the reference's
     argsort tie order is an implementation artifact; we document ours:
     ascending id columns).
+
+    Dimension guard (reference Q5, mock_vector_db_api.py:269-272): when
+    the caller knows the stored dimension (``expected_dim`` — the engine
+    always does, it configured the embedder) the check is a driver-side
+    comparison with ZERO Spark jobs. Without it, a lazy ``raise_error``
+    guard rides inside the score expression — the serving path never
+    pays a separate probe job either way.
     """
     top_k = validate_top_k(top_k)
-    dim_ok = docs.limit(1).select(
-        F.size(F.col(embedding_col)).alias("d")
-    ).collect()
-    if dim_ok and dim_ok[0]["d"] != len(query_vector):
+    qlen = len(query_vector)
+    if expected_dim is not None and expected_dim != qlen:
         raise ValueError(
-            f"query dimension {len(query_vector)} != stored dimension "
-            f"{dim_ok[0]['d']}"  # reference Q5, mock_vector_db_api.py:269-272
+            f"query dimension {qlen} != stored dimension {expected_dim}"
         )
 
     q = F.lit([float(x) for x in query_vector]).cast("array<double>")
-    scored = docs.withColumn(
-        "score", cosine_similarity(F.col(embedding_col), q)
-    )
+    score = cosine_similarity(F.col(embedding_col), q)
+    if expected_dim is None:
+        # Lazy in-plan guard: first mismatching row aborts the job with
+        # the Q5 message. No extra driver job on the hot path.
+        score = F.when(
+            F.size(F.col(embedding_col)) != F.lit(qlen),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"query dimension {qlen} != stored dimension "),
+                    F.size(F.col(embedding_col)).cast("string"),
+                )
+            ).cast("double"),
+        ).otherwise(score)
+    scored = docs.withColumn("score", score)
     order: list[Column] = [F.col("score").desc()]
     for c in id_cols or []:
         order.append(F.col(c).asc())
@@ -155,39 +171,27 @@ def ivf_knn_join(
     doc_id_col: str = "vec_id",
     doc_vec_col: str = "embedding",
     cluster_col: str = "label",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate KNN: prune the corpus to the ``nprobe``
     clusters whose centroids are nearest each query, then exact-rerank
     inside those clusters only.
 
     This is the 100 TB path: with C clusters, each query touches
-    ~nprobe/C of the data. Centroids are computed with a position-
-    explode + groupBy (one shuffle of d×C rows — tiny), then broadcast.
-    The cluster assignment doubles as the parquet partition key at
-    scale, so pruning becomes partition pruning at the file level.
+    ~nprobe/C of the data. Pass ``centroids`` (cluster_col, centroid)
+    from a materialized index (`plans.ivf_index.build_ivf_index`) so no
+    training pass runs at query time; when omitted, mean-per-cluster
+    centroids are derived inline (one d×C-row shuffle — acceptable for
+    ad-hoc exploration, wrong for a serving path; see `plans.ivf_index`
+    for the persisted layout whose pruning is file-level).
     """
     top_k = validate_top_k(top_k)
-    # Centroids: mean per (cluster, dimension position), re-assembled in
-    # position order. d×C intermediate rows — negligible at any scale.
-    pos = docs.select(
-        F.col(cluster_col),
-        F.posexplode(F.col(doc_vec_col).cast("array<double>")).alias(
-            "pos", "val"
-        ),
-    )
-    centroids = (
-        pos.groupBy(cluster_col, "pos")
-        .agg(F.avg("val").alias("cval"))
-        .groupBy(cluster_col)
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("cval")))
-                ),
-                lambda s: s.getField("cval"),
-            ).alias("centroid")
-        )
-    )
+    if centroids is None:
+        from converttovectordb_spark.plans.ivf_index import mean_centroids
+
+        centroids = mean_centroids(
+            docs, cluster_col=cluster_col, vec_col=doc_vec_col
+        ).withColumnRenamed("cluster_id", cluster_col)
     # nprobe nearest centroids per query (broadcast both tiny sides).
     qc = (
         F.broadcast(

@@ -5,5 +5,16 @@ from converttovectordb_spark.plans.bucketing import (
     physical_plan,
     write_bucketed,
 )
+from converttovectordb_spark.plans.ivf_index import (
+    IVFIndex,
+    build_ivf_index,
+    mean_centroids,
+)
 
-__all__ = ["physical_plan", "write_bucketed"]
+__all__ = [
+    "IVFIndex",
+    "build_ivf_index",
+    "mean_centroids",
+    "physical_plan",
+    "write_bucketed",
+]

@@ -1,0 +1,241 @@
+"""Persisted IVF (inverted-file) vector index.
+
+The round-1 `ivf_knn_join` recomputed centroids from the full corpus on
+every query batch — a full-corpus pass that defeats the point of an
+index at scale. This module is the fix: the index is MATERIALIZED once
+at build time and every later search touches only
+
+  * the centroid table (C rows — tiny, broadcast), and
+  * the ``nprobe/C`` fraction of corpus *files* selected by partition
+    pruning (the cluster id is the physical parquet partition key, so
+    pruning happens at the directory level before any bytes are read).
+
+Layout on disk::
+
+    <index_path>/centroids/   parquet (cluster_id int, centroid array<double>)
+    <index_path>/corpus/      parquet partitioned by cluster_id (all doc cols)
+
+Reference parity: the reference has no vector index at all — its query
+path is a brute-force NumPy scan (mock_vector_db_api.py:274-279). The
+IVF design here is the standard inverted-file scheme from the FAISS /
+IVFADC literature, expressed as Spark physical layout: "probe nprobe
+lists" becomes "scan nprobe parquet partitions".
+
+Training is either
+
+  * ``cluster_col=...`` — use an existing coarse label as the cluster
+    assignment and its per-cluster mean as the centroid (deterministic,
+    SQL-expressible: the `vector_ivf_knn_indexed` oracle reuses the
+    inline-IVF oracle because results are bit-identical), or
+  * ``num_clusters=k`` — distributed k-means (``pyspark.ml.clustering
+    .KMeans``, seeded) over the embedding column for unlabeled corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from converttovectordb_spark.functions.vector import cosine_similarity
+
+CENTROIDS_SUBDIR = "centroids"
+CORPUS_SUBDIR = "corpus"
+CLUSTER_COL = "cluster_id"
+
+
+def mean_centroids(
+    docs: DataFrame,
+    *,
+    cluster_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster mean vector → DataFrame(cluster_id, centroid).
+
+    Shape: posexplode every vector → groupBy(cluster, pos) avg →
+    re-assemble in position order. The shuffle carries d×C rows after
+    map-side partial aggregation — negligible at any corpus size.
+    """
+    pos = docs.select(
+        F.col(cluster_col).alias(CLUSTER_COL),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    )
+    return (
+        pos.groupBy(CLUSTER_COL, "pos")
+        .agg(F.avg("val").alias("cval"))
+        .groupBy(CLUSTER_COL)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("cval")))
+                ),
+                lambda s: s.getField("cval"),
+            ).alias("centroid")
+        )
+    )
+
+
+def kmeans_centroids(
+    docs: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    num_clusters: int = 16,
+    seed: int = 7,
+    max_iter: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed k-means training for unlabeled corpora.
+
+    Returns ``(centroids, assigned_docs)`` where ``assigned_docs`` is the
+    input plus a ``cluster_id`` column. Uses ``pyspark.ml`` KMeans
+    (Lloyd's with k-means|| init) — the training pass is O(iters × N)
+    but runs ONCE at build time, never at query time.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = docs.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(
+        k=num_clusters, seed=seed, maxIter=max_iter, featuresCol="_features"
+    ).fit(feat)
+    assigned = (
+        model.transform(feat)
+        .withColumnRenamed("prediction", CLUSTER_COL)
+        .drop("_features")
+    )
+    spark = docs.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        f"{CLUSTER_COL} int, centroid array<double>",
+    )
+    return centroids, assigned
+
+
+def build_ivf_index(
+    docs: DataFrame,
+    index_path: str,
+    *,
+    vec_col: str = "embedding",
+    cluster_col: str | None = None,
+    num_clusters: int = 16,
+    seed: int = 7,
+) -> "IVFIndex":
+    """Train + materialize the index: centroid table and a corpus
+    re-written partitioned by cluster id. One full pass over the data,
+    paid once; every subsequent search is partition-pruned.
+    """
+    if cluster_col is not None:
+        centroids = mean_centroids(docs, cluster_col=cluster_col, vec_col=vec_col)
+        assigned = docs.withColumn(CLUSTER_COL, F.col(cluster_col))
+    else:
+        centroids, assigned = kmeans_centroids(
+            docs, vec_col=vec_col, num_clusters=num_clusters, seed=seed
+        )
+    centroids.coalesce(1).write.mode("overwrite").parquet(
+        f"{index_path}/{CENTROIDS_SUBDIR}"
+    )
+    assigned.write.mode("overwrite").partitionBy(CLUSTER_COL).parquet(
+        f"{index_path}/{CORPUS_SUBDIR}"
+    )
+    return IVFIndex(docs.sparkSession, index_path)
+
+
+class IVFIndex:
+    """A materialized IVF index: broadcast-able centroids + a
+    cluster-partitioned corpus read with partition pruning."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def centroids(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/{CENTROIDS_SUBDIR}")
+
+    def corpus(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/{CORPUS_SUBDIR}")
+
+    def probe_clusters(
+        self,
+        queries: DataFrame,
+        nprobe: int,
+        *,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+    ) -> DataFrame:
+        """nprobe nearest centroids per query — a Q×C cross of two tiny
+        broadcast sides. Deterministic tie-break: cluster_id ascending.
+        """
+        qc = (
+            F.broadcast(
+                queries.select(
+                    query_id_col, F.col(query_vec_col).alias("_qvec")
+                )
+            )
+            .crossJoin(F.broadcast(self.centroids()))
+            .withColumn(
+                "csim", cosine_similarity(F.col("_qvec"), F.col("centroid"))
+            )
+        )
+        wc = Window.partitionBy(query_id_col).orderBy(
+            F.col("csim").desc(), F.col(CLUSTER_COL).asc()
+        )
+        return (
+            qc.withColumn("crank", F.row_number().over(wc))
+            .filter(F.col("crank") <= nprobe)
+            .select(query_id_col, "_qvec", CLUSTER_COL)
+        )
+
+    def pruned_corpus(self, cluster_ids: list[int]) -> DataFrame:
+        """Corpus scan restricted to the probed clusters. Because
+        ``cluster_id`` is the physical partition key, the IN-filter is a
+        PartitionFilter — directory-level pruning, zero bytes read from
+        unprobed clusters (assert via `plans.physical_plan`).
+        """
+        return self.corpus().filter(
+            F.col(CLUSTER_COL).isin([int(c) for c in cluster_ids])
+        )
+
+    def search(
+        self,
+        queries: DataFrame,
+        top_k: int = 5,
+        nprobe: int = 2,
+        *,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        doc_id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Batch IVF search over the materialized index.
+
+        Two stages:
+          1. probe: Q×C centroid scoring (both sides broadcast), then a
+             driver-side collect of the DISTINCT probed cluster ids —
+             O(Q×nprobe) ints, the price of turning pruning into a
+             *static* partition filter Catalyst applies at planning time.
+          2. rerank: scan ONLY the probed partitions, equi-join the
+             broadcast (query, cluster) assignment, exact cosine, and a
+             per-query top-k window.
+
+        At 100 TB with C=4096 and nprobe=8, stage 2 reads ~0.2% of the
+        corpus files; nothing else touches the full table.
+        """
+        probe = self.probe_clusters(
+            queries, nprobe, query_id_col=query_id_col, query_vec_col=query_vec_col
+        )
+        # Tiny collect: Q×nprobe cluster ids → a literal partition filter.
+        cluster_ids = sorted(
+            r[0] for r in probe.select(CLUSTER_COL).distinct().collect()
+        )
+        cand = F.broadcast(probe).join(
+            self.pruned_corpus(cluster_ids), on=CLUSTER_COL, how="inner"
+        )
+        scored = cand.withColumn(
+            "score", cosine_similarity(F.col("_qvec"), F.col(vec_col))
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("score").desc(), F.col(doc_id_col).asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select(query_id_col, doc_id_col, "score", "rank")
+        )

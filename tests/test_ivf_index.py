@@ -1,0 +1,81 @@
+"""Materialized IVF index: build once, search with partition pruning.
+
+The scale contract under test: after `build_ivf_index`, a search must
+(a) return the same rows as the inline IVF join (same centroids, same
+tie-breaks), and (b) read ONLY the probed cluster partitions — the
+cluster filter must appear in PartitionFilters (directory pruning),
+never as a post-scan row filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from converttovectordb_spark.operators.search import ivf_knn_join
+from converttovectordb_spark.plans import physical_plan
+from converttovectordb_spark.plans.ivf_index import build_ivf_index
+
+
+def _emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _probes(emb):
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_indexed_search_matches_inline_ivf(spark, tmp_path):
+    emb = _emb(spark)
+    index = build_ivf_index(emb, str(tmp_path / "ivf"), cluster_col="label")
+    got = index.search(_probes(emb), top_k=3, nprobe=2)
+    want = ivf_knn_join(_probes(emb), emb, top_k=3, nprobe=2)
+    key = lambda r: (r.query_id, r.rank)
+    got_rows = sorted(got.collect(), key=key)
+    want_rows = sorted(want.collect(), key=key)
+    assert [(r.query_id, r.vec_id, r.rank) for r in got_rows] == [
+        (r.query_id, r.vec_id, r.rank) for r in want_rows
+    ]
+    for g, w in zip(got_rows, want_rows):
+        assert abs(g.score - w.score) < 1e-9
+
+
+def test_index_search_prunes_partitions(spark, tmp_path):
+    emb = _emb(spark)
+    index = build_ivf_index(emb, str(tmp_path / "ivf"), cluster_col="label")
+    probed = index.pruned_corpus([1, 3])
+    plan = physical_plan(probed)
+    assert "PartitionFilters: [" in plan
+    assert "cluster_id" in plan.split("PartitionFilters:")[1].split("]")[0]
+    # pruning is real: fewer rows than the full corpus
+    assert 0 < probed.count() < index.corpus().count()
+
+
+def test_centroids_are_materialized_not_recomputed(spark, tmp_path):
+    emb = _emb(spark)
+    index = build_ivf_index(emb, str(tmp_path / "ivf"), cluster_col="label")
+    # the centroid table is a plain parquet scan — C rows, no agg in plan
+    plan = physical_plan(index.centroids())
+    assert "HashAggregate" not in plan
+    assert index.centroids().count() == emb.select("label").distinct().count()
+
+
+def test_kmeans_index_recall_on_separated_clusters(spark, tmp_path):
+    # unlabeled corpus → k-means training; two well-separated clusters
+    rows = [(i, [10.0 + i * 0.01, 0.0, 1.0]) for i in range(20)]
+    rows += [(100 + i, [0.0, 10.0 + i * 0.01, 1.0]) for i in range(20)]
+    docs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    index = build_ivf_index(
+        docs, str(tmp_path / "ivf_km"), num_clusters=2, seed=7
+    )
+    probes = docs.filter(F.col("vec_id").isin(0, 100)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = index.search(probes, top_k=3, nprobe=1).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    # nprobe=1 must stay inside the query's own cluster
+    assert all(v < 100 for v in by_q[0])
+    assert all(v >= 100 for v in by_q[100])

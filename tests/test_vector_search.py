@@ -106,8 +106,22 @@ def test_topk_tiebreak_deterministic(spark):
 
 def test_dim_mismatch_rejected(spark):
     df = _vec_df(spark, [(1, [1.0, 0.0, 0.0])])
-    with pytest.raises(ValueError, match="dimension"):
-        knn_topk(df, [1.0, 0.0], top_k=2)
+    # Known stored dim (the engine path): driver-side ValueError with
+    # ZERO Spark jobs — verified via an isolated job group.
+    sc = spark.sparkContext
+    sc.setJobGroup("dimcheck", "dim guard must not launch jobs")
+    try:
+        with pytest.raises(ValueError, match="dimension"):
+            knn_topk(df, [1.0, 0.0], top_k=2, expected_dim=3)
+        # building the valid-dim plan must not launch a job either
+        knn_topk(df, [1.0, 0.0, 0.0], top_k=2, expected_dim=3)
+        assert sc.statusTracker().getJobIdsForGroup("dimcheck") == []
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    # Unknown stored dim: the lazy in-plan guard surfaces at action time
+    # (no separate probe job), with the Q5 message.
+    with pytest.raises(Exception, match="dimension"):
+        knn_topk(df, [1.0, 0.0], top_k=2).collect()
 
 
 def test_knn_join_excludes_self_and_ranks(spark):
