@@ -87,21 +87,42 @@ def sentence_transformer_embedder(
 def embed_udf(
     embedder: Callable[[list[str]], np.ndarray] | None = None,
     dim: int = DEFAULT_DIM,
+    time_acc=None,
 ):
     """Arrow-batched embedding UDF: string column → array<float>.
 
     Each Arrow batch (spark.sql.execution.arrow.maxRecordsPerBatch rows)
     becomes ONE model.encode call — batched inference, not per-row.
+
+    ``time_acc`` (a SparkContext accumulator) collects encode wall-time
+    per Arrow batch, summed across workers — the A9 ``embedding_time``
+    metric. Because encoding is data-parallel here, this is aggregate
+    worker CPU-seconds, not driver wall-clock as in the serial reference
+    (repo_to_vector.py:452-467) — the honest distributed analog.
     """
+    import time as _time
+
     enc = embedder or hash_embedder(dim)
 
     @pandas_udf("array<float>")
     def _embed(texts: pd.Series) -> pd.Series:
+        t0 = _time.perf_counter()
         vals = enc(["" if t is None else t for t in texts.tolist()])
+        if time_acc is not None:
+            time_acc.add(_time.perf_counter() - t0)
         return pd.Series([np.asarray(v, dtype=np.float32) for v in vals])
 
     return _embed
 
 
-def embed_column(df, text_col: str = "content", out_col: str = "embedding", embedder=None, dim: int = DEFAULT_DIM):
-    return df.withColumn(out_col, embed_udf(embedder, dim)(F.col(text_col)))
+def embed_column(
+    df,
+    text_col: str = "content",
+    out_col: str = "embedding",
+    embedder=None,
+    dim: int = DEFAULT_DIM,
+    time_acc=None,
+):
+    return df.withColumn(
+        out_col, embed_udf(embedder, dim, time_acc)(F.col(text_col))
+    )

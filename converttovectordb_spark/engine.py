@@ -29,6 +29,7 @@ from converttovectordb_spark.embeddings import (
 from converttovectordb_spark.operators.search import (
     DEFAULT_SCORE_THRESHOLD,
     knn_topk,
+    truncate_content,
     validate_top_k,
 )
 from converttovectordb_spark.operators.stats import (
@@ -40,6 +41,7 @@ from converttovectordb_spark.operators.stats import (
 from converttovectordb_spark.sources.chunker import explode_chunks
 from converttovectordb_spark.sources.repo_scan import (
     clone_repository,
+    count_repo_files,
     scan_repo_files,
 )
 from converttovectordb_spark.sources.store import DocumentStore
@@ -65,15 +67,32 @@ class VectorEngine:
 
     # -- ingest ----------------------------------------------------------
     def ingest(self, repo_path: str, *, repo_url: str | None = None) -> DataFrame:
-        """scan → chunk → embed → append. Returns the written batch."""
+        """scan → chunk → embed → append. Returns the written batch.
+
+        A9 pipeline metrics (reference repo_to_vector.py:58-64,452-467)
+        ride the single write job as `df.observe` metrics plus an
+        embed-time accumulator — see ``last_ingest_metrics``. Divergence
+        from the reference documented per SURVEY §7: the reference
+        under-counts ``chunks_created`` when a file ends exactly on a
+        chunk boundary; ours is the true written-row count. And
+        ``embedding_time`` here is aggregate worker encode seconds (the
+        encode runs data-parallel), not serial driver wall-clock."""
+        from pyspark.sql import Observation
+
+        t0 = time.time()
         if repo_url:
             clone_repository(repo_url, repo_path)
-        files = scan_repo_files(self.spark, repo_path)
+        obs_files = Observation()
+        obs_chunks = Observation()
+        embed_acc = self.spark.sparkContext.accumulator(0.0)
+        files = scan_repo_files(self.spark, repo_path).observe(
+            obs_files, F.count(F.lit(1)).alias("files_processed")
+        )
         chunks = explode_chunks(
             files, chunk_size=self.chunk_size, overlap=self.overlap
-        )
+        ).observe(obs_chunks, F.count(F.lit(1)).alias("chunks_created"))
         docs = embed_column(
-            chunks, "content", "embedding", self.embedder, self.dim
+            chunks, "content", "embedding", self.embedder, self.dim, embed_acc
         ).withColumn("timestamp", F.lit(time.time()))
         batch = docs.select(
             "path",
@@ -84,16 +103,55 @@ class VectorEngine:
             "embedding",
             "timestamp",
         )
-        self.store.append(batch)
+        rows_written = self.store.append(batch)
+        # files_skipped derives from a metadata-only listing: the scan
+        # prunes hidden/size/extension misses at the FILE INDEX (never
+        # opening them — the 100 TB contract), so counting them inline
+        # would force reads the filter exists to avoid.
+        files_listed = count_repo_files(self.spark, repo_path)
+        files_processed = int(obs_files.get["files_processed"])
+        self.last_ingest_metrics = {
+            "files_listed": files_listed,
+            "files_processed": files_processed,
+            "files_skipped": files_listed - files_processed,
+            "chunks_created": int(obs_chunks.get["chunks_created"]),
+            "rows_written": rows_written,
+            "embedding_time": float(embed_acc.value),
+            "total_time": time.time() - t0,
+        }
         return batch
 
+    def _empty_results(self) -> DataFrame:
+        """Result-shaped empty DataFrame — the reference returns empty
+        results (not an error) for a never-ingested database
+        (mock_vector_db_api.py query short-circuit)."""
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        from converttovectordb_spark.schema import DOCUMENTS_SCHEMA
+
+        fields = [
+            f for f in DOCUMENTS_SCHEMA.fields if f.name != "embedding"
+        ] + [StructField("score", DoubleType(), True)]
+        return self.spark.createDataFrame([], StructType(fields))
+
     # -- query -----------------------------------------------------------
-    def search(self, query_text: str, top_k: int = 5) -> DataFrame:
+    def search(
+        self,
+        query_text: str,
+        top_k: int = 5,
+        *,
+        truncate_chars: int | None = None,
+    ) -> DataFrame:
         """Encode the query driver-side (one string), then the
-        broadcast-scan top-k with threshold-after-limit semantics."""
+        broadcast-scan top-k with threshold-after-limit semantics.
+
+        ``truncate_chars`` applies the reference's display truncation
+        (T6, query_vector_db.py:204-206) to result content."""
+        if not self.store.exists():
+            return self._empty_results()
         qv = self.embedder([query_text])
         qv = np.asarray(qv, dtype=np.float64).reshape(-1).tolist()
-        return knn_topk(
+        out = knn_topk(
             self.store.load(),
             qv,
             validate_top_k(top_k),
@@ -101,8 +159,13 @@ class VectorEngine:
             score_threshold=DEFAULT_SCORE_THRESHOLD,
             expected_dim=self.dim,  # engine knows its dim → zero-job Q5 guard
         )
+        if truncate_chars is not None:
+            out = truncate_content(out, max_chars=truncate_chars)
+        return out
 
     def search_vector(self, query_vector: list[float], top_k: int = 5) -> DataFrame:
+        if not self.store.exists():
+            return self._empty_results()
         return knn_topk(
             self.store.load(),
             query_vector,
@@ -113,6 +176,15 @@ class VectorEngine:
 
     # -- stats / admin ---------------------------------------------------
     def stats(self) -> dict:
+        if not self.store.exists():
+            return {
+                "total_documents": 0,
+                "unique_files": 0,
+                "total_content_kb": None,
+                "avg_content_chars": None,
+                "documents_by_extension": {},
+                "avg_chunks_per_file": None,
+            }
         docs = self.store.load(require_embedding=False)
         base = corpus_stats(docs).collect()[0].asDict()
         by_ext = {

@@ -109,6 +109,30 @@ def knn_topk(
     return out
 
 
+#: Reference display truncation width (query_vector_db.py:204-206).
+DEFAULT_TRUNCATE_CHARS = 500
+
+
+def truncate_content(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    max_chars: int = DEFAULT_TRUNCATE_CHARS,
+) -> DataFrame:
+    """Reference T6: result content longer than ``max_chars`` is cut to
+    ``max_chars`` characters with a literal ``"..."`` suffix
+    (query_vector_db.py:204-206 — `content[:500] + "..."`). Pure
+    codegen expression; shorter content passes through unchanged."""
+    c = F.col(content_col)
+    return df.withColumn(
+        content_col,
+        F.when(
+            F.length(c) > max_chars,
+            F.concat(F.substring(c, 1, max_chars), F.lit("...")),
+        ).otherwise(c),
+    )
+
+
 def knn_join(
     queries: DataFrame,
     docs: DataFrame,

@@ -47,7 +47,11 @@ from converttovectordb_spark.operators.dedup import (
     minhash_lsh_neardup,
     simhash_neardup_pairs,
 )
-from converttovectordb_spark.operators.search import ivf_knn_join, knn_join
+from converttovectordb_spark.operators.search import (
+    ivf_knn_join,
+    knn_join,
+    truncate_content,
+)
 from converttovectordb_spark.operators.textstats import (
     doc_fingerprints,
     lang_id_report,
@@ -290,6 +294,35 @@ def q_vector_ivf_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("score")).alias("score"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+def q_search_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference T6 result-display projection (query_vector_db.py:
+    204-206): content longer than 500 chars becomes the first 500 chars
+    + a literal '...'. Map-only codegen projection — no shuffle, and the
+    length/substring never leave the JVM."""
+    docs = load(spark, sf_dir, "documents")
+    out = truncate_content(
+        docs.select("doc_id", F.col("text").alias("content"))
+    )
+    return out.select(
+        "doc_id",
+        "content",
+        F.length("content").cast("bigint").alias("display_len"),
+    )
+
+
+ORACLE_SEARCH_DISPLAY = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(text) > 500
+              THEN substring(text, 1, 500) || '...'
+              ELSE text END AS content
+  FROM documents
+)
+SELECT doc_id, content, CAST(length(content) AS BIGINT) AS display_len
+FROM t
+"""
 
 
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2018,6 +2051,7 @@ QUERIES = {
     "vector_knn_batch": q_vector_knn_batch,
     "vector_ivf_knn": q_vector_ivf_knn,
     "vector_ivf_knn_indexed": q_vector_ivf_knn_indexed,
+    "search_display": q_search_display,
     "embedding_stats": q_embedding_stats,
     "doc_stats": q_doc_stats,
     "docs_by_lang": q_docs_by_lang,
@@ -2074,6 +2108,7 @@ ORACLES = {
     # Bit-identical results by construction (same centroids/tie-breaks);
     # the indexed variant differs only in physical layout.
     "vector_ivf_knn_indexed": ORACLE_VECTOR_IVF_KNN,
+    "search_display": ORACLE_SEARCH_DISPLAY,
     "embedding_stats": ORACLE_EMBEDDING_STATS,
     "doc_stats": ORACLE_DOC_STATS,
     "docs_by_lang": ORACLE_DOCS_BY_LANG,

@@ -48,6 +48,51 @@ def clone_repository(repo_url: str, target_dir: str) -> str:
     return target_dir
 
 
+def _relative_path(path_col, repo_path: str):
+    """Strip the ``file:<repo_path>/`` prefix LITERALLY (by length after
+    URI-decoding), never via regex — a repo path containing regex
+    metacharacters ('+', '(') or URI-encoding characters (space → %20)
+    must still strip cleanly. binaryFile emits URI-style paths, so
+    decode %XX escapes first, then substring past the known prefix.
+    (url_decode is form-decoding — '+' would become a space — so literal
+    '+' is pre-escaped to %2B before decoding.)"""
+    decoded = F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(path_col, r"^file:", ""), r"\+", "%2B"
+        )
+    )
+    prefix_len = len(repo_path) + 2  # +1 for '/', +1 for 1-based substring
+    return F.when(
+        F.substring(decoded, 1, len(repo_path) + 1) == repo_path + "/",
+        F.substring(decoded, prefix_len, 1_000_000),
+    ).otherwise(decoded)
+
+
+def count_repo_files(spark: SparkSession, repo_path: str) -> int:
+    """Total files under the tree — a metadata-only listing (column
+    pruning keeps `content` unread; binaryFile answers from file status).
+
+    Used for the A9 ``files_skipped`` metric: the scan itself prunes
+    hidden/over-size/wrong-extension files at the file index — by design
+    those files are never *opened* — so the skip count comes from this
+    cheap listing, not from forcing the ingest scan to read them.
+
+    Note: Hadoop's file index already drops dot-/underscore-prefixed
+    names during LISTING, so hidden files are never enumerated and
+    therefore never counted as skipped (divergence from the reference's
+    os.walk counters, which sees and skips them; documented per SURVEY
+    §7 — at scale you want them invisible to the listing, not listed
+    then skipped).
+    """
+    return (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(repo_path.rstrip("/"))
+        .select("path")
+        .count()
+    )
+
+
 def _is_hidden(path_col):
     """True when any path component starts with '.'."""
     return F.exists(
@@ -74,11 +119,7 @@ def scan_repo_files(
         .option("recursiveFileLookup", "true")
         .load(repo_path)
     )
-    rel = F.regexp_replace(
-        F.regexp_replace(F.col("path"), r"^file:", ""),
-        "^" + repo_path.replace(".", r"\.") + "/",
-        "",
-    )
+    rel = _relative_path(F.col("path"), repo_path)
     ext = F.when(
         rel.rlike(r"\.[^/.]+$"),
         F.concat(F.lit("."), F.regexp_extract(rel, r"\.([^/.]+)$", 1)),

@@ -37,18 +37,25 @@ class DocumentStore:
 
     # -- write path ------------------------------------------------------
     def append(self, docs: DataFrame, *, validate: bool = True) -> int:
-        """Append a batch; returns rows written. Invalid rows (null
-        content/embedding) are dropped, mirroring reference ingest
-        validation (mock_vector_db_api.py:181-190)."""
+        """Append a batch; returns the REAL number of rows written.
+        Invalid rows (null content/embedding) are dropped, mirroring
+        reference ingest validation (mock_vector_db_api.py:181-190).
+
+        The count rides the write job itself as a `df.observe` metric
+        (CollectMetrics) — no second pass over the data."""
+        from pyspark.sql import Observation
+
         if validate:
             docs = docs.filter(
                 F.col("content").isNotNull() & F.col("embedding").isNotNull()
             )
+        obs = Observation()
+        docs = docs.observe(obs, F.count(F.lit(1)).alias("rows_written"))
         writer = docs.write.mode("append")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(self.path)
-        return -1  # count deferred; call .count() on load() when needed
+        return int(obs.get["rows_written"])
 
     def overwrite(self, docs: DataFrame) -> None:
         writer = docs.write.mode("overwrite")

@@ -62,8 +62,23 @@ def test_store_append_load_validation(spark, tmp_path):
         "path string, extension string, chunk_index int, total_chunks int,"
         " content string, embedding array<double>, timestamp double",
     )
-    store.append(df)
+    written = store.append(df)
+    assert written == 1  # REAL count, observed on the write job itself
     assert store.load().count() == 1  # validation dropped 2 rows
+
+
+def test_scan_strips_prefix_with_weird_repo_path(spark, tmp_path):
+    # regex metacharacters + a space in the repo path must still strip
+    # to repo-relative paths (binaryFile URI-encodes the space)
+    weird = tmp_path / "re+po (v2)" / "with space"
+    weird.mkdir(parents=True)
+    (weird / "a.py").write_text("x = 1\n")
+    (weird / "sub dir").mkdir()
+    (weird / "sub dir" / "b.py").write_text("y = 2\n")
+    got = sorted(
+        r.path for r in scan_repo_files(spark, str(weird)).collect()
+    )
+    assert got == ["a.py", "sub dir/b.py"]
 
 
 def test_engine_end_to_end(spark, repo_tree, tmp_path):
@@ -97,3 +112,56 @@ def test_engine_end_to_end(spark, repo_tree, tmp_path):
     eng.clear(backup=False)
     assert not eng.store.exists()
     assert eng.health()["documents_count"] == 0
+
+
+def test_ingest_metrics_observed(spark, repo_tree, tmp_path_factory):
+    """A9 (reference repo_to_vector.py:58-64,452-467): pipeline metrics
+    ride the single ingest job as observe metrics + an accumulator."""
+    # store OUTSIDE the scanned tree (repo_tree shares tmp_path)
+    store_dir = tmp_path_factory.mktemp("metrics_store")
+    eng = VectorEngine(
+        spark, str(store_dir / "store"), embedder=hash_embedder(32),
+        dim=32, chunk_size=500, overlap=100,
+    )
+    eng.ingest(repo_tree)
+    m = eng.last_ingest_metrics
+    # fixture tree: 6 files on disk, but Spark's file index drops
+    # dot-prefixed paths at LISTING time (.hidden/s.py is never
+    # enumerated) → 5 listed, 3 survive the scan filters
+    assert m["files_listed"] == 5
+    assert m["files_processed"] == 3
+    assert m["files_skipped"] == 2
+    assert m["chunks_created"] == eng.store.load().count()
+    assert m["rows_written"] == m["chunks_created"]
+    assert m["embedding_time"] > 0.0
+    assert m["total_time"] > 0.0
+
+
+def test_empty_store_search_and_stats(spark, tmp_path):
+    """Reference behavior: a never-ingested database answers queries
+    with empty results and zero stats, not an error."""
+    eng = VectorEngine(
+        spark, str(tmp_path / "nope"), embedder=hash_embedder(8), dim=8
+    )
+    assert eng.search("anything", top_k=3).collect() == []
+    assert eng.search_vector([0.0] * 8).collect() == []
+    st = eng.stats()
+    assert st["total_documents"] == 0
+    assert st["documents_by_extension"] == {}
+
+
+def test_search_truncates_content(spark, tmp_path):
+    """Reference T6 (query_vector_db.py:204-206): display truncation to
+    500 chars + '...'."""
+    (tmp_path / "repo").mkdir()
+    (tmp_path / "repo" / "long.md").write_text("A" * 900)
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(16),
+        dim=16, chunk_size=1000, overlap=0,
+    )
+    eng.ingest(str(tmp_path / "repo"))
+    res = eng.search("A" * 900, top_k=1, truncate_chars=500).collect()
+    assert len(res) == 1
+    assert res[0].content == "A" * 500 + "..."
+    full = eng.search("A" * 900, top_k=1).collect()
+    assert full[0].content == "A" * 900
