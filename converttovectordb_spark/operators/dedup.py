@@ -383,6 +383,58 @@ def simhash_neardup_pairs(
     )
 
 
+def rademacher_signs(seed: int, num_bits: int, dim: int) -> list[list[float]]:
+    """±1 hyperplane components from md5 parity of ``seed_bit_dim`` —
+    reproducible in ANY engine with md5 (the SQL oracle inlines the same
+    literals), so signed-random-projection LSH is itself oracle-checkable.
+    Generated once driver-side; the hot path multiplies, never hashes."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{seed}_{i}_{j}".encode()).hexdigest()[0]
+            in "02468ace"
+            else -1.0
+            for j in range(dim)
+        ]
+        for i in range(num_bits)
+    ]
+
+
+def hyperplane_band_keys(
+    vec_col,
+    *,
+    dim: int,
+    num_bands: int = 8,
+    band_bits: int = 3,
+    seed: int = 42,
+):
+    """Signed-random-projection LSH (Charikar 2002 SimHash for vectors):
+    each bit is sign(v·h_i) for a fixed Rademacher hyperplane h_i, bits
+    grouped into band keys → ``array<bigint>`` of ``num_bands`` keys.
+
+    P(bit match) = 1 − θ/π for angle θ, so near-parallel vectors share a
+    band with probability → 1 while the in-bucket pair space shrinks by
+    ~2^band_bits per band. All arithmetic is a dot against literal ±1
+    arrays — whole-stage codegen, no hashing per row.
+    """
+    signs = rademacher_signs(seed, num_bands * band_bits, dim)
+    v = vec_col.cast("array<double>")
+
+    def bit(i: int):
+        plane = F.array(*[F.lit(s) for s in signs[i]])
+        return (dot_product(v, plane) >= 0).cast("bigint")
+
+    keys = []
+    for b in range(num_bands):
+        key = F.lit(0).cast("bigint")
+        for k in range(band_bits):
+            key = key + bit(b * band_bits + k) * F.lit(1 << k).cast("bigint")
+        keys.append(key)
+    return F.array(*keys)
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     *,
@@ -390,6 +442,10 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     bucket_col: str | None = None,
+    lsh_bands: int | None = None,
+    lsh_band_bits: int = 3,
+    lsh_seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
 
@@ -397,23 +453,93 @@ def embedding_neardup_pairs(
     equi-bucketed — near-dups almost surely share a cluster, and the
     pair space shrinks from N² to Σ bucket². Without it, a full
     normalized dot-product self-join (exact, small-N fallback).
+
+    With ``lsh_bands`` (requires ``dim``), candidates must ALSO share at
+    least one hyperplane-LSH band inside the bucket — the 100 TB shape:
+    in-bucket pair space drops from quadratic to Σ (band-bucket)², a
+    ~2^band_bits reduction per band, at the cost of missing pairs whose
+    angle is large enough to disagree on every band (recall → 1 as bands
+    grow; deterministic given the seed, so the decision is
+    oracle-checkable — see queries.embedding_neardup_lsh).
     """
-    n = vectors.select(
-        F.col(id_col), l2_normalize(F.col(vec_col)).alias("_v"),
-        *([F.col(bucket_col)] if bucket_col else []),
+    if lsh_bands is None:
+        n = vectors.select(
+            F.col(id_col), l2_normalize(F.col(vec_col)).alias("_v"),
+            *([F.col(bucket_col)] if bucket_col else []),
+        )
+        a = n.select(
+            F.col(id_col).alias("a"), F.col("_v").alias("_va"),
+            *([F.col(bucket_col)] if bucket_col else []),
+        )
+        b = n.select(
+            F.col(id_col).alias("b"), F.col("_v").alias("_vb"),
+            *([F.col(bucket_col)] if bucket_col else []),
+        )
+        joined = a.join(b, on=bucket_col) if bucket_col else a.crossJoin(b)
+        return (
+            joined.filter(F.col("a") < F.col("b"))
+            .withColumn("cosine", dot_product(F.col("_va"), F.col("_vb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("a", "b", "cosine")
+        )
+    if dim is None:
+        raise ValueError("dim is required when lsh_bands is set")
+    bands = embedding_lsh_bands(
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        bucket_col=bucket_col,
+        num_bands=lsh_bands,
+        band_bits=lsh_band_bits,
+        seed=lsh_seed,
+        dim=dim,
     )
-    a = n.select(
-        F.col(id_col).alias("a"), F.col("_v").alias("_va"),
-        *([F.col(bucket_col)] if bucket_col else []),
+    keys = ([bucket_col] if bucket_col else []) + ["band_id", "band_key"]
+    a = bands.select(
+        F.col(id_col).alias("a"), F.col("_v").alias("_va"), *keys
     )
-    b = n.select(
-        F.col(id_col).alias("b"), F.col("_v").alias("_vb"),
-        *([F.col(bucket_col)] if bucket_col else []),
+    b = bands.select(
+        F.col(id_col).alias("b"), F.col("_v").alias("_vb"), *keys
     )
-    joined = a.join(b, on=bucket_col) if bucket_col else a.crossJoin(b)
+    # Cosine BEFORE the distinct: a candidate pair appears in ≤ lsh_bands
+    # band-buckets, and re-scoring a dup is cheaper than joining vectors
+    # back onto deduplicated ids.
     return (
-        joined.filter(F.col("a") < F.col("b"))
+        a.join(b, on=keys)
+        .filter(F.col("a") < F.col("b"))
         .withColumn("cosine", dot_product(F.col("_va"), F.col("_vb")))
-        .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
+        .distinct()
+        .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_lsh_bands(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = None,
+    num_bands: int = 8,
+    band_bits: int = 3,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """One row per (vector, band): id, normalized vector, optional
+    bucket, band_id, band_key. The candidate-generation half of
+    LSH-bucketed embedding dedup, exposed for pair-space accounting."""
+    n = vectors.select(
+        F.col(id_col),
+        l2_normalize(F.col(vec_col)).alias("_v"),
+        *([F.col(bucket_col)] if bucket_col else []),
+        F.posexplode(
+            hyperplane_band_keys(
+                F.col(vec_col),
+                dim=dim,
+                num_bands=num_bands,
+                band_bits=band_bits,
+                seed=seed,
+            )
+        ).alias("band_id", "band_key"),
+    )
+    return n

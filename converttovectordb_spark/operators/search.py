@@ -42,7 +42,12 @@ DEFAULT_TOP_K = 5
 
 def validate_top_k(top_k: object) -> int:
     """Reference Q6: non-int or <=0 top_k falls back to 5
-    (mock_vector_db_api.py:248,254-256)."""
+    (mock_vector_db_api.py:248,254-256).
+
+    Deliberate divergence: the reference's `isinstance(True, int)` is
+    True, so `top_k=True` silently means 1 result there; here bool is
+    rejected to the default — a boolean top_k is a caller bug, not a
+    count."""
     if not isinstance(top_k, int) or isinstance(top_k, bool) or top_k <= 0:
         return DEFAULT_TOP_K
     return top_k

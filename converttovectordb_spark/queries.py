@@ -45,6 +45,7 @@ from converttovectordb_spark.operators.dedup import (
     exact_dedup,
     jaccard_neardup_pairs,
     minhash_lsh_neardup,
+    rademacher_signs,
     simhash_neardup_pairs,
 )
 from converttovectordb_spark.operators.search import (
@@ -620,6 +621,93 @@ pairs AS (
 )
 SELECT a, b, round(CAST(cosine AS DOUBLE), 6) AS cosine
 FROM pairs WHERE cosine >= 0.3
+"""
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with hyperplane-LSH sub-buckets INSIDE the
+    coarse cluster bucket — the fix for round-1's in-bucket quadratic
+    pair space. Candidates must share (label, band_id, band_key) for at
+    least one of 8 bands of 3 sign bits; pair space per cluster drops by
+    ~2^3 per band instead of (n_cluster)².
+
+    The hyperplanes are md5-seeded Rademacher vectors, identical in the
+    DuckDB oracle (literal ±1 arrays from the same seed), so the LSH
+    candidate decision itself — not just the verified output — is
+    hash-checked."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs(
+        emb,
+        threshold=0.3,
+        bucket_col="label",
+        lsh_bands=8,
+        lsh_band_bits=3,
+        lsh_seed=42,
+        dim=64,
+    )
+    return out.select("a", "b", _round6(F.col("cosine")).alias("cosine"))
+
+
+def _oracle_embedding_lsh(
+    threshold: float = 0.3,
+    num_bands: int = 8,
+    band_bits: int = 3,
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """Build the DuckDB twin of the hyperplane-LSH pipeline: the same
+    md5-derived ±1 hyperplanes inlined as literal arrays, the same
+    band keys, the same verify."""
+    signs = rademacher_signs(seed, num_bands * band_bits, dim)
+
+    def bit_sql(i: int) -> str:
+        lit = "[" + ", ".join(str(s) for s in signs[i]) + "]::DOUBLE[]"
+        return (
+            "(CASE WHEN list_sum(list_transform(list_zip(v, "
+            + lit
+            + "), x -> x[1] * x[2])) >= 0 THEN 1 ELSE 0 END)"
+        )
+
+    band_exprs = []
+    for b in range(num_bands):
+        terms = [
+            f"{1 << k} * {bit_sql(b * band_bits + k)}" for k in range(band_bits)
+        ]
+        band_exprs.append("(" + " + ".join(terms) + ")")
+    keys_sql = "[" + ", ".join(band_exprs) + "]"
+    return f"""
+WITH n AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nn
+  FROM embeddings
+),
+keyed AS (
+  SELECT vec_id, label,
+         CASE WHEN nn = 0 THEN v ELSE list_transform(v, x -> x / nn) END AS u,
+         {keys_sql} AS keys
+  FROM n
+),
+bands AS (
+  SELECT vec_id, label, u,
+         generate_subscripts(keys, 1) - 1 AS band_id,
+         unnest(keys) AS band_key
+  FROM keyed
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+  FROM bands a JOIN bands b
+    ON a.label = b.label AND a.band_id = b.band_id
+   AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.a, c.b,
+         list_sum(list_transform(list_zip(ua.u, ub.u), x -> x[1] * x[2])) AS cosine
+  FROM cand c
+  JOIN keyed ua ON ua.vec_id = c.a
+  JOIN keyed ub ON ub.vec_id = c.b
+)
+SELECT a, b, round(CAST(cosine AS DOUBLE), 6) AS cosine
+FROM scored WHERE cosine >= {threshold}
 """
 
 
@@ -2061,6 +2149,7 @@ QUERIES = {
     "minhash_lsh": q_minhash_lsh,
     "simhash_neardup": q_simhash_neardup,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "quality_report": q_quality_report,
     "normalize_text": q_normalize_text,
     "chunk_explode": q_chunk_explode,
@@ -2118,6 +2207,7 @@ ORACLES = {
     "minhash_lsh": ORACLE_MINHASH_LSH,
     "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+    "embedding_neardup_lsh": _oracle_embedding_lsh(),
     "quality_report": ORACLE_QUALITY_REPORT,
     "normalize_text": ORACLE_NORMALIZE_TEXT,
     "chunk_explode": ORACLE_CHUNK_EXPLODE,

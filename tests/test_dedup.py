@@ -103,3 +103,49 @@ def test_embedding_neardup(spark):
         vecs, threshold=0.95, bucket_col="label"
     ).collect()
     assert [(r.a, r.b) for r in out_b] == [(1, 2)]
+
+
+def test_embedding_lsh_recall_and_pair_space_reduction(spark):
+    """Hyperplane-LSH sub-buckets: true near-dups (cosine ≥0.98) must
+    survive the band filter, and the candidate pair space must be
+    strictly smaller than the coarse bucket's quadratic join."""
+    import random
+
+    from converttovectordb_spark.operators.dedup import embedding_lsh_bands
+
+    rng = random.Random(0)
+    dim = 16
+    rows = []
+    # 40 random base vectors in one coarse bucket + 10 planted near-dups
+    bases = []
+    for i in range(40):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        bases.append(v)
+        rows.append((i, v, 0))
+    for i in range(10):
+        v = [x + rng.gauss(0, 0.005) for x in bases[i]]  # tiny perturbation
+        rows.append((100 + i, v, 0))
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    exact = embedding_neardup_pairs(
+        vecs, threshold=0.98, bucket_col="label"
+    ).collect()
+    lsh = embedding_neardup_pairs(
+        vecs, threshold=0.98, bucket_col="label",
+        lsh_bands=8, lsh_band_bits=3, lsh_seed=42, dim=dim,
+    ).collect()
+    want = sorted((r.a, r.b) for r in exact)
+    got = sorted((r.a, r.b) for r in lsh)
+    assert want == [(i, 100 + i) for i in range(10)]
+    assert got == want  # full recall on genuine near-dups
+
+    # pair-space accounting: Σ per-(band,key) n² must undercut n²/2
+    bands = embedding_lsh_bands(
+        vecs, bucket_col="label", num_bands=8, band_bits=3, seed=42, dim=dim
+    )
+    from pyspark.sql import functions as F
+    sizes = bands.groupBy("label", "band_id", "band_key").count().collect()
+    cand_space = sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
+    n = vecs.count()
+    quad_space = n * (n - 1) // 2 * 8  # 8 bands of the full bucket
+    assert cand_space < quad_space / 2
