@@ -1,0 +1,141 @@
+"""CLI entry point — the reference's `run_vector_db.py` verbs over the
+Spark engine.
+
+Reference surface (run_vector_db.py:119-290): `start | convert | query |
+stats | demo` against a Flask server. Here there is no server — the
+SparkSession IS the engine — so `start` collapses away and the verbs map
+to::
+
+    python -m converttovectordb_spark ingest --repo PATH [--repo-url URL] --store DIR
+    python -m converttovectordb_spark search --query TEXT [--top-k K] --store DIR
+    python -m converttovectordb_spark stats --store DIR
+    python -m converttovectordb_spark health --store DIR
+    python -m converttovectordb_spark clear --store DIR [--no-backup]
+    python -m converttovectordb_spark demo --store DIR
+
+`demo` mirrors the reference's demo flow (ingest a tiny sample tree,
+run one query, print stats). Output is one JSON document per command so
+the CLI is scriptable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="converttovectordb_spark",
+        description="PySpark vector/document engine CLI "
+        "(reference parity: run_vector_db.py verbs)",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--store", required=True, help="store directory")
+        sp.add_argument("--dim", type=int, default=64)
+        sp.add_argument("--chunk-size", type=int, default=1000)
+        sp.add_argument("--overlap", type=int, default=200)
+        sp.add_argument("--transactional", action="store_true")
+        sp.add_argument("--master", default="local[*]")
+
+    sp = sub.add_parser("ingest", help="scan+chunk+embed+store a repo")
+    sp.add_argument("--repo", required=True, help="local repo path")
+    sp.add_argument("--repo-url", default=None, help="git URL to clone first")
+    common(sp)
+
+    sp = sub.add_parser("search", help="top-k similarity search")
+    sp.add_argument("--query", required=True)
+    sp.add_argument("--top-k", type=int, default=5)
+    sp.add_argument(
+        "--truncate", type=int, default=500,
+        help="display truncation (reference T6); 0 disables",
+    )
+    common(sp)
+
+    sp = sub.add_parser("stats", help="corpus statistics")
+    common(sp)
+
+    sp = sub.add_parser("health", help="store health counters")
+    common(sp)
+
+    sp = sub.add_parser("clear", help="drop the store")
+    sp.add_argument("--no-backup", action="store_true")
+    common(sp)
+
+    sp = sub.add_parser("demo", help="ingest a sample tree + run a query")
+    common(sp)
+    return p
+
+
+def _engine(args):
+    from pyspark.sql import SparkSession
+
+    from converttovectordb_spark.embeddings import hash_embedder
+    from converttovectordb_spark.engine import VectorEngine
+
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName("converttovectordb_spark-cli")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    return VectorEngine(
+        spark,
+        args.store,
+        embedder=hash_embedder(args.dim),
+        dim=args.dim,
+        chunk_size=args.chunk_size,
+        overlap=args.overlap,
+        transactional=args.transactional,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    eng = _engine(args)
+
+    if args.command == "ingest":
+        eng.ingest(args.repo, repo_url=args.repo_url)
+        print(json.dumps({"command": "ingest", **eng.last_ingest_metrics}))
+    elif args.command == "search":
+        res = eng.search(
+            args.query,
+            args.top_k,
+            truncate_chars=args.truncate or None,
+        )
+        rows = [r.asDict() for r in res.collect()]
+        print(json.dumps({"command": "search", "results": rows}))
+    elif args.command == "stats":
+        print(json.dumps({"command": "stats", **eng.stats()}))
+    elif args.command == "health":
+        print(json.dumps({"command": "health", **eng.health()}))
+    elif args.command == "clear":
+        eng.clear(backup=not args.no_backup)
+        print(json.dumps({"command": "clear", "cleared": True}))
+    elif args.command == "demo":
+        demo_dir = tempfile.mkdtemp(prefix="cvdb_demo_")
+        with open(f"{demo_dir}/sample.py", "w") as fh:
+            fh.write("def greet(name):\n    return f'hello {name}'\n" * 20)
+        with open(f"{demo_dir}/readme.md", "w") as fh:
+            fh.write("# demo corpus\nvector search over code chunks\n")
+        eng.ingest(demo_dir)
+        hits = eng.search("hello greeting function", 3).collect()
+        print(
+            json.dumps(
+                {
+                    "command": "demo",
+                    "ingest": eng.last_ingest_metrics,
+                    "search_hits": len(hits),
+                    "stats": eng.stats(),
+                }
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -44,7 +44,10 @@ from converttovectordb_spark.sources.repo_scan import (
     count_repo_files,
     scan_repo_files,
 )
-from converttovectordb_spark.sources.store import DocumentStore
+from converttovectordb_spark.sources.store import (
+    DocumentStore,
+    TransactionalDocumentStore,
+)
 
 
 class VectorEngine:
@@ -57,9 +60,11 @@ class VectorEngine:
         dim: int = DEFAULT_DIM,
         chunk_size: int = 1000,
         overlap: int = 200,
+        transactional: bool = False,
     ):
         self.spark = spark
-        self.store = DocumentStore(spark, store_path, partition_by=("extension",))
+        store_cls = TransactionalDocumentStore if transactional else DocumentStore
+        self.store = store_cls(spark, store_path, partition_by=("extension",))
         self.embedder = embedder or hash_embedder(dim)
         self.dim = dim
         self.chunk_size = chunk_size

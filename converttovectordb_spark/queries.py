@@ -83,10 +83,15 @@ def _round6(col) -> F.Column:
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Repartition a small-file scan across all cores before CPU-heavy
-    per-row work (shingling, md5 batteries). At 100 TB the parquet
-    scan itself yields thousands of splits and this is a no-op choice;
-    the test tables are single small files → single task without it."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    per-row work (shingling, md5 batteries) — but ONLY when the scan
+    actually yields fewer splits than cores. At 100 TB the scan gives
+    thousands of splits and this is (now structurally) a no-op: the
+    gate keeps the full exchange of text bytes off any plan where input
+    splits are already adequate."""
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)
 
 
 # ---------------------------------------------------------------------------
@@ -635,7 +640,7 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle (literal ±1 arrays from the same seed), so the LSH
     candidate decision itself — not just the verified output — is
     hash-checked."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _spread(spark, load(spark, sf_dir, "embeddings"))
     out = embedding_neardup_pairs(
         emb,
         threshold=0.3,
@@ -2011,6 +2016,57 @@ GROUP BY event_type
 """
 
 
+def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch twin of `value_percentiles`: `percentile_approx` (a
+    mergeable one-pass quantile sketch — bounded memory per group at ANY
+    scale, where exact percentiles need a per-group sort) plus HLL++
+    `approx_count_distinct` over users (rsd 2%).
+
+    No SQL oracle by design: Spark's sketches are implementation-defined
+    and differ from DuckDB's t-digest/HLL, so the driver records a
+    rows-only check; the accuracy contract is pinned against the EXACT
+    aggregates in tests/test_approx.py instead. This is the 100 TB
+    shape for the dashboard path — the exact twin stays for audits."""
+    ev = load_events(spark, sf_dir)
+    out = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.percentile_approx("value", [0.25, 0.5, 0.75], 10000).alias("_p"),
+        F.approx_count_distinct("user_id", 0.02).cast("bigint").alias(
+            "approx_users"
+        ),
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        _round6(F.element_at("_p", 1)).alias("p25"),
+        _round6(F.element_at("_p", 2)).alias("p50"),
+        _round6(F.element_at("_p", 3)).alias("p75"),
+        "approx_users",
+    )
+
+
+def q_doc_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL twin of `doc_stats`: approx_count_distinct replaces exact
+    countDistinct — at 100 TB an exact distinct is a full shuffle of the
+    key set, while HLL++ merges fixed 2^p-register sketches map-side
+    (the same count-distinct-at-scale trade every warehouse makes).
+    Rows-only driver check; accuracy pinned in tests/test_approx.py."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_docs"),
+        F.approx_count_distinct("doc_id", 0.02).cast("bigint").alias(
+            "approx_docs"
+        ),
+        F.approx_count_distinct("source", 0.02).cast("bigint").alias(
+            "approx_sources"
+        ),
+        F.approx_count_distinct("lang", 0.02).cast("bigint").alias(
+            "approx_langs"
+        ),
+        _round6(F.avg(F.length("text"))).alias("avg_chars"),
+    )
+
+
 def q_user_hourly_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 1-hour rolling event count: a PARTITIONED range window
     (cf. rolling_revenue's global one) — shuffles once on user_id and
@@ -2187,8 +2243,15 @@ QUERIES = {
     "events_json": q_events_json,
     "asof_purchase_click": q_asof_purchase_click,
     "value_percentiles": q_value_percentiles,
+    "value_percentiles_approx": q_value_percentiles_approx,
+    "doc_stats_approx": q_doc_stats_approx,
     "sessionize": q_sessionize,
 }
+
+#: Sketch-based queries have NO oracle entry on purpose: Spark's
+#: percentile_approx / HLL++ are implementation-defined and will not
+#: bit-match DuckDB's t-digest / HLL. The driver records a rows-only
+#: check; tests/test_approx.py pins accuracy against the exact twins.
 
 ORACLES = {
     "vector_topk": ORACLE_VECTOR_TOPK,

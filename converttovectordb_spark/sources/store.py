@@ -85,3 +85,129 @@ class DocumentStore:
 
     def exists(self) -> bool:
         return os.path.exists(self.path)
+
+
+class TransactionalDocumentStore(DocumentStore):
+    """Manifest-committed store: atomic appends, snapshot reads, schema
+    enforcement — a minimal Delta-style commit log without the
+    dependency (on a production cluster this role is played by
+    Delta/Iceberg; the contract here is the same, standalone).
+
+    Layout::
+
+        <path>/data/<batch-uuid>/part-*.parquet   one dir per batch
+        <path>/_manifest/<version>.json           O_EXCL commit files
+
+    Writers stage a whole batch directory first, then publish it with a
+    single create-exclusive manifest file — version conflicts from
+    concurrent writers retry with the next version, and a writer that
+    dies mid-stage leaves an orphan data dir that NO reader ever sees
+    (readers list the tiny manifest dir, never the data tree). The
+    reference's append semantics (mock_vector_db_api.py:54-85: rewrite
+    whole JSON + .bak backup) offered no concurrent-writer safety at
+    all; this is the distributed-native replacement.
+    """
+
+    MANIFEST_DIR = "_manifest"
+    DATA_DIR = "data"
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, self.MANIFEST_DIR)
+
+    def _versions(self) -> list[int]:
+        mdir = self._manifest_path()
+        if not os.path.isdir(mdir):
+            return []
+        return sorted(
+            int(f[: -len(".json")])
+            for f in os.listdir(mdir)
+            if f.endswith(".json")
+        )
+
+    def _read_manifest(self, version: int) -> dict:
+        import json
+
+        with open(os.path.join(self._manifest_path(), f"{version}.json")) as fh:
+            return json.load(fh)
+
+    def _schema_fingerprint(self, docs: DataFrame) -> list[list[str]]:
+        return [[f.name, f.dataType.simpleString()] for f in docs.schema.fields]
+
+    def append(self, docs: DataFrame, *, validate: bool = True) -> int:
+        """Stage the batch, then atomically publish it. Returns rows
+        written. Raises ValueError when the batch schema diverges from
+        the table schema recorded at version 0."""
+        import json
+        import uuid
+
+        from pyspark.sql import Observation
+
+        if validate:
+            docs = docs.filter(
+                F.col("content").isNotNull() & F.col("embedding").isNotNull()
+            )
+        fingerprint = self._schema_fingerprint(docs)
+        versions = self._versions()
+        if versions:
+            recorded = self._read_manifest(versions[0])["schema"]
+            if recorded != fingerprint:
+                raise ValueError(
+                    f"schema mismatch: table has {recorded}, batch has "
+                    f"{fingerprint}"
+                )
+        batch_dir = os.path.join(self.path, self.DATA_DIR, uuid.uuid4().hex)
+        obs = Observation()
+        staged = docs.observe(obs, F.count(F.lit(1)).alias("rows_written"))
+        writer = staged.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(batch_dir)
+        rows = int(obs.get["rows_written"])
+        os.makedirs(self._manifest_path(), exist_ok=True)
+        commit = {"batch_dir": batch_dir, "rows": rows, "schema": fingerprint}
+        version = (self._versions() or [-1])[-1] + 1
+        while True:
+            target = os.path.join(self._manifest_path(), f"{version}.json")
+            try:
+                # O_EXCL create IS the commit — concurrent writers that
+                # lose the race retry with the next version.
+                with open(target, "x") as fh:
+                    json.dump(commit, fh)
+                return rows
+            except FileExistsError:
+                version += 1
+
+    def overwrite(self, docs: DataFrame) -> None:
+        self.clear(backup=False)
+        self.append(docs, validate=False)
+
+    def load(self, *, require_embedding: bool = True) -> DataFrame:
+        """Union of all COMMITTED batch dirs — staged-but-unpublished
+        data is invisible by construction."""
+        dirs = [self._read_manifest(v)["batch_dir"] for v in self._versions()]
+        if not dirs:
+            raise FileNotFoundError(f"no committed batches under {self.path}")
+        # One read per batch dir, unioned by name: each dir carries its
+        # own partition-column discovery (a single multi-root read can't
+        # infer partitions across different base paths). The union is a
+        # plan-level concat of scans — no shuffle, and Catalyst pushes
+        # filters/pruning into every branch.
+        from functools import reduce
+
+        parts = [self.spark.read.parquet(d) for d in dirs]
+        df = reduce(lambda x, y: x.unionByName(y), parts)
+        if require_embedding:
+            df = df.filter(F.col("embedding").isNotNull())
+        return df
+
+    def exists(self) -> bool:
+        return bool(self._versions())
+
+    def version(self) -> int:
+        """Latest committed version, -1 when empty."""
+        return (self._versions() or [-1])[-1]
+
+    def history(self) -> list[dict]:
+        return [
+            {"version": v, **self._read_manifest(v)} for v in self._versions()
+        ]

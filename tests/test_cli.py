@@ -1,0 +1,45 @@
+"""CLI smoke tests — `python -m converttovectordb_spark <verb>`
+(reference parity: run_vector_db.py:119-290 subcommands)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+
+def _run(*argv: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-m", "converttovectordb_spark", *argv],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        check=True,
+    )
+    # last stdout line is the JSON document (Spark may log above it)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_cli_ingest_search_stats_clear(tmp_path):
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    (repo / "a.py").write_text("def f():\n    return 42\n" * 30)
+    store = str(tmp_path / "store")
+    common = ["--store", store, "--dim", "16", "--master", "local[2]"]
+
+    ing = _run("ingest", "--repo", str(repo), *common)
+    assert ing["files_processed"] == 1
+    assert ing["rows_written"] > 0
+
+    st = _run("stats", *common)
+    assert st["total_documents"] == ing["rows_written"]
+
+    se = _run("search", "--query", "return 42", "--top-k", "2", *common)
+    assert isinstance(se["results"], list)
+
+    he = _run("health", *common)
+    assert he["documents_count"] == st["total_documents"]
+
+    cl = _run("clear", "--no-backup", *common)
+    assert cl["cleared"]
+    assert _run("stats", *common)["total_documents"] == 0

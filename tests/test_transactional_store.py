@@ -1,0 +1,94 @@
+"""TransactionalDocumentStore: atomic manifest commits, concurrent
+appends, schema enforcement, snapshot isolation of staged data."""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+
+from converttovectordb_spark.embeddings import hash_embedder
+from converttovectordb_spark.engine import VectorEngine
+from converttovectordb_spark.sources.store import TransactionalDocumentStore
+
+SCHEMA = (
+    "path string, extension string, chunk_index int, total_chunks int,"
+    " content string, embedding array<double>, timestamp double"
+)
+
+
+def _batch(spark, tag: str, n: int = 3):
+    return spark.createDataFrame(
+        [(f"{tag}{i}.py", ".py", 0, 1, f"c{i}", [0.1, 0.2], 1.0) for i in range(n)],
+        SCHEMA,
+    )
+
+
+def test_append_commits_and_counts(spark, tmp_path):
+    store = TransactionalDocumentStore(spark, str(tmp_path / "t"))
+    assert not store.exists() and store.version() == -1
+    assert store.append(_batch(spark, "a")) == 3
+    assert store.append(_batch(spark, "b", 2)) == 2
+    assert store.version() == 1
+    assert store.load().count() == 5
+    hist = store.history()
+    assert [h["rows"] for h in hist] == [3, 2]
+
+
+def test_staged_data_invisible_until_committed(spark, tmp_path):
+    store = TransactionalDocumentStore(spark, str(tmp_path / "t"))
+    store.append(_batch(spark, "a"))
+    # simulate a writer that died mid-stage: data dir, no manifest
+    orphan = os.path.join(store.path, store.DATA_DIR, "deadbeef")
+    _batch(spark, "orphan", 7).write.parquet(orphan)
+    assert store.load().count() == 3  # orphan rows never surface
+
+
+def test_schema_mismatch_rejected(spark, tmp_path):
+    store = TransactionalDocumentStore(spark, str(tmp_path / "t"))
+    store.append(_batch(spark, "a"))
+    bad = spark.createDataFrame(
+        [("x.py", "c", [0.1], 1.0)],
+        "path string, content string, embedding array<double>, ts double",
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        store.append(bad)
+
+
+def test_concurrent_appends_all_commit(spark, tmp_path):
+    store = TransactionalDocumentStore(spark, str(tmp_path / "t"))
+    errs: list[Exception] = []
+
+    def work(tag: str):
+        try:
+            store.append(_batch(spark, tag, 4))
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=(f"w{i}_",)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    # every writer won a distinct version; no rows lost
+    assert store.version() == 3
+    assert store.load().count() == 16
+    assert len({h["batch_dir"] for h in store.history()}) == 4
+
+
+def test_engine_transactional_end_to_end(spark, tmp_path):
+    (tmp_path / "repo").mkdir()
+    (tmp_path / "repo" / "a.py").write_text("def f():\n    return 1\n" * 30)
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(16),
+        dim=16, chunk_size=400, overlap=50, transactional=True,
+    )
+    eng.ingest(str(tmp_path / "repo"))
+    v0 = eng.store.version()
+    eng.ingest(str(tmp_path / "repo"))
+    assert eng.store.version() == v0 + 1
+    assert eng.stats()["total_documents"] == eng.store.load().count()
+    eng.clear(backup=False)
+    assert not eng.store.exists()
