@@ -603,7 +603,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, bucketed by the coarse cluster
     label — the pair space is Σ bucket² instead of N², and at 100 TB the
     bucket is the partition key (each task sees one bucket)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _spread(spark, load(spark, sf_dir, "embeddings"))
     out = embedding_neardup_pairs(emb, threshold=0.3, bucket_col="label")
     return out.select("a", "b", _round6(F.col("cosine")).alias("cosine"))
 
@@ -1169,6 +1169,87 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
+"""
+
+
+def q_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral revenue between two
+    nations, per direction and ship year.
+
+    Plan: lineitem joins the BROADCAST supplier→nation dim, then orders
+    and customer (the only shuffled joins, each on its natural key),
+    then the broadcast customer-nation dim; the nation-pair predicate
+    prunes rows before the aggregate, and the final groupBy moves only
+    map-side partials. DECIMAL-exact revenue."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    out = (
+        li.join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(
+            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate")).cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(12,2)") - disc)).alias("_rev"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return out.select(
+        "supp_nation",
+        "cust_nation",
+        "l_year",
+        _round6(F.col("_rev")).alias("revenue"),
+        "n_items",
+    )
+
+
+ORACLE_NATION_TRADE_FLOW = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                  AS DOUBLE), 6) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS INT)
 """
 
 
@@ -1905,6 +1986,95 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: every purchase joined to
+    the same user's clicks in the preceding 30 minutes — the canonical
+    funnel-attribution shape, run through the streaming engine (two
+    branches of one file source, 1-hour watermarks both sides, append
+    mode) as an availableNow catch-up batch.
+
+    State bound: each side buffers only rows inside watermark + interval
+    horizon — at scale this is the knob that keeps join state from
+    growing with the stream. Inner interval joins emit eagerly, so one
+    catch-up batch produces exactly the batch-join result, which is what
+    the SQL oracle checks."""
+    import os
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    stream_dir = tempfile.mkdtemp(prefix="stream_cp_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    ev = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "c_user = p_user AND c_ts >= p_ts - INTERVAL 30 MINUTES "
+            "AND c_ts < p_ts"
+        ),
+        "inner",
+    ).select(
+        "purchase_id",
+        "click_id",
+        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts")))
+        .cast("bigint")
+        .alias("lag_us"),
+    )
+    name = f"stream_cp_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+ORACLE_STREAM_CLICK_PURCHASE = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       CAST(epoch_us(CAST(p.ts AS TIMESTAMP)) -
+            epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS lag_us
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+ AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
+"""
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the props column + grouped agg."""
     ev = load_events(spark, sf_dir)
@@ -2223,6 +2393,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
+    "nation_trade_flow": q_nation_trade_flow,
     "top_orders_per_cust": q_top_orders_per_cust,
     "cust_no_orders": q_cust_no_orders,
     "order_rollup": q_order_rollup,
@@ -2240,6 +2411,7 @@ QUERIES = {
     "top_ngrams": q_top_ngrams,
     "events_hourly": q_events_hourly,
     "stream_events_hourly": q_stream_events_hourly,
+    "stream_click_purchase": q_stream_click_purchase,
     "events_json": q_events_json,
     "asof_purchase_click": q_asof_purchase_click,
     "value_percentiles": q_value_percentiles,
@@ -2288,6 +2460,7 @@ ORACLES = {
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "region_revenue": ORACLE_REGION_REVENUE,
+    "nation_trade_flow": ORACLE_NATION_TRADE_FLOW,
     "top_orders_per_cust": ORACLE_TOP_ORDERS_PER_CUST,
     "cust_no_orders": ORACLE_CUST_NO_ORDERS,
     "order_rollup": ORACLE_ORDER_ROLLUP,
@@ -2305,6 +2478,7 @@ ORACLES = {
     "top_ngrams": ORACLE_TOP_NGRAMS,
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "stream_events_hourly": ORACLE_EVENTS_HOURLY,
+    "stream_click_purchase": ORACLE_STREAM_CLICK_PURCHASE,
     "events_json": ORACLE_EVENTS_JSON,
     "asof_purchase_click": ORACLE_ASOF_PURCHASE_CLICK,
     "value_percentiles": ORACLE_VALUE_PERCENTILES,
