@@ -1900,6 +1900,149 @@ FROM r WHERE rank <= 5
 """
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment + stratified
+    counts — the dataset-curation primitive every training pipeline
+    needs to be REPRODUCIBLE (no rand(): re-running on the same corpus,
+    or on any engine with md5, yields the same split).
+
+    Split by first hex digit of md5(doc_id): 0-b → train (75%),
+    c-d → val (12.5%), e-f → test (12.5%). Pure map-side expression;
+    the only shuffle is the final tiny groupBy."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(h.isin(*list("0123456789ab")), F.lit("train"))
+        .when(h.isin("c", "d"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(F.col("lang"), split.alias("split"), F.col("n_chars"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+ORACLE_DATASET_SPLIT = """
+WITH s AS (
+  SELECT lang,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+              THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+              THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars
+  FROM documents
+)
+SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY lang, split
+"""
+
+
+def q_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-based context packing: documents ordered by doc_id within
+    each lang are laid into fixed 4096-token windows; a document's bin
+    is floor(prefix_tokens / budget). This is the streaming-friendly
+    variant of greedy bin packing (one window cumsum, no recursion) —
+    the shape used to pack training corpora into context windows.
+    One shuffle on lang for the window; token counting is map-side."""
+    budget = 4096
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = toks.withColumn(
+        "bin",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget).cast(
+            "int"
+        ),
+    )
+    return (
+        binned.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+ORACLE_CONTEXT_PACKING = """
+WITH toks AS (
+  SELECT lang, doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+),
+binned AS (
+  SELECT lang, doc_id, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / 4096) AS INT) AS bin
+  FROM toks
+)
+SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM binned GROUP BY lang, bin
+"""
+
+
+def q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination screen: flag training documents that
+    share any 5-gram with the (pseudo) benchmark set — here every 97th
+    doc plays the benchmark. The benchmark shingle set is small by
+    construction → BROADCAST to the training side; the corpus streams
+    through one map+join stage and only flagged (doc, shingle) hits
+    reach the tiny groupBy. At 100 TB this is the standard eval-leak
+    pass before training; the corpus is never shuffled on text."""
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
+    grams = F.array_distinct(word_shingles(F.col("text"), 5))
+    bench = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(grams).alias("sh"))
+        .distinct()
+    )
+    train = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode(grams).alias("sh")
+    )
+    return (
+        train.join(F.broadcast(bench), on="sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").cast("bigint").alias("n_shared_ngrams"))
+    )
+
+
+ORACLE_CONTAMINATION_SCREEN = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(generate_series(1, len(t) - 4),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                  t[i+3] || ' ' || t[i+4]))) AS sh
+  FROM toks WHERE len(t) >= 5
+),
+bench AS (SELECT DISTINCT sh FROM grams WHERE doc_id % 97 = 0),
+train AS (SELECT doc_id, sh FROM grams WHERE doc_id % 97 <> 0)
+SELECT t.doc_id, CAST(count(DISTINCT t.sh) AS BIGINT) AS n_shared_ngrams
+FROM train t JOIN bench b ON t.sh = b.sh
+GROUP BY t.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Events: time-series / JSON / sessionization
 # ---------------------------------------------------------------------------
@@ -2414,6 +2557,9 @@ QUERIES = {
     "stream_click_purchase": q_stream_click_purchase,
     "events_json": q_events_json,
     "asof_purchase_click": q_asof_purchase_click,
+    "dataset_split": q_dataset_split,
+    "context_packing": q_context_packing,
+    "contamination_screen": q_contamination_screen,
     "value_percentiles": q_value_percentiles,
     "value_percentiles_approx": q_value_percentiles_approx,
     "doc_stats_approx": q_doc_stats_approx,
@@ -2481,6 +2627,9 @@ ORACLES = {
     "stream_click_purchase": ORACLE_STREAM_CLICK_PURCHASE,
     "events_json": ORACLE_EVENTS_JSON,
     "asof_purchase_click": ORACLE_ASOF_PURCHASE_CLICK,
+    "dataset_split": ORACLE_DATASET_SPLIT,
+    "context_packing": ORACLE_CONTEXT_PACKING,
+    "contamination_screen": ORACLE_CONTAMINATION_SCREEN,
     "value_percentiles": ORACLE_VALUE_PERCENTILES,
     "sessionize": ORACLE_SESSIONIZE,
 }
