@@ -383,6 +383,94 @@ def simhash_neardup_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 25,
+    driver_threshold: int = 500_000,
+) -> DataFrame:
+    """Connected components over an undirected pair graph →
+    DataFrame(node, component) with component = min reachable node id.
+
+    This is what turns near-dup PAIRS into dedup GROUPS (keep the
+    min-id representative per component, drop the rest) — the step
+    between pair mining and an actually-deduplicated corpus.
+
+    Two physical strategies, same result (deterministic — min is
+    order-free, hence SQL-checkable against a recursive-CTE oracle):
+
+    * edge count ≤ ``driver_threshold``: collect the edge list and run
+      union-find on the driver. The mined pair graph is the DUPLICATES
+      — a small fraction of the corpus — so this is the common case,
+      and it is the same small-side reasoning as a broadcast join
+      (500k edges ≈ 8 MB of longs; α(n) union-find is instant).
+    * larger graphs: distributed min-label propagation (Pregel-lite as
+      join+groupBy rounds), converging in O(component diameter) rounds
+      — shallow for dup clusters. Per-round intermediates are persisted
+      and released after the convergence check; at extreme scale add a
+      localCheckpoint every few rounds to truncate lineage.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    sym = _materialize(sym.distinct())
+    n_edges = sym.count()
+    spark = edges.sparkSession
+
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for u, v in sym.collect():
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by MIN id so the label is the component minimum
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        out = spark.createDataFrame(rows, ["node", "comp"])
+        sym.unpersist()
+        return out
+
+    labels = _materialize(
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels.withColumnRenamed("node", "v"), on="v"
+        ).select(F.col("u").alias("node"), F.col("comp"))
+        new = _materialize(
+            labels.select("node", "comp")
+            .union(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        changed = (
+            new.withColumnRenamed("comp", "_new")
+            .join(labels, on="node")
+            .filter(F.col("_new") != F.col("comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
 def rademacher_signs(seed: int, num_bits: int, dim: int) -> list[list[float]]:
     """±1 hyperplane components from md5 parity of ``seed_bit_dim`` —
     reproducible in ANY engine with md5 (the SQL oracle inlines the same

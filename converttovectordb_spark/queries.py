@@ -482,6 +482,82 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
 """
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the Jaccard pair
+    graph (the step that turns mined pairs into dedup groups — keep the
+    min-id representative per component, drop the rest).
+
+    Spark side: iterative min-label propagation (O(diameter) join+agg
+    rounds — shallow for dup clusters). Deterministic for any iteration
+    order, so the oracle is a recursive-CTE reachability walk over the
+    identical edge set. Output: every clustered doc with its component
+    id and the component size."""
+    from converttovectordb_spark.operators.dedup import connected_components
+
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
+    pairs = jaccard_neardup_pairs(docs, threshold=0.2, max_shingle_df=10000)
+    comp = connected_components(pairs, src="a", dst="b")
+    sizes = comp.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, on="comp")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").alias("cluster_id"),
+            "cluster_size",
+        )
+    )
+
+
+ORACLE_NEARDUP_CLUSTERS = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 10000),
+cold AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+  FROM cold x JOIN cold y USING (shingle)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+pairs AS (
+  SELECT a, b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+),
+edges AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION
+  SELECT b AS u, a AS v FROM pairs
+),
+walk(node, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node
+),
+labels AS (SELECT node, min(comp) AS cluster_id FROM walk GROUP BY node),
+csizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM labels GROUP BY cluster_id
+)
+SELECT l.node AS doc_id, l.cluster_id, s.cluster_size
+FROM labels l JOIN csizes s USING (cluster_id)
+"""
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16 hashes)+LSH(4 bands) candidates verified by true
     Jaccard >= 0.2 — the linear-cost near-dup path for 100 TB. Hashes
@@ -2515,6 +2591,7 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "dup_stats": q_dup_stats,
     "neardup_jaccard": q_neardup_jaccard,
+    "neardup_clusters": q_neardup_clusters,
     "minhash_lsh": q_minhash_lsh,
     "simhash_neardup": q_simhash_neardup,
     "embedding_neardup": q_embedding_neardup,
@@ -2585,6 +2662,7 @@ ORACLES = {
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "dup_stats": ORACLE_DUP_STATS,
     "neardup_jaccard": ORACLE_NEARDUP_JACCARD,
+    "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
     "minhash_lsh": ORACLE_MINHASH_LSH,
     "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,

@@ -149,3 +149,24 @@ def test_embedding_lsh_recall_and_pair_space_reduction(spark):
     n = vecs.count()
     quad_space = n * (n - 1) // 2 * 8  # 8 bands of the full bucket
     assert cand_space < quad_space / 2
+
+
+def test_connected_components_both_strategies_agree(spark):
+    """Driver union-find (small-graph path) and distributed label
+    propagation must produce identical components; labels are the
+    component minimum."""
+    from converttovectordb_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # two chains and an isolated pair: {1,2,3,4}, {10,11}, {20,21,22}
+        [(2, 1), (2, 3), (4, 3), (10, 11), (21, 20), (21, 22)],
+        ["a", "b"],
+    )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    small = {r.node: r.comp for r in connected_components(edges).collect()}
+    big = {
+        r.node: r.comp
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert small == want
+    assert big == want
