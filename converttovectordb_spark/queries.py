@@ -331,6 +331,58 @@ FROM t
 """
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization quality report: per cluster, the mean
+    quantization scale (max|x|/127) and mean absolute reconstruction
+    error of round(x/scale)*scale — the 4×-compression op every
+    large-scale embedding store runs before serving. Pure map-side
+    higher-order expressions + one tiny groupBy; nothing leaves the JVM."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    err = F.when(scale == 0.0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.transform(v, lambda x: F.abs(x - F.round(x / scale, 0) * scale)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size(v)
+    )
+    per_vec = emb.select("label", scale.alias("_s"), err.alias("_e"))
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            _round6(F.avg("_s")).alias("avg_scale"),
+            _round6(F.avg("_e")).alias("avg_abs_err"),
+        )
+    )
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+WITH n AS (
+  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+),
+q AS (
+  SELECT label,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS s, v
+  FROM n
+),
+e AS (
+  SELECT label, s,
+         CASE WHEN s = 0 THEN 0.0 ELSE
+           list_sum(list_transform(v, x -> abs(x - round(x / s, 0) * s)))
+             / len(v) END AS err
+  FROM q
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(avg(s) AS DOUBLE), 6) AS avg_scale,
+       round(CAST(avg(err) AS DOUBLE), 6) AS avg_abs_err
+FROM e GROUP BY label
+"""
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster embedding profile: count + mean L2 norm + mean of the
     first coordinate — exercises array math natively per row."""
@@ -2585,6 +2637,7 @@ QUERIES = {
     "vector_ivf_knn": q_vector_ivf_knn,
     "vector_ivf_knn_indexed": q_vector_ivf_knn_indexed,
     "search_display": q_search_display,
+    "embedding_quantize": q_embedding_quantize,
     "embedding_stats": q_embedding_stats,
     "doc_stats": q_doc_stats,
     "docs_by_lang": q_docs_by_lang,
@@ -2656,6 +2709,7 @@ ORACLES = {
     # the indexed variant differs only in physical layout.
     "vector_ivf_knn_indexed": ORACLE_VECTOR_IVF_KNN,
     "search_display": ORACLE_SEARCH_DISPLAY,
+    "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     "embedding_stats": ORACLE_EMBEDDING_STATS,
     "doc_stats": ORACLE_DOC_STATS,
     "docs_by_lang": ORACLE_DOCS_BY_LANG,

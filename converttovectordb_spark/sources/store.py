@@ -181,10 +181,25 @@ class TransactionalDocumentStore(DocumentStore):
         self.clear(backup=False)
         self.append(docs, validate=False)
 
-    def load(self, *, require_embedding: bool = True) -> DataFrame:
+    def load(
+        self,
+        *,
+        require_embedding: bool = True,
+        at_version: int | None = None,
+    ) -> DataFrame:
         """Union of all COMMITTED batch dirs — staged-but-unpublished
-        data is invisible by construction."""
-        dirs = [self._read_manifest(v)["batch_dir"] for v in self._versions()]
+        data is invisible by construction. ``at_version`` gives a
+        snapshot read as of that commit (time travel): immutable batch
+        dirs + the manifest log make every historical version free to
+        reconstruct."""
+        versions = self._versions()
+        if at_version is not None:
+            versions = [v for v in versions if v <= at_version]
+        # honor compaction commits visible at this version: superseded
+        # batches drop out of the snapshot (their dirs stay on disk for
+        # time travel until vacuum()).
+        versions = self._live_versions(versions)
+        dirs = [self._read_manifest(v)["batch_dir"] for v in versions]
         if not dirs:
             raise FileNotFoundError(f"no committed batches under {self.path}")
         # One read per batch dir, unioned by name: each dir carries its
@@ -211,3 +226,69 @@ class TransactionalDocumentStore(DocumentStore):
         return [
             {"version": v, **self._read_manifest(v)} for v in self._versions()
         ]
+
+    def _live_versions(self, versions: list[int]) -> list[int]:
+        """Versions not superseded by a later compaction commit."""
+        replaced: set[int] = set()
+        for v in versions:
+            replaced.update(self._read_manifest(v).get("replaces", []))
+        return [v for v in versions if v not in replaced]
+
+    def compact(self) -> int:
+        """OPTIMIZE-style compaction: rewrite the current snapshot as
+        ONE new batch dir and publish a commit that supersedes all
+        prior versions. Many small append batches mean many small
+        parquet files — at scale that is listing pressure and tiny
+        scan tasks; compaction restores fat splits. Old batch dirs are
+        left in place (time travel keeps working) until `vacuum()`.
+        Returns the rows compacted."""
+        import json
+        import uuid
+
+        from pyspark.sql import Observation
+
+        versions = self._versions()
+        if not versions:
+            return 0
+        snapshot = self.load(require_embedding=False)
+        batch_dir = os.path.join(self.path, self.DATA_DIR, uuid.uuid4().hex)
+        obs = Observation()
+        staged = snapshot.observe(obs, F.count(F.lit(1)).alias("rows"))
+        writer = staged.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(batch_dir)
+        rows = int(obs.get["rows"])
+        fingerprint = self._read_manifest(versions[0])["schema"]
+        commit = {
+            "batch_dir": batch_dir,
+            "rows": rows,
+            "schema": fingerprint,
+            "replaces": versions,
+        }
+        version = versions[-1] + 1
+        while True:
+            target = os.path.join(self._manifest_path(), f"{version}.json")
+            try:
+                with open(target, "x") as fh:
+                    json.dump(commit, fh)
+                return rows
+            except FileExistsError:
+                version += 1
+
+    def vacuum(self) -> int:
+        """Delete batch dirs no longer referenced by any LIVE version
+        (i.e. only reachable through time travel). Returns the number
+        of directories removed. Run after `compact()` once historical
+        snapshots are no longer needed."""
+        versions = self._versions()
+        live = set(self._live_versions(versions))
+        removed = 0
+        for v in versions:
+            if v in live:
+                continue
+            d = self._read_manifest(v)["batch_dir"]
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+                removed += 1
+        return removed

@@ -92,3 +92,35 @@ def test_engine_transactional_end_to_end(spark, tmp_path):
     assert eng.stats()["total_documents"] == eng.store.load().count()
     eng.clear(backup=False)
     assert not eng.store.exists()
+
+
+def test_time_travel_snapshot_reads(spark, tmp_path):
+    store = TransactionalDocumentStore(spark, str(tmp_path / "t"))
+    store.append(_batch(spark, "a", 3))
+    store.append(_batch(spark, "b", 2))
+    store.append(_batch(spark, "c", 4))
+    assert store.load(at_version=0).count() == 3
+    assert store.load(at_version=1).count() == 5
+    assert store.load().count() == 9
+    # snapshot content is exactly the first batch
+    v0 = {r.path for r in store.load(at_version=0).collect()}
+    assert v0 == {"a0.py", "a1.py", "a2.py"}
+
+
+def test_compact_and_vacuum(spark, tmp_path):
+    store = TransactionalDocumentStore(spark, str(tmp_path / "t"))
+    store.append(_batch(spark, "a", 3))
+    store.append(_batch(spark, "b", 2))
+    assert store.compact() == 5
+    # snapshot unchanged, now served by ONE live batch dir
+    assert store.load().count() == 5
+    live = store._live_versions(store._versions())
+    assert len(live) == 1
+    # time travel to pre-compaction versions still works (dirs retained)
+    assert store.load(at_version=0).count() == 3
+    # appends continue on top of the compacted snapshot
+    store.append(_batch(spark, "c", 4))
+    assert store.load().count() == 9
+    # vacuum drops the two superseded dirs
+    assert store.vacuum() == 2
+    assert store.load().count() == 9
