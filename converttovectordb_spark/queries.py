@@ -2245,15 +2245,22 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    # State width is frozen at checkpoint creation — size it to the
+    # stream rather than inheriting the batch session constant.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -2321,15 +2328,25 @@ def q_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lag_us"),
     )
     name = f"stream_cp_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    # Stream-stream joins allocate 4 state stores PER shuffle partition,
+    # and the width is frozen at checkpoint creation — a per-job
+    # deployment knob, not a session constant. Size it to the stream
+    # (8 here; a production deployment sizes to sustained throughput);
+    # restore the session value afterwards.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
