@@ -81,7 +81,10 @@ class VectorEngine:
         under-counts ``chunks_created`` when a file ends exactly on a
         chunk boundary; ours is the true written-row count. And
         ``embedding_time`` here is aggregate worker encode seconds (the
-        encode runs data-parallel), not serial driver wall-clock."""
+        encode runs data-parallel), not serial driver wall-clock.
+        Timestamps are likewise ONE batch-level stamp, not the
+        reference's per-row time.time() during its serial loop — in a
+        parallel write there is no meaningful per-row wall order."""
         from pyspark.sql import Observation
 
         t0 = time.time()
@@ -177,6 +180,52 @@ class VectorEngine:
             validate_top_k(top_k),
             id_cols=["path", "chunk_index"],
             expected_dim=self.dim,
+        )
+
+    # -- ANN index -------------------------------------------------------
+    def build_index(self, num_clusters: int = 16, *, seed: int = 7):
+        """Train + materialize the IVF index beside the store (offline
+        job, one corpus pass). Search with use_index=True afterwards —
+        each query then touches ~nprobe/num_clusters of the corpus
+        FILES via partition pruning instead of scanning everything."""
+        from converttovectordb_spark.plans.ivf_index import build_ivf_index
+
+        docs = self.store.load().withColumn(
+            "_row_id",
+            F.concat_ws("#", F.col("path"), F.col("chunk_index")),
+        )
+        self._index = build_ivf_index(
+            docs,
+            f"{self.store.path}_ivf",
+            num_clusters=num_clusters,
+            seed=seed,
+        )
+        return self._index
+
+    def search_indexed(
+        self, query_text: str, top_k: int = 5, nprobe: int = 2
+    ) -> DataFrame:
+        """IVF-indexed search: same scoring as `search`, but the corpus
+        scan is pruned to the probed cluster partitions. Requires
+        `build_index()` (raises otherwise — an un-built index silently
+        falling back to a full scan would hide the regression)."""
+        index = getattr(self, "_index", None)
+        if index is None:
+            raise RuntimeError("no IVF index built; call build_index() first")
+        qv = self.embedder([query_text])
+        qv = np.asarray(qv, dtype=np.float64).reshape(-1).tolist()
+        probes = self.spark.createDataFrame([(0, qv)], "query_id int, query_vec array<double>")
+        hits = index.search(
+            probes,
+            top_k=validate_top_k(top_k),
+            nprobe=nprobe,
+            doc_id_col="_row_id",
+        )  # → (query_id, _row_id, score, rank)
+        docs = index.corpus().drop("cluster_id", "embedding")
+        return (
+            hits.join(docs, on="_row_id")
+            .drop("query_id", "_row_id")
+            .orderBy(F.col("rank").asc())
         )
 
     # -- stats / admin ---------------------------------------------------

@@ -79,3 +79,30 @@ def test_kmeans_index_recall_on_separated_clusters(spark, tmp_path):
     # nprobe=1 must stay inside the query's own cluster
     assert all(v < 100 for v in by_q[0])
     assert all(v >= 100 for v in by_q[100])
+
+
+def test_engine_indexed_search(spark, tmp_path):
+    """build_index + search_indexed on the engine: results agree with
+    the brute-force path when nprobe covers the probed cluster."""
+    from converttovectordb_spark.embeddings import hash_embedder
+    from converttovectordb_spark.engine import VectorEngine
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    (repo / "a.py").write_text("def alpha():\n    return 'first'\n" * 20)
+    (repo / "b.md").write_text("# beta document\nsecond topic entirely\n" * 10)
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(32),
+        dim=32, chunk_size=400, overlap=50,
+    )
+    eng.ingest(str(repo))
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="no IVF index"):
+        eng.search_indexed("alpha")
+    eng.build_index(num_clusters=2)
+    sample = eng.store.load().select("content").limit(1).collect()[0].content
+    hits = eng.search_indexed(sample, top_k=3, nprobe=2).collect()
+    brute = eng.search(sample, top_k=3).collect()
+    assert hits[0].content == brute[0].content  # same best match
+    assert hits[0].score == _pytest.approx(brute[0].score)
+    assert "embedding" not in hits[0].asDict()
