@@ -2036,6 +2036,48 @@ FROM r WHERE rank <= 5
 """
 
 
+#: Conservative patterns valid in BOTH Java regex (Spark) and RE2
+#: (DuckDB): character classes + quantifiers only, no lookaround.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: count and redact email addresses and IPv4
+    literals per document — the compliance step every training corpus
+    runs before the tokenizer. Map-side regexp battery (JVM codegen,
+    no shuffle except the final noop projection); patterns restricted
+    to the Java∩RE2 regex subset so the oracle runs them verbatim."""
+    docs = load(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+        _PII_IPV4,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_IPV4), F.lit(0)))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.length(redacted).cast("bigint").alias("redacted_len"),
+    )
+
+
+ORACLE_PII_REDACT = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+       CAST(length(regexp_replace(
+              regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+              '{_PII_IPV4}', '<IP>', 'g')) AS BIGINT) AS redacted_len
+FROM documents
+"""
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test assignment + stratified
     counts — the dataset-curation primitive every training pipeline
@@ -2712,6 +2754,7 @@ QUERIES = {
     "stream_click_purchase": q_stream_click_purchase,
     "events_json": q_events_json,
     "asof_purchase_click": q_asof_purchase_click,
+    "pii_redact": q_pii_redact,
     "dataset_split": q_dataset_split,
     "context_packing": q_context_packing,
     "contamination_screen": q_contamination_screen,
@@ -2784,6 +2827,7 @@ ORACLES = {
     "stream_click_purchase": ORACLE_STREAM_CLICK_PURCHASE,
     "events_json": ORACLE_EVENTS_JSON,
     "asof_purchase_click": ORACLE_ASOF_PURCHASE_CLICK,
+    "pii_redact": ORACLE_PII_REDACT,
     "dataset_split": ORACLE_DATASET_SPLIT,
     "context_packing": ORACLE_CONTEXT_PACKING,
     "contamination_screen": ORACLE_CONTAMINATION_SCREEN,

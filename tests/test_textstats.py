@@ -90,3 +90,38 @@ def test_token_stats_groups(spark):
     # ttr: (3/3 + 1/4)/2
     assert rows["en"].avg_ttr == pytest.approx((1.0 + 0.25) / 2)
     assert rows["de"].n_docs == 1
+
+
+def test_pii_patterns_count_and_redact(spark):
+    """The pii_redact patterns must both COUNT and REDACT planted PII
+    (the synthetic corpus contains none, so the oracle alone only
+    proves regex-dialect parity — this pins actual matches)."""
+    from pyspark.sql import functions as F
+
+    from converttovectordb_spark.queries import _PII_EMAIL, _PII_IPV4
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact alice.smith+x@example.co.uk or 10.0.0.1 now"),
+            (2, "no pii here at all"),
+            (3, "two mails a@b.io c@d.org, ip 192.168.254.254."),
+        ],
+        ["doc_id", "text"],
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"), _PII_IPV4, "<IP>"
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), F.lit(0))).alias("e"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_IPV4), F.lit(0))).alias("i"),
+            red.alias("r"),
+        ).collect()
+    }
+    assert (rows[1].e, rows[1].i) == (1, 1)
+    assert rows[1].r == "contact <EMAIL> or <IP> now"
+    assert (rows[2].e, rows[2].i) == (0, 0)
+    assert (rows[3].e, rows[3].i) == (2, 1)
+    assert rows[3].r == "two mails <EMAIL> <EMAIL>, ip <IP>."
