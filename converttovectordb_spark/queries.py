@@ -310,6 +310,135 @@ def q_vector_ivf_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF-pruned search vs exact brute force, per
+    query — the accuracy dial of the approximate path, computed inside
+    the engine so the trade-off (nprobe=2 of 10 clusters → ~20% of the
+    corpus touched) ships with a number attached. Both branches reuse
+    the library operators; the oracle recomputes both in SQL.
+
+    On this synthetic corpus the stored `label` is NOT a geometric
+    cluster (mean recall@3 ≈ 0.38 at nprobe=2) — which is precisely
+    what this probe exists to catch: with k-means-trained centroids on
+    actually-clustered data the same pipeline reaches recall 1.0
+    (tests/test_ivf_index.py::test_kmeans_index_recall...). Measuring
+    the index, not trusting it, is the operational point."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn_join(probes, emb, top_k=3).select("query_id", "vec_id")
+    approx = ivf_knn_join(probes, emb, top_k=3, nprobe=2).select(
+        "query_id", "vec_id"
+    )
+    overlap = exact.join(approx, on=["query_id", "vec_id"], how="inner")
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .join(
+            overlap.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("n_overlap")
+            ),
+            on="query_id",
+            how="left",
+        )
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("bigint")
+            .alias("n_overlap"),
+            _round6(
+                F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("_k")
+            ).alias("recall"),
+        )
+    )
+
+
+ORACLE_IVF_RECALL = """
+WITH docs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+probes AS (SELECT vec_id AS query_id, v AS q FROM docs WHERE vec_id < 8),
+norm AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+  FROM docs
+),
+unit AS (
+  SELECT vec_id,
+         CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS u
+  FROM norm
+),
+qunit AS (SELECT query_id, u AS qu FROM probes p JOIN unit x ON x.vec_id = p.query_id),
+exact_s AS (
+  SELECT p.query_id, d.vec_id,
+         list_sum(list_transform(list_zip(p.qu, d.u), x -> x[1] * x[2])) AS score
+  FROM qunit p CROSS JOIN unit d
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id) AS rank
+    FROM exact_s
+  ) WHERE rank <= 3
+),
+pos AS (
+  SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM docs
+),
+cpos AS (SELECT label, pos, avg(val) AS cval FROM pos GROUP BY label, pos),
+cent AS (SELECT label, list(cval ORDER BY pos) AS c FROM cpos GROUP BY label),
+qc AS (
+  SELECT query_id, q, label,
+         CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS csim
+  FROM (
+    SELECT p.query_id, p.q, ct.label,
+           list_sum(list_transform(list_zip(p.q, ct.c), x -> x[1] * x[2])) AS dot,
+           sqrt(list_sum(list_transform(p.q, x -> x * x))) AS nq,
+           sqrt(list_sum(list_transform(ct.c, x -> x * x))) AS nc
+    FROM probes p CROSS JOIN cent ct
+  )
+),
+probe AS (
+  SELECT query_id, q, label FROM (
+    SELECT query_id, q, label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY csim DESC, label) AS crank
+    FROM qc
+  ) WHERE crank <= 2
+),
+approx_s AS (
+  SELECT query_id, vec_id,
+         CASE WHEN nq = 0 OR nd = 0 THEN 0.0 ELSE dot / (nq * nd) END AS score
+  FROM (
+    SELECT p.query_id, d.vec_id,
+           list_sum(list_transform(list_zip(p.q, d.v), x -> x[1] * x[2])) AS dot,
+           sqrt(list_sum(list_transform(p.q, x -> x * x))) AS nq,
+           sqrt(list_sum(list_transform(d.v, x -> x * x))) AS nd
+    FROM probe p JOIN docs d ON d.label = p.label
+  )
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id) AS rank
+    FROM approx_s
+  ) WHERE rank <= 3
+),
+ov AS (
+  SELECT e.query_id, count(*) AS n_overlap
+  FROM exact e JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY e.query_id
+)
+SELECT e.query_id,
+       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / count(*), 6) AS recall
+FROM exact e LEFT JOIN ov ON ov.query_id = e.query_id
+GROUP BY e.query_id, ov.n_overlap
+"""
+
+
 def q_search_display(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference T6 result-display projection (query_vector_db.py:
     204-206): content longer than 500 chars becomes the first 500 chars
@@ -2703,6 +2832,7 @@ QUERIES = {
     "vector_knn_batch": q_vector_knn_batch,
     "vector_ivf_knn": q_vector_ivf_knn,
     "vector_ivf_knn_indexed": q_vector_ivf_knn_indexed,
+    "ivf_recall": q_ivf_recall,
     "search_display": q_search_display,
     "embedding_quantize": q_embedding_quantize,
     "embedding_stats": q_embedding_stats,
@@ -2776,6 +2906,7 @@ ORACLES = {
     # Bit-identical results by construction (same centroids/tie-breaks);
     # the indexed variant differs only in physical layout.
     "vector_ivf_knn_indexed": ORACLE_VECTOR_IVF_KNN,
+    "ivf_recall": ORACLE_IVF_RECALL,
     "search_display": ORACLE_SEARCH_DISPLAY,
     "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     "embedding_stats": ORACLE_EMBEDDING_STATS,
