@@ -133,15 +133,34 @@ class TransactionalDocumentStore(DocumentStore):
     def _schema_fingerprint(self, docs: DataFrame) -> list[list[str]]:
         return [[f.name, f.dataType.simpleString()] for f in docs.schema.fields]
 
-    def append(self, docs: DataFrame, *, validate: bool = True) -> int:
+    def append(
+        self,
+        docs: DataFrame,
+        *,
+        validate: bool = True,
+        txn_id: str | None = None,
+    ) -> int:
         """Stage the batch, then atomically publish it. Returns rows
         written. Raises ValueError when the batch schema diverges from
-        the table schema recorded at version 0."""
+        the table schema recorded at version 0.
+
+        ``txn_id`` makes the append IDEMPOTENT (the Delta txnAppId/
+        txnVersion pattern): if a committed manifest already carries
+        this id, the call is a no-op returning 0. This is what gives a
+        streaming foreachBatch sink exactly-once semantics — an epoch
+        replayed after a sink-succeeded/checkpoint-failed crash dedupes
+        instead of double-writing. Epochs of one streaming query are
+        serialized, so the check-then-commit here needs no extra lock."""
         import json
         import uuid
 
         from pyspark.sql import Observation
 
+        if txn_id is not None and any(
+            self._read_manifest(v).get("txn_id") == txn_id
+            for v in self._versions()
+        ):
+            return 0
         if validate:
             docs = docs.filter(
                 F.col("content").isNotNull() & F.col("embedding").isNotNull()
@@ -165,6 +184,8 @@ class TransactionalDocumentStore(DocumentStore):
         rows = int(obs.get["rows_written"])
         os.makedirs(self._manifest_path(), exist_ok=True)
         commit = {"batch_dir": batch_dir, "rows": rows, "schema": fingerprint}
+        if txn_id is not None:
+            commit["txn_id"] = txn_id
         version = (self._versions() or [-1])[-1] + 1
         while True:
             target = os.path.join(self._manifest_path(), f"{version}.json")

@@ -99,6 +99,50 @@ def stream_ingest_documents(
     return writer.start()
 
 
+def stream_ingest_transactional(
+    spark: SparkSession,
+    drop_dir: str,
+    store,
+    checkpoint_dir: str,
+    *,
+    embedder: Callable | None = None,
+    dim: int = 384,
+    chunk_size: int = 1000,
+    overlap: int = 200,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """EXACTLY-ONCE continuous ingest into a TransactionalDocumentStore:
+    each micro-batch commits through `append(txn_id=epoch)` — an epoch
+    replayed after a sink-succeeded/checkpoint-failed crash dedupes on
+    the manifest's txn id instead of double-writing (the Delta
+    txnAppId/txnVersion idempotent-sink pattern). Checkpoint tracks
+    which input files are consumed; the manifest guards the replay
+    window between sink success and checkpoint write."""
+    raw = (
+        spark.readStream.schema(RAW_FILES_SCHEMA)
+        .json(drop_dir)
+        .filter(F.col("content").isNotNull())
+    )
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        chunks = explode_chunks(
+            batch_df, chunk_size=chunk_size, overlap=overlap
+        )
+        docs = embed_column(chunks, "content", "embedding", embedder, dim)
+        store.append(
+            docs.withColumn("timestamp", F.lit(float(epoch_id))),
+            txn_id=f"stream-epoch-{epoch_id}",
+        )
+
+    writer = (
+        raw.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_events_hourly(
     spark: SparkSession,
     source_dir: str,

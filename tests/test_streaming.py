@@ -129,3 +129,42 @@ def test_stream_sessionize_state_across_batches(spark, tmp_path):
     assert r["total_value"] == 3.0
     assert r["session_start"] == base
     assert r["session_end"] == base + dt.timedelta(minutes=10)
+
+
+def test_stream_ingest_transactional_exactly_once(spark, tmp_path):
+    """foreachBatch into the transactional store: replayed epochs dedupe
+    on the manifest txn id (the idempotent-sink contract)."""
+    from converttovectordb_spark.sources.store import (
+        TransactionalDocumentStore,
+    )
+    from converttovectordb_spark.streaming.jobs import (
+        stream_ingest_transactional,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    recs = [{"path": "a.py", "content": "alpha " * 300, "extension": ".py"}]
+    (drop / "b1.json").write_text("\n".join(json.dumps(r) for r in recs))
+    store = TransactionalDocumentStore(spark, str(tmp_path / "tstore"))
+
+    q = stream_ingest_transactional(
+        spark, str(drop), store, str(tmp_path / "ck"),
+        embedder=hash_embedder(16), dim=16, chunk_size=500, overlap=100,
+    )
+    q.awaitTermination(120)
+    n = store.load().count()
+    assert n > 0
+    # simulate an epoch REPLAY (sink succeeded, checkpoint lost): the
+    # same epoch's append must no-op on the txn id
+    batch = store.load(at_version=0)
+    assert store.append(batch, txn_id="stream-epoch-0") == 0
+    assert store.load().count() == n
+    # a NEW drop file is a new epoch → appended normally
+    (drop / "b2.json").write_text(json.dumps(
+        {"path": "c.md", "content": "gamma doc", "extension": ".md"}))
+    q2 = stream_ingest_transactional(
+        spark, str(drop), store, str(tmp_path / "ck"),
+        embedder=hash_embedder(16), dim=16, chunk_size=500, overlap=100,
+    )
+    q2.awaitTermination(120)
+    assert store.load().count() == n + 1
