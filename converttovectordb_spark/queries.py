@@ -2165,6 +2165,103 @@ FROM r WHERE rank <= 5
 """
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75) for the fixed query
+    ["vector", "join", "scan"] → top-20 docs — the keyword half of
+    hybrid search next to the cosine KNN path.
+
+    Shape: tokenize map-side → per-(doc, term) counts for the THREE
+    query terms only (filter before the shuffle, so the aggregation
+    carries query-term postings, not the whole vocabulary) → broadcast
+    the 3-row df/idf table back → score + TakeOrderedAndProject. At
+    100 TB the per-term postings shuffle is proportional to documents
+    CONTAINING a query term — an inverted-index probe, not a corpus
+    sort. Deterministic math (exact counts + ln), so fully
+    oracle-checked."""
+    terms = ["vector", "join", "scan"]
+    k1, b = 1.2, 0.75
+    docs = load(spark, sf_dir, "documents")
+    from converttovectordb_spark.functions.text import tokens
+
+    tok = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("dl"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(token_count(F.col("text"))).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), on="tok")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("contrib").alias("_s"))
+        .orderBy(F.col("_s").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", _round6(F.col("_s")).alias("bm25"))
+    )
+
+
+ORACLE_BM25_SEARCH = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (
+  SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks
+),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tf AS (
+  SELECT tok.doc_id, dl.dl, tok.tok, count(*) AS tf
+  FROM tok JOIN dl ON dl.doc_id = tok.doc_id
+  WHERE tok.tok IN ('vector', 'join', 'scan')
+  GROUP BY tok.doc_id, dl.dl, tok.tok
+),
+df_t AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id,
+         ln((s.n_docs - df_t.df + 0.5) / (df_t.df + 0.5) + 1.0)
+           * (tf.tf * (1.2 + 1))
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS contrib
+  FROM tf JOIN df_t ON df_t.tok = tf.tok CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, sum(contrib) AS s FROM scored GROUP BY doc_id
+),
+topk AS (
+  SELECT doc_id, s FROM agg ORDER BY s DESC, doc_id LIMIT 20
+)
+SELECT doc_id, round(CAST(s AS DOUBLE), 6) AS bm25 FROM topk
+"""
+
+
 #: Conservative patterns valid in BOTH Java regex (Spark) and RE2
 #: (DuckDB): character classes + quantifiers only, no lookaround.
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -2884,6 +2981,7 @@ QUERIES = {
     "stream_click_purchase": q_stream_click_purchase,
     "events_json": q_events_json,
     "asof_purchase_click": q_asof_purchase_click,
+    "bm25_search": q_bm25_search,
     "pii_redact": q_pii_redact,
     "dataset_split": q_dataset_split,
     "context_packing": q_context_packing,
@@ -2958,6 +3056,7 @@ ORACLES = {
     "stream_click_purchase": ORACLE_STREAM_CLICK_PURCHASE,
     "events_json": ORACLE_EVENTS_JSON,
     "asof_purchase_click": ORACLE_ASOF_PURCHASE_CLICK,
+    "bm25_search": ORACLE_BM25_SEARCH,
     "pii_redact": ORACLE_PII_REDACT,
     "dataset_split": ORACLE_DATASET_SPLIT,
     "context_packing": ORACLE_CONTEXT_PACKING,
