@@ -2165,20 +2165,16 @@ FROM r WHERE rank <= 5
 """
 
 
-def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 keyword retrieval (k1=1.2, b=0.75) for the fixed query
-    ["vector", "join", "scan"] → top-20 docs — the keyword half of
-    hybrid search next to the cosine KNN path.
+def _bm25_agg(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFrame:
+    """Per-doc BM25 score (k1=1.2, b=0.75) for the given query terms:
+    (doc_id, _s) for every document containing at least one term.
 
-    Shape: tokenize map-side → per-(doc, term) counts for the THREE
-    query terms only (filter before the shuffle, so the aggregation
-    carries query-term postings, not the whole vocabulary) → broadcast
-    the 3-row df/idf table back → score + TakeOrderedAndProject. At
-    100 TB the per-term postings shuffle is proportional to documents
-    CONTAINING a query term — an inverted-index probe, not a corpus
-    sort. Deterministic math (exact counts + ln), so fully
-    oracle-checked."""
-    terms = ["vector", "join", "scan"]
+    Shape: tokenize map-side → per-(doc, term) counts for the query
+    terms only (filter before the shuffle, so the aggregation carries
+    query-term postings, not the whole vocabulary) → broadcast the
+    tiny df/idf table back → score. At 100 TB the postings shuffle is
+    proportional to documents CONTAINING a query term — an
+    inverted-index probe, not a corpus sort."""
     k1, b = 1.2, 0.75
     docs = load(spark, sf_dir, "documents")
     from converttovectordb_spark.functions.text import tokens
@@ -2218,9 +2214,19 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    return scored.groupBy("doc_id").agg(F.sum("contrib").alias("_s"))
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval for the fixed query ["vector", "join",
+    "scan"] → top-20 docs — the keyword half of hybrid search next to
+    the cosine KNN path.
+
+    Scoring shape in :func:`_bm25_agg`; final top-k is a
+    TakeOrderedAndProject over the (small) matching-docs set.
+    Deterministic math (exact counts + ln), so fully oracle-checked."""
     return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("contrib").alias("_s"))
+        _bm25_agg(spark, sf_dir, ["vector", "join", "scan"])
         .orderBy(F.col("_s").desc(), F.col("doc_id").asc())
         .limit(20)
         .select("doc_id", _round6(F.col("_s")).alias("bm25"))
@@ -2259,6 +2265,317 @@ topk AS (
   SELECT doc_id, s FROM agg ORDER BY s DESC, doc_id LIMIT 20
 )
 SELECT doc_id, round(CAST(s AS DOUBLE), 6) AS bm25 FROM topk
+"""
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
+    lexical ranking and the cosine-similarity semantic ranking
+    (probe = embedding of vec_id 0, vec_id aligns with doc_id) —
+    top-15 fused docs with both source ranks.
+
+    Scale shape: each arm reduces to TakeOrderedAndProject(50) BEFORE
+    any window — the rank window then runs over ≤50 rows, never the
+    corpus, so there is no global sort at any N. Ranks are assigned on
+    ROUND-6 scores with doc_id tie-break so the rank permutation is
+    bit-reproducible across engines; the RRF sum 1/(60+r) is then
+    exact integer-reciprocal arithmetic. The final full-outer join is
+    50×50 rows — driver-trivial, broadcast by AQE."""
+    k_rrf = 60
+
+    lex = (
+        _bm25_agg(spark, sf_dir, ["vector", "join", "scan"])
+        .select("doc_id", _round6(F.col("_s")).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+    w = Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+    lex = lex.select("doc_id", F.row_number().over(w).alias("lex_rank"))
+
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = F.lit([float(x) for x in probe]).cast("array<double>")
+    sem = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            _round6(cosine_similarity(F.col("embedding"), q)).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+    sem = sem.select("doc_id", F.row_number().over(w).alias("sem_rank"))
+
+    fused = lex.join(sem, on="doc_id", how="full_outer").withColumn(
+        "rrf",
+        F.coalesce(1.0 / (k_rrf + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (k_rrf + F.col("sem_rank")), F.lit(0.0)),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(15)
+        .select(
+            "doc_id",
+            _round6(F.col("rrf")).alias("rrf"),
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("sem_rank").cast("int").alias("sem_rank"),
+        )
+    )
+
+
+ORACLE_HYBRID_RRF = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tf AS (
+  SELECT tok.doc_id, dl.dl, tok.tok, count(*) AS tf
+  FROM tok JOIN dl ON dl.doc_id = tok.doc_id
+  WHERE tok.tok IN ('vector', 'join', 'scan')
+  GROUP BY tok.doc_id, dl.dl, tok.tok
+),
+df_t AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+bm25 AS (
+  SELECT doc_id, round(CAST(sum(
+           ln((s.n_docs - df_t.df + 0.5) / (df_t.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1))
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))
+         ) AS DOUBLE), 6) AS s
+  FROM tf JOIN df_t ON df_t.tok = tf.tok CROSS JOIN stats s
+  GROUP BY doc_id
+),
+lex_top AS (SELECT doc_id, s FROM bm25 ORDER BY s DESC, doc_id LIMIT 50),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY s DESC, doc_id) AS lex_rank
+  FROM lex_top
+),
+probe AS (
+  SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0
+),
+cos AS (
+  SELECT e.vec_id AS doc_id,
+         round(CAST(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                         ELSE dot / (na * nb) END AS DOUBLE), 6) AS s
+  FROM (
+    SELECT e.vec_id,
+           list_sum(list_transform(list_zip(e.embedding::DOUBLE[], p.q),
+                                   x -> x[1] * x[2])) AS dot,
+           sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x))) AS na,
+           sqrt(list_sum(list_transform(p.q, x -> x * x))) AS nb
+    FROM embeddings e CROSS JOIN probe p
+  ) e
+),
+sem_top AS (SELECT doc_id, s FROM cos ORDER BY s DESC, doc_id LIMIT 50),
+sem AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY s DESC, doc_id) AS sem_rank
+  FROM sem_top
+),
+fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + lex.lex_rank), 0.0)
+           + coalesce(1.0 / (60 + sem.sem_rank), 0.0) AS rrf,
+         lex.lex_rank, sem.sem_rank
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, round(CAST(rrf AS DOUBLE), 6) AS rrf,
+       CAST(lex_rank AS INT) AS lex_rank, CAST(sem_rank AS INT) AS sem_rank
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 15
+"""
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality filter signals per document:
+    duplicate-line fraction, duplicate word-trigram fraction, mean word
+    length, symbol-to-token ratio, bullet-line fraction, and the
+    resulting keep/drop flag (Rae et al. 2021 §A1.1-style rules).
+
+    Scale shape: every signal is a pure array expression over the text
+    column — whole-stage-codegen map-side work with ZERO shuffle; the
+    plan is scan → project. All ratios are quotients of exact integer
+    counts, so the keep flag is bit-stable across engines even at the
+    thresholds. Flagged docs only (keep=false) to keep output focused."""
+    from converttovectordb_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    lines = F.filter(F.split(F.col("text"), "\n"), lambda x: x != "")
+    tri = word_shingles(F.col("text"), 3)
+    n_tok = F.size(toks)
+    n_lines = F.size(lines)
+    n_tri = F.size(tri)
+
+    dup_line_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(lines)) / n_lines.cast("double")
+    )
+    dup_tri_frac = F.when(n_tri == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(tri)) / n_tri.cast("double")
+    )
+    mean_word_len = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.length(F.concat_ws("", toks)) / n_tok.cast("double")
+    )
+    n_hash = F.length(F.col("text")) - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ell = (
+        F.length(F.col("text")) - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / 3
+    symbol_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        (n_hash + n_ell) / n_tok.cast("double")
+    )
+    bullet_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*]"))) / n_lines.cast("double")
+    )
+
+    out = docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        dup_line_frac.alias("_dlf"),
+        dup_tri_frac.alias("_dtf"),
+        mean_word_len.alias("_mwl"),
+        symbol_ratio.alias("_sym"),
+        bullet_frac.alias("_bul"),
+    ).withColumn(
+        "keep",
+        (F.col("n_tokens") >= 50)
+        & (F.col("n_tokens") <= 100000)
+        & (F.col("_mwl") >= 3.0)
+        & (F.col("_mwl") <= 10.0)
+        & (F.col("_dlf") < 0.30)
+        & (F.col("_dtf") < 0.60)
+        & (F.col("_sym") < 0.10)
+        & (F.col("_bul") < 0.90),
+    )
+    return out.filter(~F.col("keep")).select(
+        "doc_id",
+        "n_tokens",
+        _round6(F.col("_dlf")).alias("dup_line_frac"),
+        _round6(F.col("_dtf")).alias("dup_trigram_frac"),
+        _round6(F.col("_mwl")).alias("mean_word_len"),
+        _round6(F.col("_sym")).alias("symbol_ratio"),
+        _round6(F.col("_bul")).alias("bullet_frac"),
+    )
+
+
+ORACLE_GOPHER_QUALITY = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+         text
+  FROM documents
+),
+tri AS (
+  SELECT doc_id, t, lines, text,
+         CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         END AS tg
+  FROM base
+),
+sig AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CASE WHEN len(lines) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE)
+         END AS dlf,
+         CASE WHEN len(tg) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(tg)) / CAST(len(tg) AS DOUBLE)
+         END AS dtf,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE length(array_to_string(t, '')) / CAST(len(t) AS DOUBLE)
+         END AS mwl,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE ((length(text) - length(replace(text, '#', '')))
+                    + (length(text) - length(replace(text, '...', ''))) / 3)
+                   / CAST(len(t) AS DOUBLE)
+         END AS sym,
+         CASE WHEN len(lines) = 0 THEN 0.0
+              ELSE len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*]')))
+                   / CAST(len(lines) AS DOUBLE)
+         END AS bul
+  FROM tri
+)
+SELECT doc_id, n_tokens,
+       round(CAST(dlf AS DOUBLE), 6) AS dup_line_frac,
+       round(CAST(dtf AS DOUBLE), 6) AS dup_trigram_frac,
+       round(CAST(mwl AS DOUBLE), 6) AS mean_word_len,
+       round(CAST(sym AS DOUBLE), 6) AS symbol_ratio,
+       round(CAST(bul AS DOUBLE), 6) AS bullet_frac
+FROM sig
+WHERE NOT (n_tokens >= 50 AND n_tokens <= 100000
+           AND mwl >= 3.0 AND mwl <= 10.0
+           AND dlf < 0.30 AND dtf < 0.60
+           AND sym < 0.10 AND bul < 0.90)
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language sampling for training-mix
+    construction: each language is down-sampled at rate
+    sqrt(n_min / n_lang) (temperature 0.5 toward the rarest language),
+    with a DETERMINISTIC per-doc coin — the first 8 hex digits of
+    md5(doc_id) as a uniform draw in [0, 1). Reports per-language
+    totals, the applied rate, and the kept count.
+
+    Scale shape: the per-lang histogram is a tiny map-side-combined
+    groupBy broadcast back onto the corpus; the keep decision is then
+    a map-side hash comparison — no per-row shuffle, no RNG state, and
+    the SAME sample falls out on every engine and every rerun (seeded
+    reproducibility is what makes a training mix auditable). The hash
+    draw u is an exact 32-bit rational and the rate a deterministic
+    IEEE double, so keep decisions are bit-stable across engines."""
+    docs = load(spark, sf_dir, "documents")
+    hist = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = hist.agg(F.min("n_docs").alias("m"))
+    rates = hist.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "n_docs",
+        F.sqrt(F.col("m") / F.col("n_docs").cast("double")).alias("rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    kept = (
+        docs.join(F.broadcast(rates), on="lang")
+        .withColumn("u", u)
+        .groupBy("lang")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("rate").alias("rate"),
+            F.sum((F.col("u") < F.col("rate")).cast("bigint")).alias("kept"),
+        )
+    )
+    return kept.select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        _round6(F.col("rate")).alias("rate"),
+        F.col("kept").cast("bigint").alias("kept"),
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+WITH hist AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+rates AS (
+  SELECT lang, n_docs,
+         sqrt((SELECT min(n_docs) FROM hist) / CAST(n_docs AS DOUBLE)) AS rate
+  FROM hist
+),
+draws AS (
+  SELECT d.lang, r.n_docs, r.rate,
+         ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+           / 4294967296.0 AS u
+  FROM documents d JOIN rates r ON r.lang = d.lang
+)
+SELECT lang, n_docs, round(CAST(rate AS DOUBLE), 6) AS rate,
+       CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS kept
+FROM draws GROUP BY lang, n_docs, rate
 """
 
 
@@ -2982,6 +3299,9 @@ QUERIES = {
     "events_json": q_events_json,
     "asof_purchase_click": q_asof_purchase_click,
     "bm25_search": q_bm25_search,
+    "hybrid_rrf": q_hybrid_rrf,
+    "gopher_quality": q_gopher_quality,
+    "stratified_sample": q_stratified_sample,
     "pii_redact": q_pii_redact,
     "dataset_split": q_dataset_split,
     "context_packing": q_context_packing,
@@ -3057,6 +3377,9 @@ ORACLES = {
     "events_json": ORACLE_EVENTS_JSON,
     "asof_purchase_click": ORACLE_ASOF_PURCHASE_CLICK,
     "bm25_search": ORACLE_BM25_SEARCH,
+    "hybrid_rrf": ORACLE_HYBRID_RRF,
+    "gopher_quality": ORACLE_GOPHER_QUALITY,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "pii_redact": ORACLE_PII_REDACT,
     "dataset_split": ORACLE_DATASET_SPLIT,
     "context_packing": ORACLE_CONTEXT_PACKING,
