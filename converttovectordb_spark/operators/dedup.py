@@ -412,14 +412,14 @@ def connected_components(
       and released after the convergence check; at extreme scale add a
       localCheckpoint every few rounds to truncate lineage.
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    )
-    sym = _materialize(sym.distinct())
-    n_edges = sym.count()
+    raw = _materialize(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    n_edges = raw.count()
     spark = edges.sparkSession
 
     if n_edges <= driver_threshold:
+        # Union-find is direction- and duplicate-insensitive, so the
+        # RAW mined pairs are collected as-is — no symmetrize-union, no
+        # distinct shuffle. Those only pay off on the distributed path.
         parent: dict = {}
 
         def find(x):
@@ -430,7 +430,7 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for u, v in sym.collect():
+        for u, v in raw.collect():
             parent.setdefault(u, u)
             parent.setdefault(v, v)
             ru, rv = find(u), find(v)
@@ -440,9 +440,13 @@ def connected_components(
                 parent[hi] = lo
         rows = [(n, find(n)) for n in parent]
         out = spark.createDataFrame(rows, ["node", "comp"])
-        sym.unpersist()
+        raw.unpersist()
         return out
 
+    sym = _materialize(
+        raw.union(raw.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    )
+    raw.unpersist()
     labels = _materialize(
         sym.select(F.col("u").alias("node"))
         .distinct()

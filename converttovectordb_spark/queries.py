@@ -102,13 +102,19 @@ def q_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference read path (Q2→Q3→Q4): brute-force cosine of one probe
     vs every embedding, top-10, threshold>=0.1 AFTER the limit.
 
-    Plan: parquet scan → project(score) → TakeOrderedAndProject(10) —
-    no shuffle of the table, probe travels as a plan literal.
-    """
+    Plan: parquet scan → BroadcastNestedLoopJoin(1-row probe) →
+    project(score) → TakeOrderedAndProject(10) — no shuffle of the
+    table, no driver collect job, and the probe rides as a broadcast
+    ROW rather than a plan literal (a literal array is re-constructed
+    per row inside codegen lambdas and recompiles the plan per probe)."""
     emb = load(spark, sf_dir, "embeddings")
-    probe = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    q = F.lit([float(x) for x in probe]).cast("array<double>")
-    scored = emb.withColumn("score", cosine_similarity(F.col("embedding"), q))
+    probe = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("q"))
+    )
+    scored = emb.crossJoin(F.broadcast(probe)).withColumn(
+        "score", cosine_similarity(F.col("embedding"), F.col("q"))
+    )
     return (
         scored.orderBy(F.col("score").desc(), F.col("vec_id").asc())
         .limit(10)
@@ -690,7 +696,8 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )
     return (
-        comp.join(sizes, on="comp")
+        # component→size map is at most one row per cluster — broadcast
+        comp.join(F.broadcast(sizes), on="comp")
         .select(
             F.col("node").alias("doc_id"),
             F.col("comp").alias("cluster_id"),
