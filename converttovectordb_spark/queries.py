@@ -2565,6 +2565,75 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM signal for quality filtering — the
+    deterministic analog of a KenLM/CCNet perplexity screen: per doc,
+    the average corpus support (occurrence count) of its word bigrams
+    and the fraction of bigrams that are corpus-unique. Common boilerplate
+    scores high support / low rarity; novel (or garbage) text the
+    reverse. Docs with <5 bigrams are excluded (too short to score).
+
+    Integer-exact by construction: support sums are BIGINT sums (order-
+    independent) with ONE final division, so the score hash-matches any
+    engine — a float log-prob sum would not. Shuffle shape at 100 TB:
+    (1) bigram-count groupBy (map-side combined, linear in corpus),
+    (2) doc-bigram ⋈ count on the bigram key — the inverted-index
+    shape, same key partitioning reusable from (1), (3) per-doc
+    re-agg. Three linear shuffles, no quadratic step."""
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
+    bg = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bigram")
+    )
+    counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("support"))
+    per_doc = (
+        bg.join(counts, on="bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("support").cast("bigint").alias("_sup"),
+            F.sum((F.col("support") == 1).cast("bigint")).alias("_rare"),
+        )
+        .filter(F.col("n_bigrams") >= 5)
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        _round6(F.col("_sup") / F.col("n_bigrams").cast("double")).alias(
+            "avg_support"
+        ),
+        _round6(F.col("_rare") / F.col("n_bigrams").cast("double")).alias(
+            "rare_frac"
+        ),
+    )
+
+
+ORACLE_BIGRAM_SUPPORT = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks WHERE len(t) >= 2
+),
+counts AS (SELECT bigram, count(*) AS support FROM bg GROUP BY bigram),
+per_doc AS (
+  SELECT bg.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(c.support) AS BIGINT) AS sup,
+         CAST(sum(CASE WHEN c.support = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rare
+  FROM bg JOIN counts c ON c.bigram = bg.bigram
+  GROUP BY bg.doc_id
+)
+SELECT doc_id, n_bigrams,
+       round(CAST(sup / CAST(n_bigrams AS DOUBLE) AS DOUBLE), 6) AS avg_support,
+       round(CAST(rare / CAST(n_bigrams AS DOUBLE) AS DOUBLE), 6) AS rare_frac
+FROM per_doc WHERE n_bigrams >= 5
+"""
+
+
 ORACLE_STRATIFIED_SAMPLE = """
 WITH hist AS (
   SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
@@ -2963,6 +3032,71 @@ JOIN events c
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACTLY-ONCE dedup: the events file is exposed to the
+    stream TWICE (two symlinks — an at-least-once redelivery), and
+    `dropDuplicatesWithinWatermark` on event_id collapses the replay
+    before it reaches the sink. The returned aggregate over the deduped
+    sink equals the batch aggregate over the file read ONCE — which is
+    exactly what the SQL oracle asserts.
+
+    At scale this is the idempotent-ingest shape: dedup state is keyed
+    by event_id and EVICTED at the 2h watermark horizon (bounded state,
+    unlike plain dropDuplicates), so replays inside the redelivery
+    window dedup while state stays O(events-in-horizon)."""
+    import os
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    stream_dir = tempfile.mkdtemp(prefix="stream_dedup_")
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    os.symlink(src, os.path.join(stream_dir, "events_a.parquet"))
+    os.symlink(src, os.path.join(stream_dir, "events_b.parquet"))
+    ev = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = ev.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val = F.col("value").cast("decimal(14,2)")
+    return spark.table(name).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        _round6(F.sum(val)).alias("total_value"),
+    )
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 6)
+         AS total_value
+FROM events
+"""
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the props column + grouped agg."""
     ev = load_events(spark, sf_dir)
@@ -3303,11 +3437,13 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "stream_events_hourly": q_stream_events_hourly,
     "stream_click_purchase": q_stream_click_purchase,
+    "stream_dedup": q_stream_dedup,
     "events_json": q_events_json,
     "asof_purchase_click": q_asof_purchase_click,
     "bm25_search": q_bm25_search,
     "hybrid_rrf": q_hybrid_rrf,
     "gopher_quality": q_gopher_quality,
+    "bigram_support": q_bigram_support,
     "stratified_sample": q_stratified_sample,
     "pii_redact": q_pii_redact,
     "dataset_split": q_dataset_split,
@@ -3381,11 +3517,13 @@ ORACLES = {
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "stream_events_hourly": ORACLE_EVENTS_HOURLY,
     "stream_click_purchase": ORACLE_STREAM_CLICK_PURCHASE,
+    "stream_dedup": ORACLE_STREAM_DEDUP,
     "events_json": ORACLE_EVENTS_JSON,
     "asof_purchase_click": ORACLE_ASOF_PURCHASE_CLICK,
     "bm25_search": ORACLE_BM25_SEARCH,
     "hybrid_rrf": ORACLE_HYBRID_RRF,
     "gopher_quality": ORACLE_GOPHER_QUALITY,
+    "bigram_support": ORACLE_BIGRAM_SUPPORT,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "pii_redact": ORACLE_PII_REDACT,
     "dataset_split": ORACLE_DATASET_SPLIT,

@@ -198,6 +198,47 @@ class TransactionalDocumentStore(DocumentStore):
             except FileExistsError:
                 version += 1
 
+    def append_dedup(
+        self,
+        docs: DataFrame,
+        *,
+        key_cols: tuple[str, ...] = ("content",),
+        validate: bool = True,
+        txn_id: str | None = None,
+    ) -> int:
+        """Incremental-ingest dedup: append only rows whose dedup key is
+        NOT already committed — the cross-snapshot twin of `exact_dedup`
+        (each new crawl/batch dedupes against the whole store, not just
+        itself). Returns rows actually written.
+
+        Key = md5 over ``key_cols``; batch-internal duplicates collapse
+        first, then a left-anti join against the DISTINCT keys of the
+        committed snapshot drops re-ingested rows. Scale shape: the
+        store side is pruned to the 32-byte key column at the scan
+        (column pruning), both sides hash-shuffle on the key — one
+        linear exchange, same as exact dedup; no content bytes move for
+        rows that are dropped. Which physical row survives an
+        intra-batch duplicate is unspecified (keys are equal by
+        construction)."""
+        key = F.md5(
+            F.concat_ws(
+                "\x1f", *[F.col(c).cast("string") for c in key_cols]
+            )
+        )
+        batch = docs.withColumn("_dedup_key", key).dropDuplicates(
+            ["_dedup_key"]
+        )
+        if self.exists():
+            existing = (
+                self.load(require_embedding=False)
+                .select(key.alias("_dedup_key"))
+                .distinct()
+            )
+            batch = batch.join(existing, on="_dedup_key", how="left_anti")
+        return self.append(
+            batch.drop("_dedup_key"), validate=validate, txn_id=txn_id
+        )
+
     def overwrite(self, docs: DataFrame) -> None:
         self.clear(backup=False)
         self.append(docs, validate=False)

@@ -124,3 +124,19 @@ def test_compact_and_vacuum(spark, tmp_path):
     # vacuum drops the two superseded dirs
     assert store.vacuum() == 2
     assert store.load().count() == 9
+
+
+def test_append_dedup_skips_already_committed(spark, tmp_path):
+    # _batch reuses content strings across tags, so key on (path, content)
+    key = ("path", "content")
+    store = TransactionalDocumentStore(spark, str(tmp_path / "t"))
+    assert store.append_dedup(_batch(spark, "a"), key_cols=key) == 3
+    # re-deliver the same batch plus 2 new rows: only the new rows land
+    again = _batch(spark, "a").unionByName(_batch(spark, "b", 2))
+    assert store.append_dedup(again, key_cols=key) == 2
+    assert store.load().count() == 5
+    # intra-batch duplicates collapse before the store anti-join
+    tripled = _batch(spark, "c", 1)
+    tripled = tripled.unionByName(tripled).unionByName(tripled)
+    assert store.append_dedup(tripled, key_cols=key) == 1
+    assert store.load().count() == 6
