@@ -754,6 +754,58 @@ FROM labels l JOIN csizes s USING (cluster_id)
 """
 
 
+ORACLE_DEDUP_CORPUS = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 10000),
+cold AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+  FROM cold x JOIN cold y USING (shingle)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+pairs AS (
+  SELECT a, b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+),
+edges AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION
+  SELECT b AS u, a AS v FROM pairs
+),
+walk(node, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node
+),
+labels AS (SELECT node, min(comp) AS cluster_id FROM walk GROUP BY node),
+absorbed AS (
+  SELECT cluster_id, CAST(count(*) - 1 AS BIGINT) AS n_absorbed
+  FROM labels GROUP BY cluster_id
+),
+dropped AS (SELECT node FROM labels WHERE node <> cluster_id)
+SELECT d.doc_id, d.lang,
+       CAST(coalesce(a.n_absorbed, 0) AS BIGINT) AS n_absorbed
+FROM documents d
+LEFT JOIN absorbed a ON a.cluster_id = d.doc_id
+WHERE d.doc_id NOT IN (SELECT node FROM dropped)
+"""
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16 hashes)+LSH(4 bands) candidates verified by true
     Jaccard >= 0.2 — the linear-cost near-dup path for 100 TB. Hashes
@@ -2403,66 +2455,91 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: every signal is a pure array expression over the text
     column — whole-stage-codegen map-side work with ZERO shuffle; the
-    plan is scan → project. All ratios are quotients of exact integer
-    counts, so the keep flag is bit-stable across engines even at the
-    thresholds. Flagged docs only (keep=false) to keep output focused."""
+    plan is scan → project → project. The token/line/shingle ARRAYS
+    are materialized in their own projection and referenced as columns
+    above it: a single compound projection re-evaluates each array per
+    reference (no subexpression elimination across lambda expressions —
+    measured 29 s → 3 s at sf0.1), and CollapseProject keeps the
+    split because the aliases are non-cheap and multiply referenced.
+    The keep decision is emitted as a COLUMN, not applied as a filter:
+    a filter over computed signals gets predicate-pushed below the
+    projections AND the repartition, re-inlining every array expression
+    into a single-partition scan filter — the downstream job filters on
+    the materialized boolean instead. All ratios are quotients of exact
+    integer counts, so the flag is bit-stable across engines even at
+    the thresholds."""
     from converttovectordb_spark.functions.text import tokens
 
-    docs = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    lines = F.filter(F.split(F.col("text"), "\n"), lambda x: x != "")
-    tri = word_shingles(F.col("text"), 3)
-    n_tok = F.size(toks)
-    n_lines = F.size(lines)
-    n_tri = F.size(tri)
-
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        "text",
+        tokens(F.col("text")).alias("_t"),
+        F.filter(F.split(F.col("text"), "\n"), lambda x: x != "").alias("_ls"),
+        word_shingles(F.col("text"), 3).alias("_tg"),
+    )
+    toks, lines, tri = F.col("_t"), F.col("_ls"), F.col("_tg")
+    counts = base.select(
+        "doc_id",
+        F.size(toks).alias("_n_tok"),
+        F.size(lines).alias("_n_lines"),
+        F.size(tri).alias("_n_tri"),
+        F.size(F.array_distinct(lines)).alias("_d_lines"),
+        F.size(F.array_distinct(tri)).alias("_d_tri"),
+        F.length(F.concat_ws("", toks)).alias("_tok_chars"),
+        F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*]"))).alias(
+            "_n_bullet"
+        ),
+        (
+            F.length(F.col("text"))
+            - F.length(F.replace(F.col("text"), F.lit("#")))
+        ).alias("_n_hash"),
+        (
+            (
+                F.length(F.col("text"))
+                - F.length(F.replace(F.col("text"), F.lit("...")))
+            )
+            / 3
+        ).alias("_n_ell"),
+    )
+    n_tok = F.col("_n_tok")
+    n_lines = F.col("_n_lines")
+    n_tri = F.col("_n_tri")
     dup_line_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(
-        1.0 - F.size(F.array_distinct(lines)) / n_lines.cast("double")
+        1.0 - F.col("_d_lines") / n_lines.cast("double")
     )
     dup_tri_frac = F.when(n_tri == 0, F.lit(0.0)).otherwise(
-        1.0 - F.size(F.array_distinct(tri)) / n_tri.cast("double")
+        1.0 - F.col("_d_tri") / n_tri.cast("double")
     )
     mean_word_len = F.when(n_tok == 0, F.lit(0.0)).otherwise(
-        F.length(F.concat_ws("", toks)) / n_tok.cast("double")
+        F.col("_tok_chars") / n_tok.cast("double")
     )
-    n_hash = F.length(F.col("text")) - F.length(F.replace(F.col("text"), F.lit("#")))
-    n_ell = (
-        F.length(F.col("text")) - F.length(F.replace(F.col("text"), F.lit("...")))
-    ) / 3
     symbol_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(
-        (n_hash + n_ell) / n_tok.cast("double")
+        (F.col("_n_hash") + F.col("_n_ell")) / n_tok.cast("double")
     )
     bullet_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(
-        F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*]"))) / n_lines.cast("double")
+        F.col("_n_bullet") / n_lines.cast("double")
     )
 
-    out = docs.select(
+    keep = (
+        (n_tok >= 50)
+        & (n_tok <= 100000)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (dup_line_frac < 0.30)
+        & (dup_tri_frac < 0.60)
+        & (symbol_ratio < 0.10)
+        & (bullet_frac < 0.90)
+    )
+    return counts.select(
         "doc_id",
         n_tok.cast("bigint").alias("n_tokens"),
-        dup_line_frac.alias("_dlf"),
-        dup_tri_frac.alias("_dtf"),
-        mean_word_len.alias("_mwl"),
-        symbol_ratio.alias("_sym"),
-        bullet_frac.alias("_bul"),
-    ).withColumn(
-        "keep",
-        (F.col("n_tokens") >= 50)
-        & (F.col("n_tokens") <= 100000)
-        & (F.col("_mwl") >= 3.0)
-        & (F.col("_mwl") <= 10.0)
-        & (F.col("_dlf") < 0.30)
-        & (F.col("_dtf") < 0.60)
-        & (F.col("_sym") < 0.10)
-        & (F.col("_bul") < 0.90),
-    )
-    return out.filter(~F.col("keep")).select(
-        "doc_id",
-        "n_tokens",
-        _round6(F.col("_dlf")).alias("dup_line_frac"),
-        _round6(F.col("_dtf")).alias("dup_trigram_frac"),
-        _round6(F.col("_mwl")).alias("mean_word_len"),
-        _round6(F.col("_sym")).alias("symbol_ratio"),
-        _round6(F.col("_bul")).alias("bullet_frac"),
+        _round6(dup_line_frac).alias("dup_line_frac"),
+        _round6(dup_tri_frac).alias("dup_trigram_frac"),
+        _round6(mean_word_len).alias("mean_word_len"),
+        _round6(symbol_ratio).alias("symbol_ratio"),
+        _round6(bullet_frac).alias("bullet_frac"),
+        keep.alias("keep"),
     )
 
 
@@ -2510,12 +2587,12 @@ SELECT doc_id, n_tokens,
        round(CAST(dtf AS DOUBLE), 6) AS dup_trigram_frac,
        round(CAST(mwl AS DOUBLE), 6) AS mean_word_len,
        round(CAST(sym AS DOUBLE), 6) AS symbol_ratio,
-       round(CAST(bul AS DOUBLE), 6) AS bullet_frac
+       round(CAST(bul AS DOUBLE), 6) AS bullet_frac,
+       (n_tokens >= 50 AND n_tokens <= 100000
+        AND mwl >= 3.0 AND mwl <= 10.0
+        AND dlf < 0.30 AND dtf < 0.60
+        AND sym < 0.10 AND bul < 0.90) AS keep
 FROM sig
-WHERE NOT (n_tokens >= 50 AND n_tokens <= 100000
-           AND mwl >= 3.0 AND mwl <= 10.0
-           AND dlf < 0.30 AND dtf < 0.60
-           AND sym < 0.10 AND bul < 0.90)
 """
 
 
@@ -2632,6 +2709,113 @@ SELECT doc_id, n_bigrams,
        round(CAST(rare / CAST(n_bigrams AS DOUBLE) AS DOUBLE), 6) AS rare_frac
 FROM per_doc WHERE n_bigrams >= 5
 """
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the classic sparse keyword
+    representation (feeds search snippets, topic labels, cluster
+    naming). idf = ln(N/df); rank on ROUND-6 scores with term
+    tie-break so the permutation is engine-stable.
+
+    Shuffle shape at 100 TB: (1) (doc, term) tf groupBy — linear,
+    map-side combined; (2) per-term df groupBy — vocabulary-sized;
+    (3) df broadcast back onto the tf pairs (vocab ≪ corpus, and only
+    terms present in docs travel); (4) per-doc rank window partitioned
+    by doc_id — linear, no global sort. Nothing quadratic."""
+    from converttovectordb_spark.functions.text import tokens
+
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            _round6(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tfidf",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+ORACLE_TFIDF_TOPTERMS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df_t AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(CAST(tf.tf * ln(n.n_docs / CAST(df_t.df AS DOUBLE))
+                    AS DOUBLE), 6) AS tfidf
+  FROM tf JOIN df_t ON df_t.term = tf.term CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END PRODUCT of the near-dup pipeline: the deduplicated
+    corpus itself. Mine Jaccard pairs → connected components → keep
+    the min-id representative of every cluster plus all unclustered
+    docs; report each surviving doc with how many near-dups it absorbed
+    (0 for singletons).
+
+    This is the materialization step a 100 TB curation run actually
+    ships: survivors = corpus ANTI-JOIN dropped-members — one broadcast
+    anti-join at the end of the (linear, LSH-bounded) pair mining, so
+    the full corpus is touched exactly once more after clustering."""
+    from converttovectordb_spark.operators.dedup import connected_components
+
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
+    pairs = jaccard_neardup_pairs(docs, threshold=0.2, max_shingle_df=10000)
+    comp = connected_components(pairs, src="a", dst="b")
+    absorbed = comp.groupBy("comp").agg(
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_absorbed")
+    )
+    dropped = comp.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    survivors = docs.join(F.broadcast(dropped), on="doc_id", how="left_anti")
+    return (
+        survivors.join(
+            F.broadcast(absorbed.withColumnRenamed("comp", "doc_id")),
+            on="doc_id",
+            how="left",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("n_absorbed"), F.lit(0))
+            .cast("bigint")
+            .alias("n_absorbed"),
+        )
+    )
 
 
 ORACLE_STRATIFIED_SAMPLE = """
@@ -3444,6 +3628,8 @@ QUERIES = {
     "hybrid_rrf": q_hybrid_rrf,
     "gopher_quality": q_gopher_quality,
     "bigram_support": q_bigram_support,
+    "tfidf_topterms": q_tfidf_topterms,
+    "dedup_corpus": q_dedup_corpus,
     "stratified_sample": q_stratified_sample,
     "pii_redact": q_pii_redact,
     "dataset_split": q_dataset_split,
@@ -3524,6 +3710,8 @@ ORACLES = {
     "hybrid_rrf": ORACLE_HYBRID_RRF,
     "gopher_quality": ORACLE_GOPHER_QUALITY,
     "bigram_support": ORACLE_BIGRAM_SUPPORT,
+    "tfidf_topterms": ORACLE_TFIDF_TOPTERMS,
+    "dedup_corpus": ORACLE_DEDUP_CORPUS,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "pii_redact": ORACLE_PII_REDACT,
     "dataset_split": ORACLE_DATASET_SPLIT,
