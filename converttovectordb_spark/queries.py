@@ -2818,6 +2818,52 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components — the IVF/k-means TRAINING
+    aggregate as a standalone query: posexplode every vector, aggregate
+    per (label, dimension). One output row per (label, pos).
+
+    Exactness: component sums go through DECIMAL(38,20), which is
+    order-independent — a parallel double-sum is not associative, so
+    decimal is what makes a 32-way (or 1000-executor) aggregation
+    hash-match a serial engine bit-for-bit. Shuffle shape at 100 TB:
+    posexplode fans N×d rows map-side, partial aggregation combines
+    per (label, pos) BEFORE the single exchange of C×d partial sums —
+    the corpus itself never shuffles."""
+    emb = load(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    )
+    agg = pos.groupBy("label", "pos").agg(
+        F.sum(F.col("val").cast("decimal(38,20)")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return agg.select(
+        "label",
+        (F.col("pos") + 1).cast("int").alias("pos"),
+        F.col("_n").cast("bigint").alias("n_vecs"),
+        _round6(F.col("_s").cast("double") / F.col("_n")).alias("c"),
+    )
+
+
+ORACLE_LABEL_CENTROIDS = """
+WITH pos AS (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
+         unnest(embedding::DOUBLE[]) AS val
+  FROM embeddings
+)
+SELECT label, pos,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(CAST(sum(CAST(val AS DECIMAL(38,20))) AS DOUBLE)
+                  / count(*) AS DOUBLE), 6) AS c
+FROM pos GROUP BY label, pos
+"""
+
+
 ORACLE_STRATIFIED_SAMPLE = """
 WITH hist AS (
   SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
@@ -3630,6 +3676,7 @@ QUERIES = {
     "bigram_support": q_bigram_support,
     "tfidf_topterms": q_tfidf_topterms,
     "dedup_corpus": q_dedup_corpus,
+    "label_centroids": q_label_centroids,
     "stratified_sample": q_stratified_sample,
     "pii_redact": q_pii_redact,
     "dataset_split": q_dataset_split,
@@ -3712,6 +3759,7 @@ ORACLES = {
     "bigram_support": ORACLE_BIGRAM_SUPPORT,
     "tfidf_topterms": ORACLE_TFIDF_TOPTERMS,
     "dedup_corpus": ORACLE_DEDUP_CORPUS,
+    "label_centroids": ORACLE_LABEL_CENTROIDS,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "pii_redact": ORACLE_PII_REDACT,
     "dataset_split": ORACLE_DATASET_SPLIT,
