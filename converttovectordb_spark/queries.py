@@ -635,14 +635,32 @@ GROUP BY source
 """
 
 
+#: Session-scoped mined-pair-graph reuse: the three Jaccard near-dup
+#: queries (pairs / clusters / survivor corpus) run the SAME mining
+#: pass, so it is materialized once per (application, sf_dir) — the
+#: same build-once/probe-many reasoning as the persisted IVF index.
+#: The cached frame is tiny (duplicate pairs only, never the corpus).
+_JACCARD_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _JACCARD_PAIRS_CACHE.get(key)
+    if df is None:
+        docs = _spread(spark, load(spark, sf_dir, "documents"))
+        df = jaccard_neardup_pairs(
+            docs, threshold=0.2, max_shingle_df=10000
+        ).persist()
+        df.count()
+        _JACCARD_PAIRS_CACHE[key] = df
+    return df
+
+
 def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by 3-word-shingle Jaccard >= 0.2 via an
     INVERTED-INDEX self-join (pairs only where a shingle is shared —
     never a cross join; hot-shingle cap guards skew at scale)."""
-    docs = _spread(spark, load(spark, sf_dir, "documents"))
-    out = jaccard_neardup_pairs(
-        docs, threshold=0.2, max_shingle_df=10000
-    )
+    out = _jaccard_pairs_cached(spark, sf_dir)
     return out.select("a", "b", _round6(F.col("jaccard")).alias("jaccard"))
 
 
@@ -689,8 +707,7 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     id and the component size."""
     from converttovectordb_spark.operators.dedup import connected_components
 
-    docs = _spread(spark, load(spark, sf_dir, "documents"))
-    pairs = jaccard_neardup_pairs(docs, threshold=0.2, max_shingle_df=10000)
+    pairs = _jaccard_pairs_cached(spark, sf_dir)
     comp = connected_components(pairs, src="a", dst="b")
     sizes = comp.groupBy("comp").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
@@ -2793,7 +2810,7 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from converttovectordb_spark.operators.dedup import connected_components
 
     docs = _spread(spark, load(spark, sf_dir, "documents"))
-    pairs = jaccard_neardup_pairs(docs, threshold=0.2, max_shingle_df=10000)
+    pairs = _jaccard_pairs_cached(spark, sf_dir)
     comp = connected_components(pairs, src="a", dst="b")
     absorbed = comp.groupBy("comp").agg(
         (F.count(F.lit(1)) - 1).cast("bigint").alias("n_absorbed")
