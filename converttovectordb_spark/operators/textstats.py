@@ -94,12 +94,35 @@ def token_stats(docs: DataFrame, *, text_col: str = "text", group_col: str = "la
 
 def quality_report(docs: DataFrame, *, text_col: str = "text", group_col: str = "source") -> DataFrame:
     """Per-group quality metrics: avg quality score, avg punct ratio,
-    avg stopword ratio, count of low-quality docs (< 0.5)."""
-    per_doc = docs.select(
+    avg stopword ratio, count of low-quality docs (< 0.5).
+
+    The base signals (punct/stopword ratios) are materialized in their
+    own projection and the composite score is assembled from the
+    COLUMNS above it — inlining `quality_score` here would re-tokenize
+    the text once per reference (the composite uses the stopword ratio
+    twice), and there is no subexpression elimination across lambda
+    expressions. Same decomposition as `quality_score`, same values."""
+    base = docs.select(
         F.col(group_col),
-        quality_score(F.col(text_col)).alias("q"),
+        F.length(F.col(text_col)).alias("_len"),
         punct_ratio(F.col(text_col)).alias("p"),
         stopword_ratio(F.col(text_col)).alias("s"),
+    )
+    length_ok = F.when(
+        (F.col("_len") >= 50) & (F.col("_len") <= 5000), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    sw_band = F.when(
+        (F.col("s") >= 0.05) & (F.col("s") <= 0.6), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    per_doc = base.select(
+        F.col(group_col),
+        (
+            F.lit(0.4) * length_ok
+            + F.lit(0.3) * (F.lit(1.0) - F.col("p"))
+            + F.lit(0.3) * sw_band
+        ).alias("q"),
+        "p",
+        "s",
     )
     return per_doc.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),

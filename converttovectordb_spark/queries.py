@@ -1060,7 +1060,7 @@ FROM scored WHERE cosine >= {threshold}
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token statistics — whitespace tokenization, all
     native expressions (codegen, no Python)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
     out = token_stats(docs)
     return out.select(
         "lang",
@@ -1148,7 +1148,7 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _norm(s):
         return s.map(lambda t: pat.sub(" ", (t or "").lower()).strip(" "))
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
     normed = docs.select("doc_id", _norm(F.col("text")).alias("_n"))
     return normed.select(
         "doc_id",
@@ -1215,7 +1215,7 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-quality report (length band, punct ratio,
     stopword ratio → composite score) — all codegen expressions, one
     tiny partial-agg shuffle."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
     out = quality_report(docs)
     return out.select(
         "source",
@@ -1285,7 +1285,7 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex token counting ([A-Za-z]+ | digit runs | single
     punctuation) vs whitespace tokens, per language — the token-budget
     estimator of a training-data pipeline, all regexp codegen."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
     pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
     per = docs.select(
         "lang",
@@ -2252,7 +2252,7 @@ def _bm25_agg(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFrame:
     proportional to documents CONTAINING a query term — an
     inverted-index probe, not a corpus sort."""
     k1, b = 1.2, 0.75
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
     from converttovectordb_spark.functions.text import tokens
 
     tok = docs.select(
