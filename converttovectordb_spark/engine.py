@@ -18,7 +18,7 @@ import time
 from typing import Callable
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from converttovectordb_spark.embeddings import (
@@ -170,6 +170,77 @@ class VectorEngine:
         if truncate_chars is not None:
             out = truncate_content(out, max_chars=truncate_chars)
         return out
+
+    def search_hybrid(
+        self,
+        query_text: str,
+        top_k: int = 5,
+        *,
+        candidates: int = 50,
+        k_rrf: int = 60,
+    ) -> DataFrame:
+        """Hybrid retrieval over the store: reciprocal-rank fusion of
+        the cosine semantic arm (same scoring as `search`, no score
+        threshold) and a BM25 keyword arm over chunk content
+        (lowercased whitespace terms). Each arm reduces to
+        ``candidates`` rows BEFORE ranks fuse — top-k reductions, never
+        a global sort — then the ≤candidates×2 fused rows join back to
+        the store for display columns.
+
+        RRF (Cormack et al. 2009): score = Σ 1/(k_rrf + rank); a doc
+        found by only one arm still scores. This is the standard
+        keyword+vector compromise: BM25 catches exact identifiers the
+        embedding may smooth away; cosine catches paraphrase BM25
+        cannot see."""
+        from converttovectordb_spark.operators.search import bm25_scores
+
+        if not self.store.exists():
+            return self._empty_results().withColumn(
+                "rrf", F.lit(None).cast("double")
+            ).drop("score")
+        docs = self.store.load().withColumn(
+            "_rid", F.concat_ws("#", F.col("path"), F.col("chunk_index"))
+        )
+        terms = [t for t in query_text.lower().split() if t]
+
+        qv = self.embedder([query_text])
+        qv = np.asarray(qv, dtype=np.float64).reshape(-1).tolist()
+        sem = knn_topk(
+            docs,
+            qv,
+            validate_top_k(candidates),
+            id_cols=["_rid"],
+            score_threshold=-2.0,  # fusion wants ranks, not a cutoff
+            expected_dim=self.dim,
+        ).select("_rid", "score")
+        w_sem = Window.orderBy(F.col("score").desc(), F.col("_rid").asc())
+        sem = sem.select("_rid", F.row_number().over(w_sem).alias("sem_rank"))
+
+        lex = bm25_scores(
+            docs, terms, id_col="_rid", text_col="content", lowercase=True
+        )
+        lex = (
+            lex.orderBy(F.col("bm25").desc(), F.col("_rid").asc())
+            .limit(candidates)
+        )
+        w_lex = Window.orderBy(F.col("bm25").desc(), F.col("_rid").asc())
+        lex = lex.select("_rid", F.row_number().over(w_lex).alias("lex_rank"))
+
+        fused = (
+            sem.join(lex, on="_rid", how="full_outer")
+            .withColumn(
+                "rrf",
+                F.coalesce(1.0 / (k_rrf + F.col("sem_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (k_rrf + F.col("lex_rank")), F.lit(0.0)),
+            )
+            .orderBy(F.col("rrf").desc(), F.col("_rid").asc())
+            .limit(validate_top_k(top_k))
+        )
+        return (
+            fused.join(docs.drop("embedding"), on="_rid")
+            .drop("_rid")
+            .orderBy(F.col("rrf").desc())
+        )
 
     def search_vector(self, query_vector: list[float], top_k: int = 5) -> DataFrame:
         if not self.store.exists():

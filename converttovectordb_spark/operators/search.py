@@ -114,6 +114,67 @@ def knn_topk(
     return out
 
 
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    lowercase: bool = False,
+) -> DataFrame:
+    """Per-doc BM25 score for the given query terms → (id_col, bm25)
+    for every document containing at least one term.
+
+    Shape: tokenize map-side → per-(doc, term) counts for the query
+    terms only (filter BEFORE the shuffle, so the aggregation carries
+    query-term postings, not the whole vocabulary) → broadcast the tiny
+    df/idf table back → score. At 100 TB the postings shuffle is
+    proportional to documents CONTAINING a query term — an
+    inverted-index probe, not a corpus sort."""
+    from converttovectordb_spark.functions.text import token_count, tokens
+
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    terms = [t.lower() for t in terms] if lowercase else list(terms)
+    tok = docs.select(
+        id_col,
+        token_count(text).alias("dl"),
+        F.explode(tokens(text)).alias("tok"),
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(token_count(text)).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("tok").isin(terms))
+        .groupBy(id_col, "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.countDistinct(id_col).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), on="tok")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(F.sum("contrib").alias("bm25"))
+
+
 #: Reference display truncation width (query_vector_db.py:204-206).
 DEFAULT_TRUNCATE_CHARS = 500
 

@@ -49,6 +49,7 @@ from converttovectordb_spark.operators.dedup import (
     simhash_neardup_pairs,
 )
 from converttovectordb_spark.operators.search import (
+    bm25_scores,
     ivf_knn_join,
     knn_join,
     truncate_content,
@@ -2242,55 +2243,11 @@ FROM r WHERE rank <= 5
 
 
 def _bm25_agg(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFrame:
-    """Per-doc BM25 score (k1=1.2, b=0.75) for the given query terms:
-    (doc_id, _s) for every document containing at least one term.
-
-    Shape: tokenize map-side → per-(doc, term) counts for the query
-    terms only (filter before the shuffle, so the aggregation carries
-    query-term postings, not the whole vocabulary) → broadcast the
-    tiny df/idf table back → score. At 100 TB the postings shuffle is
-    proportional to documents CONTAINING a query term — an
-    inverted-index probe, not a corpus sort."""
-    k1, b = 1.2, 0.75
+    """Per-doc BM25 over the documents table — thin wrapper around the
+    library operator (`operators/search.bm25_scores`, where the scale
+    shape is documented)."""
     docs = _spread(spark, load(spark, sf_dir, "documents"))
-    from converttovectordb_spark.functions.text import tokens
-
-    tok = docs.select(
-        "doc_id",
-        token_count(F.col("text")).alias("dl"),
-        F.explode(tokens(F.col("text"))).alias("tok"),
-    )
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg(token_count(F.col("text"))).alias("avgdl"),
-    )
-    tf = (
-        tok.filter(F.col("tok").isin(terms))
-        .groupBy("doc_id", "dl", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_t = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_t), on="tok")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(
-                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                + 1.0
-            ),
-        )
-        .withColumn(
-            "contrib",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1))
-            / (
-                F.col("tf")
-                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-            ),
-        )
-    )
-    return scored.groupBy("doc_id").agg(F.sum("contrib").alias("_s"))
+    return bm25_scores(docs, terms).withColumnRenamed("bm25", "_s")
 
 
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
