@@ -56,6 +56,13 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     common(sp)
 
+    sp = sub.add_parser(
+        "hybrid", help="BM25+cosine reciprocal-rank-fusion search"
+    )
+    sp.add_argument("--query", required=True)
+    sp.add_argument("--top-k", type=int, default=5)
+    common(sp)
+
     sp = sub.add_parser("stats", help="corpus statistics")
     common(sp)
 
@@ -109,6 +116,10 @@ def main(argv: list[str] | None = None) -> int:
         )
         rows = [r.asDict() for r in res.collect()]
         print(json.dumps({"command": "search", "results": rows}))
+    elif args.command == "hybrid":
+        res = eng.search_hybrid(args.query, args.top_k)
+        rows = [r.asDict() for r in res.collect()]
+        print(json.dumps({"command": "hybrid", "results": rows}))
     elif args.command == "stats":
         print(json.dumps({"command": "stats", **eng.stats()}))
     elif args.command == "health":

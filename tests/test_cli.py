@@ -37,6 +37,9 @@ def test_cli_ingest_search_stats_clear(tmp_path):
     se = _run("search", "--query", "return 42", "--top-k", "2", *common)
     assert isinstance(se["results"], list)
 
+    hy = _run("hybrid", "--query", "return 42", "--top-k", "2", *common)
+    assert isinstance(hy["results"], list) and len(hy["results"]) <= 2
+
     he = _run("health", *common)
     assert he["documents_count"] == st["total_documents"]
 
