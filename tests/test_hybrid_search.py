@@ -48,6 +48,16 @@ def test_hybrid_is_deterministic(spark, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_hybrid_unknown_terms_fall_back_to_semantic(spark, tmp_path):
+    eng = _engine(spark, tmp_path)
+    # no document contains this token: the BM25 arm is empty, so the
+    # fusion must degrade to the semantic ranking instead of erroring
+    # or returning nothing
+    rows = eng.search_hybrid("qqqxyzzyunknown", top_k=3).collect()
+    assert len(rows) > 0
+    assert all(r.lex_rank is None and r.sem_rank is not None for r in rows)
+
+
 def test_hybrid_empty_store_returns_empty(spark, tmp_path):
     eng = VectorEngine(
         spark, str(tmp_path / "nostore"), embedder=hash_embedder(16), dim=16
