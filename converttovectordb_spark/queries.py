@@ -41,6 +41,7 @@ from converttovectordb_spark.functions.vector import (
 from converttovectordb_spark.operators.dedup import (
     SIMHASH_BITS,
     dup_stats,
+    embedding_lsh_bands,
     embedding_neardup_pairs,
     exact_dedup,
     jaccard_neardup_pairs,
@@ -444,6 +445,215 @@ SELECT e.query_id,
 FROM exact e LEFT JOIN ov ON ov.query_id = e.query_id
 GROUP BY e.query_id, ov.n_overlap
 """
+
+
+def _lsh_knn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared LSH-ANN candidate scoring for vector_lsh_knn/lsh_recall:
+    (query_id, vec_id, score) for corpus rows sharing ≥1 hyperplane-LSH
+    band with the probe (probes = vec_id < 8; 8 bands × 3 sign bits,
+    seed 42)."""
+    emb = _spread(spark, load(spark, sf_dir, "embeddings"))
+    bands = embedding_lsh_bands(
+        emb, num_bands=8, band_bits=3, seed=42, dim=64
+    )
+    probes = bands.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_v").alias("qv"),
+        "band_id",
+        "band_key",
+    )
+    return (
+        bands.join(F.broadcast(probes), on=["band_id", "band_key"])
+        .withColumn("score", dot_product(F.col("_v"), F.col("qv")))
+        .select("query_id", "vec_id", "score")
+        .distinct()
+    )
+
+
+def q_vector_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate KNN — the third leg of the similarity
+    matrix next to brute force and IVF: candidates are corpus vectors
+    sharing at least one of 8 signed-random-projection bands (3 bits
+    each) with the probe; exact cosine ranks the candidates, top-3 per
+    probe.
+
+    100 TB shape: the signature table is linear in N and the candidate
+    join is keyed on (band_id, band_key) — collisions only, never a
+    corpus scan per query. Hyperplanes are md5-seeded Rademacher
+    vectors shipped as a broadcast TABLE (not per-row literals), and
+    the identical literals are inlined in the SQL oracle, so the
+    candidate decision itself is hash-checked."""
+    scored = _lsh_knn_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "vec_id",
+            _round6(F.col("score")).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@3 of the LSH-pruned search vs exact brute force
+    — the accuracy dial of the banded path (multi-band OR-construction:
+    recall rises with band count; the band parameters here are the same
+    8×3 used by the dedup sub-bucketing). Self matches count, exactly
+    as in ivf_recall."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn_join(probes, emb, top_k=3).select("query_id", "vec_id")
+
+    scored = _lsh_knn_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "vec_id")
+    )
+    overlap = exact.join(approx, on=["query_id", "vec_id"], how="inner")
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .join(
+            overlap.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("n_overlap")
+            ),
+            on="query_id",
+            how="left",
+        )
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("bigint")
+            .alias("n_overlap"),
+            _round6(
+                F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("_k")
+            ).alias("recall"),
+        )
+    )
+
+
+def _oracle_lsh_bands_cte(
+    num_bands: int = 8, band_bits: int = 3, seed: int = 42, dim: int = 64
+) -> str:
+    """DuckDB CTE text reproducing the hyperplane band signatures with
+    the SAME md5-seeded ±1 literals as the Spark side (no bucket
+    column — the search path bands the whole corpus)."""
+    signs = rademacher_signs(seed, num_bands * band_bits, dim)
+
+    def bit_sql(i: int) -> str:
+        lit = "[" + ", ".join(str(s) for s in signs[i]) + "]::DOUBLE[]"
+        return (
+            "(CASE WHEN list_sum(list_transform(list_zip(u, "
+            + lit
+            + "), x -> x[1] * x[2])) >= 0 THEN 1 ELSE 0 END)"
+        )
+
+    band_exprs = []
+    for b in range(num_bands):
+        terms = [
+            f"{1 << k} * {bit_sql(b * band_bits + k)}" for k in range(band_bits)
+        ]
+        band_exprs.append("(" + " + ".join(terms) + ")")
+    keys_sql = "[" + ", ".join(band_exprs) + "]"
+    return f"""
+norm AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nn
+  FROM embeddings
+),
+keyed AS (
+  SELECT vec_id,
+         CASE WHEN nn = 0 THEN v ELSE list_transform(v, x -> x / nn) END AS u
+  FROM norm
+),
+sig AS (SELECT vec_id, u, {keys_sql} AS keys FROM keyed),
+bands AS (
+  SELECT vec_id, u,
+         generate_subscripts(keys, 1) - 1 AS band_id,
+         unnest(keys) AS band_key
+  FROM sig
+),
+probes AS (
+  SELECT vec_id AS query_id, u AS qu, band_id, band_key
+  FROM bands WHERE vec_id < 8
+),
+cand AS (
+  SELECT DISTINCT p.query_id, b.vec_id
+  FROM bands b
+  JOIN probes p ON p.band_id = b.band_id AND p.band_key = b.band_key
+),
+cscored AS (
+  SELECT c.query_id, c.vec_id,
+         list_sum(list_transform(list_zip(ka.u, kb.u),
+                                 x -> x[1] * x[2])) AS score
+  FROM cand c
+  JOIN keyed ka ON ka.vec_id = c.query_id
+  JOIN keyed kb ON kb.vec_id = c.vec_id
+),
+lsh_top AS (
+  SELECT query_id, vec_id, score FROM (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id) AS rank
+    FROM cscored
+  ) WHERE rank <= 3
+)"""
+
+
+ORACLE_VECTOR_LSH_KNN = (
+    "WITH "
+    + _oracle_lsh_bands_cte()
+    + """
+SELECT query_id, vec_id, round(CAST(score AS DOUBLE), 6) AS score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id) AS INT) AS rank
+FROM lsh_top
+"""
+)
+
+
+ORACLE_LSH_RECALL = (
+    "WITH "
+    + _oracle_lsh_bands_cte()
+    + """,
+exact_s AS (
+  SELECT p.query_id, d.vec_id,
+         list_sum(list_transform(list_zip(p.qu2, d.u), x -> x[1] * x[2])) AS score
+  FROM (SELECT DISTINCT query_id, qu AS qu2 FROM probes) p
+  CROSS JOIN keyed d
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id) AS rank
+    FROM exact_s
+  ) WHERE rank <= 3
+),
+ov AS (
+  SELECT e.query_id, count(*) AS n_overlap
+  FROM exact e
+  JOIN lsh_top a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY e.query_id
+)
+SELECT e.query_id,
+       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / count(*), 6) AS recall
+FROM exact e LEFT JOIN ov ON ov.query_id = e.query_id
+GROUP BY e.query_id, ov.n_overlap
+"""
+)
 
 
 def q_search_display(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3650,6 +3860,8 @@ QUERIES = {
     "stream_dedup": q_stream_dedup,
     "events_json": q_events_json,
     "asof_purchase_click": q_asof_purchase_click,
+    "vector_lsh_knn": q_vector_lsh_knn,
+    "lsh_recall": q_lsh_recall,
     "bm25_search": q_bm25_search,
     "hybrid_rrf": q_hybrid_rrf,
     "gopher_quality": q_gopher_quality,
@@ -3733,6 +3945,8 @@ ORACLES = {
     "stream_dedup": ORACLE_STREAM_DEDUP,
     "events_json": ORACLE_EVENTS_JSON,
     "asof_purchase_click": ORACLE_ASOF_PURCHASE_CLICK,
+    "vector_lsh_knn": ORACLE_VECTOR_LSH_KNN,
+    "lsh_recall": ORACLE_LSH_RECALL,
     "bm25_search": ORACLE_BM25_SEARCH,
     "hybrid_rrf": ORACLE_HYBRID_RRF,
     "gopher_quality": ORACLE_GOPHER_QUALITY,
