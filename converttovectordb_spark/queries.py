@@ -3281,6 +3281,80 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type: generate the full hour grid
+    between the corpus min/max hours and left-join the hourly aggregate
+    onto it, zero-filling missing buckets — the resample/gap-fill step
+    every downstream time-series consumer (charting, anomaly detection,
+    forecasting) needs before it can difference or window.
+
+    Scale shape: the grid is |event types| × hours — thousands of rows
+    even for years of data — built from a broadcast 1-row bounds
+    aggregate and joined against the (already tiny) hourly rollup; the
+    raw events shuffle ONCE for the rollup and never again."""
+    ev = load_events(spark, sf_dir)
+    val = F.col("value").cast("decimal(14,2)")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("_n"), F.sum(val).alias("_tv"))
+    bounds = ev.agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("lo"),
+        F.max(F.date_trunc("hour", F.col("ts"))).alias("hi"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.col("lo"), F.col("hi"), F.expr("interval 1 hour")
+                )
+            ).alias("hour"),
+        )
+    )
+    return (
+        grid.join(F.broadcast(hourly), on=["hour", "event_type"], how="left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_events"),
+            _round6(
+                F.coalesce(F.col("_tv"), F.lit(0).cast("decimal(14,2)"))
+            ).alias("total_value"),
+        )
+    )
+
+
+ORACLE_EVENTS_GAPFILL = """
+WITH ev AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+         event_type, value
+  FROM events
+),
+hourly AS (
+  SELECT hour, event_type, count(*) AS n,
+         sum(CAST(value AS DECIMAL(14,2))) AS tv
+  FROM ev GROUP BY hour, event_type
+),
+bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM ev),
+grid AS (
+  SELECT t.event_type, g.hour
+  FROM (SELECT DISTINCT event_type FROM ev) t
+  CROSS JOIN (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+    FROM bounds
+  ) g
+)
+SELECT g.hour, g.event_type,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
+       round(CAST(coalesce(h.tv, 0) AS DOUBLE), 6) AS total_value
+FROM grid g
+LEFT JOIN hourly h ON h.hour = g.hour AND h.event_type = g.event_type
+"""
+
+
 ORACLE_EVENTS_HOURLY = """
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
@@ -3859,6 +3933,7 @@ QUERIES = {
     "stream_click_purchase": q_stream_click_purchase,
     "stream_dedup": q_stream_dedup,
     "events_json": q_events_json,
+    "events_gapfill": q_events_gapfill,
     "asof_purchase_click": q_asof_purchase_click,
     "vector_lsh_knn": q_vector_lsh_knn,
     "lsh_recall": q_lsh_recall,
@@ -3944,6 +4019,7 @@ ORACLES = {
     "stream_click_purchase": ORACLE_STREAM_CLICK_PURCHASE,
     "stream_dedup": ORACLE_STREAM_DEDUP,
     "events_json": ORACLE_EVENTS_JSON,
+    "events_gapfill": ORACLE_EVENTS_GAPFILL,
     "asof_purchase_click": ORACLE_ASOF_PURCHASE_CLICK,
     "vector_lsh_knn": ORACLE_VECTOR_LSH_KNN,
     "lsh_recall": ORACLE_LSH_RECALL,
