@@ -71,8 +71,19 @@ class VectorEngine:
         self.overlap = overlap
 
     # -- ingest ----------------------------------------------------------
-    def ingest(self, repo_path: str, *, repo_url: str | None = None) -> DataFrame:
+    def ingest(
+        self,
+        repo_path: str,
+        *,
+        repo_url: str | None = None,
+        replace: bool = False,
+    ) -> DataFrame:
         """scan → chunk → embed → append. Returns the written batch.
+
+        ``replace=True`` upserts by file path (transactional store
+        only): re-ingesting a changed repo replaces each file's old
+        chunks via merge-on-read tombstones instead of duplicating
+        them — the incremental re-crawl story.
 
         A9 pipeline metrics (reference repo_to_vector.py:58-64,452-467)
         ride the single write job as `df.observe` metrics plus an
@@ -111,7 +122,15 @@ class VectorEngine:
             "embedding",
             "timestamp",
         )
-        rows_written = self.store.append(batch)
+        if replace:
+            if not isinstance(self.store, TransactionalDocumentStore):
+                raise ValueError(
+                    "replace=True requires a transactional store "
+                    "(VectorEngine(..., transactional=True))"
+                )
+            rows_written = self.store.upsert(batch, key_cols=("path",))
+        else:
+            rows_written = self.store.append(batch)
         # files_skipped derives from a metadata-only listing: the scan
         # prunes hidden/size/extension misses at the FILE INDEX (never
         # opening them — the 100 TB contract), so counting them inline

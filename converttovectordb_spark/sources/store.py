@@ -139,6 +139,7 @@ class TransactionalDocumentStore(DocumentStore):
         *,
         validate: bool = True,
         txn_id: str | None = None,
+        _extra_commit: dict | None = None,
     ) -> int:
         """Stage the batch, then atomically publish it. Returns rows
         written. Raises ValueError when the batch schema diverges from
@@ -186,6 +187,8 @@ class TransactionalDocumentStore(DocumentStore):
         commit = {"batch_dir": batch_dir, "rows": rows, "schema": fingerprint}
         if txn_id is not None:
             commit["txn_id"] = txn_id
+        if _extra_commit:
+            commit.update(_extra_commit)
         version = (self._versions() or [-1])[-1] + 1
         while True:
             target = os.path.join(self._manifest_path(), f"{version}.json")
@@ -239,6 +242,51 @@ class TransactionalDocumentStore(DocumentStore):
             batch.drop("_dedup_key"), validate=validate, txn_id=txn_id
         )
 
+    def upsert(
+        self,
+        docs: DataFrame,
+        *,
+        key_cols: tuple[str, ...] = ("path",),
+        validate: bool = True,
+    ) -> int:
+        """MERGE-on-read: append the batch AND commit a tombstone key
+        set in the same manifest — readers drop any EARLIER row whose
+        key is tombstoned at a later version, so re-ingesting a changed
+        file replaces all of its old chunks without rewriting the table
+        (the Delta/Iceberg merge-on-read delete-vector idea, manifest
+        edition). `compact()` materializes the merge and retires the
+        tombstone debt; `load(at_version=...)` still time-travels to
+        the pre-upsert rows.
+
+        Scale shape: the write is one batch append plus a tiny distinct
+        key parquet; the read-side anti-filter is a broadcast join
+        against accumulated LIVE tombstone keys (proportional to
+        replaced files, not corpus rows) — the compaction cadence is
+        what bounds it."""
+        import uuid
+
+        keys_dir = os.path.join(
+            self.path, self.DATA_DIR, uuid.uuid4().hex + "_keys"
+        )
+        docs.select(*key_cols).distinct().write.mode("overwrite").parquet(
+            keys_dir
+        )
+        for v in self._live_versions(self._versions()):
+            m = self._read_manifest(v)
+            if "key_cols" in m and m["key_cols"] != list(key_cols):
+                raise ValueError(
+                    f"upsert key_cols {list(key_cols)} != previously "
+                    f"committed {m['key_cols']}"
+                )
+        return self.append(
+            docs,
+            validate=validate,
+            _extra_commit={
+                "tombstone_keys": keys_dir,
+                "key_cols": list(key_cols),
+            },
+        )
+
     def overwrite(self, docs: DataFrame) -> None:
         self.clear(backup=False)
         self.append(docs, validate=False)
@@ -261,8 +309,8 @@ class TransactionalDocumentStore(DocumentStore):
         # batches drop out of the snapshot (their dirs stay on disk for
         # time travel until vacuum()).
         versions = self._live_versions(versions)
-        dirs = [self._read_manifest(v)["batch_dir"] for v in versions]
-        if not dirs:
+        manifests = {v: self._read_manifest(v) for v in versions}
+        if not manifests:
             raise FileNotFoundError(f"no committed batches under {self.path}")
         # One read per batch dir, unioned by name: each dir carries its
         # own partition-column discovery (a single multi-root read can't
@@ -271,8 +319,43 @@ class TransactionalDocumentStore(DocumentStore):
         # filters/pruning into every branch.
         from functools import reduce
 
-        parts = [self.spark.read.parquet(d) for d in dirs]
-        df = reduce(lambda x, y: x.unionByName(y), parts)
+        tomb = [
+            (v, m["tombstone_keys"], m["key_cols"])
+            for v, m in manifests.items()
+            if "tombstone_keys" in m
+        ]
+        if tomb:
+            # merge-on-read: each row carries its commit version; a row
+            # is live unless a LATER live commit tombstoned its key
+            # (a commit's own rows survive its own tombstone: >=).
+            key_cols = tomb[0][2]
+            parts = [
+                self.spark.read.parquet(m["batch_dir"]).withColumn(
+                    "_sv", F.lit(v)
+                )
+                for v, m in manifests.items()
+            ]
+            df = reduce(lambda x, y: x.unionByName(y), parts)
+            tparts = [
+                self.spark.read.parquet(kd).withColumn("_tv", F.lit(v))
+                for v, kd, _ in tomb
+            ]
+            tmax = (
+                reduce(lambda x, y: x.unionByName(y), tparts)
+                .groupBy(*key_cols)
+                .agg(F.max("_tv").alias("_tv"))
+            )
+            df = (
+                df.join(F.broadcast(tmax), on=list(key_cols), how="left")
+                .filter(F.col("_tv").isNull() | (F.col("_sv") >= F.col("_tv")))
+                .drop("_tv", "_sv")
+            )
+        else:
+            parts = [
+                self.spark.read.parquet(m["batch_dir"])
+                for m in manifests.values()
+            ]
+            df = reduce(lambda x, y: x.unionByName(y), parts)
         if require_embedding:
             df = df.filter(F.col("embedding").isNotNull())
         return df
@@ -349,8 +432,9 @@ class TransactionalDocumentStore(DocumentStore):
         for v in versions:
             if v in live:
                 continue
-            d = self._read_manifest(v)["batch_dir"]
-            if os.path.isdir(d):
-                shutil.rmtree(d)
-                removed += 1
+            m = self._read_manifest(v)
+            for d in [m["batch_dir"], m.get("tombstone_keys")]:
+                if d and os.path.isdir(d):
+                    shutil.rmtree(d)
+                    removed += 1
         return removed

@@ -140,3 +140,67 @@ def test_append_dedup_skips_already_committed(spark, tmp_path):
     tripled = tripled.unionByName(tripled).unionByName(tripled)
     assert store.append_dedup(tripled, key_cols=key) == 1
     assert store.load().count() == 6
+
+
+def test_upsert_replaces_rows_by_key(spark, tmp_path):
+    store = TransactionalDocumentStore(spark, str(tmp_path / "t"))
+    store.append(_batch(spark, "a"))  # a0 a1 a2
+    # re-ingest a1 with TWO new chunks: old a1 row must vanish
+    new = spark.createDataFrame(
+        [("a1.py", ".py", i, 2, f"new{i}", [0.9, 0.9], 2.0) for i in range(2)],
+        SCHEMA,
+    )
+    assert store.upsert(new) == 2
+    rows = store.load().collect()
+    assert len(rows) == 4  # a0, a2 + two new a1 chunks
+    a1 = sorted(r.content for r in rows if r.path == "a1.py")
+    assert a1 == ["new0", "new1"]
+    # time travel still sees the pre-upsert row
+    old = [r.content for r in store.load(at_version=0).collect() if r.path == "a1.py"]
+    assert old == ["c1"]
+
+
+def test_upsert_then_compact_materializes_merge(spark, tmp_path):
+    store = TransactionalDocumentStore(spark, str(tmp_path / "t"))
+    store.append(_batch(spark, "a"))
+    new = spark.createDataFrame(
+        [("a0.py", ".py", 0, 1, "replaced", [0.5, 0.5], 2.0)], SCHEMA
+    )
+    store.upsert(new)
+    assert store.load().count() == 3
+    assert store.compact() == 3
+    assert store.load().count() == 3
+    assert {r.content for r in store.load().collect() if r.path == "a0.py"} == {
+        "replaced"
+    }
+    # vacuum drops superseded batch dirs AND orphan tombstone key dirs
+    assert store.vacuum() >= 2
+    assert store.load().count() == 3
+
+
+def test_upsert_key_cols_must_be_consistent(spark, tmp_path):
+    import pytest as _pytest
+
+    store = TransactionalDocumentStore(spark, str(tmp_path / "t"))
+    store.upsert(_batch(spark, "a"), key_cols=("path",))
+    with _pytest.raises(ValueError):
+        store.upsert(_batch(spark, "b"), key_cols=("path", "chunk_index"))
+
+
+def test_engine_reingest_replace(spark, tmp_path):
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    (repo / "a.py").write_text("def f():\n    return 1\n" * 30)
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(16),
+        dim=16, chunk_size=400, overlap=50, transactional=True,
+    )
+    eng.ingest(str(repo))
+    n0 = eng.store.load().count()
+    # file changes; replace-mode re-ingest must not duplicate chunks
+    (repo / "a.py").write_text("def g():\n    return 2\n" * 30)
+    eng.ingest(str(repo), replace=True)
+    got = eng.store.load()
+    assert got.count() == n0
+    assert got.filter("content LIKE '%return 2%'").count() == n0
+    # plain append-mode would have doubled it (the thing replace avoids)
