@@ -3844,6 +3844,104 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM STATEFUL streaming operator under the correctness
+    gate: continuous sessionization via applyInPandasWithState
+    (streaming/stateful.py), driven to completion and compared against
+    the SAME SQL oracle as the batch twin.
+
+    Two tricks make a stateful Python operator bit-match a relational
+    oracle: (1) tail flush — the operator only emits CLOSED sessions,
+    so a per-user sentinel event past the gap horizon closes every
+    user's final session (the sentinel's own session dies in state,
+    never emitted); (2) exact money — event values enter the stream as
+    integer CENTS in a double (exact in float64 far past 2^40), so the
+    per-session Python accumulation is exact and order-free like the
+    batch side's decimal sum. State is O(users) × 4 scalars — the
+    shape that holds on an unbounded stream where the batch lag+cumsum
+    window (which must re-sort history) cannot run at all."""
+    import os
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    stream_dir = tempfile.mkdtemp(prefix="stream_sess_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    # Sentinel per user: 1801 s after their last event → closes the
+    # final open session. ts written in NANOS (the raw file's unit).
+    # The streaming file source lists FILES, not directories, so the
+    # single part-file is moved into the stream dir as a plain file.
+    import glob
+    import shutil
+
+    sent_dir = tempfile.mkdtemp(prefix="stream_sess_sentinels_")
+    load_events(spark, sf_dir).groupBy("user_id").agg(
+        F.max("ts").alias("mx")
+    ).select(
+        F.lit(-1).cast("bigint").alias("event_id"),
+        (
+            (F.unix_micros(F.col("mx")) + 1801 * 1_000_000) * 1000
+        ).alias("ts"),
+        "user_id",
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    ).coalesce(1).write.mode("overwrite").parquet(sent_dir)
+    (part,) = glob.glob(os.path.join(sent_dir, "part-*.parquet"))
+    shutil.move(part, os.path.join(stream_dir, "sentinels.parquet"))
+
+    from converttovectordb_spark.streaming.stateful import stream_sessionize
+
+    ev = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            (F.col("value").cast("decimal(14,2)") * 100)
+            .cast("double")
+            .alias("value"),
+        )
+    )
+    sess = stream_sessionize(ev, gap_s=1800)
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sess.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return (
+        spark.table(name)
+        .withColumn("session_seq", F.row_number().over(w).cast("bigint"))
+        .select(
+            "user_id",
+            "session_seq",
+            "session_start",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            _round6(F.col("total_value") / 100).alias("session_value"),
+        )
+    )
+
+
 ORACLE_SESSIONIZE = """
 WITH ev AS (
   SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events
@@ -3953,6 +4051,7 @@ QUERIES = {
     "value_percentiles_approx": q_value_percentiles_approx,
     "doc_stats_approx": q_doc_stats_approx,
     "sessionize": q_sessionize,
+    "stream_sessionize": q_stream_sessionize,
 }
 
 #: Sketch-based queries have NO oracle entry on purpose: Spark's
@@ -4037,4 +4136,5 @@ ORACLES = {
     "contamination_screen": ORACLE_CONTAMINATION_SCREEN,
     "value_percentiles": ORACLE_VALUE_PERCENTILES,
     "sessionize": ORACLE_SESSIONIZE,
+    "stream_sessionize": ORACLE_SESSIONIZE,
 }
