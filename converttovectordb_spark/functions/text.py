@@ -27,9 +27,17 @@ ENGLISH_STOPWORDS = [
 ]
 
 
+#: ASCII whitespace, written out explicitly: Java's `\s` includes \x0B
+#: where RE2's (the DuckDB oracle's engine) does not, so `\s` would
+#: silently tokenize differently across engines on vertical-tab input.
+#: One explicit class keeps every engine on the same contract.
+ASCII_WS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization: split on runs of whitespace, drop empties."""
-    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    """Whitespace tokenization: split on runs of ASCII whitespace, drop
+    empties (see ASCII_WS for why not `\\s`)."""
+    return F.filter(F.split(text, ASCII_WS), lambda t: t != "")
 
 
 def token_count(text: Column) -> Column:

@@ -38,7 +38,9 @@ def lang_id_expr(text_col):
     Marker hits are counted as whole-token matches on the lowercased
     whitespace tokenization — expressible identically in ANSI SQL.
     """
-    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+    from converttovectordb_spark.functions.text import ASCII_WS
+
+    toks = F.filter(F.split(F.lower(text_col), ASCII_WS), lambda t: t != "")
     scores = []
     for lang, markers in _LANG_RULES:
         arr = F.array(*[F.lit(m) for m in markers])

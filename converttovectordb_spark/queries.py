@@ -884,7 +884,7 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_NEARDUP_JACCARD = """
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS t
   FROM documents
 ),
 sh AS (
@@ -943,7 +943,7 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_NEARDUP_CLUSTERS = """
 WITH RECURSIVE toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS t
   FROM documents
 ),
 sh AS (
@@ -991,7 +991,7 @@ FROM labels l JOIN csizes s USING (cluster_id)
 ORACLE_DEDUP_CORPUS = """
 WITH RECURSIVE toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS t
   FROM documents
 ),
 sh AS (
@@ -1064,7 +1064,7 @@ def _oracle_minhash() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS t
   FROM documents
 ),
 sh AS (
@@ -1129,7 +1129,7 @@ def _oracle_simhash() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+         unnest(list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> '')) AS t
   FROM documents
 ),
 h AS (
@@ -1291,9 +1291,9 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TOKEN_STATS = """
 WITH per AS (
   SELECT lang,
-         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'),
                               x -> x <> '')) AS BIGINT) AS n_tokens,
-         CAST(len(list_distinct(list_filter(string_split_regex(text, '\\s+'),
+         CAST(len(list_distinct(list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'),
                               x -> x <> ''))) AS BIGINT) AS n_distinct,
          length(text) AS n_chars
   FROM documents
@@ -1321,13 +1321,13 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_LANG_ID = """
 WITH scored AS (
   SELECT lang,
-         len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'),
+         len(list_filter(list_filter(string_split_regex(lower(text), '[ \\t\\n\\v\\f\\r]+'),
              x -> x <> ''), x -> x IN ('der','die','und','das','ist'))) AS s_de,
-         len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'),
+         len(list_filter(list_filter(string_split_regex(lower(text), '[ \\t\\n\\v\\f\\r]+'),
              x -> x <> ''), x -> x IN ('le','la','et','les','est'))) AS s_fr,
-         len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'),
+         len(list_filter(list_filter(string_split_regex(lower(text), '[ \\t\\n\\v\\f\\r]+'),
              x -> x <> ''), x -> x IN ('el','los','las','una','por'))) AS s_es,
-         len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'),
+         len(list_filter(list_filter(string_split_regex(lower(text), '[ \\t\\n\\v\\f\\r]+'),
              x -> x <> ''), x -> x IN ('the','a','of','to','and'))) AS s_en
   FROM documents
 ),
@@ -1452,12 +1452,12 @@ WITH per AS (
          CASE WHEN length(text) = 0 THEN 0.0
               ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
                         AS DOUBLE) / length(text) END AS p,
-         CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'),
+         CASE WHEN len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\v\\f\\r]+'),
                                    x -> x <> '')) = 0 THEN 0.0
               ELSE CAST(len(list_filter(list_filter(
-                       string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+                       string_split_regex(lower(text), '[ \\t\\n\\v\\f\\r]+'), x -> x <> ''),
                        x -> x IN ({_SW_LIST}))) AS DOUBLE)
-                   / len(list_filter(string_split_regex(lower(text), '\\s+'),
+                   / len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\v\\f\\r]+'),
                                      x -> x <> '')) END AS s,
          CASE WHEN length(text) >= 50 AND length(text) <= 5000
               THEN 1.0 ELSE 0.0 END AS length_ok
@@ -1503,7 +1503,9 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation) vs whitespace tokens, per language — the token-budget
     estimator of a training-data pipeline, all regexp codegen."""
     docs = _spread(spark, load(spark, sf_dir, "documents"))
-    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    # explicit ASCII whitespace: Java \s ≠ RE2 \s on \x0B (see
+    # functions/text.ASCII_WS)
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
     per = docs.select(
         "lang",
         F.regexp_count(F.col("text"), F.lit(pat)).cast("bigint").alias("n_bpe"),
@@ -1522,9 +1524,9 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_BPE_TOKENS = """
 WITH per AS (
   SELECT lang,
-         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\v\\f\\r]'))
               AS BIGINT) AS n_bpe,
-         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+         CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> ''))
               AS BIGINT) AS n_ws
   FROM documents
 )
@@ -2438,7 +2440,7 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TOP_NGRAMS = """
 WITH toks AS (
   SELECT lang,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS t
   FROM documents
 ),
 sh AS (
@@ -2485,7 +2487,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_BM25_SEARCH = """
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS t
   FROM documents
 ),
 dl AS (SELECT doc_id, len(t) AS dl FROM toks),
@@ -2574,7 +2576,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_HYBRID_RRF = """
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS t
   FROM documents
 ),
 dl AS (SELECT doc_id, len(t) AS dl FROM toks),
@@ -2677,7 +2679,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(lines)).alias("_d_lines"),
         F.size(F.array_distinct(tri)).alias("_d_tri"),
         F.length(F.concat_ws("", toks)).alias("_tok_chars"),
-        F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*]"))).alias(
+        F.size(F.filter(lines, lambda x: x.rlike(r"^[ \t\x0B\f\r]*[-*]"))).alias(
             "_n_bullet"
         ),
         (
@@ -2736,7 +2738,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_GOPHER_QUALITY = """
 WITH base AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t,
+         list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS t,
          list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
          text
   FROM documents
@@ -2767,7 +2769,7 @@ sig AS (
                    / CAST(len(t) AS DOUBLE)
          END AS sym,
          CASE WHEN len(lines) = 0 THEN 0.0
-              ELSE len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*]')))
+              ELSE len(list_filter(lines, x -> regexp_matches(x, '^[ \\t\\v\\f\\r]*[-*]')))
                    / CAST(len(lines) AS DOUBLE)
          END AS bul
   FROM tri
@@ -2877,7 +2879,7 @@ def q_bigram_support(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_BIGRAM_SUPPORT = """
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS t
   FROM documents
 ),
 bg AS (
@@ -2945,7 +2947,7 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TFIDF_TOPTERMS = """
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS t
   FROM documents
 ),
 tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
@@ -3196,7 +3198,7 @@ def q_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CONTEXT_PACKING = """
 WITH toks AS (
   SELECT lang, doc_id,
-         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+         len(list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> ''))
            AS n_tokens
   FROM documents
 ),
@@ -3242,7 +3244,7 @@ def q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CONTAMINATION_SCREEN = """
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS t
   FROM documents
 ),
 grams AS (
