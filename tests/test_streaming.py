@@ -51,6 +51,22 @@ def test_stream_ingest_documents(spark, tmp_path):
     q2.awaitTermination(60)
     assert spark.read.parquet(str(tmp_path / "store")).count() == n
 
+    # incremental restart: a NEW drop file → only its rows are added,
+    # already-processed files are not re-ingested (checkpoint tracking)
+    (drop / "batch2.json").write_text(
+        json.dumps({"path": "c.py", "content": "gamma doc", "extension": ".py"})
+    )
+    q3 = stream_ingest_documents(
+        spark, str(drop), str(tmp_path / "store"), str(tmp_path / "ckpt"),
+        embedder=hash_embedder(16), dim=16,
+    )
+    q3.awaitTermination(60)
+    out3 = spark.read.parquet(str(tmp_path / "store"))
+    assert {r.path for r in out3.select("path").distinct().collect()} == {
+        "a.py", "b.md", "c.py",
+    }
+    assert out3.filter(out3.path == "a.py").count() == multi
+
 
 def test_stream_events_hourly(spark, tmp_path):
     src = tmp_path / "events"
