@@ -165,3 +165,33 @@ def test_search_truncates_content(spark, tmp_path):
     assert res[0].content == "A" * 500 + "..."
     full = eng.search("A" * 900, top_k=1).collect()
     assert full[0].content == "A" * 900
+
+
+def test_sentence_transformer_embedder_contract(spark, tmp_path):
+    """Real-model path: runs end-to-end wherever sentence-transformers
+    is installed; in this container it auto-skips (the seam raises a
+    documented NotImplementedError instead of failing mid-pipeline)."""
+    import pytest
+
+    from converttovectordb_spark.embeddings import (
+        sentence_transformer_embedder,
+    )
+
+    embedder = sentence_transformer_embedder()
+    try:
+        out = embedder(["hello world", "vector engines"])
+    except NotImplementedError:
+        pytest.skip("sentence-transformers not installed in this env")
+    # contract: (batch, dim) float array, row-aligned with the input
+    assert out.shape[0] == 2 and out.shape[1] > 0
+    eng_dim = int(out.shape[1])
+    from converttovectordb_spark.engine import VectorEngine
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    (repo / "a.py").write_text("def f():\n    return 1\n" * 10)
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=embedder, dim=eng_dim
+    )
+    eng.ingest(str(repo))
+    assert eng.search("return one", top_k=2).count() >= 0
