@@ -1,0 +1,143 @@
+"""Scaling probe: replicate the sf0.1 tables in-memory at 1x/4x/16x
+and measure wall-clock for representative operators, writing the
+observed throughput slopes to SCALING.md.
+
+The point is evidence, not simulation of a cluster: if an operator's
+rows/sec holds (or grows, as fixed costs amortize) while N scales 16x
+on fixed hardware, its plan has no super-linear step on the measured
+path — the property the 100 TB design arguments claim. Run:
+
+    python tools/scale_probe.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+MULTS = [1, 4, 16]
+
+
+def _replicate(df: DataFrame, mult: int, id_col: str) -> DataFrame:
+    """mult copies with disjoint ids (id + k*N), keeping key cardinality
+    proportional to rows — dedup/group shapes stay honest."""
+    n = df.count()
+    copies = [
+        df.withColumn(id_col, F.col(id_col) + F.lit(k * n)) for k in range(mult)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out.repartition(32)
+
+
+def _time(df: DataFrame) -> float:
+    t = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t
+
+
+def main() -> int:
+    from converttovectordb_spark.functions.text import token_count, tokens
+    from converttovectordb_spark.operators.dedup import exact_dedup
+    from converttovectordb_spark.operators.search import bm25_scores
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("scale-probe")
+        .master("local[32]")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    li0 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    n_docs0, n_li0 = docs0.count(), li0.count()
+
+    def op_exact_dedup(d):
+        return exact_dedup(d, text_col="text", id_col="doc_id")
+
+    def op_token_stats(d):
+        return d.groupBy("lang").agg(
+            F.avg(token_count(F.col("text"))).alias("avg_tokens")
+        )
+
+    def op_bm25(d):
+        return bm25_scores(d, ["vector", "join", "scan"])
+
+    def op_shingle_index(d):
+        from converttovectordb_spark.functions.text import word_shingles
+
+        sh = d.select(
+            "doc_id", F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias("s")
+        )
+        return sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+
+    def op_pricing(li):
+        val = (F.col("l_extendedprice").cast("decimal(18,4)")
+               * (1 - F.col("l_discount").cast("decimal(18,4)")))
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(val).alias("rev"), F.count(F.lit(1)).alias("n")
+        )
+
+    doc_ops = {
+        "exact_dedup": op_exact_dedup,
+        "token_stats_agg": op_token_stats,
+        "bm25_postings": op_bm25,
+        "shingle_inverted_index": op_shingle_index,
+    }
+
+    results: dict[str, dict[int, float]] = {}
+    for mult in MULTS:
+        docs = _replicate(docs0, mult, "doc_id")
+        for name, op in doc_ops.items():
+            dt = _time(op(docs))
+            results.setdefault(name, {})[mult] = dt
+            print(f"{name} x{mult}: {dt:.2f}s", file=sys.stderr)
+        li = _replicate(li0, mult, "l_orderkey")
+        dt = _time(op_pricing(li))
+        results.setdefault("pricing_summary_agg", {})[mult] = dt
+        print(f"pricing x{mult}: {dt:.2f}s", file=sys.stderr)
+
+    lines = [
+        "# SCALING — measured operator scaling on fixed hardware",
+        "",
+        "`python tools/scale_probe.py`: sf0.1 tables replicated in-memory",
+        f"at {MULTS} with disjoint keys, re-scanned per run (documents",
+        f"{n_docs0} rows/x, lineitem {n_li0} rows/x), each operator",
+        "timed via a noop sink",
+        "on local[32]. A flat-or-falling sec-per-1x column means no",
+        "super-linear step on the measured path — fixed per-job costs",
+        "(codegen, scheduling) amortize while per-row cost stays",
+        "constant; that is the slope the 100 TB arguments require.",
+        "",
+        "| operator | " + " | ".join(f"{m}x sec" for m in MULTS)
+        + " | sec-per-1x at " + "/".join(str(m) for m in MULTS) + " |",
+        "|---|" + "---|" * (len(MULTS) + 1),
+    ]
+    for name, t in results.items():
+        per = [t[m] / m for m in MULTS]
+        lines.append(
+            f"| {name} | "
+            + " | ".join(f"{t[m]:.2f}" for m in MULTS)
+            + " | "
+            + " / ".join(f"{p:.2f}" for p in per)
+            + " |"
+        )
+    lines.append("")
+    with open("SCALING.md", "w") as fh:
+        fh.write("\n".join(lines))
+    print("wrote SCALING.md")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
