@@ -33,6 +33,18 @@ def main() -> int:
     # Warm the JVM/codegen paths so the first timed query doesn't absorb
     # session startup cost.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Warm table metadata (file listing + parquet footers) the same way
+    # for every table, so per-query timings measure the QUERY, not
+    # whichever query happens to touch a table first. (Data pages are
+    # NOT cached — each query still scans.)
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        try:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").schema
+        except Exception:
+            pass
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0

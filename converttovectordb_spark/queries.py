@@ -2179,8 +2179,15 @@ def q_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregate: salt the key (8 shards) → partial
     agg on (key, salt) → final agg on key. Identical result to a plain
     groupBy (the oracle), but a hot key's rows split across 8 tasks
-    instead of one — the standard skew guard when AQE's skew handling
-    can't apply (e.g. a single giant group in an aggregation)."""
+    instead of one.
+
+    Scope note (measured in SCALING.md): Spark's own machinery already
+    absorbs SUM-shaped skew (map-side partial agg) and DISTINCT-shaped
+    skew (the rewrite's first-level key+value shuffle), so manual
+    salting is the tool for the remaining gap — decomposable aggregates
+    whose partial phase is ineffective on a given data shape, or
+    execution paths without those rewrites. The pattern is demonstrated
+    here on a shape where it is SAFE, not claimed to be faster."""
     ev = load_events(spark, sf_dir)
     val = F.col("value").cast("decimal(14,2)")
     partial = (
