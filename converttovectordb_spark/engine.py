@@ -33,8 +33,7 @@ from converttovectordb_spark.operators.search import (
     validate_top_k,
 )
 from converttovectordb_spark.operators.stats import (
-    avg_chunks_per_file,
-    corpus_stats,
+    corpus_stats_full,
     docs_by_extension,
     health as _health,
 )
@@ -330,13 +329,13 @@ class VectorEngine:
                 "avg_chunks_per_file": None,
             }
         docs = self.store.load(require_embedding=False)
-        base = corpus_stats(docs).collect()[0].asDict()
-        by_ext = {
+        # Exactly TWO jobs at serving time: the fused one-pass aggregate
+        # (A1/A3/A4/avg-chars/A5 share one scan + one shuffle) and the
+        # per-extension groupBy. Was three scans before round 3.
+        base = corpus_stats_full(docs).collect()[0].asDict()
+        base["documents_by_extension"] = {
             r["extension"]: r["n_docs"] for r in docs_by_extension(docs).collect()
         }
-        avg_chunks = avg_chunks_per_file(docs).collect()[0][0]
-        base["documents_by_extension"] = by_ext
-        base["avg_chunks_per_file"] = avg_chunks
         return base
 
     def health(self) -> dict:

@@ -56,6 +56,41 @@ def avg_chunks_per_file(docs: DataFrame) -> DataFrame:
     return per_file.agg(F.avg("chunks").alias("avg_chunks_per_file"))
 
 
+def corpus_stats_full(docs: DataFrame) -> DataFrame:
+    """A1+A3+A4+avg-chars+A5 in ONE action (one two-level aggregate).
+
+    A5 already forces a per-path groupBy; every global stat is
+    recoverable from those per-path partials, so the whole /stats
+    suite rides the SAME shuffle instead of three separate jobs
+    (reference computes all of it in one Python loop,
+    mock_vector_db_api.py:314-379 — one pass there, one job here):
+      total_documents   = sum of per-path row counts
+      unique_files      = count of non-empty path groups (path='' and
+                          NULL-path groups excluded, matching
+                          countDistinct(when(path != '', path)))
+      total_content_kb  = sum of per-path content-length sums / 1024
+      avg_content_chars = global length sum / global row count
+      avg_chunks_per_file = avg of per-path max(total_chunks), every
+                          path group included — identical to
+                          `avg_chunks_per_file` on its own.
+    At 100 TB: map-side partial agg on path, one small shuffle, then a
+    single-row reduce — no extra scan per statistic."""
+    per_file = docs.groupBy("path").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count(F.length("content")).alias("_n_content"),
+        F.sum(F.length("content")).alias("_len"),
+        F.max("total_chunks").alias("_chunks"),
+    )
+    return per_file.agg(
+        F.sum("_n").alias("total_documents"),
+        F.count(F.when(F.col("path") != "", F.lit(1))).alias("unique_files"),
+        (F.sum("_len") / F.lit(1024.0)).alias("total_content_kb"),
+        # divide by non-null-content rows, matching avg(length(content))
+        (F.sum("_len") / F.sum("_n_content")).alias("avg_content_chars"),
+        F.avg("_chunks").alias("avg_chunks_per_file"),
+    )
+
+
 def health(docs: DataFrame) -> dict:
     """A6 analog: basic liveness counters."""
     row = docs.agg(

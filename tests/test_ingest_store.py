@@ -137,6 +137,55 @@ def test_ingest_metrics_observed(spark, repo_tree, tmp_path_factory):
     assert m["total_time"] > 0.0
 
 
+def test_stats_runs_at_most_two_actions(spark, repo_tree, tmp_path_factory,
+                                        monkeypatch):
+    """Round-3 perf contract: VectorEngine.stats() fuses A1/A3/A4/A5
+    into one aggregate action + one per-extension groupBy — exactly two
+    Spark ACTIONS (table scans) at serving time, was three in round 2,
+    mirroring the reference's single-pass loop
+    (mock_vector_db_api.py:314-379). Actions, not job IDs: AQE splits
+    one action into a job per query stage, so job counts are
+    plan-dependent noise."""
+    store_dir = tmp_path_factory.mktemp("stats_jobs")
+    eng = VectorEngine(
+        spark, str(store_dir / "store"), embedder=hash_embedder(16),
+        dim=16, chunk_size=500, overlap=100,
+    )
+    eng.ingest(repo_tree)
+
+    try:  # Spark 4: the concrete class overrides collect
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # Spark 3 fallback
+        from pyspark.sql import DataFrame
+
+    calls = []
+    real_collect = DataFrame.collect
+    monkeypatch.setattr(
+        DataFrame, "collect",
+        lambda self: (calls.append(1), real_collect(self))[1],
+    )
+    stats = eng.stats()
+    monkeypatch.undo()
+    assert 0 < len(calls) <= 2, f"stats() ran {len(calls)} collect actions"
+
+    # fused aggregate must agree with independently-computed values
+    docs = eng.store.load()
+    assert stats["total_documents"] == docs.count()
+    assert stats["unique_files"] == (
+        docs.filter(F.col("path") != "").select("path").distinct().count()
+    )
+    exp_avg_chunks = (
+        docs.groupBy("path").agg(F.max("total_chunks").alias("c"))
+        .agg(F.avg("c")).collect()[0][0]
+    )
+    assert stats["avg_chunks_per_file"] == pytest.approx(exp_avg_chunks)
+    exp_chars = docs.agg(F.avg(F.length("content"))).collect()[0][0]
+    assert stats["avg_content_chars"] == pytest.approx(exp_chars)
+    assert stats["total_content_kb"] == pytest.approx(
+        docs.agg(F.sum(F.length("content"))).collect()[0][0] / 1024.0
+    )
+
+
 def test_empty_store_search_and_stats(spark, tmp_path):
     """Reference behavior: a never-ingested database answers queries
     with empty results and zero stats, not an error."""

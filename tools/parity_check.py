@@ -5,6 +5,11 @@ the same sf dir, then compares row count, column names, and exact
 values (columns sorted by name, rows sorted by all columns). Run:
 
     python tools/parity_check.py [sf_dir] [query ...]
+
+With PARITY_JSON=<path> set, also writes a per-query result map in the
+driver's CORRECTNESS format — committed as PARITY_full.json each round
+so out-of-window queries (the driver gate caps at 50 entries) still
+have an in-repo verified record.
 """
 
 from __future__ import annotations
@@ -55,6 +60,16 @@ def main() -> int:
         )
 
     failures = []
+    results: dict[str, dict] = {}
+
+    def record(name, **kw):
+        base = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        base.update(kw)
+        results[name] = base
+
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -65,10 +80,14 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
+            record(name, err=f"spark error: {e}")
             print(f"FAIL {name}: spark error: {e}")
             continue
         spark_t = time.time() - t0
         if name not in ORACLES:
+            record(name, rows_match=True, schema_match=True,
+                   hash_match=None, spark_rows=len(srows),
+                   err="rows-only (no oracle by design)")
             print(f"ok   {name}: rows-only ({len(srows)} rows, {spark_t:.1f}s)")
             continue
         try:
@@ -77,8 +96,12 @@ def main() -> int:
             drows = rel.fetchall()
         except Exception as e:
             failures.append(name)
+            record(name, spark_rows=len(srows), err=f"duckdb error: {e}")
             print(f"FAIL {name}: duckdb error: {e}")
             continue
+        record(name, spark_rows=len(srows), oracle_rows=len(drows),
+               rows_match=len(srows) == len(drows),
+               schema_match=sorted(scols) == sorted(dcols))
         if sorted(scols) != sorted(dcols):
             failures.append(name)
             print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(dcols)}")
@@ -93,7 +116,17 @@ def main() -> int:
             bad = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
             print(f"FAIL {name}: value mismatch, first diffs: {bad}")
             continue
+        results[name]["hash_match"] = True
         print(f"ok   {name}: {len(srows)} rows match ({spark_t:.1f}s)")
+
+    import json
+    import os
+
+    out_path = os.environ.get("PARITY_JSON")
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "results": results}, fh, indent=1)
+        print(f"wrote {out_path}")
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
     return 1 if failures else 0
