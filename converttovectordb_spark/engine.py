@@ -213,9 +213,16 @@ class VectorEngine:
         from converttovectordb_spark.operators.search import bm25_scores
 
         if not self.store.exists():
-            return self._empty_results().withColumn(
-                "rrf", F.lit(None).cast("double")
-            ).drop("score")
+            # same schema as the non-empty path (sem_rank/lex_rank/rrf
+            # included) so callers that branch on columns or union
+            # results never see a store-state-dependent shape
+            return (
+                self._empty_results()
+                .withColumn("sem_rank", F.lit(None).cast("int"))
+                .withColumn("lex_rank", F.lit(None).cast("int"))
+                .withColumn("rrf", F.lit(None).cast("double"))
+                .drop("score")
+            )
         docs = self.store.load().withColumn(
             "_rid", F.concat_ws("#", F.col("path"), F.col("chunk_index"))
         )

@@ -408,9 +408,14 @@ def connected_components(
       (500k edges ≈ 8 MB of longs; α(n) union-find is instant).
     * larger graphs: distributed min-label propagation (Pregel-lite as
       join+groupBy rounds), converging in O(component diameter) rounds
-      — shallow for dup clusters. Per-round intermediates are persisted
-      and released after the convergence check; at extreme scale add a
-      localCheckpoint every few rounds to truncate lineage.
+      — shallow for dup clusters. Each round's labels are
+      ``localCheckpoint``-ed: persist alone does NOT truncate the
+      logical plan, and since ``labels`` feeds ``new`` twice per round
+      the un-truncated plan DOUBLES every iteration (driver OOM near
+      round 15 just stringifying the tree). Checkpointing caps the plan
+      at one round's depth; on a durable cluster job swap in
+      ``checkpoint()`` with a checkpoint dir to also survive executor
+      loss.
     """
     raw = _materialize(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     n_edges = raw.count()
@@ -452,15 +457,19 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
+    changed = 0
     for _ in range(max_iter):
         nbr = sym.join(
             labels.withColumnRenamed("node", "v"), on="v"
         ).select(F.col("u").alias("node"), F.col("comp"))
-        new = _materialize(
+        # localCheckpoint (NOT persist): truncates lineage so the plan
+        # stays one-round deep instead of doubling per iteration.
+        new = (
             labels.select("node", "comp")
             .union(nbr)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
         )
         changed = (
             new.withColumnRenamed("comp", "_new")
@@ -472,6 +481,17 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # A component with diameter > max_iter (chain-shaped dup
+        # clusters) would otherwise return wrong labels SILENTLY,
+        # breaking the bit-identical-to-the-recursive-CTE contract.
+        # Propagation halves the effective diameter only via min-label
+        # hops, so raise rather than hand back a partial fixpoint.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds ({changed} labels still changing); raise max_iter "
+            "— component diameter exceeds the iteration budget"
+        )
     return labels
 
 

@@ -83,6 +83,61 @@ def _round6(col) -> F.Column:
     return F.round(col.cast("double"), 6)
 
 
+def _artifact_cache_dir(kind: str, src_files: list, params: str) -> str:
+    """Per-user, content-keyed cache location for derived artifacts
+    (the persisted IVF index, the mined Jaccard pair graph).
+
+    Round-2 advisory fixes baked in:
+      * scoped under ``~/.cache/converttovectordb_spark`` (0700), not
+        the shared system temp dir — another user cannot pre-create or
+        poison the path;
+      * the dir NAME is a hash of source CONTENT (size + head/tail MiB
+        of each source) + build params, not an mtime comparison — an
+        mtime-preserving copy, a restored snapshot, or changed params
+        each map to a different key instead of silently reusing a stale
+        artifact. Existence of the final dir == valid artifact, because
+        builds land via atomic rename (`_publish_artifact`), so
+        concurrent same-key runs can at worst both build identical
+        bytes; the rename loser discards its copy and reads the
+        winner's.
+    """
+    import hashlib
+    import os
+
+    h = hashlib.sha256(params.encode())
+    for p in sorted(str(s) for s in src_files):
+        st = os.stat(p)
+        h.update(f"|{os.path.basename(p)}:{st.st_size}:".encode())
+        if os.path.isdir(p):  # multi-file parquet dir: hash the listing
+            for f_ in sorted(os.listdir(p)):
+                fp = os.path.join(p, f_)
+                h.update(f"{f_}:{os.path.getsize(fp)};".encode())
+        else:
+            with open(p, "rb") as fh:
+                h.update(fh.read(1 << 20))
+                if st.st_size > (2 << 20):
+                    fh.seek(-(1 << 20), os.SEEK_END)
+                    h.update(fh.read(1 << 20))
+    root = os.path.join(
+        os.path.expanduser("~"), ".cache", "converttovectordb_spark"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    os.chmod(root, 0o700)
+    return os.path.join(root, f"{kind}_{h.hexdigest()[:16]}")
+
+
+def _publish_artifact(build_dir: str, final_dir: str) -> None:
+    """Atomically promote a finished build; if another process won the
+    race, keep theirs (same content key → same bytes) and drop ours."""
+    import os
+    import shutil
+
+    try:
+        os.rename(build_dir, final_dir)
+    except OSError:
+        shutil.rmtree(build_dir, ignore_errors=True)
+
+
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Repartition a small-file scan across all cores before CPU-heavy
     per-row work (shingling, md5 batteries) — but ONLY when the scan
@@ -287,25 +342,26 @@ def q_vector_ivf_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan. This is the fix for round-1's "centroids recomputed per query
     batch" weakness.
     """
-    import hashlib
     import os
-    import tempfile
 
     from converttovectordb_spark.plans.ivf_index import IVFIndex, build_ivf_index
 
     emb = load(spark, sf_dir, "embeddings")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    index_path = f"{tempfile.gettempdir()}/cvdb_ivf_index_{tag}"
     # Build (one corpus pass) — in production this is a separate offline
-    # job; here the entry stays self-contained but REUSES an index that
-    # is newer than its source (the deterministic build makes that safe),
-    # so repeated queries pay only the probe, exactly like production.
-    src_mtime = os.path.getmtime(f"{sf_dir}/embeddings.parquet")
-    marker = f"{index_path}/centroids/_SUCCESS"
-    if os.path.exists(marker) and os.path.getmtime(marker) > src_mtime:
+    # job; here the entry stays self-contained but REUSES an existing
+    # artifact (content-keyed dir name: same source bytes + params →
+    # same key, deterministic build → same index), so repeated queries
+    # pay only the probe, exactly like production.
+    index_path = _artifact_cache_dir(
+        "ivf_index", [f"{sf_dir}/embeddings.parquet"], "cluster_col=label"
+    )
+    if os.path.isdir(index_path):
         index = IVFIndex(spark, index_path)
     else:
-        index = build_ivf_index(emb, index_path, cluster_col="label")
+        build_dir = f"{index_path}.build-{os.getpid()}"
+        build_ivf_index(emb, build_dir, cluster_col="label")
+        _publish_artifact(build_dir, index_path)
+        index = IVFIndex(spark, index_path)
     probes = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -853,23 +909,23 @@ def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact and re-read afterwards — the same build-once/probe-many
     reasoning as the persisted IVF index, and (being a file, not
     executor cache) it survives `spark.catalog.clearCache()` between
-    bench queries. Staleness-guarded by source mtime; the artifact
-    holds duplicate PAIRS only, never corpus data."""
-    import hashlib
+    bench queries. Staleness-guarded by a content-hash key
+    (_artifact_cache_dir); the artifact holds duplicate PAIRS only,
+    never corpus data."""
     import os
-    import tempfile
 
-    # params in the tag: changing the mining contract invalidates the
+    # params in the key: changing the mining contract invalidates the
     # artifact rather than silently serving the old graph
-    tag = hashlib.md5(f"{sf_dir}|t=0.2|df=10000|sh=3".encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/cvdb_jaccard_pairs_{tag}"
-    marker = f"{path}/_SUCCESS"
-    src_mtime = os.path.getmtime(f"{sf_dir}/documents.parquet")
-    if not (os.path.exists(marker) and os.path.getmtime(marker) > src_mtime):
+    path = _artifact_cache_dir(
+        "jaccard_pairs", [f"{sf_dir}/documents.parquet"], "t=0.2|df=10000|sh=3"
+    )
+    if not os.path.isdir(path):
         docs = _spread(spark, load(spark, sf_dir, "documents"))
+        build_dir = f"{path}.build-{os.getpid()}"
         jaccard_neardup_pairs(
             docs, threshold=0.2, max_shingle_df=10000
-        ).write.mode("overwrite").parquet(path)
+        ).write.mode("overwrite").parquet(build_dir)
+        _publish_artifact(build_dir, path)
     return spark.read.parquet(path)
 
 

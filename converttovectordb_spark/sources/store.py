@@ -223,9 +223,17 @@ class TransactionalDocumentStore(DocumentStore):
         rows that are dropped. Which physical row survives an
         intra-batch duplicate is unspecified (keys are equal by
         construction)."""
+        # NULL-sentinel each column BEFORE concat: concat_ws silently
+        # skips NULLs, so ('x', NULL, 'y') and ('x', 'y', NULL) would
+        # otherwise collide and one row be wrongly dropped. The sentinel
+        # also disambiguates NULL from the empty string.
         key = F.md5(
             F.concat_ws(
-                "\x1f", *[F.col(c).cast("string") for c in key_cols]
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>"))
+                    for c in key_cols
+                ],
             )
         )
         batch = docs.withColumn("_dedup_key", key).dropDuplicates(

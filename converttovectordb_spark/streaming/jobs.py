@@ -37,6 +37,24 @@ from pyspark.sql.types import (
 from converttovectordb_spark.embeddings import embed_column
 from converttovectordb_spark.sources.chunker import explode_chunks
 
+
+def stream_txn_id(checkpoint_dir: str, epoch_id: int) -> str:
+    """Namespaced exactly-once transaction id for a streaming epoch.
+
+    Mirrors Delta's (txnAppId, txnVersion) pair: the checkpoint dir is
+    the stable per-query identity, the epoch is the version. A bare
+    `stream-epoch-{n}` id would collide across queries — if the
+    checkpoint is recreated (epoch counter restarts at 0) or a second
+    stream writes to the same store, new batches would match old
+    manifest txn ids and be silently dropped as replays."""
+    import hashlib
+    import os
+
+    ns = hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+    return f"stream-{ns}-epoch-{epoch_id}"
+
 #: Schema for streamed raw text-file records dropped into the ingest dir
 #: (one JSON per file batch: {path, content, extension}).
 RAW_FILES_SCHEMA = StructType(
@@ -131,7 +149,7 @@ def stream_ingest_transactional(
         docs = embed_column(chunks, "content", "embedding", embedder, dim)
         store.append(
             docs.withColumn("timestamp", F.lit(float(epoch_id))),
-            txn_id=f"stream-epoch-{epoch_id}",
+            txn_id=stream_txn_id(checkpoint_dir, epoch_id),
         )
 
     writer = (

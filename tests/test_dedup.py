@@ -170,3 +170,25 @@ def test_connected_components_both_strategies_agree(spark):
     }
     assert small == want
     assert big == want
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A chain whose diameter exceeds max_iter must RAISE, not silently
+    return a partial fixpoint (round-2 advisory)."""
+    import pytest
+
+    from converttovectordb_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["a", "b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, driver_threshold=0, max_iter=2)
+    # same graph converges with budget to spare
+    ok = {
+        r.node: r.comp
+        for r in connected_components(
+            chain, driver_threshold=0, max_iter=15
+        ).collect()
+    }
+    assert set(ok.values()) == {0}

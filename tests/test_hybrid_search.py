@@ -63,3 +63,20 @@ def test_hybrid_empty_store_returns_empty(spark, tmp_path):
         spark, str(tmp_path / "nostore"), embedder=hash_embedder(16), dim=16
     )
     assert eng.search_hybrid("anything").count() == 0
+
+
+def test_hybrid_schema_same_for_empty_and_populated_store(spark, tmp_path):
+    """Round-2 advisory: callers that branch on columns or union
+    results must never see a store-state-dependent schema."""
+    empty_eng = VectorEngine(
+        spark, str(tmp_path / "nostore"), embedder=hash_embedder(16), dim=16
+    )
+    full_eng = _engine(spark, tmp_path)
+    empty_cols = set(empty_eng.search_hybrid("x").columns)
+    full_cols = set(full_eng.search_hybrid("x").columns)
+    assert empty_cols == full_cols
+    assert {"sem_rank", "lex_rank", "rrf"} <= empty_cols
+    # unionByName across the two states must be legal
+    empty_eng.search_hybrid("x").unionByName(
+        full_eng.search_hybrid("x")
+    ).collect()

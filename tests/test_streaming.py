@@ -172,9 +172,17 @@ def test_stream_ingest_transactional_exactly_once(spark, tmp_path):
     assert n > 0
     # simulate an epoch REPLAY (sink succeeded, checkpoint lost): the
     # same epoch's append must no-op on the txn id
+    from converttovectordb_spark.streaming.jobs import stream_txn_id
+
     batch = store.load(at_version=0)
-    assert store.append(batch, txn_id="stream-epoch-0") == 0
+    replay_id = stream_txn_id(str(tmp_path / "ck"), 0)
+    assert store.append(batch, txn_id=replay_id) == 0
     assert store.load().count() == n
+    # a DIFFERENT query's checkpoint must NOT collide with this one's
+    # epoch ids (the round-2 advisory: bare epoch counters silently
+    # drop new data as replays after checkpoint recreation)
+    other_id = stream_txn_id(str(tmp_path / "other_ck"), 0)
+    assert other_id != replay_id
     # a NEW drop file is a new epoch → appended normally
     (drop / "b2.json").write_text(json.dumps(
         {"path": "c.md", "content": "gamma doc", "extension": ".md"}))

@@ -142,6 +142,28 @@ def test_append_dedup_skips_already_committed(spark, tmp_path):
     assert store.load().count() == 6
 
 
+def test_append_dedup_null_positions_do_not_collide(spark, tmp_path):
+    """('x', NULL) and (NULL, 'x') multi-column keys are DIFFERENT rows:
+    the NULL sentinel stops concat_ws from silently skipping NULLs and
+    collapsing them into the same dedup key (round-2 advisory). NULL is
+    also distinct from the empty string."""
+    store = TransactionalDocumentStore(spark, str(tmp_path / "t"))
+    rows = [
+        ("x", None, 0, 1, "a", [0.1], 1.0),
+        (None, "x", 0, 1, "b", [0.1], 1.0),
+        ("", "x", 0, 1, "c", [0.1], 1.0),  # empty string vs NULL path
+    ]
+    batch = spark.createDataFrame(rows, SCHEMA)
+    assert store.append_dedup(
+        batch, key_cols=("path", "extension"), validate=False
+    ) == 3
+    # re-delivery of the same keys is still fully deduped
+    assert store.append_dedup(
+        batch, key_cols=("path", "extension"), validate=False
+    ) == 0
+    assert store.load(require_embedding=False).count() == 3
+
+
 def test_upsert_replaces_rows_by_key(spark, tmp_path):
     store = TransactionalDocumentStore(spark, str(tmp_path / "t"))
     store.append(_batch(spark, "a"))  # a0 a1 a2
