@@ -63,6 +63,15 @@ def _build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--top-k", type=int, default=5)
     common(sp)
 
+    sp = sub.add_parser(
+        "answer",
+        help="RAG answer: top-k retrieval + prompt assembly + LLM seam "
+        "(deterministic fake generator in this environment)",
+    )
+    sp.add_argument("--query", required=True)
+    sp.add_argument("--top-k", type=int, default=5)
+    common(sp)
+
     sp = sub.add_parser("stats", help="corpus statistics")
     common(sp)
 
@@ -120,6 +129,17 @@ def main(argv: list[str] | None = None) -> int:
         res = eng.search_hybrid(args.query, args.top_k)
         rows = [r.asDict() for r in res.collect()]
         print(json.dumps({"command": "hybrid", "results": rows}))
+    elif args.command == "answer":
+        row = eng.answer(args.query, args.top_k).collect()[0]
+        print(
+            json.dumps(
+                {
+                    "command": "answer",
+                    "n_results": row["n_results"],
+                    "generation": row["generation"],
+                }
+            )
+        )
     elif args.command == "stats":
         print(json.dumps({"command": "stats", **eng.stats()}))
     elif args.command == "health":

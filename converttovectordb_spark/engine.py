@@ -267,6 +267,36 @@ class VectorEngine:
             .orderBy(F.col("rrf").desc())
         )
 
+    def answer(
+        self,
+        query_text: str,
+        top_k: int = 5,
+        *,
+        generator=None,
+        max_chars_per_result: int = 2000,
+    ) -> DataFrame:
+        """Retrieval-augmented generation: top-k search → in-plan
+        prompt assembly → injectable LLM stage (the reference's
+        downstream estimate_time.py:30-78 flow — read results, frame
+        them under a context heading, call the model — expressed as one
+        engine verb). Returns DataFrame(prompt, generation, n_results);
+        the generator defaults to the deterministic fake, and nothing
+        here joins ``queries()`` — generation is nondeterministic by
+        nature (SURVEY §2.5)."""
+        from converttovectordb_spark.operators.generate import (
+            ai_generate,
+            assemble_context,
+            rag_prompt,
+        )
+
+        hits = self.search(query_text, top_k)
+        ctx = assemble_context(
+            hits, max_chars_per_result=max_chars_per_result
+        ).withColumn("prompt", rag_prompt(query_text))
+        return ai_generate(ctx, "prompt", generator=generator).select(
+            "prompt", "generation", "n_results"
+        )
+
     def search_vector(self, query_vector: list[float], top_k: int = 5) -> DataFrame:
         if not self.store.exists():
             return self._empty_results()

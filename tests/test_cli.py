@@ -40,6 +40,10 @@ def test_cli_ingest_search_stats_clear(tmp_path):
     hy = _run("hybrid", "--query", "return 42", "--top-k", "2", *common)
     assert isinstance(hy["results"], list) and len(hy["results"]) <= 2
 
+    an = _run("answer", "--query", "return 42", "--top-k", "2", *common)
+    assert an["n_results"] >= 1
+    assert an["generation"].startswith("FAKE[")
+
     he = _run("health", *common)
     assert he["documents_count"] == st["total_documents"]
 
