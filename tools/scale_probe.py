@@ -140,6 +140,40 @@ def main() -> int:
         file=sys.stderr,
     )
 
+    # --- skew experiment 2: JOIN skew, AQE skew-join split on vs off ---
+    # The same Zipf-hot fact table sort-merge-joined to a 10k-row dim.
+    # Broadcast is disabled to force the SMJ shape this experiment is
+    # about (at 100 TB the dim side may genuinely exceed broadcast
+    # budget); the hot key's ~10M fact rows then land on ONE reducer
+    # unless AQE splits the skewed partition. Skew thresholds are
+    # scaled DOWN with the test data (the hot partition here is ~tens
+    # of MB; production defaults of 256 MB trigger naturally at real
+    # scale).
+    dim = spark.range(n_keys).select(
+        F.col("id").alias("k"), F.hash("id").alias("attr")
+    )
+    joined = base.join(dim, "k").select("k", "v", "attr")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    t_join_off = _time(joined)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    t_join_on = _time(joined)
+    for key in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.enabled",
+    ):
+        spark.conf.unset(key)
+    print(
+        f"skew join: AQE-off {t_join_off:.2f}s vs AQE-on {t_join_on:.2f}s",
+        file=sys.stderr,
+    )
+
     lines = [
         "# SCALING — measured operator scaling on fixed hardware",
         "",
@@ -183,13 +217,30 @@ def main() -> int:
         f"| native groupBy(k).countDistinct(v) | {t_naive:.2f} |",
         f"| manual (k, hash(v)%32) two-phase | {t_salted:.2f} |",
         "",
-        "Engine-native skew coverage this confirms: SUM-shaped skew →",
-        "map-side partial aggregation; DISTINCT-shaped skew → the",
-        "(key, value) first-level shuffle; join skew → AQE skew-join",
-        "splitting. Manual salting (`salted_user_totals`) remains the",
-        "tool for the gap: decomposable aggregates whose partial phase",
-        "is ineffective on a specific data shape, and engines/paths",
-        "where those rewrites are unavailable.",
+        "## Skew: sort-merge JOIN under a hot key — AQE split, measured",
+        "",
+        "Same hot fact table joined to a 10,000-row dim with broadcast",
+        "disabled (the forced-SMJ case a too-big-to-broadcast dim hits",
+        "at 100 TB). With AQE skew-join off, the hot key's ~10M rows",
+        "are one reducer's sort+join task; with it on, the skewed",
+        "partition splits into advisory-size pieces that join the same",
+        "dim rows in parallel. Skew thresholds scaled to the test data",
+        "(hot partition ~tens of MB; the 256 MB production default",
+        "triggers naturally at real scale):",
+        "",
+        "| strategy | sec |",
+        "|---|---|",
+        f"| SMJ, AQE skew-join OFF | {t_join_off:.2f} |",
+        f"| SMJ, AQE skew-join ON (16m thresholds) | {t_join_on:.2f} |",
+        "",
+        "Engine-native skew coverage this confirms, now measured on all",
+        "three promised shapes: SUM-shaped skew → map-side partial",
+        "aggregation; DISTINCT-shaped skew → the (key, value)",
+        "first-level shuffle; join skew → AQE skew-join splitting.",
+        "Manual salting (`salted_user_totals`) remains the tool for the",
+        "gap: decomposable aggregates whose partial phase is",
+        "ineffective on a specific data shape, and engines/paths where",
+        "those rewrites are unavailable.",
         "",
     ]
     with open("SCALING.md", "w") as fh:
