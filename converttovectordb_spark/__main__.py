@@ -84,6 +84,15 @@ def _build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("demo", help="ingest a sample tree + run a query")
     common(sp)
+
+    sp = sub.add_parser(
+        "serve",
+        help="REST facade over the engine (reference "
+        "mock_vector_db_api.py endpoints)",
+    )
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=5000)
+    common(sp)
     return p
 
 
@@ -147,6 +156,16 @@ def main(argv: list[str] | None = None) -> int:
     elif args.command == "clear":
         eng.clear(backup=not args.no_backup)
         print(json.dumps({"command": "clear", "cleared": True}))
+    elif args.command == "serve":
+        from converttovectordb_spark.server import VectorDBServer
+
+        srv = VectorDBServer(eng, host=args.host, port=args.port)
+        host, port = srv.address
+        print(json.dumps({"command": "serve", "host": host, "port": port}))
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            srv.stop()
     elif args.command == "demo":
         demo_dir = tempfile.mkdtemp(prefix="cvdb_demo_")
         with open(f"{demo_dir}/sample.py", "w") as fh:

@@ -1,0 +1,302 @@
+"""Thin REST facade over :class:`VectorEngine`.
+
+Mirrors the reference's HTTP surface (reference mock_vector_db_api.py:
+``POST /add_documents`` :150, ``POST /query`` :230, ``GET /stats`` :314,
+``POST /clear`` :381, ``GET /health`` :431) on stdlib ``http.server`` —
+no web framework is guaranteed in the runtime image, and the facade is
+deliberately a *serving shim*: every data-sized computation stays in the
+engine's Spark plans; the handler only shuttles JSON in and collected
+top-k / scalar results out.
+
+Engine-native extensions beyond the reference surface (documented, not
+hidden): ``POST /search`` (text query through the embedder seam),
+``POST /hybrid`` (BM25+semantic RRF), ``POST /answer`` (RAG seam).
+
+Response-shape parity notes:
+- ``/query`` replicates the reference's semantics end-to-end: top_k
+  validation with default 5 (mock_vector_db_api.py:254-256), empty-db →
+  ``{"results": []}`` with HTTP 200 (:259-260), dimension mismatch →
+  HTTP 400 (:270-272), score threshold 0.1 applied AFTER the limit
+  (:289-292), embedding dropped from each result (:296-298), and the
+  ``results / query_time / total_documents_searched`` envelope
+  (:305-309).
+- ``/add_documents`` validates per-document (dict with ``content`` and
+  ``embedding``, :180-188), skips invalid rows, 400s when nothing
+  valid remains (:194-196), and returns the
+  ``success / message / total_documents / processing_time`` envelope
+  (:220-225).
+
+Scale note: this is a single-process serving door in front of a
+distributed engine — at 100 TB the store behind it is the same
+partitioned parquet the batch/streaming paths write, so N facade
+replicas can serve one store concurrently (reads are snapshot-isolated
+via the transactional manifest; appends go through the manifest commit).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import functions as F
+
+from converttovectordb_spark.schema import DOCUMENTS_SCHEMA
+
+
+class _ApiError(Exception):
+    """An error with an HTTP status, mirroring Flask's ``return ..., 400``."""
+
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+
+
+def _rows_to_json(rows) -> list[dict]:
+    out = []
+    for r in rows:
+        d = r.asDict(recursive=True)
+        d.pop("embedding", None)  # T5: never ship embeddings back
+        out.append(d)
+    return out
+
+
+class VectorDBApi:
+    """The endpoint logic, separated from HTTP plumbing so tests can
+    call it directly and alternative transports can reuse it."""
+
+    def __init__(self, engine):
+        self.engine = engine
+
+    # -- POST /add_documents (reference :150-228) -----------------------
+    def add_documents(self, body: dict) -> dict:
+        start = time.time()
+        new_docs = body.get("documents", [])
+        if not new_docs:
+            raise _ApiError(400, "No documents provided")
+
+        valid, invalid = [], 0
+        now = time.time()
+        for doc in new_docs:
+            if not isinstance(doc, dict) or "content" not in doc or "embedding" not in doc:
+                invalid += 1
+                continue
+            path = doc.get("path") or doc.get("file_path") or ""
+            ext = doc.get("extension")
+            if ext is None and "." in path.rsplit("/", 1)[-1]:
+                ext = path.rsplit(".", 1)[-1]
+            try:
+                emb = [float(x) for x in doc["embedding"]]
+            except (TypeError, ValueError):
+                invalid += 1
+                continue
+            valid.append(
+                (
+                    path,
+                    ext,
+                    int(doc.get("chunk_index", 0)),
+                    int(doc.get("total_chunks", 1)),
+                    str(doc["content"]),
+                    emb,
+                    float(doc.get("timestamp", now)),
+                )
+            )
+        if not valid:
+            raise _ApiError(400, "No valid documents provided")
+
+        eng = self.engine
+        df = eng.spark.createDataFrame(valid, schema=DOCUMENTS_SCHEMA)
+        written = eng.store.append(df)
+        total = eng.store.load(require_embedding=False).count() if eng.store.exists() else 0
+        return {
+            "success": True,
+            "message": f"Added {written} documents to the database",
+            "total_documents": total,
+            "skipped_invalid": invalid,
+            "processing_time": time.time() - start,
+        }
+
+    # -- POST /query (reference :230-312) -------------------------------
+    def query(self, body: dict) -> dict:
+        start = time.time()
+        emb = body.get("query_embedding")
+        if not emb:
+            raise _ApiError(400, "No query embedding provided")
+        top_k = body.get("top_k", 5)
+        if not isinstance(top_k, int) or isinstance(top_k, bool) or top_k <= 0:
+            top_k = 5
+
+        eng = self.engine
+        if not eng.store.exists():
+            return {"results": [], "query_time": time.time() - start,
+                    "total_documents_searched": 0}
+        try:
+            emb = [float(x) for x in emb]
+        except (TypeError, ValueError):
+            raise _ApiError(400, "Invalid query embedding format")
+        if eng.dim is not None and len(emb) != eng.dim:
+            raise _ApiError(400, "Query embedding dimension mismatch")
+
+        docs = eng.store.load()
+        # One action serves both the rows and the corpus size: count the
+        # scanned docs as an observe metric on the same search job
+        # instead of a second count() pass (reference keeps
+        # len(documents) in memory, :308).
+        from pyspark.sql import Observation
+
+        from converttovectordb_spark.operators.search import knn_topk
+
+        obs = Observation()
+        hits = knn_topk(
+            docs.observe(obs, F.count(F.lit(1)).alias("n_docs")),
+            emb,
+            top_k,
+            id_cols=["path", "chunk_index"],
+            expected_dim=eng.dim,
+        )
+        rows = _rows_to_json(hits.collect())
+        return {
+            "results": rows,
+            "query_time": time.time() - start,
+            "total_documents_searched": int(obs.get["n_docs"]),
+        }
+
+    # -- engine-native verbs --------------------------------------------
+    def search_text(self, body: dict) -> dict:
+        start = time.time()
+        query = body.get("query")
+        if not query:
+            raise _ApiError(400, "No query provided")
+        hits = self.engine.search(query, body.get("top_k", 5))
+        return {"results": _rows_to_json(hits.collect()),
+                "query_time": time.time() - start}
+
+    def hybrid(self, body: dict) -> dict:
+        start = time.time()
+        query = body.get("query")
+        if not query:
+            raise _ApiError(400, "No query provided")
+        hits = self.engine.search_hybrid(query, body.get("top_k", 5))
+        return {"results": _rows_to_json(hits.collect()),
+                "query_time": time.time() - start}
+
+    def answer(self, body: dict) -> dict:
+        start = time.time()
+        query = body.get("query")
+        if not query:
+            raise _ApiError(400, "No query provided")
+        row = self.engine.answer(query, body.get("top_k", 5)).collect()[0]
+        return {"generation": row["generation"], "n_results": row["n_results"],
+                "query_time": time.time() - start}
+
+    # -- GET /stats, GET /health, POST /clear ---------------------------
+    def stats(self) -> dict:
+        return self.engine.stats()
+
+    def health(self) -> dict:
+        h = dict(self.engine.health())
+        h.setdefault("status", "healthy")
+        return h
+
+    def clear(self) -> dict:
+        n = self.engine.health().get("documents_count", 0)
+        self.engine.clear(backup=True)
+        return {"success": True,
+                "message": f"Database cleared: removed {n} documents"}
+
+
+_POST_ROUTES = {
+    "/add_documents": "add_documents",
+    "/query": "query",
+    "/search": "search_text",
+    "/hybrid": "hybrid",
+    "/answer": "answer",
+    "/clear": "clear",
+}
+_GET_ROUTES = {"/stats": "stats", "/health": "health"}
+
+
+def _make_handler(api: VectorDBApi):
+    class Handler(BaseHTTPRequestHandler):
+        # Serving log lines go nowhere by default; tests/CLI set quiet.
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        def _reply(self, status: int, payload: dict) -> None:
+            data = json.dumps(payload).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _dispatch(self, name: str, body: dict | None) -> None:
+            try:
+                fn = getattr(api, name)
+                out = fn(body) if body is not None else fn()
+                self._reply(200, out)
+            except _ApiError as e:
+                self._reply(e.status, {"error": str(e)})
+            except Exception as e:  # mirror reference's 500-on-anything
+                self._reply(500, {"error": str(e)})
+
+        def do_GET(self):  # noqa: N802
+            name = _GET_ROUTES.get(self.path)
+            if name is None:
+                self._reply(404, {"error": f"Unknown path {self.path}"})
+                return
+            self._dispatch(name, None)
+
+        def do_POST(self):  # noqa: N802
+            name = _POST_ROUTES.get(self.path)
+            if name is None:
+                self._reply(404, {"error": f"Unknown path {self.path}"})
+                return
+            length = int(self.headers.get("Content-Length") or 0)
+            raw = self.rfile.read(length) if length else b""
+            if self.path == "/clear":
+                body = None  # clear takes no body (reference :381)
+            else:
+                ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+                if ctype != "application/json":
+                    self._reply(400, {"error": "Request must be JSON"})
+                    return
+                try:
+                    body = json.loads(raw or b"{}")
+                except json.JSONDecodeError:
+                    self._reply(400, {"error": "Request must be JSON"})
+                    return
+            self._dispatch(name, body)
+
+    return Handler
+
+
+class VectorDBServer:
+    """Owns the HTTP listener; ``start()`` binds (port 0 → ephemeral)
+    and serves on a daemon thread so tests and the CLI share one path."""
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 5000):
+        self.api = VectorDBApi(engine)
+        self._httpd = ThreadingHTTPServer((host, port), _make_handler(self.api))
+        self._thread: threading.Thread | None = None
+
+    @property
+    def address(self) -> tuple[str, int]:
+        return self._httpd.server_address[:2]
+
+    def start(self) -> "VectorDBServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)

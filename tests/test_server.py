@@ -1,0 +1,184 @@
+"""REST facade tests — endpoint parity with the reference's Flask API
+(reference mock_vector_db_api.py: /add_documents :150, /query :230,
+/stats :314, /clear :381, /health :431) over an in-process
+ThreadingHTTPServer on an ephemeral port."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from converttovectordb_spark.embeddings import hash_embedder
+from converttovectordb_spark.engine import VectorEngine
+from converttovectordb_spark.server import VectorDBServer
+
+DIM = 8
+
+
+def _unit(i: int) -> list[float]:
+    v = [0.0] * DIM
+    v[i % DIM] = 1.0
+    return v
+
+
+@pytest.fixture()
+def server(spark, tmp_path):
+    eng = VectorEngine(
+        spark,
+        str(tmp_path / "store"),
+        embedder=hash_embedder(DIM),
+        dim=DIM,
+    )
+    srv = VectorDBServer(eng, port=0).start()
+    yield srv
+    srv.stop()
+
+
+def _call(srv, method, path, body=None, *, content_type="application/json"):
+    host, port = srv.address
+    req = urllib.request.Request(
+        f"http://{host}:{port}{path}", method=method
+    )
+    data = None
+    if body is not None:
+        data = json.dumps(body).encode()
+        req.add_header("Content-Type", content_type)
+    try:
+        with urllib.request.urlopen(req, data=data, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _seed(srv, n=6):
+    docs = [
+        {
+            "path": f"src/f{i}.py",
+            "content": f"document number {i}",
+            "embedding": _unit(i),
+            "chunk_index": 0,
+            "total_chunks": 1,
+        }
+        for i in range(n)
+    ]
+    return _call(srv, "POST", "/add_documents", {"documents": docs})
+
+
+def test_add_documents_validates_and_counts(server):
+    status, out = _call(
+        server,
+        "POST",
+        "/add_documents",
+        {
+            "documents": [
+                {"path": "a.py", "content": "alpha", "embedding": _unit(0)},
+                {"content": "no embedding"},  # invalid: missing embedding
+                "not a dict",  # invalid: not a dict
+            ]
+        },
+    )
+    assert status == 200
+    assert out["success"] is True
+    assert out["total_documents"] == 1
+    assert out["skipped_invalid"] == 2
+
+    status, out = _call(server, "POST", "/add_documents", {"documents": []})
+    assert status == 400 and "No documents" in out["error"]
+
+    status, out = _call(
+        server, "POST", "/add_documents", {"documents": [{"content": "x"}]}
+    )
+    assert status == 400 and "No valid documents" in out["error"]
+
+
+def test_query_roundtrip_and_envelope(server):
+    _seed(server)
+    status, out = _call(
+        server, "POST", "/query", {"query_embedding": _unit(2), "top_k": 3}
+    )
+    assert status == 200
+    assert out["total_documents_searched"] == 6
+    assert out["results"], "expected at least the exact match"
+    top = out["results"][0]
+    assert top["content"] == "document number 2"
+    assert top["score"] == pytest.approx(1.0)
+    assert "embedding" not in top  # T5: embeddings never leave the engine
+    # threshold 0.1 AFTER limit (Q4): orthogonal unit vectors score 0,
+    # so only the exact match survives even though top_k=3
+    assert len(out["results"]) == 1
+
+
+def test_query_error_semantics(server):
+    # empty store → 200 with empty results (reference :259-260)
+    status, out = _call(server, "POST", "/query", {"query_embedding": _unit(0)})
+    assert status == 200 and out["results"] == []
+
+    _seed(server)
+    status, out = _call(server, "POST", "/query", {})
+    assert status == 400 and "No query embedding" in out["error"]
+
+    status, out = _call(
+        server, "POST", "/query", {"query_embedding": [1.0, 2.0]}
+    )
+    assert status == 400 and "dimension mismatch" in out["error"]
+
+    # invalid top_k falls back to default, not an error (reference :254)
+    status, out = _call(
+        server, "POST", "/query", {"query_embedding": _unit(1), "top_k": -3}
+    )
+    assert status == 200 and len(out["results"]) == 1
+
+    # non-JSON body → 400 (reference :164-166)
+    status, out = _call(
+        server, "POST", "/query", {"query_embedding": _unit(1)},
+        content_type="text/plain",
+    )
+    assert status == 400 and out["error"] == "Request must be JSON"
+
+
+def test_stats_health_clear_lifecycle(server):
+    status, health = _call(server, "GET", "/health")
+    assert status == 200 and health["status"] == "healthy"
+    assert health["documents_count"] == 0
+
+    _seed(server)
+    status, stats = _call(server, "GET", "/stats")
+    assert status == 200
+    assert stats["total_documents"] == 6
+    assert stats["unique_files"] == 6
+    assert stats["documents_by_extension"] == {"py": 6}
+
+    status, out = _call(server, "POST", "/clear")
+    assert status == 200 and out["success"] is True
+    assert "removed 6 documents" in out["message"]
+
+    status, out = _call(server, "POST", "/query", {"query_embedding": _unit(0)})
+    assert status == 200 and out["results"] == []
+
+
+def test_engine_native_verbs(server):
+    _seed(server)
+    # /search and /hybrid go through the text embedder seam
+    status, out = _call(
+        server, "POST", "/search", {"query": "document number", "top_k": 2}
+    )
+    assert status == 200 and isinstance(out["results"], list)
+
+    status, out = _call(
+        server, "POST", "/hybrid", {"query": "document number 3", "top_k": 2}
+    )
+    assert status == 200
+    if out["results"]:
+        assert "rrf" in out["results"][0]
+
+    status, out = _call(server, "POST", "/answer", {"query": "document"})
+    assert status == 200 and "generation" in out
+
+    status, out = _call(server, "POST", "/search", {})
+    assert status == 400
+
+    status, out = _call(server, "GET", "/nope")
+    assert status == 404
