@@ -75,20 +75,19 @@ def main() -> int:
     #    (reference: ~32-74 chunks/s on the embedding-dominated path).
     from pyspark.sql import functions as F
 
-    from converttovectordb_spark.functions.vector import cosine_similarity
+    from converttovectordb_spark.operators.search import knn_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     n_vecs = emb.count()
     probe = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    q = F.lit([float(x) for x in probe]).cast("array<double>")
+    probe = [float(x) for x in probe]
 
     def knn_once() -> None:
-        (
-            emb.withColumn("score", cosine_similarity(F.col("embedding"), q))
-            .orderBy(F.col("score").desc(), F.col("vec_id"))
-            .limit(5)
-            .collect()
-        )
+        # The PRODUCTION serving operator (threshold-after-limit and
+        # all): the headline number measures the path users hit.
+        knn_topk(
+            emb, probe, 5, id_cols=["vec_id"], expected_dim=len(probe)
+        ).collect()
 
     knn_once()  # warm
     knn_warm = None

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from converttovectordb_spark.functions.vector import (
     cosine_similarity,
+    cosine_to_query,
     dot_product,
     l2_normalize,
 )
@@ -85,8 +86,9 @@ def knn_topk(
             f"query dimension {qlen} != stored dimension {expected_dim}"
         )
 
-    q = F.lit([float(x) for x in query_vector]).cast("array<double>")
-    score = cosine_similarity(F.col(embedding_col), q)
+    # Single-parse construction: the serving path is latency-bound on
+    # driver-side plan building, not on the scan (see cosine_to_query).
+    score = cosine_to_query(embedding_col, query_vector)
     if expected_dim is None:
         # Lazy in-plan guard: first mismatching row aborts the job with
         # the Q5 message. No extra driver job on the hot path.
@@ -100,18 +102,21 @@ def knn_topk(
             ).cast("double"),
         ).otherwise(score)
     scored = docs.withColumn("score", score)
+    if drop_embedding:
+        # Reference T5 (no embeddings in results) — applied BEFORE the
+        # sort so the per-partition top-k never carries the widest
+        # column; at scale TakeOrdered ships k rows per partition and
+        # this keeps those rows narrow.
+        scored = scored.drop(embedding_col)
     order: list[Column] = [F.col("score").desc()]
     for c in id_cols or []:
         order.append(F.col(c).asc())
-    out = (
+    return (
         scored.orderBy(*order)
         .limit(top_k)
         # Threshold AFTER limit — observable reference behavior (Q4).
         .filter(F.col("score") >= score_threshold)
     )
-    if drop_embedding:
-        out = out.drop(embedding_col)  # reference T5
-    return out
 
 
 def bm25_scores(
