@@ -2997,6 +2997,120 @@ FROM draws GROUP BY lang, n_docs, rate
 """
 
 
+#: Per-domain cap for q_domain_cap_sample. sf0.01 has ~25 docs/source,
+#: so 20 actually trims; the op is a no-op at sf0.001 (and the oracle
+#: agrees on that too).
+DOMAIN_CAP = 20
+
+
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency capping: keep at most DOMAIN_CAP documents
+    per ``source``, chosen by a DETERMINISTIC pseudo-random order
+    (md5 of doc_id) so the cap samples uniformly from each domain
+    instead of biasing toward low ids. The standard web-corpus guard
+    against a single crawler-friendly domain dominating the training
+    mix (e.g. C4/RefinedWeb-style host caps).
+
+    Scale shape: one hash-partition window on ``source``. Domain
+    cardinality is huge on real crawls (tens of millions of hosts), so
+    partitions are many and small — the window sort is per-host, not
+    global. A pathologically hot host makes ONE fat partition; the
+    two-phase refinement (cap per (source, salt) shard at cap·shards,
+    then re-cap) bounds that, and AQE skew-split handles the middle
+    ground (measured in SCALING.md). Output is the kept corpus ids —
+    the join-back to full rows prunes to two columns here.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= DOMAIN_CAP)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
+
+
+ORACLE_DOMAIN_CAP_SAMPLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rn <= {DOMAIN_CAP}
+ORDER BY source, doc_id
+"""
+
+
+#: Upsampling ceiling for q_source_mixture: a scarce source is repeated
+#: at most this many times toward its budget (unbounded repetition of a
+#: tiny source degrades models faster than under-shooting the mix).
+MIXTURE_MAX_REPEAT = 4.0
+
+
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix weighting by token budget: give every source an
+    equal share of the total token budget and compute the sampling /
+    repetition weight ``min(MAX_REPEAT, budget / source_tokens)`` that
+    a sampler would apply to hit the mix (the DoReMi/Pile-style
+    "mixture weights" table, computed from measured token counts
+    rather than guessed).
+
+    Scale shape: token counting is a map-side array expression; the
+    per-source rollup is a map-side-combined groupBy on a low-cardinality
+    key, and the total-budget scalar joins back via broadcast — the
+    corpus is scanned ONCE and nothing data-sized shuffles."""
+    from converttovectordb_spark.functions.text import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+    total = per.agg(
+        F.sum("n_tokens").alias("_total"),
+        F.count(F.lit(1)).alias("_n_sources"),
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.least(
+                    F.lit(MIXTURE_MAX_REPEAT),
+                    (F.col("_total") / F.col("_n_sources"))
+                    / F.col("n_tokens").cast("double"),
+                ),
+                6,
+            ).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_MIXTURE = f"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(
+             string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'),
+             x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       round(CAST(least({MIXTURE_MAX_REPEAT},
+             ((SELECT sum(n_tokens) FROM per) /
+              (SELECT CAST(count(*) AS DOUBLE) FROM per)) / n_tokens)
+             AS DOUBLE), 6) AS weight
+FROM per ORDER BY source
+"""
+
+
 #: Conservative patterns valid in BOTH Java regex (Spark) and RE2
 #: (DuckDB): character classes + quantifiers only, no lookaround.
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -3999,6 +4113,8 @@ QUERIES = {
     "salted_user_totals": q_salted_user_totals,
     "sql_orders_above_avg": q_sql_orders_above_avg,
     "part_name_stats": q_part_name_stats,
+    "domain_cap_sample": q_domain_cap_sample,
+    "source_mixture": q_source_mixture,
 }
 
 #: Sketch-based queries have NO oracle entry on purpose: Spark's
@@ -4051,6 +4167,8 @@ ORACLES = {
     "salted_user_totals": ORACLE_SALTED_USER_TOTALS,
     "sql_orders_above_avg": ORACLE_SQL_ORDERS_ABOVE_AVG,
     "part_name_stats": ORACLE_PART_NAME_STATS,
+    "domain_cap_sample": ORACLE_DOMAIN_CAP_SAMPLE,
+    "source_mixture": ORACLE_SOURCE_MIXTURE,
     "cust_with_returns": ORACLE_CUST_WITH_RETURNS,
     "cust_year_sets": ORACLE_CUST_YEAR_SETS,
     "price_band_join": ORACLE_PRICE_BAND_JOIN,
