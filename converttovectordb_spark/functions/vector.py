@@ -83,6 +83,12 @@ def cosine_to_query(emb_col_name: str, query: list[float]) -> Column:
     import math
 
     q = [float(x) for x in query]
+    if not all(math.isfinite(x) for x in q):
+        # repr() would render these as `infD`/`nanD`, which the SQL parser
+        # treats as unresolvable column names — fail clearly instead.
+        raise ValueError(
+            "query embedding contains non-finite values (NaN/Infinity)"
+        )
     # Sequential (not fsum) accumulation: bit-matches the JVM's
     # left-fold in l2_norm, keeping the two forms interchangeable.
     sq_sum = 0.0

@@ -82,9 +82,14 @@ def corpus_stats_full(docs: DataFrame) -> DataFrame:
         F.max("total_chunks").alias("_chunks"),
     )
     return per_file.agg(
-        F.sum("_n").alias("total_documents"),
+        # coalesce: sum over zero groups is NULL, but the empty-db stats
+        # shape must degrade to 0 like the reference's Python loop (and
+        # the pre-fusion single-level count() did).
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("total_documents"),
         F.count(F.when(F.col("path") != "", F.lit(1))).alias("unique_files"),
-        (F.sum("_len") / F.lit(1024.0)).alias("total_content_kb"),
+        F.coalesce(F.sum("_len") / F.lit(1024.0), F.lit(0.0)).alias(
+            "total_content_kb"
+        ),
         # divide by non-null-content rows, matching avg(length(content))
         (F.sum("_len") / F.sum("_n_content")).alias("avg_content_chars"),
         F.avg("_chunks").alias("avg_chunks_per_file"),

@@ -67,16 +67,45 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _events_physical_ts(sf_dir: str) -> str:
+    """Spark-side type of events.ts for this data layout: ``bigint``
+    when the file stores TIMESTAMP(NANOS) (read as long via the
+    nanosAsLong conf — the pre-2026-08 testdata layout), else
+    ``timestamp_ntz`` (TIMESTAMP(MICROS), isAdjustedToUTC=false)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        path = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+    t = str(pq.read_schema(path).field("ts").type)
+    return "bigint" if t == "timestamp[ns]" else "timestamp_ntz"
+
+
+def _normalize_events_ts(ev: DataFrame) -> DataFrame:
+    """Bring events.ts to session-tz TIMESTAMP regardless of storage
+    layout, so every downstream window/session/as-of expression sees one
+    type. Session tz is pinned UTC, so the NTZ→LTZ cast is value-exact
+    and matches DuckDB's naive TIMESTAMP view of the same file."""
+    dt = dict(ev.dtypes).get("ts")
+    if dt == "bigint":
+        # Integral division — a double `/` would round the microsecond
+        # up for half the rows, a 1µs divergence from DuckDB's ns→us
+        # truncation.
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table is written with Parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects. Read nanos as long (session conf)
-    and convert to a microsecond timestamp (truncating, which matches
-    DuckDB's ns→us cast)."""
+    """Load the events table across both testdata layouts (TIMESTAMP
+    NANOS-as-long and native TIMESTAMP_NTZ micros)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # Integral division — a double `/` would round the microsecond up
-    # for half the rows, a 1µs divergence from DuckDB's truncation.
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_events_ts(ev)
 
 
 def _round6(col) -> F.Column:
@@ -3416,7 +3445,7 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = (
-        "event_id bigint, ts bigint, user_id bigint, "
+        f"event_id bigint, ts {_events_physical_ts(sf_dir)}, user_id bigint, "
         "event_type string, value double, props string"
     )
     # The streaming file source requires a DIRECTORY; expose the single
@@ -3429,7 +3458,7 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         spark.readStream.schema(schema)
         .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(_normalize_events_ts)
     )
     val = F.col("value").cast("decimal(14,2)")
     agg = (
@@ -3481,7 +3510,7 @@ def q_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = (
-        "event_id bigint, ts bigint, user_id bigint, "
+        f"event_id bigint, ts {_events_physical_ts(sf_dir)}, user_id bigint, "
         "event_type string, value double, props string"
     )
     stream_dir = tempfile.mkdtemp(prefix="stream_cp_")
@@ -3492,7 +3521,7 @@ def q_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         spark.readStream.schema(schema)
         .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(_normalize_events_ts)
     )
     clicks = (
         ev.filter(F.col("event_type") == "click")
@@ -3580,7 +3609,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = (
-        "event_id bigint, ts bigint, user_id bigint, "
+        f"event_id bigint, ts {_events_physical_ts(sf_dir)}, user_id bigint, "
         "event_type string, value double, props string"
     )
     stream_dir = tempfile.mkdtemp(prefix="stream_dedup_")
@@ -3590,7 +3619,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         spark.readStream.schema(schema)
         .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(_normalize_events_ts)
     )
     deduped = ev.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
         ["event_id"]
@@ -3902,7 +3931,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = (
-        "event_id bigint, ts bigint, user_id bigint, "
+        f"event_id bigint, ts {_events_physical_ts(sf_dir)}, user_id bigint, "
         "event_type string, value double, props string"
     )
     stream_dir = tempfile.mkdtemp(prefix="stream_sess_")
@@ -3938,7 +3967,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         spark.readStream.schema(schema)
         .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(_normalize_events_ts)
         .select(
             "user_id",
             "event_id",

@@ -85,10 +85,19 @@ class VectorDBApi:
             path = doc.get("path") or doc.get("file_path") or ""
             ext = doc.get("extension")
             if ext is None and "." in path.rsplit("/", 1)[-1]:
-                ext = path.rsplit(".", 1)[-1]
+                # Keep the leading dot: repo_scan and the reference client
+                # (os.path.splitext) both store ".py", so a dotless
+                # fallback would split one extension into two buckets.
+                ext = "." + path.rsplit(".", 1)[-1]
             try:
                 emb = [float(x) for x in doc["embedding"]]
             except (TypeError, ValueError):
+                invalid += 1
+                continue
+            # Keep the store dimension-homogeneous: the reference fails
+            # loudly on shape mismatch; silently-accepted wrong-dim rows
+            # would score NULL at query time and vanish from results.
+            if self.engine.dim is not None and len(emb) != self.engine.dim:
                 invalid += 1
                 continue
             valid.append(
@@ -134,6 +143,12 @@ class VectorDBApi:
         try:
             emb = [float(x) for x in emb]
         except (TypeError, ValueError):
+            raise _ApiError(400, "Invalid query embedding format")
+        import math
+
+        if not all(math.isfinite(x) for x in emb):
+            # json.loads accepts Infinity/NaN; cosine_to_query rejects
+            # them with ValueError — surface that as a 400, not a 500.
             raise _ApiError(400, "Invalid query embedding format")
         if eng.dim is not None and len(emb) != eng.dim:
             raise _ApiError(400, "Query embedding dimension mismatch")
