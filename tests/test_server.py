@@ -94,6 +94,47 @@ def test_add_documents_validates_and_counts(server):
     assert status == 400 and "No valid documents" in out["error"]
 
 
+def test_add_documents_dim_mismatch_diagnosable(server):
+    # an all-wrong-dimension batch 400s with the expected dim in the message
+    status, out = _call(
+        server,
+        "POST",
+        "/add_documents",
+        {"documents": [{"path": "a.py", "content": "a", "embedding": [1.0, 2.0]}]},
+    )
+    assert status == 400 and f"expected {DIM}" in out["error"]
+
+    # a mixed batch succeeds and reports dim-mismatch skips separately
+    status, out = _call(
+        server,
+        "POST",
+        "/add_documents",
+        {
+            "documents": [
+                {"path": "a.py", "content": "a", "embedding": _unit(0)},
+                {"path": "b.py", "content": "b", "embedding": [1.0, 2.0]},
+            ]
+        },
+    )
+    assert status == 200
+    assert out["skipped_invalid"] == 1
+    assert out["skipped_dim_mismatch"] == 1
+
+
+def test_add_documents_extension_fallback_matches_splitext(server):
+    # fallback follows os.path.splitext: "x.py" → ".py", dotfiles and
+    # extension-less names → the null/'unknown' bucket
+    docs = [
+        {"path": "src/x.py", "content": "a", "embedding": _unit(0)},
+        {"path": "src/.gitignore", "content": "b", "embedding": _unit(1)},
+        {"path": "Makefile", "content": "c", "embedding": _unit(2)},
+    ]
+    status, _ = _call(server, "POST", "/add_documents", {"documents": docs})
+    assert status == 200
+    _, stats = _call(server, "GET", "/stats")
+    assert stats["documents_by_extension"] == {".py": 1, "unknown": 2}
+
+
 def test_query_roundtrip_and_envelope(server):
     _seed(server)
     status, out = _call(
@@ -149,13 +190,49 @@ def test_stats_health_clear_lifecycle(server):
     assert status == 200
     assert stats["total_documents"] == 6
     assert stats["unique_files"] == 6
-    assert stats["documents_by_extension"] == {"py": 6}
+    assert stats["documents_by_extension"] == {".py": 6}
 
     status, out = _call(server, "POST", "/clear")
     assert status == 200 and out["success"] is True
     assert "removed 6 documents" in out["message"]
 
     status, out = _call(server, "POST", "/query", {"query_embedding": _unit(0)})
+    assert status == 200 and out["results"] == []
+
+
+def test_query_corpus_cache_invalidation(server):
+    def _add(tag, n):
+        docs = [
+            {
+                "path": f"{tag}/f{i}.py",
+                "content": f"{tag} doc {i}",
+                "embedding": _unit(i),
+            }
+            for i in range(n)
+        ]
+        return _call(server, "POST", "/add_documents", {"documents": docs})
+
+    _add("a", 3)
+    status, out = _call(
+        server, "POST", "/query", {"query_embedding": _unit(0)}
+    )
+    assert status == 200 and out["total_documents_searched"] == 3
+    # warm path: the corpus DataFrame is cached after the first query
+    assert server.api._corpus is not None
+
+    # a write invalidates the cache; the next query sees the new rows
+    _add("b", 4)
+    assert server.api._corpus is None
+    status, out = _call(
+        server, "POST", "/query", {"query_embedding": _unit(0)}
+    )
+    assert status == 200 and out["total_documents_searched"] == 7
+
+    _call(server, "POST", "/clear")
+    assert server.api._corpus is None
+    status, out = _call(
+        server, "POST", "/query", {"query_embedding": _unit(0)}
+    )
     assert status == 200 and out["results"] == []
 
 
