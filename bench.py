@@ -57,6 +57,7 @@ def main() -> int:
     from converttovectordb_spark.queries import (
         _ivf_index_cached,
         _jaccard_pairs_cached,
+        _kmeans_ivf_export,
     )
 
     t0 = time.time()
@@ -65,9 +66,13 @@ def main() -> int:
     t0 = time.time()
     _jaccard_pairs_cached(spark, sf_dir)
     jaccard_build_s = round(time.time() - t0, 3)
+    t0 = time.time()
+    _kmeans_ivf_export(spark, sf_dir)
+    kmeans_build_s = round(time.time() - t0, 3)
     print(
         f"bench: prewarm ivf_index {ivf_build_s:.2f}s, "
-        f"jaccard_pairs {jaccard_build_s:.2f}s",
+        f"jaccard_pairs {jaccard_build_s:.2f}s, "
+        f"ivf_kmeans {kmeans_build_s:.2f}s",
         file=sys.stderr,
     )
 
@@ -229,6 +234,7 @@ def main() -> int:
                     # timings (build-once/probe-many; 0.0 ≈ cache hit)
                     "ivf_index_build_sec": ivf_build_s,
                     "jaccard_pairs_build_sec": jaccard_build_s,
+                    "ivf_kmeans_build_sec": kmeans_build_s,
                 },
             }
         )
