@@ -7,9 +7,10 @@ SparkSession IS the engine — so `start` collapses away and the verbs map
 to::
 
     python -m converttovectordb_spark ingest --repo PATH [--repo-url URL] --store DIR
-    python -m converttovectordb_spark search --query TEXT [--top-k K] --store DIR
+    python -m converttovectordb_spark search --query TEXT [--top-k K] [--at-version N] --store DIR
     python -m converttovectordb_spark stats --store DIR
     python -m converttovectordb_spark health --store DIR
+    python -m converttovectordb_spark history --store DIR --transactional
     python -m converttovectordb_spark clear --store DIR [--no-backup]
     python -m converttovectordb_spark demo --store DIR
 
@@ -45,6 +46,11 @@ def _build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("ingest", help="scan+chunk+embed+store a repo")
     sp.add_argument("--repo", required=True, help="local repo path")
     sp.add_argument("--repo-url", default=None, help="git URL to clone first")
+    sp.add_argument(
+        "--replace", action="store_true",
+        help="upsert by file path (requires --transactional): changed "
+        "files replace their old chunks instead of duplicating them",
+    )
     common(sp)
 
     sp = sub.add_parser("search", help="top-k similarity search")
@@ -53,6 +59,11 @@ def _build_parser() -> argparse.ArgumentParser:
     sp.add_argument(
         "--truncate", type=int, default=500,
         help="display truncation (reference T6); 0 disables",
+    )
+    sp.add_argument(
+        "--at-version", type=int, default=None,
+        help="time-travel: search the store snapshot as of this commit "
+        "version (requires --transactional)",
     )
     common(sp)
 
@@ -76,6 +87,13 @@ def _build_parser() -> argparse.ArgumentParser:
     common(sp)
 
     sp = sub.add_parser("health", help="store health counters")
+    common(sp)
+
+    sp = sub.add_parser(
+        "history",
+        help="commit log of a transactional store (version ids usable "
+        "with search --at-version)",
+    )
     common(sp)
 
     sp = sub.add_parser("clear", help="drop the store")
@@ -124,13 +142,14 @@ def main(argv: list[str] | None = None) -> int:
     eng = _engine(args)
 
     if args.command == "ingest":
-        eng.ingest(args.repo, repo_url=args.repo_url)
+        eng.ingest(args.repo, repo_url=args.repo_url, replace=args.replace)
         print(json.dumps({"command": "ingest", **eng.last_ingest_metrics}))
     elif args.command == "search":
         res = eng.search(
             args.query,
             args.top_k,
             truncate_chars=args.truncate or None,
+            at_version=args.at_version,
         )
         rows = [r.asDict() for r in res.collect()]
         print(json.dumps({"command": "search", "results": rows}))
@@ -153,6 +172,8 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"command": "stats", **eng.stats()}))
     elif args.command == "health":
         print(json.dumps({"command": "health", **eng.health()}))
+    elif args.command == "history":
+        print(json.dumps({"command": "history", "commits": eng.history()}))
     elif args.command == "clear":
         eng.clear(backup=not args.no_backup)
         print(json.dumps({"command": "clear", "cleared": True}))

@@ -161,24 +161,47 @@ class VectorEngine:
         return self.spark.createDataFrame([], StructType(fields))
 
     # -- query -----------------------------------------------------------
+    def load_corpus(self, at_version: int | None = None) -> DataFrame:
+        """The store's committed corpus; ``at_version`` gives a
+        time-travel snapshot read as of that commit (transactional
+        stores only — the plain store keeps no version history, so
+        asking it for one is an error, not a silent latest-read)."""
+        if at_version is None:
+            return self.store.load()
+        if not isinstance(self.store, TransactionalDocumentStore):
+            raise ValueError(
+                "at_version requires a transactional store "
+                "(VectorEngine(..., transactional=True))"
+            )
+        return self.store.load(at_version=at_version)
+
+    def history(self) -> list[dict]:
+        """Commit log of the transactional store (empty for the plain
+        store — it has no versions to travel to)."""
+        if not isinstance(self.store, TransactionalDocumentStore):
+            return []
+        return self.store.history()
+
     def search(
         self,
         query_text: str,
         top_k: int = 5,
         *,
         truncate_chars: int | None = None,
+        at_version: int | None = None,
     ) -> DataFrame:
         """Encode the query driver-side (one string), then the
         broadcast-scan top-k with threshold-after-limit semantics.
 
         ``truncate_chars`` applies the reference's display truncation
-        (T6, query_vector_db.py:204-206) to result content."""
+        (T6, query_vector_db.py:204-206) to result content.
+        ``at_version`` searches a time-travel snapshot of the store."""
         if not self.store.exists():
             return self._empty_results()
         qv = self.embedder([query_text])
         qv = np.asarray(qv, dtype=np.float64).reshape(-1).tolist()
         out = knn_topk(
-            self.store.load(),
+            self.load_corpus(at_version),
             qv,
             validate_top_k(top_k),
             id_cols=["path", "chunk_index"],
@@ -297,11 +320,17 @@ class VectorEngine:
             "prompt", "generation", "n_results"
         )
 
-    def search_vector(self, query_vector: list[float], top_k: int = 5) -> DataFrame:
+    def search_vector(
+        self,
+        query_vector: list[float],
+        top_k: int = 5,
+        *,
+        at_version: int | None = None,
+    ) -> DataFrame:
         if not self.store.exists():
             return self._empty_results()
         return knn_topk(
-            self.store.load(),
+            self.load_corpus(at_version),
             query_vector,
             validate_top_k(top_k),
             id_cols=["path", "chunk_index"],

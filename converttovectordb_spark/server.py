@@ -10,7 +10,9 @@ top-k / scalar results out.
 
 Engine-native extensions beyond the reference surface (documented, not
 hidden): ``POST /search`` (text query through the embedder seam),
-``POST /hybrid`` (BM25+semantic RRF), ``POST /answer`` (RAG seam).
+``POST /hybrid`` (BM25+semantic RRF), ``POST /answer`` (RAG seam),
+``GET /history`` + ``POST /query`` with ``"version": N`` (time-travel
+snapshot reads against a transactional store).
 
 Response-shape parity notes:
 - ``/query`` replicates the reference's semantics end-to-end: top_k
@@ -193,10 +195,24 @@ class VectorDBApi:
         if eng.dim is not None and len(emb) != eng.dim:
             raise _ApiError(400, "Query embedding dimension mismatch")
 
-        docs = self._corpus_df()
-        if docs is None:  # store cleared between exists() and load
-            return {"results": [], "query_time": time.time() - start,
-                    "total_documents_searched": 0}
+        version = body.get("version")
+        if version is not None:
+            if not isinstance(version, int) or isinstance(version, bool):
+                raise _ApiError(400, "version must be an integer")
+            # Time travel bypasses the warm cache: snapshots are
+            # arbitrary and rare; caching every requested version would
+            # let history reads evict the serving corpus.
+            try:
+                docs = eng.load_corpus(at_version=version)
+            except ValueError as e:  # non-transactional store
+                raise _ApiError(400, str(e))
+            except FileNotFoundError:
+                raise _ApiError(400, f"no committed version <= {version}")
+        else:
+            docs = self._corpus_df()
+            if docs is None:  # store cleared between exists() and load
+                return {"results": [], "query_time": time.time() - start,
+                        "total_documents_searched": 0}
         # One action serves both the rows and the corpus size: count the
         # scanned docs as an observe metric on the same search job
         # instead of a second count() pass (reference keeps
@@ -257,6 +273,9 @@ class VectorDBApi:
         h.setdefault("status", "healthy")
         return h
 
+    def history(self) -> dict:
+        return {"commits": self.engine.history()}
+
     def clear(self) -> dict:
         n = self.engine.health().get("documents_count", 0)
         self.engine.clear(backup=True)
@@ -273,7 +292,7 @@ _POST_ROUTES = {
     "/answer": "answer",
     "/clear": "clear",
 }
-_GET_ROUTES = {"/stats": "stats", "/health": "health"}
+_GET_ROUTES = {"/stats": "stats", "/health": "health", "/history": "history"}
 
 
 def _make_handler(api: VectorDBApi):
