@@ -33,6 +33,24 @@ def main() -> int:
     # Warm the JVM/codegen paths so the first timed query doesn't absorb
     # session startup cost.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Warm the Python worker pool + Arrow serializers the same way: the
+    # FIRST pandas_udf stage in a fresh session pays ~4s of worker
+    # fork/import across the cores (measured: 5.2s first run vs 0.9s
+    # steady-state for normalize_text at sf0.1 — the r3/r4 "bimodality"
+    # was whichever query happened to pay this). One trivial UDF pass
+    # over one partition per core puts every query at steady state.
+    import pandas as _pd  # noqa: F401  (worker-side import warm)
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf's signature inspection rejects
+    @pandas_udf("long")
+    def _warm_udf(s):
+        return s
+
+    spark.range(int(cpus) * 1000, numPartitions=int(cpus)).select(
+        _warm_udf("id")
+    ).write.format("noop").mode("overwrite").save()
     # Warm table metadata (file listing + parquet footers) the same way
     # for every table, so per-query timings measure the QUERY, not
     # whichever query happens to touch a table first. (Data pages are
