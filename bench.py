@@ -164,12 +164,74 @@ def main() -> int:
             explode_chunks(docs_for_knn, chunk_size=100, overlap=30),
             "content", "embedding", None, 384,
         )
-        .select(F.monotonically_increasing_id().alias("vec_id"), "embedding")
+        .select(
+            F.monotonically_increasing_id().alias("vec_id"),
+            "content",
+            "embedding",
+        )
+        .limit(13515)  # cap at the reference's exact N for a clean ratio
+        .repartition(int(cpus))
         .cache()
     )
     n_matched = matched.count()
     probe384 = [float(x) for x in matched.select("embedding").first()[0]]
-    knn_matched_warm = knn_min3(matched, probe384)
+    knn_matched_warm = knn_min3(
+        matched.select("vec_id", "embedding"), probe384
+    )
+
+    # End-to-end HTTP serving latency at the SAME condition the
+    # reference logged 0.11 s for (N=13,515, d=384, top-5, warm server):
+    # the matched corpus is loaded into a store, served through the REST
+    # facade's cached-corpus path, and p50 over 20 requests reported —
+    # JSON parse + KNN + collect + JSON encode, the full door.
+    import statistics
+    import tempfile as _tf
+    import urllib.request
+
+    from converttovectordb_spark.embeddings import hash_embedder
+    from converttovectordb_spark.engine import VectorEngine
+    from converttovectordb_spark.server import VectorDBServer
+
+    with _tf.TemporaryDirectory(prefix="bench_serve_") as srv_store:
+        eng = VectorEngine(
+            spark, f"{srv_store}/store", embedder=hash_embedder(384), dim=384
+        )
+        eng.store.append(
+            matched.select(
+                F.col("vec_id").cast("string").alias("path"),
+                F.lit(".txt").alias("extension"),
+                F.lit(0).alias("chunk_index"),
+                F.lit(1).alias("total_chunks"),
+                "content",
+                "embedding",
+                F.lit(0.0).alias("timestamp"),
+            )
+        )
+        srv = VectorDBServer(eng, port=0).start()
+        try:
+            host, port = srv.address
+            payload = json.dumps(
+                {"query_embedding": probe384, "top_k": 5}
+            ).encode()
+
+            def one_request() -> float:
+                req = urllib.request.Request(
+                    f"http://{host}:{port}/query",
+                    data=payload,
+                    method="POST",
+                    headers={"Content-Type": "application/json"},
+                )
+                t0 = time.time()
+                with urllib.request.urlopen(req, timeout=300) as resp:
+                    json.loads(resp.read())
+                return time.time() - t0
+
+            one_request()  # warm: populates the server's corpus cache
+            http_p50 = round(
+                statistics.median(one_request() for _ in range(20)), 4
+            )
+        finally:
+            srv.stop()
     matched.unpersist()
 
     import tempfile
@@ -239,6 +301,10 @@ def main() -> int:
                     "knn_matched_corpus_size": n_matched,
                     "knn_matched_corpus_dim": 384,
                     "knn_matched_reference_sec": 0.11,
+                    # full REST door at the same matched condition
+                    # (reference vector_db_api.log:736-738 is an HTTP
+                    # timing too — this is the honest apples-to-apples)
+                    "http_query_p50_sec": http_p50,
                     # PIPELINE throughput: chunk + dim-64 HASH embedder +
                     # parquet write. NOT comparable to the reference's
                     # ~32-74 chunks/s, which is dominated by real MiniLM

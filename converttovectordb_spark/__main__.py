@@ -11,6 +11,8 @@ to::
     python -m converttovectordb_spark stats --store DIR
     python -m converttovectordb_spark health --store DIR
     python -m converttovectordb_spark history --store DIR --transactional
+    python -m converttovectordb_spark compact --store DIR --transactional
+    python -m converttovectordb_spark vacuum --store DIR --transactional
     python -m converttovectordb_spark clear --store DIR [--no-backup]
     python -m converttovectordb_spark demo --store DIR
 
@@ -96,6 +98,20 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     common(sp)
 
+    sp = sub.add_parser(
+        "compact",
+        help="OPTIMIZE a transactional store: rewrite the current "
+        "snapshot as one batch (old versions stay time-travelable)",
+    )
+    common(sp)
+
+    sp = sub.add_parser(
+        "vacuum",
+        help="drop batch dirs superseded by compaction (frees disk, "
+        "ends time travel to pre-compaction versions)",
+    )
+    common(sp)
+
     sp = sub.add_parser("clear", help="drop the store")
     sp.add_argument("--no-backup", action="store_true")
     common(sp)
@@ -174,6 +190,25 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"command": "health", **eng.health()}))
     elif args.command == "history":
         print(json.dumps({"command": "history", "commits": eng.history()}))
+    elif args.command in ("compact", "vacuum"):
+        from converttovectordb_spark.sources.store import (
+            TransactionalDocumentStore,
+        )
+
+        if not isinstance(eng.store, TransactionalDocumentStore):
+            print(
+                json.dumps(
+                    {"command": args.command,
+                     "error": "requires --transactional"}
+                )
+            )
+            return 1
+        if args.command == "compact":
+            n = eng.store.compact()
+            print(json.dumps({"command": "compact", "rows_compacted": n}))
+        else:
+            n = eng.store.vacuum()
+            print(json.dumps({"command": "vacuum", "dirs_removed": n}))
     elif args.command == "clear":
         eng.clear(backup=not args.no_backup)
         print(json.dumps({"command": "clear", "cleared": True}))

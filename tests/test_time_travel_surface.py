@@ -147,3 +147,40 @@ def test_cli_search_at_version_and_history(spark, tmp_path, capsys):
     assert main(["history"] + base) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert [c["version"] for c in out["commits"]] == [0, 1]
+
+
+def test_cli_compact_and_vacuum(spark, tmp_path, capsys):
+    from converttovectordb_spark.__main__ import main
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    (repo / "a.py").write_text("def f():\n    return 1\n")
+    store = str(tmp_path / "store")
+    base = ["--store", store, "--dim", "16", "--transactional"]
+
+    assert main(["ingest", "--repo", str(repo)] + base) == 0
+    assert main(["ingest", "--repo", str(repo), "--replace"] + base) == 0
+    capsys.readouterr()
+
+    assert main(["compact"] + base) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_compacted"] >= 1
+
+    assert main(["vacuum"] + base) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dirs_removed"] >= 1
+
+    # store still serves the compacted snapshot
+    assert main(["health"] + base) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["documents_count"] >= 1
+
+    # plain store → clear error, non-zero exit
+    plain = ["--store", str(tmp_path / "plain"), "--dim", "16"]
+    (tmp_path / "repo2").mkdir()
+    (tmp_path / "repo2" / "b.py").write_text("x = 1\n")
+    assert main(["ingest", "--repo", str(tmp_path / "repo2")] + plain) == 0
+    capsys.readouterr()
+    assert main(["compact"] + plain) == 1
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "transactional" in out["error"]
