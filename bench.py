@@ -76,6 +76,7 @@ def main() -> int:
         _ivf_index_cached,
         _jaccard_pairs_cached,
         _kmeans_ivf_export,
+        _lsh_bands_cached,
     )
 
     t0 = time.time()
@@ -87,10 +88,14 @@ def main() -> int:
     t0 = time.time()
     _kmeans_ivf_export(spark, sf_dir)
     kmeans_build_s = round(time.time() - t0, 3)
+    t0 = time.time()
+    _lsh_bands_cached(spark, sf_dir)
+    lsh_build_s = round(time.time() - t0, 3)
     print(
         f"bench: prewarm ivf_index {ivf_build_s:.2f}s, "
         f"jaccard_pairs {jaccard_build_s:.2f}s, "
-        f"ivf_kmeans {kmeans_build_s:.2f}s",
+        f"ivf_kmeans {kmeans_build_s:.2f}s, "
+        f"lsh_bands {lsh_build_s:.2f}s",
         file=sys.stderr,
     )
 
@@ -319,6 +324,7 @@ def main() -> int:
                     "ivf_index_build_sec": ivf_build_s,
                     "jaccard_pairs_build_sec": jaccard_build_s,
                     "ivf_kmeans_build_sec": kmeans_build_s,
+                    "lsh_bands_build_sec": lsh_build_s,
                 },
             }
         )
