@@ -77,25 +77,26 @@ def main() -> int:
         _jaccard_pairs_cached,
         _kmeans_ivf_export,
         _lsh_bands_cached,
+        _minhash_cands_cached,
+        _simhash_fp_cached,
     )
 
-    t0 = time.time()
-    _ivf_index_cached(spark, sf_dir)
-    ivf_build_s = round(time.time() - t0, 3)
-    t0 = time.time()
-    _jaccard_pairs_cached(spark, sf_dir)
-    jaccard_build_s = round(time.time() - t0, 3)
-    t0 = time.time()
-    _kmeans_ivf_export(spark, sf_dir)
-    kmeans_build_s = round(time.time() - t0, 3)
-    t0 = time.time()
-    _lsh_bands_cached(spark, sf_dir)
-    lsh_build_s = round(time.time() - t0, 3)
+    builders = [
+        ("ivf_index", _ivf_index_cached),
+        ("jaccard_pairs", _jaccard_pairs_cached),
+        ("ivf_kmeans", _kmeans_ivf_export),
+        ("lsh_bands", _lsh_bands_cached),
+        ("minhash_cands", _minhash_cands_cached),
+        ("simhash_fp", _simhash_fp_cached),
+    ]
+    build_secs: dict[str, float] = {}
+    for bname, builder in builders:
+        t0 = time.time()
+        builder(spark, sf_dir)
+        build_secs[bname] = round(time.time() - t0, 3)
     print(
-        f"bench: prewarm ivf_index {ivf_build_s:.2f}s, "
-        f"jaccard_pairs {jaccard_build_s:.2f}s, "
-        f"ivf_kmeans {kmeans_build_s:.2f}s, "
-        f"lsh_bands {lsh_build_s:.2f}s",
+        "bench: prewarm "
+        + ", ".join(f"{k} {v:.2f}s" for k, v in build_secs.items()),
         file=sys.stderr,
     )
 
@@ -321,10 +322,7 @@ def main() -> int:
                     "ingest_n_chunks": n_chunks,
                     # artifact builds pre-warmed outside the query
                     # timings (build-once/probe-many; 0.0 ≈ cache hit)
-                    "ivf_index_build_sec": ivf_build_s,
-                    "jaccard_pairs_build_sec": jaccard_build_s,
-                    "ivf_kmeans_build_sec": kmeans_build_s,
-                    "lsh_bands_build_sec": lsh_build_s,
+                    "artifact_build_sec": build_secs,
                 },
             }
         )

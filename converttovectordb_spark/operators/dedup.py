@@ -244,29 +244,29 @@ def minhash_lsh_candidates(
     )
 
 
-def minhash_lsh_neardup(
+def minhash_verify_jaccard(
     docs: DataFrame,
+    cands: DataFrame,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_words: int = 3,
-    num_hashes: int = 16,
-    bands: int = 4,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """LSH candidates verified with true shingle Jaccard (exact check
-    only on the candidate set — the two-phase pattern that makes
-    near-dup linear at corpus scale)."""
-    sh = _exploded_shingles(docs, id_col, text_col, shingle_words)
-    cands = minhash_lsh_candidates(
-        docs,
-        id_col=id_col,
-        text_col=text_col,
-        shingle_words=shingle_words,
-        num_hashes=num_hashes,
-        bands=bands,
-        _shingles=sh,
+    """Exact-Jaccard verification of candidate pairs (a, b).
+
+    Shingles are computed ONLY for documents that appear in some
+    candidate pair — the verification cost is proportional to the
+    candidate set, not the corpus, which is what lets a persisted
+    candidate table (built once at ingest) turn the whole near-dup
+    query into candidate-sized work."""
+    ids = (
+        cands.select(F.col("a").alias(id_col))
+        .union(cands.select(F.col("b").alias(id_col)))
+        .distinct()
     )
+    cdocs = docs.join(ids, id_col, "inner")
+    sh = _exploded_shingles(cdocs, id_col, text_col, shingle_words)
     sa = sh.select(F.col(id_col).alias("a"), F.col("shingle"))
     sb = sh.select(F.col(id_col).alias("b"), F.col("shingle"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -286,6 +286,43 @@ def minhash_lsh_neardup(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
+    )
+
+
+def minhash_lsh_neardup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """LSH candidates verified with true shingle Jaccard (exact check
+    only on the candidate set — the two-phase pattern that makes
+    near-dup linear at corpus scale). Pass ``candidates`` (a, b) from a
+    persisted signature index so only the verification runs."""
+    cands = (
+        candidates
+        if candidates is not None
+        else minhash_lsh_candidates(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_words=shingle_words,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+    )
+    return minhash_verify_jaccard(
+        docs,
+        cands,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_words=shingle_words,
+        threshold=threshold,
     )
 
 
@@ -340,12 +377,19 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     band_bits: int = 15,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup: bucket by 4 bands of 15 bits (any pair within
     Hamming distance 3 of a 60-bit hash shares at least one exact band
-    — pigeonhole), verify Hamming distance on candidates."""
-    fp = _materialize(
-        simhash_fingerprints(docs, id_col=id_col, text_col=text_col)
+    — pigeonhole), verify Hamming distance on candidates. Pass
+    ``fingerprints`` (id, simhash) from a persisted signature table to
+    skip the 60-aggregate fingerprint pass."""
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else _materialize(
+            simhash_fingerprints(docs, id_col=id_col, text_col=text_col)
+        )
     )
     # All 4 band keys in one pass over the (tiny, materialized)
     # fingerprint table — a per-band union would scan it 4× per side.
