@@ -73,6 +73,7 @@ def main() -> int:
     # offline job, so the per-query timings below measure the PROBE.
     # Build cost is reported separately (0.0 ≈ cache hit).
     from converttovectordb_spark.queries import (
+        _bucketed_lsh_bands_cached,
         _ivf_index_cached,
         _jaccard_pairs_cached,
         _kmeans_ivf_export,
@@ -86,6 +87,7 @@ def main() -> int:
         ("jaccard_pairs", _jaccard_pairs_cached),
         ("ivf_kmeans", _kmeans_ivf_export),
         ("lsh_bands", _lsh_bands_cached),
+        ("lsh_bands_bucketed", _bucketed_lsh_bands_cached),
         ("minhash_cands", _minhash_cands_cached),
         ("simhash_fp", _simhash_fp_cached),
     ]

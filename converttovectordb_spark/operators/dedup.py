@@ -569,6 +569,7 @@ def embedding_neardup_pairs(
     lsh_band_bits: int = 3,
     lsh_seed: int = 42,
     dim: int | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
 
@@ -584,8 +585,12 @@ def embedding_neardup_pairs(
     angle is large enough to disagree on every band (recall → 1 as bands
     grow; deterministic given the seed, so the decision is
     oracle-checkable — see queries.embedding_neardup_lsh).
+
+    ``banded`` injects an already-computed signature table (same schema
+    as ``embedding_lsh_bands`` with this bucket_col) — e.g. a persisted
+    artifact — so only the collision join runs at query time.
     """
-    if lsh_bands is None:
+    if lsh_bands is None and banded is None:
         n = vectors.select(
             F.col(id_col), l2_normalize(F.col(vec_col)).alias("_v"),
             *([F.col(bucket_col)] if bucket_col else []),
@@ -605,12 +610,12 @@ def embedding_neardup_pairs(
             .filter(F.col("cosine") >= threshold)
             .select("a", "b", "cosine")
         )
-    if dim is None:
+    if banded is None and dim is None:
         raise ValueError("dim is required when lsh_bands is set")
     # Materialize the banded signature table ONCE: the self-join would
     # otherwise re-evaluate all bands×bits hyperplane projections for
     # BOTH sides (same move as the SimHash fingerprint table).
-    bands = _materialize(embedding_lsh_bands(
+    bands = banded if banded is not None else _materialize(embedding_lsh_bands(
         vectors,
         id_col=id_col,
         vec_col=vec_col,

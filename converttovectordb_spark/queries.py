@@ -1560,6 +1560,28 @@ FROM pairs WHERE cosine >= 0.3
 """
 
 
+def _bucketed_lsh_bands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (label-bucketed) hyperplane-LSH signature table for embedding
+    near-dup, persisted once per corpus — same signature-index treatment
+    as the probe-side LSH band table, keyed separately because the
+    bucket column is part of the collision key."""
+    import os
+
+    path = _artifact_cache_dir(
+        "lsh_bands_bucketed",
+        [f"{sf_dir}/embeddings.parquet"],
+        "bands=8|bits=3|seed=42|dim=64|bucket=label",
+    )
+    if not os.path.isdir(path):
+        emb = _spread(spark, load(spark, sf_dir, "embeddings"))
+        build_dir = f"{path}.build-{os.getpid()}"
+        embedding_lsh_bands(
+            emb, bucket_col="label", num_bands=8, band_bits=3, seed=42, dim=64
+        ).write.mode("overwrite").parquet(build_dir)
+        _publish_artifact(build_dir, path)
+    return spark.read.parquet(path)
+
+
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup with hyperplane-LSH sub-buckets INSIDE the
     coarse cluster bucket — the fix for round-1's in-bucket quadratic
@@ -1570,16 +1592,14 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The hyperplanes are md5-seeded Rademacher vectors, identical in the
     DuckDB oracle (literal ±1 arrays from the same seed), so the LSH
     candidate decision itself — not just the verified output — is
-    hash-checked."""
+    hash-checked. The signature table comes from the persisted artifact
+    (_bucketed_lsh_bands_cached); only the collision join runs here."""
     emb = _spread(spark, load(spark, sf_dir, "embeddings"))
     out = embedding_neardup_pairs(
         emb,
         threshold=0.3,
         bucket_col="label",
-        lsh_bands=8,
-        lsh_band_bits=3,
-        lsh_seed=42,
-        dim=64,
+        banded=_bucketed_lsh_bands_cached(spark, sf_dir),
     )
     return out.select("a", "b", _round6(F.col("cosine")).alias("cosine"))
 
