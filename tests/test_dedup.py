@@ -192,3 +192,77 @@ def test_connected_components_raises_on_nonconvergence(spark):
         ).collect()
     }
     assert set(ok.values()) == {0}
+
+
+def test_minhash_injected_candidates_match_direct_path(spark):
+    """The candidates= seam (fed by the persisted signature artifact in
+    queries.py) must give bit-identical results to the self-contained
+    path — the artifact is a physical cache, never a semantic fork."""
+    docs = _docs(spark)
+    direct = sorted(
+        map(tuple, minhash_lsh_neardup(docs, threshold=0.2).collect())
+    )
+    cands = minhash_lsh_candidates(
+        docs, shingle_words=3, num_hashes=16, bands=4
+    ).select("a", "b")
+    injected = sorted(
+        map(
+            tuple,
+            minhash_lsh_neardup(
+                docs, threshold=0.2, candidates=cands
+            ).collect(),
+        )
+    )
+    assert direct == injected and len(direct) > 0
+
+
+def test_simhash_injected_fingerprints_match_direct_path(spark):
+    docs = _docs(spark)
+    direct = sorted(
+        map(tuple, simhash_neardup_pairs(docs, max_hamming=30).collect())
+    )
+    fp = simhash_fingerprints(docs)
+    injected = sorted(
+        map(
+            tuple,
+            simhash_neardup_pairs(
+                docs, max_hamming=30, fingerprints=fp
+            ).collect(),
+        )
+    )
+    assert direct == injected and len(direct) > 0
+
+
+def test_embedding_banded_injection_matches_direct_path(spark):
+    from converttovectordb_spark.operators.dedup import embedding_lsh_bands
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.2, 0.1], 0),
+            (2, [0.9, 0.05, 0.21, 0.1], 0),   # near-dup of 1, same bucket
+            (3, [-1.0, 0.5, -0.2, 0.3], 0),
+            (4, [0.0, 1.0, 0.0, 0.0], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    direct = sorted(
+        map(
+            tuple,
+            embedding_neardup_pairs(
+                emb, threshold=0.9, bucket_col="label",
+                lsh_bands=4, lsh_band_bits=2, lsh_seed=7, dim=4,
+            ).collect(),
+        )
+    )
+    banded = embedding_lsh_bands(
+        emb, bucket_col="label", num_bands=4, band_bits=2, seed=7, dim=4
+    )
+    injected = sorted(
+        map(
+            tuple,
+            embedding_neardup_pairs(
+                emb, threshold=0.9, bucket_col="label", banded=banded
+            ).collect(),
+        )
+    )
+    assert direct == injected and len(direct) > 0
