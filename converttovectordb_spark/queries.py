@@ -3797,6 +3797,10 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # the memory sink owns the rows now; drop the symlink dir
+        import shutil
+
+        shutil.rmtree(stream_dir, ignore_errors=True)
     return spark.table(name)
 
 
@@ -3883,6 +3887,9 @@ def q_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        import shutil
+
+        shutil.rmtree(stream_dir, ignore_errors=True)
     return spark.table(name)
 
 
@@ -3947,6 +3954,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        import shutil
+
+        shutil.rmtree(stream_dir, ignore_errors=True)
     val = F.col("value").cast("decimal(14,2)")
     return spark.table(name).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
@@ -4310,6 +4320,8 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(sent_dir, ignore_errors=True)
     w = Window.partitionBy("user_id").orderBy("session_start")
     return (
         spark.table(name)
