@@ -1254,8 +1254,10 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )
     return (
-        # component→size map is at most one row per cluster — broadcast
-        comp.join(F.broadcast(sizes), on="comp")
+        # component→size map is one row per cluster — SF-scaled (grows
+        # with the dup population), so no broadcast hint: AQE
+        # broadcasts it while small, shuffles on comp at scale
+        comp.join(sizes, on="comp")
         .select(
             F.col("node").alias("doc_id"),
             F.col("comp").alias("cluster_id"),
@@ -2078,8 +2080,14 @@ FROM g
 
 
 def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 5-way join. All dimension tables are broadcast
-    (no shuffle of lineitem); only the final groupBy shuffles partials."""
+    """TPC-H Q5 shape: 5-way join. Only the FIXED-SIZE dims
+    (``nation``: 25 rows, ``region``: 5 rows — constant at every scale
+    factor) carry a broadcast hint. ``orders`` and ``customer`` are
+    SF-scaled, so their joins are left hint-free: AQE broadcasts them
+    from measured sizes while they are genuinely small and switches to
+    shuffled hash joins (with skew splitting) at scale. A hard
+    ``F.broadcast`` on an SF-scaled side would OOM executors at the
+    100 TB design point."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
@@ -2088,9 +2096,9 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = F.col("l_discount").cast("decimal(12,2)")
     out = (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+        li.join(orders.select("o_orderkey", "o_custkey"),
                 li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        .join(cust.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
               F.col("c_nationkey") == F.col("n_nationkey"))
@@ -2129,11 +2137,13 @@ def q_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape (volume shipping): bilateral revenue between two
     nations, per direction and ship year.
 
-    Plan: lineitem joins the BROADCAST supplier→nation dim, then orders
-    and customer (the only shuffled joins, each on its natural key),
-    then the broadcast customer-nation dim; the nation-pair predicate
-    prunes rows before the aggregate, and the final groupBy moves only
-    map-side partials. DECIMAL-exact revenue."""
+    Plan: only the two ``nation`` aliases (25 fixed rows each) carry a
+    broadcast hint. ``supplier``, ``orders``, and ``customer`` are
+    SF-scaled, so their joins are hint-free on their natural keys: AQE
+    broadcasts them from measured sizes while small and falls back to
+    shuffled hash joins at scale. The nation-pair predicate prunes rows
+    before the aggregate, and the final groupBy moves only map-side
+    partials. DECIMAL-exact revenue."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
@@ -2154,16 +2164,16 @@ def q_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = (
         li.join(
-            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            supp.select("s_suppkey", "s_nationkey"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
         .join(
-            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            orders.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            cust.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
@@ -2240,12 +2250,14 @@ WHERE rank <= 3
 
 
 def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join: customers with no orders. Broadcast the distinct key
-    set; no shuffle of the customer side."""
+    """Anti join: customers with no orders. The distinct key set is
+    customer-cardinality (SF-scaled), so it gets NO broadcast hint —
+    AQE broadcasts it while small and shuffles both sides on the key at
+    scale, which is the only plan that survives 100 TB."""
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     return cust.join(
-        F.broadcast(orders.select("o_custkey").distinct()),
+        orders.select("o_custkey").distinct(),
         cust.c_custkey == F.col("o_custkey"),
         "left_anti",
     ).select("c_custkey", "c_name", "c_mktsegment")
@@ -2260,8 +2272,11 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
 
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: segment filter → 3-way join → revenue per order
-    → global top-10. Dims broadcast; the order-level aggregate feeds
-    TakeOrderedAndProject (never a full sort)."""
+    → global top-10. The date-filtered ``orders`` keeps ~half the table
+    and the segment-filtered ``customer`` ~a fifth — both SF-scaled, so
+    neither carries a broadcast hint (AQE decides from sizes). The
+    order-level aggregate feeds TakeOrderedAndProject (never a full
+    sort)."""
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
@@ -2271,14 +2286,12 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         li.filter(F.col("l_shipdate") > cutoff)
         .join(
-            F.broadcast(orders.filter(F.col("o_orderdate") < cutoff)),
+            orders.filter(F.col("o_orderdate") < cutoff),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(
-                cust.filter(F.col("c_mktsegment") == "BUILDING").select(
-                    "c_custkey"
-                )
+            cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+                "c_custkey"
             ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
@@ -2316,8 +2329,12 @@ LIMIT 10
 def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING on an order-level sum, joined back to
     orders + customer. The quantity aggregate shuffles once on
-    l_orderkey; the filtered survivor set is tiny, so both join-backs
-    broadcast it."""
+    l_orderkey. The HAVING survivor set is a small FRACTION of orders
+    but still grows linearly with SF, and ``customer`` is fully
+    SF-scaled — so neither join-back carries a broadcast hint. AQE
+    broadcasts the survivor set from its measured post-aggregate size
+    while it is genuinely small (the common case) and degrades to a
+    shuffled hash join at scale instead of an executor OOM."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
@@ -2328,11 +2345,9 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_tq") > 150)
     )
     out = (
-        orders.join(
-            F.broadcast(big), orders.o_orderkey == big.l_orderkey
-        )
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(
-            F.broadcast(cust.select("c_custkey", "c_name")),
+            cust.select("c_custkey", "c_name"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
     )
@@ -2554,20 +2569,20 @@ FROM part
 
 def q_cust_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join chain: customers with at least one returned
-    lineitem. Both semi joins broadcast the (small, distinct) key set —
-    the fact tables are never shuffled."""
+    lineitem. Both distinct key sets are SF-scaled (returned orderkeys
+    ~ a quarter of orders; returning custkeys ~ most of customer), so
+    neither semi join carries a broadcast hint — AQE broadcasts them
+    while small and shuffles on the key at scale."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     ret_orders = orders.join(
-        F.broadcast(
-            li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
-        ),
+        li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct(),
         orders.o_orderkey == F.col("l_orderkey"),
         "left_semi",
     )
     return cust.join(
-        F.broadcast(ret_orders.select("o_custkey").distinct()),
+        ret_orders.select("o_custkey").distinct(),
         cust.c_custkey == F.col("o_custkey"),
         "left_semi",
     ).select("c_custkey", "c_name", "c_mktsegment")
@@ -3236,9 +3251,12 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (0 for singletons).
 
     This is the materialization step a 100 TB curation run actually
-    ships: survivors = corpus ANTI-JOIN dropped-members — one broadcast
-    anti-join at the end of the (linear, LSH-bounded) pair mining, so
-    the full corpus is touched exactly once more after clustering."""
+    ships: survivors = corpus ANTI-JOIN dropped-members at the end of
+    the (linear, LSH-bounded) pair mining, so the full corpus is
+    touched exactly once more after clustering. The dropped/absorbed
+    sets scale with the dup population (linear in corpus size), so the
+    joins are hint-free: AQE broadcasts them while small and shuffles
+    on doc_id at scale."""
     from converttovectordb_spark.operators.dedup import connected_components
 
     docs = _spread(spark, load(spark, sf_dir, "documents"))
@@ -3250,10 +3268,10 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = comp.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("doc_id")
     )
-    survivors = docs.join(F.broadcast(dropped), on="doc_id", how="left_anti")
+    survivors = docs.join(dropped, on="doc_id", how="left_anti")
     return (
         survivors.join(
-            F.broadcast(absorbed.withColumnRenamed("comp", "doc_id")),
+            absorbed.withColumnRenamed("comp", "doc_id"),
             on="doc_id",
             how="left",
         )

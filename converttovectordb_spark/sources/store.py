@@ -353,8 +353,11 @@ class TransactionalDocumentStore(DocumentStore):
                 .groupBy(*key_cols)
                 .agg(F.max("_tv").alias("_tv"))
             )
+            # the tombstone key set grows with delete/replace volume,
+            # so no broadcast hint — AQE broadcasts it while small and
+            # shuffles on the key once it isn't
             df = (
-                df.join(F.broadcast(tmax), on=list(key_cols), how="left")
+                df.join(tmax, on=list(key_cols), how="left")
                 .filter(F.col("_tv").isNull() | (F.col("_sv") >= F.col("_tv")))
                 .drop("_tv", "_sv")
             )
