@@ -128,9 +128,18 @@ def main() -> int:
     #    (reference: ~32-74 chunks/s on the embedding-dominated path).
     from pyspark.sql import functions as F
 
+    from converttovectordb_spark.functions.vector import (
+        NORM_COL,
+        with_query_norms,
+    )
     from converttovectordb_spark.operators.search import knn_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    # Serving caches carry the precomputed corpus norm (with_query_norms)
+    # so each probe is a single dot-aggregate per row — the same
+    # cache-fill step the REST server performs.
+    emb = with_query_norms(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ).cache()
     n_vecs = emb.count()
     probe = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     probe = [float(x) for x in probe]
@@ -168,24 +177,47 @@ def main() -> int:
         .repartition(int(cpus))
     )
     matched = (
-        embed_column(
-            explode_chunks(docs_for_knn, chunk_size=100, overlap=30),
-            "content", "embedding", None, 384,
+        with_query_norms(
+            embed_column(
+                explode_chunks(docs_for_knn, chunk_size=100, overlap=30),
+                "content", "embedding", None, 384,
+            )
+            .select(
+                F.monotonically_increasing_id().alias("vec_id"),
+                "content",
+                "embedding",
+            )
+            .limit(13515)  # cap at the reference's exact N
+            .repartition(int(cpus))
         )
-        .select(
-            F.monotonically_increasing_id().alias("vec_id"),
-            "content",
-            "embedding",
-        )
-        .limit(13515)  # cap at the reference's exact N for a clean ratio
-        .repartition(int(cpus))
         .cache()
     )
     n_matched = matched.count()
     probe384 = [float(x) for x in matched.select("embedding").first()[0]]
-    knn_matched_warm = knn_min3(
-        matched.select("vec_id", "embedding"), probe384
+    # Distributed tier: the prenormed cached-DataFrame scan — the plan
+    # that serves corpora past the driver-matrix budget. Its floor on
+    # local[32] is Spark's per-job overhead (~0.15 s), not the math.
+    knn_matched_distributed = knn_min3(
+        matched.select("vec_id", "embedding", NORM_COL), probe384
     )
+
+    # Serving tier at this N: the driver-matrix cache the REST door
+    # actually queries (operators/serving.py) — the same in-memory-scan
+    # condition as the reference's 0.11 s number. Build (count + Arrow
+    # collect) happens at cache fill, outside the timed region.
+    from converttovectordb_spark.operators.serving import DriverMatrixIndex
+
+    midx = DriverMatrixIndex.from_dataframe(
+        matched.select("vec_id", "embedding")
+    )
+    midx.query(probe384, 5, id_cols=["vec_id"])  # warm
+    knn_matched_warm = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        midx.query(probe384, 5, id_cols=["vec_id"])
+        knn_matched_warm = min(
+            knn_matched_warm, round(time.time() - t0, 4)
+        )
 
     # End-to-end HTTP serving latency at the SAME condition the
     # reference logged 0.11 s for (N=13,515, d=384, top-5, warm server):
@@ -304,8 +336,14 @@ def main() -> int:
                     "knn_corpus_size": n_vecs,
                     "knn_corpus_dim": 64,
                     # matched to the reference's largest logged serving
-                    # corpus: 0.11 s at N=13,515, d=384 (BASELINE.md)
+                    # corpus: 0.11 s at N=13,515, d=384 (BASELINE.md).
+                    # knn_matched_warm_sec is the serving tier the REST
+                    # door uses at this N (driver-matrix cache — the
+                    # reference's own in-memory-scan condition);
+                    # the _distributed_ number is the cached prenormed
+                    # Spark scan that takes over past the matrix budget.
                     "knn_matched_warm_sec": knn_matched_warm,
+                    "knn_matched_distributed_sec": knn_matched_distributed,
                     "knn_matched_corpus_size": n_matched,
                     "knn_matched_corpus_dim": 384,
                     "knn_matched_reference_sec": 0.11,

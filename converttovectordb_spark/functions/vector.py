@@ -107,3 +107,71 @@ def cosine_to_query(emb_col_name: str, query: list[float]) -> Column:
     return F.expr(
         f"CASE WHEN {sq} = 0D THEN 0D ELSE {dot} / (sqrt({sq}) * {qn!r}D) END"
     )
+
+
+#: Column name the serving caches use for the precomputed corpus norm.
+NORM_COL = "_emb_norm"
+
+
+def with_query_norms(
+    df, emb_col: str = "embedding", norm_col: str = NORM_COL
+):
+    """Serving-cache fill step: pre-cast the embedding column to
+    ``array<double>`` and attach its L2 norm as ``norm_col``.
+
+    This is SURVEY §7 phase-4's prescription made concrete: the
+    reference recomputes both norms for every (query, row) pair
+    (mock_vector_db_api.py:48-49); on our warm path the corpus-side
+    norm (and the float→double conversion) is paid ONCE when the cache
+    fills, so each query's scan does a single dot-product aggregate per
+    row. The norm is computed with the EXACT expression
+    ``cosine_to_query`` folds inline — same sequential fold, same
+    casts — so prenormed scores are bit-identical to the cold path (the
+    DuckDB oracle checks 6-decimal parity either way).
+
+    Apply only to scan caches (server corpus cache, bench serving
+    corpus); stored tables keep their compact float32 arrays.
+    """
+    col = f"`{emb_col}`"
+    sq = (
+        f"aggregate({col}, 0D, (acc, v) -> acc + cast(v AS double)"
+        f"*cast(v AS double))"
+    )
+    return df.withColumn(norm_col, F.expr(f"sqrt({sq})")).withColumn(
+        emb_col, F.col(emb_col).cast("array<double>")
+    )
+
+
+def cosine_to_query_prenormed(
+    emb_col_name: str, norm_col_name: str, query: list[float]
+) -> Column:
+    """``cosine_to_query`` for corpora prepared by ``with_query_norms``:
+    reads the cached corpus norm instead of re-aggregating Σv² per row,
+    halving the per-row flops on the warm serving path. Same single
+    ``F.expr`` parse, same zero-norm→0.0 guard, same fold order — the
+    division uses the identical sqrt value the inline form would
+    compute, so results are bit-identical.
+    """
+    import math
+
+    q = [float(x) for x in query]
+    if not all(math.isfinite(x) for x in q):
+        raise ValueError(
+            "query embedding contains non-finite values (NaN/Infinity)"
+        )
+    sq_sum = 0.0
+    for x in q:
+        sq_sum += x * x
+    qn = math.sqrt(sq_sum)
+    if qn == 0.0:
+        return F.lit(0.0)
+    col = f"`{emb_col_name}`"
+    ncol = f"`{norm_col_name}`"
+    q_sql = "array(" + ",".join(f"{x!r}D" for x in q) + ")"
+    dot = (
+        f"aggregate(zip_with(cast({col} AS array<double>), {q_sql}, "
+        f"(x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+    return F.expr(
+        f"CASE WHEN {ncol} = 0D THEN 0D ELSE {dot} / ({ncol} * {qn!r}D) END"
+    )

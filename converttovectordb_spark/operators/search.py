@@ -88,7 +88,20 @@ def knn_topk(
 
     # Single-parse construction: the serving path is latency-bound on
     # driver-side plan building, not on the scan (see cosine_to_query).
-    score = cosine_to_query(embedding_col, query_vector)
+    # Corpora prepared by with_query_norms (the serving caches) carry a
+    # precomputed norm column — use it and skip the per-row Σv²
+    # aggregate; scores are bit-identical (see vector.py).
+    from converttovectordb_spark.functions.vector import (
+        NORM_COL,
+        cosine_to_query_prenormed,
+    )
+
+    if NORM_COL in docs.columns:
+        score = cosine_to_query_prenormed(
+            embedding_col, NORM_COL, query_vector
+        )
+    else:
+        score = cosine_to_query(embedding_col, query_vector)
     if expected_dim is None:
         # Lazy in-plan guard: first mismatching row aborts the job with
         # the Q5 message. No extra driver job on the hot path.
@@ -102,6 +115,9 @@ def knn_topk(
             ).cast("double"),
         ).otherwise(score)
     scored = docs.withColumn("score", score)
+    if NORM_COL in scored.columns:
+        # cache-internal column — never part of the result contract
+        scored = scored.drop(NORM_COL)
     if drop_embedding:
         # Reference T5 (no embeddings in results) — applied BEFORE the
         # sort so the per-partition top-k never carries the widest

@@ -69,32 +69,106 @@ class VectorDBApi:
     """The endpoint logic, separated from HTTP plumbing so tests can
     call it directly and alternative transports can reuse it."""
 
-    def __init__(self, engine):
+    def __init__(self, engine, *, matrix_max_cells: int | None = None):
         self.engine = engine
-        # Warm serving path: /query hits a CACHED corpus DataFrame, so
-        # steady-state HTTP latency is the in-memory KNN scan — the same
-        # condition as the reference's long-running server (documents
-        # kept in memory, :308) and as the bench's knn_scan_warm_sec.
-        # Invalidated on every write (/add_documents, /clear).
-        self._corpus = None
+        # Warm serving path: /query hits a TIERED corpus cache — a
+        # driver-resident matrix (operators/serving.py) while the
+        # corpus fits the cell budget, a cached prenormed DataFrame
+        # (with_query_norms + knn_topk) beyond it. The same condition
+        # as the reference's long-running server (documents kept in
+        # memory, :308) and as the bench's knn_matched_warm_sec.
+        # Invalidated on every API write (/add_documents, /clear) AND
+        # re-validated against a cheap store token on every reuse, so a
+        # store written out-of-band (CLI ingest into the same dir) is
+        # picked up on the next query instead of served stale.
+        from converttovectordb_spark.operators.serving import (
+            DEFAULT_MAX_CELLS,
+        )
+
+        self._matrix_max_cells = (
+            DEFAULT_MAX_CELLS if matrix_max_cells is None else matrix_max_cells
+        )
+        self._corpus = None  # distributed tier: cached DataFrame
+        self._matrix = None  # matrix tier: DriverMatrixIndex
+        self._corpus_token = None  # store state the cache was built from
         self._corpus_lock = threading.Lock()
 
-    def _corpus_df(self):
-        """Cached corpus DataFrame (materialized); None if no store."""
+    def _store_token(self):
+        """Cheap fingerprint of the store's committed state.
+
+        Transactional stores: the committed version (one dir listing).
+        Plain parquet stores: the (name, mtime, size) set of data files
+        — an os.scandir, no Spark job. None when the store is absent.
+        """
+        store = self.engine.store
+        if not store.exists():
+            return None
+        if hasattr(store, "version"):
+            try:
+                return ("v", store.version())
+            except Exception:
+                pass
+        try:
+            with os.scandir(store.path) as it:
+                entries = frozenset(
+                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                    for e in it
+                    if not e.name.startswith("_")
+                )
+            return ("ls", entries)
+        except OSError:
+            return None
+
+    def _corpus_handle(self):
+        """``("matrix", DriverMatrixIndex)`` or ``("df", DataFrame)``;
+        ``None`` if no store. Fill cost (count + Arrow collect or
+        cache materialization + norm precompute) is paid once per
+        store state, never on the query path."""
+        token = self._store_token()
         with self._corpus_lock:
-            if self._corpus is None:
-                if not self.engine.store.exists():
-                    return None
-                df = self.engine.store.load().cache()
-                df.count()  # materialize while holding the lock — once
-                self._corpus = df
-            return self._corpus
+            if token is None:
+                self._drop_cache_locked()
+                return None
+            if token == self._corpus_token:
+                if self._matrix is not None:
+                    return ("matrix", self._matrix)
+                if self._corpus is not None:
+                    return ("df", self._corpus)
+            self._drop_cache_locked()
+            from converttovectordb_spark.functions.vector import (
+                with_query_norms,
+            )
+            from converttovectordb_spark.operators.serving import (
+                DriverMatrixIndex,
+            )
+
+            df = self.engine.store.load()
+            idx = DriverMatrixIndex.from_dataframe(
+                df, max_cells=self._matrix_max_cells
+            )
+            if idx is not None:
+                self._matrix = idx
+                self._corpus_token = token
+                return ("matrix", idx)
+            # Distributed tier: cache-fill pays the float→double cast
+            # and the corpus norm ONCE; every /query then runs a single
+            # dot-aggregate per row (knn_topk auto-detects _emb_norm).
+            cached = with_query_norms(df).cache()
+            cached.count()  # materialize while holding the lock — once
+            self._corpus = cached
+            self._corpus_token = token
+            return ("df", cached)
+
+    def _drop_cache_locked(self):
+        if self._corpus is not None:
+            self._corpus.unpersist()
+        self._corpus = None
+        self._matrix = None
+        self._corpus_token = None
 
     def _invalidate_corpus(self):
         with self._corpus_lock:
-            if self._corpus is not None:
-                self._corpus.unpersist()
-                self._corpus = None
+            self._drop_cache_locked()
 
     # -- POST /add_documents (reference :150-228) -----------------------
     def add_documents(self, body: dict) -> dict:
@@ -209,10 +283,27 @@ class VectorDBApi:
             except FileNotFoundError:
                 raise _ApiError(400, f"no committed version <= {version}")
         else:
-            docs = self._corpus_df()
-            if docs is None:  # store cleared between exists() and load
+            handle = self._corpus_handle()
+            if handle is None:  # store cleared between exists() and load
                 return {"results": [], "query_time": time.time() - start,
                         "total_documents_searched": 0}
+            kind, corpus = handle
+            if kind == "matrix":
+                # Matrix tier: the reference's own serving plan (in-
+                # memory scan) with cached norms — no Spark job on the
+                # hot path. Same Q1/Q3/Q4/Q5 semantics as knn_topk.
+                try:
+                    rows = corpus.query(
+                        emb, top_k, id_cols=["path", "chunk_index"]
+                    )
+                except ValueError as e:
+                    raise _ApiError(400, str(e))
+                return {
+                    "results": rows,  # already embedding-free dicts
+                    "query_time": time.time() - start,
+                    "total_documents_searched": corpus.n,
+                }
+            docs = corpus
         # One action serves both the rows and the corpus size: count the
         # scanned docs as an observe metric on the same search job
         # instead of a second count() pass (reference keeps
@@ -354,8 +445,15 @@ class VectorDBServer:
     """Owns the HTTP listener; ``start()`` binds (port 0 → ephemeral)
     and serves on a daemon thread so tests and the CLI share one path."""
 
-    def __init__(self, engine, host: str = "127.0.0.1", port: int = 5000):
-        self.api = VectorDBApi(engine)
+    def __init__(
+        self,
+        engine,
+        host: str = "127.0.0.1",
+        port: int = 5000,
+        *,
+        matrix_max_cells: int | None = None,
+    ):
+        self.api = VectorDBApi(engine, matrix_max_cells=matrix_max_cells)
         self._httpd = ThreadingHTTPServer((host, port), _make_handler(self.api))
         self._thread: threading.Thread | None = None
 

@@ -217,19 +217,20 @@ def test_query_corpus_cache_invalidation(server):
         server, "POST", "/query", {"query_embedding": _unit(0)}
     )
     assert status == 200 and out["total_documents_searched"] == 3
-    # warm path: the corpus DataFrame is cached after the first query
-    assert server.api._corpus is not None
+    # warm path: a tiny corpus lands in the driver-matrix tier after
+    # the first query (the distributed tier would set _corpus instead)
+    assert server.api._matrix is not None
 
     # a write invalidates the cache; the next query sees the new rows
     _add("b", 4)
-    assert server.api._corpus is None
+    assert server.api._matrix is None
     status, out = _call(
         server, "POST", "/query", {"query_embedding": _unit(0)}
     )
     assert status == 200 and out["total_documents_searched"] == 7
 
     _call(server, "POST", "/clear")
-    assert server.api._corpus is None
+    assert server.api._matrix is None and server.api._corpus is None
     status, out = _call(
         server, "POST", "/query", {"query_embedding": _unit(0)}
     )

@@ -1,0 +1,157 @@
+"""The driver-matrix serving tier must be semantically indistinguishable
+from the distributed knn_topk path — same rows, same order, same scores
+(to float tolerance), same reference Q1/Q3/Q4/Q5 behaviors — and the
+server must pick the right tier and notice out-of-band store writes."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from converttovectordb_spark.functions.vector import (
+    NORM_COL,
+    with_query_norms,
+)
+from converttovectordb_spark.operators.search import knn_topk
+from converttovectordb_spark.operators.serving import DriverMatrixIndex
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _corpus(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter(F.col("embedding").isNotNull())
+    )
+
+
+def test_matrix_matches_knn_topk(spark):
+    df = _corpus(spark)
+    probe = [float(x) for x in df.select("embedding").first()[0]]
+    idx = DriverMatrixIndex.from_dataframe(df)
+    got = idx.query(probe, 7, score_threshold=-2.0, id_cols=["vec_id"])
+    want = knn_topk(
+        df,
+        probe,
+        7,
+        id_cols=["vec_id"],
+        expected_dim=len(probe),
+        score_threshold=-2.0,
+    ).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], abs=1e-12)
+
+
+def test_matrix_tie_break_and_threshold_after_limit(spark):
+    rows = [
+        ("b", 1, [1.0, 0.0]),
+        ("a", 2, [1.0, 0.0]),  # exact tie with b/1 → 'a' wins on id
+        ("a", 1, [1.0, 0.0]),
+        ("c", 1, [0.0, 1.0]),  # orthogonal: score 0 < threshold
+        ("d", 1, [0.0, 0.0]),  # zero norm → score 0.0 (Q1)
+    ]
+    df = spark.createDataFrame(rows, "path string, chunk_index int, embedding array<double>")
+    idx = DriverMatrixIndex.from_dataframe(df)
+    # top_k=4 admits one sub-threshold row; threshold drops it AFTER
+    # the limit (Q4), so only the 3 tied rows come back — id-ordered.
+    got = idx.query([1.0, 0.0], 4, id_cols=["path", "chunk_index"])
+    assert [(r["path"], r["chunk_index"]) for r in got] == [
+        ("a", 1),
+        ("a", 2),
+        ("b", 1),
+    ]
+    want = knn_topk(
+        df, [1.0, 0.0], 4, id_cols=["path", "chunk_index"], expected_dim=2
+    ).collect()
+    assert [(r["path"], r["chunk_index"]) for r in got] == [
+        (r["path"], r["chunk_index"]) for r in want
+    ]
+
+
+def test_matrix_zero_query_and_dim_guard(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0])], "path string, embedding array<double>"
+    )
+    idx = DriverMatrixIndex.from_dataframe(df)
+    assert idx.query([0.0, 0.0], 3, id_cols=["path"]) == []  # all 0 < 0.1
+    with pytest.raises(ValueError, match="query dimension 3 != stored dimension 2"):
+        idx.query([1.0, 0.0, 0.0], 3)
+    with pytest.raises(ValueError, match="non-finite"):
+        idx.query([math.nan, 0.0], 3)
+
+
+def test_budget_fallback_returns_none(spark):
+    df = _corpus(spark)
+    assert DriverMatrixIndex.from_dataframe(df, max_cells=10) is None
+
+
+def test_empty_corpus(spark):
+    df = _corpus(spark).filter(F.lit(False))
+    idx = DriverMatrixIndex.from_dataframe(df)
+    assert idx.n == 0 and idx.query([1.0, 0.0], 5) == []
+
+
+def test_knn_topk_prenormed_scores_match_inline(spark):
+    """The distributed tier's cached-norm scorer must reproduce the
+    inline (cold-path) scores bit-for-bit — same fold, same casts."""
+    df = _corpus(spark)
+    probe = [float(x) for x in df.select("embedding").first()[0]]
+    cold = knn_topk(
+        df, probe, 9, id_cols=["vec_id"], expected_dim=len(probe)
+    ).collect()
+    warm = knn_topk(
+        with_query_norms(df),
+        probe,
+        9,
+        id_cols=["vec_id"],
+        expected_dim=len(probe),
+    ).collect()
+    assert [r["vec_id"] for r in warm] == [r["vec_id"] for r in cold]
+    assert [r["score"] for r in warm] == [r["score"] for r in cold]
+    assert all(NORM_COL not in r.asDict() for r in warm)
+
+
+def test_server_sees_out_of_band_store_write(spark, tmp_path):
+    """ADVICE r5: a server pointed at a store that another writer (CLI
+    ingest) appends to must serve the new rows on the next query, not a
+    stale cache."""
+    from converttovectordb_spark.embeddings import hash_embedder
+    from converttovectordb_spark.engine import VectorEngine
+    from converttovectordb_spark.server import VectorDBApi
+
+    store = str(tmp_path / "store")
+
+    def mkdocs(tag, n):
+        return spark.createDataFrame(
+            [
+                (
+                    f"{tag}/f{i}.py",
+                    ".py",
+                    0,
+                    1,
+                    f"{tag} doc {i}",
+                    [float(i + 1), 1.0],
+                    0.0,
+                )
+                for i in range(n)
+            ],
+            "path string, extension string, chunk_index int, "
+            "total_chunks int, content string, embedding array<float>, "
+            "timestamp double",
+        )
+
+    eng = VectorEngine(spark, store, embedder=hash_embedder(2), dim=2)
+    eng.store.append(mkdocs("a", 3))
+    api = VectorDBApi(eng)
+    out = api.query({"query_embedding": [1.0, 0.0]})
+    assert out["total_documents_searched"] == 3
+
+    # out-of-band writer: a second engine handle, not the API
+    eng2 = VectorEngine(spark, store, embedder=hash_embedder(2), dim=2)
+    eng2.store.append(mkdocs("b", 2))
+    out = api.query({"query_embedding": [1.0, 0.0]})
+    assert out["total_documents_searched"] == 5
