@@ -158,15 +158,26 @@ def main(argv: list[str] | None = None) -> int:
     eng = _engine(args)
 
     if args.command == "ingest":
-        eng.ingest(args.repo, repo_url=args.repo_url, replace=args.replace)
+        try:
+            eng.ingest(args.repo, repo_url=args.repo_url, replace=args.replace)
+        except ValueError as e:
+            # e.g. --replace on a non-transactional store: the clean
+            # JSON-error + exit-1 pattern compact/vacuum use, not a
+            # traceback (the help text promises --transactional).
+            print(json.dumps({"command": "ingest", "error": str(e)}))
+            return 1
         print(json.dumps({"command": "ingest", **eng.last_ingest_metrics}))
     elif args.command == "search":
-        res = eng.search(
-            args.query,
-            args.top_k,
-            truncate_chars=args.truncate or None,
-            at_version=args.at_version,
-        )
+        try:
+            res = eng.search(
+                args.query,
+                args.top_k,
+                truncate_chars=args.truncate or None,
+                at_version=args.at_version,
+            )
+        except ValueError as e:  # e.g. --at-version without --transactional
+            print(json.dumps({"command": "search", "error": str(e)}))
+            return 1
         rows = [r.asDict() for r in res.collect()]
         print(json.dumps({"command": "search", "results": rows}))
     elif args.command == "hybrid":

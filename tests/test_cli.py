@@ -50,3 +50,36 @@ def test_cli_ingest_search_stats_clear(tmp_path):
     cl = _run("clear", "--no-backup", *common)
     assert cl["cleared"]
     assert _run("stats", *common)["total_documents"] == 0
+
+
+def _run_fail(*argv: str) -> tuple[int, dict]:
+    out = subprocess.run(
+        [sys.executable, "-m", "converttovectordb_spark", *argv],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    return out.returncode, json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_cli_transactional_verbs_fail_clean_on_plain_store(tmp_path):
+    """--at-version / --replace on a non-transactional store must exit 1
+    with the same JSON-error envelope compact/vacuum use — a traceback
+    is a contract violation (r5 advisory)."""
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    (repo / "a.py").write_text("def f():\n    return 42\n" * 10)
+    store = str(tmp_path / "store")
+    common = ["--store", store, "--dim", "16", "--master", "local[2]"]
+
+    _run("ingest", "--repo", str(repo), *common)
+
+    rc, out = _run_fail(
+        "search", "--query", "q", "--at-version", "0", *common
+    )
+    assert rc == 1 and out["command"] == "search"
+    assert "transactional" in out["error"]
+
+    rc, out = _run_fail("ingest", "--repo", str(repo), "--replace", *common)
+    assert rc == 1 and out["command"] == "ingest"
+    assert "transactional" in out["error"]
