@@ -447,18 +447,17 @@ def q_vector_ivf_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@3 of the IVF-pruned search vs exact brute force, per
-    query — the accuracy dial of the approximate path, computed inside
-    the engine so the trade-off (nprobe=2 of 10 clusters → ~20% of the
-    corpus touched) ships with a number attached. Both branches reuse
-    the library operators; the oracle recomputes both in SQL.
-
-    On this synthetic corpus the stored `label` is NOT a geometric
-    cluster (mean recall@3 ≈ 0.38 at nprobe=2) — which is precisely
-    what this probe exists to catch: with k-means-trained centroids on
-    actually-clustered data the same pipeline reaches recall 1.0
-    (tests/test_ivf_index.py::test_kmeans_index_recall...). Measuring
-    the index, not trusting it, is the operational point."""
+    """DIAGNOSTIC recall dial: what an IVF partition that is NOT
+    geometrically trained costs. The headline ANN recall metric is
+    ``q_ivf_recall_kmeans`` (trained centroids: recall@3 = 0.833 while
+    scanning ≈31% of the corpus) — this variant partitions by the
+    stored ``label`` column instead, and its low number (mean recall@3
+    ≈ 0.38 at nprobe=2) is the measurement working as intended: it
+    catches that `label` is not a geometric cluster, the exact failure
+    a production index-quality probe exists to surface. Same pipeline,
+    same oracle shape as the kmeans variant; only the partition
+    assignment differs. Measuring the index, not trusting it, is the
+    operational point."""
     emb = load(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
