@@ -3039,6 +3039,367 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship funnel over the Gopher-style filter chain: how many
+    documents pass each rule CUMULATIVELY, in the order a curation run
+    applies them — the observability readout that tells you which rule
+    is doing the cutting before you commit a 100 TB filter job.
+
+    Spark side: reuses ``q_gopher_quality``'s signal columns (exact
+    integer-count quotients, so every threshold comparison is
+    bit-stable across engines) and reduces them to ONE map-side
+    conditional-sum aggregate; the per-stage rows come from a stack()
+    unpivot of that single row. Plan: the gopher projections → one
+    partial+final HashAggregate → 7-row project. Nothing here adds a
+    per-doc shuffle."""
+    sig = q_gopher_quality(spark, sf_dir)
+    n_tok = F.col("n_tokens")
+    stages = [
+        ("token_count", (n_tok >= 50) & (n_tok <= 100000)),
+        ("mean_word_len", (F.col("mean_word_len") >= 3.0)
+         & (F.col("mean_word_len") <= 10.0)),
+        ("dup_line_frac", F.col("dup_line_frac") < 0.30),
+        ("dup_trigram_frac", F.col("dup_trigram_frac") < 0.60),
+        ("symbol_ratio", F.col("symbol_ratio") < 0.10),
+        ("bullet_frac", F.col("bullet_frac") < 0.90),
+    ]
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    cum = F.lit(True)
+    for name, cond in stages:
+        cum = cum & cond
+        aggs.append(
+            F.sum(F.when(cum, 1).otherwise(0)).cast("bigint").alias(f"_{name}")
+        )
+    row = sig.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i + 1}, '{name}', _{name}" for i, (name, _) in enumerate(stages)
+    )
+    return row.selectExpr(
+        f"stack({len(stages)}, {stack_args}) AS (stage, rule, n_pass)",
+        "_total",
+    ).select(
+        F.col("stage").cast("int").alias("stage"),
+        "rule",
+        F.col("n_pass").cast("bigint").alias("n_pass"),
+        _round6(F.col("n_pass") / F.col("_total")).alias("pass_frac"),
+    )
+
+
+ORACLE_QUALITY_FUNNEL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS t,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+         text
+  FROM documents
+),
+tri AS (
+  SELECT doc_id, t, lines, text,
+         CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         END AS tg
+  FROM base
+),
+sig AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CASE WHEN len(lines) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE)
+         END AS dlf,
+         CASE WHEN len(tg) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(tg)) / CAST(len(tg) AS DOUBLE)
+         END AS dtf,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE length(array_to_string(t, '')) / CAST(len(t) AS DOUBLE)
+         END AS mwl,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE ((length(text) - length(replace(text, '#', '')))
+                    + (length(text) - length(replace(text, '...', ''))) / 3)
+                   / CAST(len(t) AS DOUBLE)
+         END AS sym,
+         CASE WHEN len(lines) = 0 THEN 0.0
+              ELSE len(list_filter(lines, x -> regexp_matches(x, '^[ \\t\\v\\f\\r]*[-*]')))
+                   / CAST(len(lines) AS DOUBLE)
+         END AS bul
+  FROM tri
+),
+-- thresholds compare the ROUNDED signals on both engines (the Spark
+-- side reads q_gopher_quality's round-6 columns): identical inputs to
+-- every comparison, so the funnel is boundary-safe by construction
+sigr AS (
+  SELECT doc_id, n_tokens,
+         round(CAST(dlf AS DOUBLE), 6) AS dlf,
+         round(CAST(dtf AS DOUBLE), 6) AS dtf,
+         round(CAST(mwl AS DOUBLE), 6) AS mwl,
+         round(CAST(sym AS DOUBLE), 6) AS sym,
+         round(CAST(bul AS DOUBLE), 6) AS bul
+  FROM sig
+),
+agg AS (
+  SELECT count(*) AS _total,
+    sum(CASE WHEN n_tokens >= 50 AND n_tokens <= 100000 THEN 1 ELSE 0 END) AS s1,
+    sum(CASE WHEN n_tokens >= 50 AND n_tokens <= 100000
+              AND mwl >= 3.0 AND mwl <= 10.0 THEN 1 ELSE 0 END) AS s2,
+    sum(CASE WHEN n_tokens >= 50 AND n_tokens <= 100000
+              AND mwl >= 3.0 AND mwl <= 10.0
+              AND dlf < 0.30 THEN 1 ELSE 0 END) AS s3,
+    sum(CASE WHEN n_tokens >= 50 AND n_tokens <= 100000
+              AND mwl >= 3.0 AND mwl <= 10.0
+              AND dlf < 0.30 AND dtf < 0.60 THEN 1 ELSE 0 END) AS s4,
+    sum(CASE WHEN n_tokens >= 50 AND n_tokens <= 100000
+              AND mwl >= 3.0 AND mwl <= 10.0
+              AND dlf < 0.30 AND dtf < 0.60
+              AND sym < 0.10 THEN 1 ELSE 0 END) AS s5,
+    sum(CASE WHEN n_tokens >= 50 AND n_tokens <= 100000
+              AND mwl >= 3.0 AND mwl <= 10.0
+              AND dlf < 0.30 AND dtf < 0.60
+              AND sym < 0.10 AND bul < 0.90 THEN 1 ELSE 0 END) AS s6
+  FROM sigr
+)
+SELECT CAST(u.stage AS INT) AS stage, u.rule,
+       CAST(u.n_pass AS BIGINT) AS n_pass,
+       round(CAST(u.n_pass AS DOUBLE) / _total, 6) AS pass_frac
+FROM agg, (
+  SELECT 1 AS stage, 'token_count' AS rule, (SELECT s1 FROM agg) AS n_pass
+  UNION ALL SELECT 2, 'mean_word_len', (SELECT s2 FROM agg)
+  UNION ALL SELECT 3, 'dup_line_frac', (SELECT s3 FROM agg)
+  UNION ALL SELECT 4, 'dup_trigram_frac', (SELECT s4 FROM agg)
+  UNION ALL SELECT 5, 'symbol_ratio', (SELECT s5 FROM agg)
+  UNION ALL SELECT 6, 'bullet_frac', (SELECT s6 FROM agg)
+) u
+"""
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-mass repetition signals per document — the Gopher
+    repetition family `q_gopher_quality` doesn't cover (Rae et al. 2021
+    §A1.1 measures these as CHARACTER fractions, not n-gram-count
+    fractions): the character share of the single most frequent word
+    bigram, the character share of all duplicated word trigrams
+    (occurrence-weighted, capped at 1), and the character share of
+    duplicated lines.
+
+    Scale shape: three explode → partial-agg legs, each keyed on
+    (doc_id, gram) then doc_id — linear in corpus tokens, identical to
+    the `top_ngrams` plan family; the top-bigram pick is a row_number
+    window over per-doc counts (ties broken by count desc, gram asc).
+    The legs re-join the per-doc char totals on doc_id. No N² step
+    anywhere; every aggregate is map-side-combined before its exchange.
+    """
+    from converttovectordb_spark.functions.text import tokens
+
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        "text",
+        tokens(F.col("text")).alias("_t"),
+        F.filter(F.split(F.col("text"), "\n"), lambda x: x != "").alias("_ls"),
+    )
+    chars = base.select(
+        "doc_id",
+        F.length(F.concat_ws(" ", F.col("_t"))).cast("bigint").alias("_chars"),
+        F.coalesce(
+            F.aggregate(
+                F.col("_ls"),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + F.length(x),
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("_lchars"),
+    )
+    bi = base.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("g")
+    )
+    cnt2 = bi.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_c").desc(), F.col("g").asc()
+    )
+    top2 = (
+        cnt2.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            "doc_id",
+            F.col("g").alias("top_bigram"),
+            (F.col("_c") * F.length("g")).cast("bigint").alias("_topc"),
+        )
+    )
+    tri = base.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("g")
+    )
+    dup3 = (
+        tri.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("_c") * F.length("g")).cast("bigint").alias("_dupc")
+        )
+    )
+    ln = base.select("doc_id", F.explode(F.col("_ls")).alias("l"))
+    dupl = (
+        ln.groupBy("doc_id", "l")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("_c") * F.length("l")).cast("bigint").alias("_duplc")
+        )
+    )
+    out = (
+        chars.join(top2, on="doc_id", how="left")
+        .join(dup3, on="doc_id", how="left")
+        .join(dupl, on="doc_id", how="left")
+    )
+    c = F.col("_chars").cast("double")
+    lc = F.col("_lchars").cast("double")
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),
+        _round6(
+            F.when(
+                c > 0, F.coalesce(F.col("_topc"), F.lit(0)) / c
+            ).otherwise(F.lit(0.0))
+        ).alias("top_bigram_char_frac"),
+        _round6(
+            F.least(
+                F.lit(1.0),
+                F.when(
+                    c > 0, F.coalesce(F.col("_dupc"), F.lit(0)) / c
+                ).otherwise(F.lit(0.0)),
+            )
+        ).alias("dup_trigram_char_frac"),
+        _round6(
+            F.when(
+                lc > 0, F.coalesce(F.col("_duplc"), F.lit(0)) / lc
+            ).otherwise(F.lit(0.0))
+        ).alias("dup_line_char_frac"),
+    )
+
+
+ORACLE_REPETITION_SIGNALS = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS t,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+  FROM documents
+),
+chars AS (
+  SELECT doc_id,
+         CAST(length(array_to_string(t, ' ')) AS BIGINT) AS _chars,
+         CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+              AS BIGINT) AS _lchars
+  FROM base
+),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1])) AS g
+  FROM base WHERE len(t) >= 2
+),
+cnt2 AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+top2 AS (
+  SELECT doc_id, g AS top_bigram, CAST(c * length(g) AS BIGINT) AS _topc
+  FROM (SELECT doc_id, g, c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, g) AS r
+        FROM cnt2)
+  WHERE r = 1
+),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM base WHERE len(t) >= 3
+),
+dup3 AS (
+  SELECT doc_id, CAST(sum(c * length(g)) AS BIGINT) AS _dupc
+  FROM (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g)
+  WHERE c >= 2 GROUP BY doc_id
+),
+ln AS (SELECT doc_id, unnest(lines) AS l FROM base),
+dupl AS (
+  SELECT doc_id, CAST(sum(c * length(l)) AS BIGINT) AS _duplc
+  FROM (SELECT doc_id, l, count(*) AS c FROM ln GROUP BY doc_id, l)
+  WHERE c >= 2 GROUP BY doc_id
+)
+SELECT chars.doc_id,
+       coalesce(top_bigram, '') AS top_bigram,
+       round(CASE WHEN _chars > 0
+                  THEN coalesce(_topc, 0) / CAST(_chars AS DOUBLE)
+                  ELSE 0.0 END, 6) AS top_bigram_char_frac,
+       round(least(1.0,
+                   CASE WHEN _chars > 0
+                        THEN coalesce(_dupc, 0) / CAST(_chars AS DOUBLE)
+                        ELSE 0.0 END), 6) AS dup_trigram_char_frac,
+       round(CASE WHEN _lchars > 0
+                  THEN coalesce(_duplc, 0) / CAST(_lchars AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_line_char_frac
+FROM chars
+LEFT JOIN top2 USING (doc_id)
+LEFT JOIN dup3 USING (doc_id)
+LEFT JOIN dupl USING (doc_id)
+"""
+
+
+def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution in power-of-two buckets — the
+    pre-packing readout (`q_context_packing` consumes these lengths):
+    how much of the corpus lands in each 2^k token band, as counts and
+    corpus fractions.
+
+    The bucket edge is computed INTEGER-exactly on both engines as
+    1 << (len(bin(n)) - 1) — no float log2, whose rounding at exact
+    powers of two differs across engines. Plan: map-side projection →
+    one tiny (≤ ~20 key) partial+final aggregate; the corpus total
+    rides a broadcast single-row join, never a second scan."""
+    from converttovectordb_spark.functions.text import tokens
+
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
+    n = F.size(tokens(F.col("text")))
+    # shiftleft() only takes a literal bit count from the Python API;
+    # the SQL form accepts a column expression.
+    bucket = F.expr(
+        "CAST(CASE WHEN _n <= 0 THEN 0 "
+        "ELSE shiftleft(1, length(bin(CAST(_n AS BIGINT))) - 1) "
+        "END AS BIGINT)"
+    )
+    hist = (
+        docs.select(n.alias("_n"))
+        .select(bucket.alias("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("double").alias("_total"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            "bucket_lo",
+            "n_docs",
+            _round6(F.col("n_docs") / F.col("_total")).alias("doc_frac"),
+        )
+    )
+
+
+ORACLE_TOKEN_LENGTH_HISTOGRAM = """
+WITH n AS (
+  SELECT len(list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'),
+              x -> x <> '')) AS n_tok
+  FROM documents
+),
+b AS (
+  SELECT CASE WHEN n_tok <= 0 THEN 0
+              ELSE 1 << (length(bin(n_tok)) - 1) END AS bucket_lo
+  FROM n
+)
+SELECT CAST(bucket_lo AS BIGINT) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM documents),
+             6) AS doc_frac
+FROM b GROUP BY bucket_lo
+"""
+
+
 ORACLE_GOPHER_QUALITY = """
 WITH base AS (
   SELECT doc_id,
@@ -4465,6 +4826,9 @@ QUERIES = {
     # -- text analysis ------------------------------------------------
     "quality_report": q_quality_report,
     "gopher_quality": q_gopher_quality,
+    "quality_funnel": q_quality_funnel,
+    "repetition_signals": q_repetition_signals,
+    "token_length_histogram": q_token_length_histogram,
     "chunk_explode": q_chunk_explode,
     "bpe_tokens": q_bpe_tokens,
     "token_stats": q_token_stats,
@@ -4595,6 +4959,9 @@ ORACLES = {
     "bm25_search": ORACLE_BM25_SEARCH,
     "hybrid_rrf": ORACLE_HYBRID_RRF,
     "gopher_quality": ORACLE_GOPHER_QUALITY,
+    "quality_funnel": ORACLE_QUALITY_FUNNEL,
+    "repetition_signals": ORACLE_REPETITION_SIGNALS,
+    "token_length_histogram": ORACLE_TOKEN_LENGTH_HISTOGRAM,
     "bigram_support": ORACLE_BIGRAM_SUPPORT,
     "tfidf_topterms": ORACLE_TFIDF_TOPTERMS,
     "dedup_corpus": ORACLE_DEDUP_CORPUS,

@@ -152,3 +152,24 @@ def test_vector_topk_probe_is_broadcast_not_literal(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_repetition_signals_linear_no_cartesian(spark):
+    from converttovectordb_spark.queries import q_repetition_signals
+
+    plan = physical_plan(q_repetition_signals(spark, SF_DIR))
+    # three explode legs, each partial-aggregated before its exchange;
+    # never a quadratic join
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_quality_funnel_single_aggregate(spark):
+    from converttovectordb_spark.queries import q_quality_funnel
+
+    plan = physical_plan(q_quality_funnel(spark, SF_DIR))
+    # the funnel adds ONE global aggregate over the gopher signal
+    # projections — no join, no per-doc shuffle beyond it
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
