@@ -333,7 +333,36 @@ class VectorDBApi:
         query = body.get("query")
         if not query:
             raise _ApiError(400, "No query provided")
-        hits = self.engine.search(query, body.get("top_k", 5))
+        # Text door rides the same tiered cache as /query: the query
+        # embeds DRIVER-side (one string through the embedder seam), so
+        # when the corpus sits in the matrix tier no Spark job runs at
+        # all. engine.search stays the cold-path / snapshot fallback.
+        top_k = body.get("top_k", 5)
+        handle = self._corpus_handle()
+        if handle is not None and handle[0] == "matrix":
+            import numpy as np
+
+            from converttovectordb_spark.operators.search import (
+                validate_top_k,
+            )
+
+            eng = self.engine
+            qv = np.asarray(
+                eng.embedder([query]), dtype=np.float64
+            ).reshape(-1).tolist()
+            if eng.dim is not None and len(qv) != eng.dim:
+                raise _ApiError(400, "Query embedding dimension mismatch")
+            try:
+                rows = handle[1].query(
+                    qv,
+                    validate_top_k(top_k),
+                    id_cols=["path", "chunk_index"],
+                )
+            except ValueError as e:
+                raise _ApiError(400, str(e))
+            return {"results": rows,
+                    "query_time": time.time() - start}
+        hits = self.engine.search(query, top_k)
         return {"results": _rows_to_json(hits.collect()),
                 "query_time": time.time() - start}
 

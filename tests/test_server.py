@@ -260,3 +260,22 @@ def test_engine_native_verbs(server):
 
     status, out = _call(server, "GET", "/nope")
     assert status == 404
+
+
+def test_search_text_matrix_tier_matches_engine_path(server):
+    """/search served from the matrix tier must return exactly what the
+    cold engine.search Spark path returns (rows, order, scores)."""
+    _seed(server)
+    status, out = _call(
+        server, "POST", "/search", {"query": "document number", "top_k": 4}
+    )
+    assert status == 200
+    assert server.api._matrix is not None  # served from the matrix tier
+
+    cold = server.api.engine.search("document number", 4).collect()
+    got = [(r["path"], r["chunk_index"]) for r in out["results"]]
+    want = [(r["path"], r["chunk_index"]) for r in cold]
+    assert got == want
+    for g, w in zip(out["results"], cold):
+        assert abs(g["score"] - w["score"]) < 1e-9
+        assert "embedding" not in g
