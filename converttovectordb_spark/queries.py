@@ -2964,9 +2964,19 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the materialized boolean instead. All ratios are quotients of exact
     integer counts, so the flag is bit-stable across engines even at
     the thresholds."""
+    return _gopher_quality_frame(
+        _spread(spark, load(spark, sf_dir, "documents"))
+    )
+
+
+def _gopher_quality_frame(docs: DataFrame) -> DataFrame:
+    """The Gopher signal/keep computation as a pure STATELESS transform
+    — shared verbatim by the batch query above and the streaming gate
+    (`q_stream_quality_gate`): every signal is a column expression, so
+    the identical code path serves both execution modes (and the same
+    SQL oracle checks both)."""
     from converttovectordb_spark.functions.text import tokens
 
-    docs = _spread(spark, load(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id",
         "text",
@@ -4385,6 +4395,111 @@ FROM events
 """
 
 
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING curation gate: the Gopher filter applied to documents
+    as they arrive — the shape a continuously-fed training-data intake
+    takes, where low-quality docs are dropped before they ever land in
+    the corpus store.
+
+    The signal/keep computation is ``_gopher_quality_frame`` — the
+    SAME stateless transform the batch query runs, applied to a
+    ``readStream`` — so streaming and batch curation cannot drift, and
+    the batch SQL oracle checks the streamed result directly. Stateless
+    map-side filtering means NO watermark and NO state store: at scale
+    this runs at source parallelism with zero shuffle, the cheapest
+    possible streaming operator."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    schema = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    stream_dir = tempfile.mkdtemp(prefix="stream_qgate_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/documents.parquet"),
+        os.path.join(stream_dir, "documents.parquet"),
+    )
+    gated = _gopher_quality_frame(
+        spark.readStream.schema(schema).parquet(stream_dir)
+    ).filter(F.col("keep"))
+    name = f"stream_qgate_{uuid.uuid4().hex[:8]}"
+    try:
+        q = (
+            gated.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+    return spark.table(name).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        _round6(F.avg("n_tokens")).alias("avg_tokens_kept"),
+        _round6(F.avg("dup_trigram_frac")).alias("avg_dup_trigram_frac"),
+    )
+
+
+ORACLE_STREAM_QUALITY_GATE = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS t,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+         text
+  FROM documents
+),
+tri AS (
+  SELECT doc_id, t, lines, text,
+         CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         END AS tg
+  FROM base
+),
+sig AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CASE WHEN len(lines) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE)
+         END AS dlf,
+         CASE WHEN len(tg) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(tg)) / CAST(len(tg) AS DOUBLE)
+         END AS dtf,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE length(array_to_string(t, '')) / CAST(len(t) AS DOUBLE)
+         END AS mwl,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE ((length(text) - length(replace(text, '#', '')))
+                    + (length(text) - length(replace(text, '...', ''))) / 3)
+                   / CAST(len(t) AS DOUBLE)
+         END AS sym,
+         CASE WHEN len(lines) = 0 THEN 0.0
+              ELSE len(list_filter(lines, x -> regexp_matches(x, '^[ \\t\\v\\f\\r]*[-*]')))
+                   / CAST(len(lines) AS DOUBLE)
+         END AS bul
+  FROM tri
+),
+kept AS (
+  SELECT n_tokens, round(CAST(dtf AS DOUBLE), 6) AS dup_trigram_frac
+  FROM sig
+  WHERE n_tokens >= 50 AND n_tokens <= 100000
+    AND mwl >= 3.0 AND mwl <= 10.0
+    AND dlf < 0.30 AND dtf < 0.60
+    AND sym < 0.10 AND bul < 0.90
+)
+SELECT CAST(count(*) AS BIGINT) AS n_kept,
+       round(CAST(avg(n_tokens) AS DOUBLE), 6) AS avg_tokens_kept,
+       round(CAST(avg(dup_trigram_frac) AS DOUBLE), 6)
+         AS avg_dup_trigram_frac
+FROM kept
+"""
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the props column + grouped agg."""
     ev = load_events(spark, sf_dir)
@@ -4858,6 +4973,7 @@ QUERIES = {
     "stream_events_hourly": q_stream_events_hourly,
     "stream_click_purchase": q_stream_click_purchase,
     "stream_dedup": q_stream_dedup,
+    "stream_quality_gate": q_stream_quality_gate,
     "stream_sessionize": q_stream_sessionize,
     # -- SQL analytics representatives --------------------------------
     "pricing_summary": q_pricing_summary,
@@ -4951,6 +5067,7 @@ ORACLES = {
     "stream_events_hourly": ORACLE_EVENTS_HOURLY,
     "stream_click_purchase": ORACLE_STREAM_CLICK_PURCHASE,
     "stream_dedup": ORACLE_STREAM_DEDUP,
+    "stream_quality_gate": ORACLE_STREAM_QUALITY_GATE,
     "events_json": ORACLE_EVENTS_JSON,
     "events_gapfill": ORACLE_EVENTS_GAPFILL,
     "asof_purchase_click": ORACLE_ASOF_PURCHASE_CLICK,

@@ -192,3 +192,19 @@ def test_stream_ingest_transactional_exactly_once(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert store.load().count() == n + 1
+
+
+def test_stream_quality_gate_matches_batch_filter(spark):
+    """The streamed Gopher gate must keep exactly the docs the batch
+    filter keeps — same transform, two execution modes."""
+    from pyspark.sql import functions as F
+
+    from converttovectordb_spark.queries import (
+        q_gopher_quality,
+        q_stream_quality_gate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = q_stream_quality_gate(spark, sf).collect()[0]
+    batch_kept = q_gopher_quality(spark, sf).filter(F.col("keep")).count()
+    assert streamed["n_kept"] == batch_kept
