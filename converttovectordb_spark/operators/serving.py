@@ -38,6 +38,12 @@ from pyspark.sql import DataFrame
 #: Above this the server falls back to the distributed scan tier.
 DEFAULT_MAX_CELLS = 200_000_000
 
+#: Separate (smaller) budget for the hybrid lexical cache: per-doc
+#: token Counters cost far more per row than embedding cells, so the
+#: BM25 arm only materializes up to this many docs; past it the server
+#: serves /hybrid from the Spark path even while /query stays matrix.
+DEFAULT_HYBRID_MAX_DOCS = 100_000
+
 
 class DriverMatrixIndex:
     """An immutable, query-many snapshot of a corpus DataFrame.
@@ -57,6 +63,7 @@ class DriverMatrixIndex:
         self.norms = norms  # (n,) float64, 0.0 for zero vectors
         self.payload = payload  # row dicts WITHOUT the embedding column
         self.dim = dim
+        self._lex = None  # lazy BM25 cache: (counters, dl, avgdl)
 
     @property
     def n(self) -> int:
@@ -172,5 +179,112 @@ class DriverMatrixIndex:
                 continue
             row = dict(self.payload[i])
             row["score"] = float(scores[i])
+            out.append(row)
+        return out
+
+    def _scores(self, query_vector: list[float]) -> np.ndarray:
+        q = np.asarray([float(x) for x in query_vector], dtype=np.float64)
+        if q.shape[0] != self.dim:
+            raise ValueError(
+                f"query dimension {q.shape[0]} != stored dimension {self.dim}"
+            )
+        qn = math.sqrt(float(np.dot(q, q)))
+        if qn == 0.0:
+            return np.zeros(self.n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(
+                self.norms == 0.0, 0.0, (self.matrix @ q) / (self.norms * qn)
+            )
+
+    def _lex_cache(self, content_col: str):
+        """Per-doc lowercased token Counters + doc lengths + avgdl —
+        built once, on the first hybrid query (same lazy-fill contract
+        as the matrix itself). Tokenization mirrors functions/text.py's
+        ASCII_WS split exactly."""
+        if self._lex is None:
+            import re
+            from collections import Counter
+
+            ws = re.compile(r"[ \t\n\x0b\f\r]+")
+            counters = []
+            dl = np.zeros(self.n, dtype=np.float64)
+            for i, row in enumerate(self.payload):
+                toks = [
+                    t
+                    for t in ws.split((row.get(content_col) or "").lower())
+                    if t
+                ]
+                dl[i] = len(toks)
+                counters.append(Counter(toks))
+            avgdl = float(dl.sum() / self.n) if self.n else 0.0
+            self._lex = (counters, dl, avgdl)
+        return self._lex
+
+    def hybrid_query(
+        self,
+        query_vector: list[float],
+        terms: list[str],
+        top_k: int,
+        *,
+        candidates: int = 50,
+        k_rrf: int = 60,
+        id_cols: list[str],
+        content_col: str = "content",
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> list[dict]:
+        """Reciprocal-rank fusion of the cosine arm and a BM25 arm over
+        the cached corpus — the same semantics (ranking, tie-breaks,
+        RRF constant, join-back columns) as ``VectorEngine.
+        search_hybrid``, without a Spark job. Both arms reduce to
+        ``candidates`` ranks before fusing; ids fuse on the same
+        '#'-joined rid the engine builds."""
+        if self.n == 0:
+            return []
+        rids = [
+            "#".join(str(self.payload[i][c]) for c in id_cols)
+            for i in range(self.n)
+        ]
+        # semantic arm: rank by (score desc, rid asc), top `candidates`
+        scores = self._scores(query_vector)
+        sem_order = sorted(
+            range(self.n), key=lambda i: (-scores[i], rids[i])
+        )[: max(int(candidates), 1)]
+        sem_rank = {i: r + 1 for r, i in enumerate(sem_order)}
+        # lexical arm: BM25 over docs containing >=1 query term
+        counters, dl, avgdl = self._lex_cache(content_col)
+        n_docs = self.n
+        qterms = [t.lower() for t in terms]
+        bm25 = {}
+        for t in set(qterms):
+            df_t = sum(1 for c in counters if t in c)
+            if df_t == 0:
+                continue
+            idf = math.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+            for i, c in enumerate(counters):
+                tf = c.get(t)
+                if not tf:
+                    continue
+                denom = tf + k1 * (1 - b + b * dl[i] / avgdl)
+                bm25[i] = bm25.get(i, 0.0) + idf * (tf * (k1 + 1)) / denom
+        lex_order = sorted(bm25, key=lambda i: (-bm25[i], rids[i]))[
+            : max(int(candidates), 1)
+        ]
+        lex_rank = {i: r + 1 for r, i in enumerate(lex_order)}
+        # fuse: rrf over the union, top_k by (rrf desc, rid asc)
+        fused = {}
+        for i, r in sem_rank.items():
+            fused[i] = fused.get(i, 0.0) + 1.0 / (k_rrf + r)
+        for i, r in lex_rank.items():
+            fused[i] = fused.get(i, 0.0) + 1.0 / (k_rrf + r)
+        picked = sorted(fused, key=lambda i: (-fused[i], rids[i]))[
+            : max(int(top_k), 1)
+        ]
+        out = []
+        for i in picked:
+            row = dict(self.payload[i])
+            row["sem_rank"] = sem_rank.get(i)
+            row["lex_rank"] = lex_rank.get(i)
+            row["rrf"] = float(fused[i])
             out.append(row)
         return out

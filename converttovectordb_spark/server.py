@@ -371,7 +371,45 @@ class VectorDBApi:
         query = body.get("query")
         if not query:
             raise _ApiError(400, "No query provided")
-        hits = self.engine.search_hybrid(query, body.get("top_k", 5))
+        top_k = body.get("top_k", 5)
+        # Matrix-tier fast path (cosine + BM25 + RRF, no Spark job) —
+        # gated on the smaller hybrid doc budget because the lexical
+        # cache costs more per row than embedding cells.
+        handle = self._corpus_handle()
+        if handle is not None and handle[0] == "matrix":
+            from converttovectordb_spark.operators.serving import (
+                DEFAULT_HYBRID_MAX_DOCS,
+            )
+
+            idx = handle[1]
+            if idx.n <= DEFAULT_HYBRID_MAX_DOCS:
+                import numpy as np
+
+                from converttovectordb_spark.operators.search import (
+                    validate_top_k,
+                )
+
+                eng = self.engine
+                qv = np.asarray(
+                    eng.embedder([query]), dtype=np.float64
+                ).reshape(-1).tolist()
+                if eng.dim is not None and len(qv) != eng.dim:
+                    raise _ApiError(
+                        400, "Query embedding dimension mismatch"
+                    )
+                terms = [t for t in query.lower().split() if t]
+                try:
+                    rows = idx.hybrid_query(
+                        qv,
+                        terms,
+                        validate_top_k(top_k),
+                        id_cols=["path", "chunk_index"],
+                    )
+                except ValueError as e:
+                    raise _ApiError(400, str(e))
+                return {"results": rows,
+                        "query_time": time.time() - start}
+        hits = self.engine.search_hybrid(query, top_k)
         return {"results": _rows_to_json(hits.collect()),
                 "query_time": time.time() - start}
 

@@ -279,3 +279,28 @@ def test_search_text_matrix_tier_matches_engine_path(server):
     for g, w in zip(out["results"], cold):
         assert abs(g["score"] - w["score"]) < 1e-9
         assert "embedding" not in g
+
+
+def test_hybrid_matrix_tier_matches_engine_path(server):
+    """/hybrid served from the matrix tier must reproduce the Spark
+    search_hybrid results: same docs, same sem/lex ranks, same RRF."""
+    _seed(server)
+    status, out = _call(
+        server, "POST", "/hybrid", {"query": "document number 3", "top_k": 4}
+    )
+    assert status == 200
+    assert server.api._matrix is not None
+
+    cold = server.api.engine.search_hybrid("document number 3", 4).collect()
+    got = sorted(
+        ((r["path"], r["chunk_index"]) for r in out["results"]),
+    )
+    want = sorted(((r["path"], r["chunk_index"]) for r in cold))
+    assert got == want
+    cold_by_id = {(r["path"], r["chunk_index"]): r for r in cold}
+    for r in out["results"]:
+        w = cold_by_id[(r["path"], r["chunk_index"])]
+        assert r["sem_rank"] == w["sem_rank"]
+        assert r["lex_rank"] == w["lex_rank"]
+        assert abs(r["rrf"] - w["rrf"]) < 1e-9
+        assert "embedding" not in r

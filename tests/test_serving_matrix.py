@@ -155,3 +155,52 @@ def test_server_sees_out_of_band_store_write(spark, tmp_path):
     eng2.store.append(mkdocs("b", 2))
     out = api.query({"query_embedding": [1.0, 0.0]})
     assert out["total_documents_searched"] == 5
+
+
+def test_hybrid_query_matches_engine_on_varied_corpus(spark, tmp_path):
+    """BM25 tf/idf and RRF fusion in the matrix tier vs the Spark
+    path, on a corpus with repeated terms, varied doc lengths, and
+    cosine/lexical disagreement."""
+    from converttovectordb_spark.embeddings import hash_embedder
+    from converttovectordb_spark.engine import VectorEngine
+    from converttovectordb_spark.operators.serving import DriverMatrixIndex
+
+    texts = [
+        "spark join join join shuffle",
+        "vector scan cosine topk scan",
+        "join scan vector",
+        "the quick brown fox jumps over the lazy dog repeatedly " * 5,
+        "join",
+        "completely unrelated words here banana apple",
+    ]
+    emb = hash_embedder(8)
+    vecs = emb(texts)
+    docs = spark.createDataFrame(
+        [
+            (f"d{i}.txt", ".txt", 0, 1, t, [float(x) for x in vecs[i]], 0.0)
+            for i, t in enumerate(texts)
+        ],
+        "path string, extension string, chunk_index int, total_chunks int, "
+        "content string, embedding array<float>, timestamp double",
+    )
+    store = str(tmp_path / "store")
+    eng = VectorEngine(spark, store, embedder=hash_embedder(8), dim=8)
+    eng.store.append(docs)
+
+    query = "join scan vector"
+    qv = [float(x) for x in emb([query])[0]]
+    idx = DriverMatrixIndex.from_dataframe(eng.store.load())
+    got = idx.hybrid_query(
+        qv, query.split(), 5, id_cols=["path", "chunk_index"]
+    )
+    want = eng.search_hybrid(query, 5).collect()
+
+    got_ids = sorted((r["path"], r["chunk_index"]) for r in got)
+    want_ids = sorted((r["path"], r["chunk_index"]) for r in want)
+    assert got_ids == want_ids
+    want_by_id = {(r["path"], r["chunk_index"]): r for r in want}
+    for r in got:
+        w = want_by_id[(r["path"], r["chunk_index"])]
+        assert r["sem_rank"] == w["sem_rank"], r["path"]
+        assert r["lex_rank"] == w["lex_rank"], r["path"]
+        assert abs(r["rrf"] - w["rrf"]) < 1e-9
