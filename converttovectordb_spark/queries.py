@@ -4405,9 +4405,25 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME stateless transform the batch query runs, applied to a
     ``readStream`` — so streaming and batch curation cannot drift, and
     the batch SQL oracle checks the streamed result directly. Stateless
-    map-side filtering means NO watermark and NO state store: at scale
-    this runs at source parallelism with zero shuffle, the cheapest
-    possible streaming operator."""
+    map-side signals mean NO watermark and NO state store.
+
+    The keep decision is EMITTED to the sink as a column and filtered
+    from the materialized sink — the same emit-don't-filter rule the
+    batch query documents, and doubly load-bearing here: an in-stream
+    ``.filter(keep)`` predicate gets alias-substituted and pushed to
+    the scan as one interpreted mega-expression (HOFs don't codegen and
+    get no CSE — measured 30 s vs ~2 s at sf0.1), and Catalyst's
+    conjunct-splitting defeats every non-determinism fence around it.
+    Sinking decisions also matches production curation, where rejected
+    ids feed audit/quarantine rather than vanishing.
+
+    Parallelism note: Spark's file-stream source assigns ONE task per
+    file (it never splits a file, unlike the batch reader), so the
+    single local test parquet would serialize the signal computation —
+    the post-source repartition is `_spread` for streams, spreading
+    CPU-heavy per-row work across cores. A production intake stream
+    arrives as many files per trigger, where file-count parallelism
+    does the same job and the repartition just rebalances batch skew."""
     import os
     import shutil
     import tempfile
@@ -4423,8 +4439,10 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(stream_dir, "documents.parquet"),
     )
     gated = _gopher_quality_frame(
-        spark.readStream.schema(schema).parquet(stream_dir)
-    ).filter(F.col("keep"))
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     name = f"stream_qgate_{uuid.uuid4().hex[:8]}"
     try:
         q = (
@@ -4438,7 +4456,7 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     finally:
         shutil.rmtree(stream_dir, ignore_errors=True)
-    return spark.table(name).agg(
+    return spark.table(name).filter(F.col("keep")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
         _round6(F.avg("n_tokens")).alias("avg_tokens_kept"),
         _round6(F.avg("dup_trigram_frac")).alias("avg_dup_trigram_frac"),
