@@ -1491,6 +1491,140 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
 ORACLE_MINHASH_LSH = _oracle_minhash()
 
 
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash accuracy dial — the companion measurement to
+    `ivf_recall_kmeans` for the dedup family: for every LSH candidate
+    pair, the SIGNATURE Jaccard estimate (matching components / 16)
+    next to the TRUE shingle Jaccard and the absolute error. This is
+    the number that justifies (or indicts) the 16-hash/4-band
+    configuration before a 100 TB dedup run trusts it.
+
+    Costs candidate-set work only: signatures and exact verification
+    shingle ONLY documents that appear in a candidate pair (the same
+    persisted candidate artifact `minhash_lsh` serves). md5-based
+    hashes keep estimate and truth bit-reproducible in the SQL oracle.
+    """
+    from converttovectordb_spark.operators.dedup import (
+        _exploded_shingles,
+        _minhash_sig,
+        minhash_verify_jaccard,
+    )
+
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
+    cands = _minhash_cands_cached(spark, sf_dir)
+    ids = (
+        cands.select(F.col("a").alias("doc_id"))
+        .union(cands.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    cdocs = docs.join(ids, "doc_id", "inner")
+    sh = _exploded_shingles(cdocs, "doc_id", "text", 3)
+    sig = sh.groupBy("doc_id").agg(
+        *[_minhash_sig(F.col("shingle"), i).alias(f"h{i}") for i in range(16)]
+    )
+    siga = sig.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(16)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(16)],
+    )
+    matches = sum(
+        F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+        for i in range(16)
+    )
+    est = (
+        cands.join(siga, "a")
+        .join(sigb, "b")
+        .select("a", "b", (matches / F.lit(16.0)).alias("_est"))
+    )
+    truth = minhash_verify_jaccard(docs, cands, threshold=-1.0).select(
+        "a", "b", F.col("jaccard").alias("_true")
+    )
+    return (
+        est.join(truth, on=["a", "b"])
+        .select(
+            "a",
+            "b",
+            _round6(F.col("_est")).alias("est_jaccard"),
+            _round6(F.col("_true")).alias("true_jaccard"),
+            _round6(F.abs(F.col("_est") - F.col("_true"))).alias("abs_err"),
+        )
+    )
+
+
+def _oracle_minhash_accuracy() -> str:
+    sig_cols = ",\n         ".join(
+        f"min(md5('s{i}|' || shingle)) AS h{i}" for i in range(16)
+    )
+    band_keys = []
+    for b in range(4):
+        cols = " || '|' || ".join(f"h{i}" for i in range(b * 4, (b + 1) * 4))
+        band_keys.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_key FROM sig"
+        )
+    bands = "\n  UNION ALL\n  ".join(band_keys)
+    match_sum = " + ".join(
+        f"CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END" for i in range(16)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y USING (band_id, band_key)
+  WHERE x.doc_id < y.doc_id
+),
+est AS (
+  SELECT c.a, c.b, ({match_sum}) / 16.0 AS est_j
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.a
+  JOIN sig y ON y.doc_id = c.b
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.a, c.b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+),
+truth AS (
+  SELECT a, b,
+         CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS true_j
+  FROM common
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+)
+SELECT e.a, e.b,
+       round(est_j, 6) AS est_jaccard,
+       round(true_j, 6) AS true_jaccard,
+       round(abs(est_j - true_j), 6) AS abs_err
+FROM est e JOIN truth t ON t.a = e.a AND t.b = e.b
+"""
+
+
+ORACLE_MINHASH_ACCURACY = _oracle_minhash_accuracy()
+
+
 def _simhash_fp_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 60-bit SimHash fingerprint table, materialized once per
     corpus — at scale fingerprints are computed at ingest and stored
@@ -4952,6 +5086,7 @@ QUERIES = {
     "neardup_jaccard": q_neardup_jaccard,
     "neardup_clusters": q_neardup_clusters,
     "minhash_lsh": q_minhash_lsh,
+    "minhash_accuracy": q_minhash_accuracy,
     "simhash_neardup": q_simhash_neardup,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -5048,6 +5183,7 @@ ORACLES = {
     "neardup_jaccard": ORACLE_NEARDUP_JACCARD,
     "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
     "minhash_lsh": ORACLE_MINHASH_LSH,
+    "minhash_accuracy": ORACLE_MINHASH_ACCURACY,
     "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "embedding_neardup_lsh": _oracle_embedding_lsh(),
