@@ -2492,6 +2492,73 @@ LIMIT 10
 """
 
 
+def q_discount_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from an OR-of-ANDs predicate over a
+    join — three (brand, size-range, quantity-range) disjuncts.
+
+    What the plan must show (the whole point of the shape): Catalyst
+    extracts the per-table conjuncts that are COMMON across disjuncts
+    and pushes them to each scan — `p_size >= 1` and the quantity
+    bounds reach the parquet scans as PushedFilters even though they
+    appear inside OR branches — while the cross-table residual OR is
+    evaluated once after the (hint-free, AQE-chosen) join on partkey.
+    At 100 TB the pushed ranges prune row groups before any join I/O."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 10)
+            & qty.between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 20)
+            & qty.between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 30)
+            & qty.between(20, 35)
+        )
+    )
+    out = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(12,2)") - disc)).alias(
+                "_rev"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return out.select(
+        "p_brand", _round6(F.col("_rev")).alias("revenue"), "n_items"
+    )
+
+
+ORACLE_DISCOUNT_BANDS = """
+SELECT p_brand,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                  AS DOUBLE), 6) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 20 AND 35)
+GROUP BY p_brand
+"""
+
+
 def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING on an order-level sum, joined back to
     orders + customer. The quantity aggregate shuffles once on
@@ -5145,6 +5212,7 @@ QUERIES = {
     "nation_trade_flow": q_nation_trade_flow,
     "shipping_priority": q_shipping_priority,
     "large_volume_orders": q_large_volume_orders,
+    "discount_bands": q_discount_bands,
     "top_orders_per_cust": q_top_orders_per_cust,
     "cust_no_orders": q_cust_no_orders,
     "cust_with_returns": q_cust_with_returns,
@@ -5195,6 +5263,7 @@ ORACLES = {
     "media_features": ORACLE_MEDIA_FEATURES,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "large_volume_orders": ORACLE_LARGE_VOLUME_ORDERS,
+    "discount_bands": ORACLE_DISCOUNT_BANDS,
     "order_grouping_sets": ORACLE_ORDER_GROUPING_SETS,
     "user_hourly_rolling": ORACLE_USER_HOURLY_ROLLING,
     "vector_math": ORACLE_VECTOR_MATH,

@@ -173,3 +173,19 @@ def test_quality_funnel_single_aggregate(spark):
     # projections — no join, no per-doc shuffle beyond it
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_discount_bands_disjunction_pushed_to_both_scans(spark):
+    """Q19-shape: the OR-of-ANDs must reach BOTH parquet scans as
+    pushed filters (per-table disjunct projections), with the common
+    conjunct (p_size >= 1) extracted — not evaluated post-join only."""
+    from converttovectordb_spark.queries import q_discount_bands
+
+    df = q_discount_bands(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert sum("Or(" in ln for ln in pushed) >= 2  # both scans
+    assert any("GreaterThanOrEqual(p_size,1)" in ln for ln in pushed)
+    assert broadcast_hinted_leaves(df) == []  # AQE chooses the join
