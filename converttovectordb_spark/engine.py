@@ -189,19 +189,27 @@ class VectorEngine:
         *,
         truncate_chars: int | None = None,
         at_version: int | None = None,
+        corpus: DataFrame | None = None,
     ) -> DataFrame:
         """Encode the query driver-side (one string), then the
         broadcast-scan top-k with threshold-after-limit semantics.
 
         ``truncate_chars`` applies the reference's display truncation
         (T6, query_vector_db.py:204-206) to result content.
-        ``at_version`` searches a time-travel snapshot of the store."""
-        if not self.store.exists():
+        ``at_version`` searches a time-travel snapshot of the store.
+        ``corpus`` substitutes an already-loaded (possibly cached /
+        prenormed — knn_topk auto-detects ``_emb_norm``) corpus
+        DataFrame for the store read: the serving facade passes its
+        warm cache here so the text door never pays a second
+        store.load(). Mutually exclusive with ``at_version``."""
+        if corpus is not None and at_version is not None:
+            raise ValueError("corpus and at_version are mutually exclusive")
+        if corpus is None and not self.store.exists():
             return self._empty_results()
         qv = self.embedder([query_text])
         qv = np.asarray(qv, dtype=np.float64).reshape(-1).tolist()
         out = knn_topk(
-            self.load_corpus(at_version),
+            corpus if corpus is not None else self.load_corpus(at_version),
             qv,
             validate_top_k(top_k),
             id_cols=["path", "chunk_index"],
@@ -219,6 +227,7 @@ class VectorEngine:
         *,
         candidates: int = 50,
         k_rrf: int = 60,
+        corpus: DataFrame | None = None,
     ) -> DataFrame:
         """Hybrid retrieval over the store: reciprocal-rank fusion of
         the cosine semantic arm (same scoring as `search`, no score
@@ -232,10 +241,15 @@ class VectorEngine:
         found by only one arm still scores. This is the standard
         keyword+vector compromise: BM25 catches exact identifiers the
         embedding may smooth away; cosine catches paraphrase BM25
-        cannot see."""
+        cannot see.
+
+        ``corpus`` substitutes an already-loaded corpus DataFrame for
+        the store read (the serving facade's warm cache) — both arms
+        and the display join-back then reuse one cached lineage instead
+        of three fresh scans."""
         from converttovectordb_spark.operators.search import bm25_scores
 
-        if not self.store.exists():
+        if corpus is None and not self.store.exists():
             # same schema as the non-empty path (sem_rank/lex_rank/rrf
             # included) so callers that branch on columns or union
             # results never see a store-state-dependent shape
@@ -246,7 +260,9 @@ class VectorEngine:
                 .withColumn("rrf", F.lit(None).cast("double"))
                 .drop("score")
             )
-        docs = self.store.load().withColumn(
+        docs = (
+            corpus if corpus is not None else self.store.load()
+        ).withColumn(
             "_rid", F.concat_ws("#", F.col("path"), F.col("chunk_index"))
         )
         terms = [t for t in query_text.lower().split() if t]
@@ -284,10 +300,18 @@ class VectorEngine:
             .orderBy(F.col("rrf").desc(), F.col("_rid").asc())
             .limit(validate_top_k(top_k))
         )
+        from converttovectordb_spark.functions.vector import NORM_COL
+
+        # Display join-back never ships the embedding nor the serving
+        # cache's internal norm column. Final order carries the same
+        # `_rid` ascending tiebreak the matrix-tier serving path uses
+        # (operators/serving.py hybrid_query), so equal-RRF rows come
+        # back in the identical order on both tiers.
+        display = docs.drop("embedding", NORM_COL)
         return (
-            fused.join(docs.drop("embedding"), on="_rid")
+            fused.join(display, on="_rid")
+            .orderBy(F.col("rrf").desc(), F.col("_rid").asc())
             .drop("_rid")
-            .orderBy(F.col("rrf").desc())
         )
 
     def answer(

@@ -97,8 +97,12 @@ class VectorDBApi:
         """Cheap fingerprint of the store's committed state.
 
         Transactional stores: the committed version (one dir listing).
-        Plain parquet stores: the (name, mtime, size) set of data files
-        — an os.scandir, no Spark job. None when the store is absent.
+        Plain parquet stores: the (relpath, mtime, size) set of data
+        files from a RECURSIVE walk — the engine's plain store is
+        partitioned (``extension=…/`` subdirectories), and an in-place
+        rewrite of a nested parquet file does not touch the top-level
+        directory entries, so a shallow scandir would miss it. A pure
+        os.walk, no Spark job. None when the store is absent.
         """
         store = self.engine.store
         if not store.exists():
@@ -109,13 +113,24 @@ class VectorDBApi:
             except Exception:
                 pass
         try:
-            with os.scandir(store.path) as it:
-                entries = frozenset(
-                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
-                    for e in it
-                    if not e.name.startswith("_")
-                )
-            return ("ls", entries)
+            entries = set()
+            for dirpath, dirnames, filenames in os.walk(store.path):
+                dirnames[:] = [
+                    d for d in dirnames if not d.startswith(("_", "."))
+                ]
+                for name in filenames:
+                    if name.startswith(("_", ".")):
+                        continue
+                    full = os.path.join(dirpath, name)
+                    st = os.stat(full)
+                    entries.add(
+                        (
+                            os.path.relpath(full, store.path),
+                            st.st_mtime_ns,
+                            st.st_size,
+                        )
+                    )
+            return ("ls", frozenset(entries))
         except OSError:
             return None
 
@@ -362,7 +377,11 @@ class VectorDBApi:
                 raise _ApiError(400, str(e))
             return {"results": rows,
                     "query_time": time.time() - start}
-        hits = self.engine.search(query, top_k)
+        # Distributed tier: the cache fill already paid the load + norm
+        # precompute — hand the cached prenormed DataFrame to the engine
+        # so the fallback does NOT re-load the store cold per query.
+        corpus = handle[1] if handle is not None else None
+        hits = self.engine.search(query, top_k, corpus=corpus)
         return {"results": _rows_to_json(hits.collect()),
                 "query_time": time.time() - start}
 
@@ -409,7 +428,13 @@ class VectorDBApi:
                     raise _ApiError(400, str(e))
                 return {"results": rows,
                         "query_time": time.time() - start}
-        hits = self.engine.search_hybrid(query, top_k)
+        # Distributed tier: reuse the cached prenormed corpus for both
+        # arms + the display join-back instead of three cold loads.
+        # (Matrix tier above the hybrid doc budget falls through with
+        # corpus=None — the matrix fill still serves /query, and the
+        # Spark path loads the store itself.)
+        corpus = handle[1] if handle is not None and handle[0] == "df" else None
+        hits = self.engine.search_hybrid(query, top_k, corpus=corpus)
         return {"results": _rows_to_json(hits.collect()),
                 "query_time": time.time() - start}
 

@@ -262,6 +262,149 @@ def test_engine_native_verbs(server):
     assert status == 404
 
 
+def test_store_token_sees_nested_inplace_rewrite(server):
+    """The plain store is partitioned (extension=… subdirs); an
+    in-place rewrite of a nested parquet file leaves the top-level
+    directory entries untouched, so the token must walk recursively."""
+    import os
+
+    _seed(server)
+    api = server.api
+    tok0 = api._store_token()
+    assert tok0 is not None and tok0[0] == "ls"
+    # the partitioned layout means data files are NESTED — the token
+    # must fingerprint them, not just the top-level partition dirs
+    assert any(os.sep in rel for rel, _, _ in tok0[1])
+
+    # rewrite one nested parquet file in place: same name, same parent
+    # dir entries — only the file's own mtime/content change
+    store_path = api.engine.store.path
+    nested = []
+    for dirpath, _, files in os.walk(store_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                nested.append(os.path.join(dirpath, f))
+    assert nested, "expected partitioned parquet data files"
+    target = nested[0]
+    with open(target, "ab") as fh:
+        fh.write(b"x")
+    tok1 = api._store_token()
+    assert tok1 != tok0, "in-place nested rewrite must change the token"
+
+
+def test_out_of_band_ingest_visible_to_next_query(server, spark, tmp_path):
+    """CLI-style ingest that bypasses the API (writes into the same
+    store directory out-of-band) must be picked up by the next /query
+    instead of served stale from the warm cache."""
+    from converttovectordb_spark.engine import VectorEngine
+
+    _seed(server, 3)
+    status, out = _call(
+        server, "POST", "/query", {"query_embedding": _unit(0)}
+    )
+    assert status == 200 and out["total_documents_searched"] == 3
+    assert server.api._matrix is not None  # warm cache filled
+
+    # out-of-band writer: a second engine over the SAME store path
+    other = VectorEngine(
+        spark,
+        server.api.engine.store.path,
+        embedder=server.api.engine.embedder,
+        dim=DIM,
+    )
+    from converttovectordb_spark.schema import DOCUMENTS_SCHEMA
+
+    rows = [
+        (f"oob/g{i}.py", ".py", 0, 1, f"oob doc {i}", _unit(i), 1.0)
+        for i in range(4)
+    ]
+    other.store.append(spark.createDataFrame(rows, DOCUMENTS_SCHEMA))
+
+    status, out = _call(
+        server, "POST", "/query", {"query_embedding": _unit(0)}
+    )
+    assert status == 200 and out["total_documents_searched"] == 7
+
+
+def test_search_and_hybrid_df_tier_reuse_cache(spark, tmp_path):
+    """ADVICE r6 (medium): on the non-matrix tier /search and /hybrid
+    must serve from the cached prenormed corpus — one store.load at
+    cache fill, ZERO further loads per query — and still match the
+    cold engine paths row-for-row."""
+    from converttovectordb_spark.engine import VectorEngine
+    from converttovectordb_spark.server import VectorDBServer
+
+    eng = VectorEngine(
+        spark,
+        str(tmp_path / "dfstore"),
+        embedder=hash_embedder(DIM),
+        dim=DIM,
+    )
+    srv = VectorDBServer(eng, port=0, matrix_max_cells=0).start()
+    try:
+        _seed(srv)
+        # cold references BEFORE instrumenting load
+        cold_search = eng.search("document number", 4).collect()
+        cold_hybrid = eng.search_hybrid("document number 3", 4).collect()
+
+        loads = {"n": 0}
+        real_load = eng.store.load
+
+        def counting_load(*a, **kw):
+            loads["n"] += 1
+            return real_load(*a, **kw)
+
+        eng.store.load = counting_load
+        try:
+            status, out = _call(
+                srv, "POST", "/search",
+                {"query": "document number", "top_k": 4},
+            )
+            assert status == 200
+            assert srv.api._corpus is not None  # df tier, cache filled
+            assert srv.api._matrix is None
+            fill_loads = loads["n"]
+            assert fill_loads == 1  # exactly the cache fill
+
+            status, out2 = _call(
+                srv, "POST", "/search",
+                {"query": "document number", "top_k": 4},
+            )
+            assert status == 200
+            status, out3 = _call(
+                srv, "POST", "/hybrid",
+                {"query": "document number 3", "top_k": 4},
+            )
+            assert status == 200
+            assert loads["n"] == fill_loads, (
+                "warm /search and /hybrid must not re-load the store"
+            )
+        finally:
+            eng.store.load = real_load
+
+        got = [(r["path"], r["chunk_index"], r["score"]) for r in out["results"]]
+        want = [(r["path"], r["chunk_index"], r["score"]) for r in cold_search]
+        assert [g[:2] for g in got] == [w[:2] for w in want]
+        for g, w in zip(got, want):
+            assert abs(g[2] - w[2]) < 1e-9
+        assert out2["results"] == out["results"]
+
+        got_h = [
+            (r["path"], r["chunk_index"], r["sem_rank"], r["lex_rank"])
+            for r in out3["results"]
+        ]
+        want_h = [
+            (r["path"], r["chunk_index"], r["sem_rank"], r["lex_rank"])
+            for r in cold_hybrid
+        ]
+        assert got_h == want_h
+        for g, w in zip(out3["results"], cold_hybrid):
+            assert abs(g["rrf"] - w["rrf"]) < 1e-9
+            assert "embedding" not in g and "_emb_norm" not in g
+    finally:
+        srv.stop()
+
+
 def test_search_text_matrix_tier_matches_engine_path(server):
     """/search served from the matrix tier must return exactly what the
     cold engine.search Spark path returns (rows, order, scores)."""
