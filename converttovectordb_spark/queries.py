@@ -147,6 +147,21 @@ def _artifact_cache_dir(kind: str, src_files: list, params: str) -> str:
         bytes; the rename loser discards its copy and reads the
         winner's.
     """
+    import os
+
+    root = os.path.join(
+        os.path.expanduser("~"), ".cache", "converttovectordb_spark"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    os.chmod(root, 0o700)
+    return os.path.join(root, f"{kind}_{_content_key(src_files, params)}")
+
+
+def _content_key(src_files: list, params: str) -> str:
+    """16-hex content key over source bytes (size + head/tail MiB per
+    file, listing for parquet dirs) + build params — the naming scheme
+    `_artifact_cache_dir` documents, reusable for other content-
+    addressed locations (the kmeans oracle export)."""
     import hashlib
     import os
 
@@ -164,12 +179,7 @@ def _artifact_cache_dir(kind: str, src_files: list, params: str) -> str:
                 if st.st_size > (2 << 20):
                     fh.seek(-(1 << 20), os.SEEK_END)
                     h.update(fh.read(1 << 20))
-    root = os.path.join(
-        os.path.expanduser("~"), ".cache", "converttovectordb_spark"
-    )
-    os.makedirs(root, mode=0o700, exist_ok=True)
-    os.chmod(root, 0o700)
-    return os.path.join(root, f"{kind}_{h.hexdigest()[:16]}")
+    return h.hexdigest()[:16]
 
 
 def _publish_artifact(build_dir: str, final_dir: str) -> None:
@@ -582,62 +592,100 @@ GROUP BY e.query_id, ov.n_overlap
 #: trained index, which IS relational.
 #:
 #: The alias is a SYMLINK, atomically repointed (symlink + rename) at
-#: the immutable content-keyed artifact dir for the queried corpus —
-#: never a copied-then-rmtree'd directory (r5 advisory): target dirs
-#: are append-only cache entries, so a reader that resolved the old
-#: alias keeps reading intact files even while another sf_dir's run
-#: repoints it. The one remaining cross-PROCESS hazard — run A's
-#: oracle resolving the alias after run B (different corpus) repoints
-#: it between A's Spark query and A's oracle read — is inherent to a
-#: static-SQL oracle with a single alias and is covered by the
-#: exclusive-run bench/parity methodology.
+#: Append-only oracle-export root: one immutable content-keyed dir PER
+#: CORPUS under ``ivf_kmeans_by_corpus/``, each parquet row tagged with
+#: a ``corpus_fp`` fingerprint both engines can compute from the
+#: ``embeddings`` table itself (row count + Σ vec_id + Σ dim — integer
+#: aggregates, order-independent, bit-identical on Spark and DuckDB).
+#: The static oracle SQL globs ALL exported corpora and filters on the
+#: fingerprint of the corpus it is actually querying, so interleaved
+#: runs across sf_dirs can never cross-read each other's index — the
+#: r6 advisory's mutable single-alias hazard is gone by construction
+#: (nothing is ever repointed, overwritten, or deleted).
 _ORACLE_EXPORT_ROOT = _os.path.join(
     _os.path.expanduser("~"), ".cache", "converttovectordb_spark", "oracle_export"
 )
-IVF_KMEANS_EXPORT = _os.path.join(_ORACLE_EXPORT_ROOT, "ivf_kmeans")
+IVF_KMEANS_EXPORT_GLOB = _os.path.join(
+    _ORACLE_EXPORT_ROOT, "ivf_kmeans_by_corpus", "*"
+)
+
+#: DuckDB-side corpus fingerprint — must mirror `_corpus_fingerprint`.
+#: All terms are exact-integer aggregates (integer addition commutes, so
+#: partition order cannot change them): row count, Σ vec_id, Σ dim, and
+#: a CONTENT term Σ floor(embedding[1]·10⁶) — floor of a float32-exact
+#: double is the same integer in both engines, and the summed magnitude
+#: stays far below 2⁵³, so the double-sum on the DuckDB side is exact
+#: too. The content term is what separates same-shape corpora (the
+#: testdata ships 500-row embeddings tables at EVERY sf — count alone
+#: collides).
+_ORACLE_CORPUS_FP = (
+    "(SELECT count(*)::VARCHAR || '_' || sum(vec_id)::VARCHAR || '_' || "
+    "sum(len(embedding))::VARCHAR || '_' || "
+    "sum(floor(embedding[1]::DOUBLE * 1000000))::BIGINT::VARCHAR "
+    "FROM embeddings)"
+)
+
+
+def _corpus_fingerprint(emb: DataFrame) -> str:
+    """Spark-side corpus fingerprint over the embeddings table, matching
+    ``_ORACLE_CORPUS_FP`` character for character (see its note on why
+    every term is an exact integer)."""
+    r = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vec_id").alias("s"),
+        F.sum(F.size("embedding")).alias("d"),
+        F.sum(
+            F.floor(F.element_at("embedding", 1).cast("double") * 1000000.0)
+        ).cast("long").alias("c"),
+    ).collect()[0]
+    return f"{r['n']}_{r['s']}_{r['d']}_{r['c']}"
 
 
 def _kmeans_ivf_export(spark: SparkSession, sf_dir: str) -> str:
-    """Train (artifact-cached) seeded k-means over the embeddings table
-    — centroids/ (cluster_id, centroid) and assign/ (vec_id,
-    cluster_id) — and repoint the stable oracle alias
-    (``IVF_KMEANS_EXPORT``, a symlink) at the content-keyed artifact.
-
-    Training params are part of the cache key; repointing per call
-    keeps the alias on THIS sf_dir's corpus without ever copying or
-    deleting index bytes."""
+    """Train (content-cached) seeded k-means over the embeddings table
+    and export centroids/ (cluster_id, centroid, corpus_fp) and
+    assign/ (vec_id, cluster_id, corpus_fp) into this corpus's own
+    immutable dir under the oracle-export root (atomic publish, reused
+    on every later call with the same source bytes + params). Returns
+    the export dir."""
     import os
-    import shutil
-    import tempfile
 
     from converttovectordb_spark.plans.ivf_index import kmeans_centroids
 
-    path = _artifact_cache_dir(
-        "ivf_kmeans", [f"{sf_dir}/embeddings.parquet"], "k=16|seed=7|iters=20"
+    import shutil
+
+    key = _content_key(
+        [f"{sf_dir}/embeddings.parquet"], "k=16|seed=7|iters=20|fp-v2"
     )
+    by_corpus = os.path.join(_ORACLE_EXPORT_ROOT, "ivf_kmeans_by_corpus")
+    os.makedirs(by_corpus, mode=0o700, exist_ok=True)
+    path = os.path.join(by_corpus, key)
     if not os.path.isdir(path):
         emb = load(spark, sf_dir, "embeddings")
+        fp = _corpus_fingerprint(emb)
         cents, assigned = kmeans_centroids(
             emb, num_clusters=16, seed=7, max_iter=20
         )
-        with _artifact_build(path) as build:
-            cents.coalesce(1).write.mode("overwrite").parquet(
-                f"{build}/centroids"
-            )
-            assigned.select("vec_id", "cluster_id").coalesce(1).write.mode(
+        # Scratch lives OUTSIDE the globbed by_corpus dir (the oracle
+        # reads `by_corpus/*/...` — a half-written build must never be
+        # visible to it), then publishes by atomic rename; the rename
+        # loser keeps the winner's identical bytes.
+        build = os.path.join(_ORACLE_EXPORT_ROOT, f".build-ivfk-{os.getpid()}-{key}")
+        shutil.rmtree(build, ignore_errors=True)
+        try:
+            cents.withColumn("corpus_fp", F.lit(fp)).coalesce(1).write.mode(
                 "overwrite"
-            ).parquet(f"{build}/assign")
-    os.makedirs(_ORACLE_EXPORT_ROOT, mode=0o700, exist_ok=True)
-    if os.path.isdir(IVF_KMEANS_EXPORT) and not os.path.islink(
-        IVF_KMEANS_EXPORT
-    ):
-        shutil.rmtree(IVF_KMEANS_EXPORT)  # legacy pre-symlink copy
-    # Atomic repoint: create the new symlink aside, rename over the
-    # alias. The previous target is an immutable cache entry and is
-    # never deleted, so concurrent readers are safe (see alias note).
-    tmp_link = tempfile.mktemp(dir=_ORACLE_EXPORT_ROOT, prefix=".ivf_lnk_")
-    os.symlink(path, tmp_link)
-    os.replace(tmp_link, IVF_KMEANS_EXPORT)
+            ).parquet(f"{build}/centroids")
+            assigned.select("vec_id", "cluster_id").withColumn(
+                "corpus_fp", F.lit(fp)
+            ).coalesce(1).write.mode("overwrite").parquet(f"{build}/assign")
+        except BaseException:
+            shutil.rmtree(build, ignore_errors=True)
+            raise
+        try:
+            os.rename(build, path)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
     return path
 
 
@@ -650,13 +698,14 @@ def q_ivf_recall_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe/k ≈ 31% of the data; the labels need 80% probed for the
     same recall).
 
-    The trained index is exported to a fixed path so the SQL oracle
-    reranks the SAME probes — training is the one non-relational step,
-    and it is exactly the part both sides share by construction."""
-    _kmeans_ivf_export(spark, sf_dir)
+    The trained index is exported per-corpus (fingerprint-tagged,
+    append-only) so the SQL oracle reranks the SAME probes — training
+    is the one non-relational step, and it is exactly the part both
+    sides share by construction."""
+    export = _kmeans_ivf_export(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
-    cents = spark.read.parquet(f"{IVF_KMEANS_EXPORT}/centroids")
-    assign = spark.read.parquet(f"{IVF_KMEANS_EXPORT}/assign")
+    cents = spark.read.parquet(f"{export}/centroids").drop("corpus_fp")
+    assign = spark.read.parquet(f"{export}/assign").drop("corpus_fp")
     docs = emb.join(assign, on="vec_id", how="inner")
     probes = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -699,11 +748,13 @@ WITH docs AS (
 ),
 assign AS (
   SELECT vec_id, cluster_id
-  FROM read_parquet('{IVF_KMEANS_EXPORT}/assign/*.parquet')
+  FROM read_parquet('{IVF_KMEANS_EXPORT_GLOB}/assign/*.parquet')
+  WHERE corpus_fp = {_ORACLE_CORPUS_FP}
 ),
 cent AS (
   SELECT cluster_id, centroid::DOUBLE[] AS c
-  FROM read_parquet('{IVF_KMEANS_EXPORT}/centroids/*.parquet')
+  FROM read_parquet('{IVF_KMEANS_EXPORT_GLOB}/centroids/*.parquet')
+  WHERE corpus_fp = {_ORACLE_CORPUS_FP}
 ),
 probes AS (SELECT vec_id AS query_id, v AS q FROM docs WHERE vec_id < 8),
 norm AS (

@@ -111,11 +111,12 @@ def test_engine_indexed_search(spark, tmp_path):
 def test_kmeans_recall_query_exports_and_clears_bar(spark):
     """ivf_recall_kmeans: trained-centroid IVF reaches the recall the
     label partition cannot (VERDICT r4 ask #8) and exports the index to
-    the fixed oracle path so the SQL oracle reranks the same probes."""
+    this corpus's fingerprint-tagged dir so the SQL oracle reranks the
+    same probes."""
     import os
 
     from converttovectordb_spark.queries import (
-        IVF_KMEANS_EXPORT,
+        _kmeans_ivf_export,
         q_ivf_recall_kmeans,
     )
 
@@ -125,5 +126,40 @@ def test_kmeans_recall_query_exports_and_clears_bar(spark):
     # measured 0.833 at sf0.001 and sf0.01 (k=16, seed 7, nprobe=5);
     # small slack for kmeans sum-order variation across partitionings
     assert mean >= 0.75
-    assert os.path.isdir(f"{IVF_KMEANS_EXPORT}/centroids")
-    assert os.path.isdir(f"{IVF_KMEANS_EXPORT}/assign")
+    export = _kmeans_ivf_export(spark, "/root/testdata/sf0.001")
+    assert os.path.isdir(f"{export}/centroids")
+    assert os.path.isdir(f"{export}/assign")
+
+
+def test_kmeans_oracle_interleaved_sf_dirs_stay_green(spark):
+    """r6 advisory: interleaved runs across sf_dirs must each oracle-
+    match their OWN corpus. Spark queries for two sf_dirs run FIRST
+    (both exports published), then both oracles — with the old mutable
+    single-alias export, the first corpus's oracle would rerank the
+    second corpus's index and hash-mismatch."""
+    import duckdb
+
+    from converttovectordb_spark.queries import (
+        ORACLES,
+        q_ivf_recall_kmeans,
+    )
+
+    sf_a, sf_b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    spark_rows = {}
+    for sf in (sf_a, sf_b):  # both Spark runs before either oracle
+        rows = q_ivf_recall_kmeans(spark, sf).collect()
+        spark_rows[sf] = sorted(
+            (r.query_id, r.n_overlap, round(r.recall, 6)) for r in rows
+        )
+
+    for sf in (sf_a, sf_b):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+        )
+        oracle = sorted(
+            (int(q), int(n), round(float(r), 6))
+            for q, n, r in con.sql(ORACLES["ivf_recall_kmeans"]).fetchall()
+        )
+        con.close()
+        assert oracle == spark_rows[sf], f"oracle mismatch for {sf}"
