@@ -4474,7 +4474,14 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(stream_dir, ignore_errors=True)
-    return spark.table(name)
+    # Resolve the sink relation into the returned plan, then DROP the
+    # uniquely-named temp view: the sink rows stay alive exactly as
+    # long as the caller holds the DataFrame, instead of one leaked
+    # catalog entry (and row copy) per invocation for the session
+    # lifetime (r6 advisory; same pattern in every stream query here).
+    out = spark.table(name)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def q_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4563,7 +4570,9 @@ def q_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(stream_dir, ignore_errors=True)
-    return spark.table(name)
+    out = spark.table(name)  # resolve, then drop the catalog entry
+    spark.catalog.dropTempView(name)
+    return out
 
 
 ORACLE_STREAM_CLICK_PURCHASE = """
@@ -4631,11 +4640,13 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         shutil.rmtree(stream_dir, ignore_errors=True)
     val = F.col("value").cast("decimal(14,2)")
-    return spark.table(name).agg(
+    out = spark.table(name).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         _round6(F.sum(val)).alias("total_value"),
     )
+    spark.catalog.dropTempView(name)  # resolved above; no catalog leak
+    return out
 
 
 ORACLE_STREAM_DEDUP = """
@@ -4708,11 +4719,21 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     finally:
         shutil.rmtree(stream_dir, ignore_errors=True)
-    return spark.table(name).filter(F.col("keep")).agg(
+    # Eagerly reduce to the 1-row aggregate and DROP the memory-sink
+    # table before returning: each invocation registers a uniquely-named
+    # sink holding the full gated corpus in driver memory, so returning
+    # a lazy plan over it would pin one corpus copy per call for the
+    # session lifetime (r6 advisory). Only the single result row
+    # survives.
+    agg = spark.table(name).filter(F.col("keep")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
         _round6(F.avg("n_tokens")).alias("avg_tokens_kept"),
         _round6(F.avg("dup_trigram_frac")).alias("avg_dup_trigram_frac"),
     )
+    rows = agg.collect()
+    out = spark.createDataFrame(rows, agg.schema)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 ORACLE_STREAM_QUALITY_GATE = """
@@ -5119,7 +5140,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stream_dir, ignore_errors=True)
         shutil.rmtree(sent_dir, ignore_errors=True)
     w = Window.partitionBy("user_id").orderBy("session_start")
-    return (
+    out = (
         spark.table(name)
         .withColumn("session_seq", F.row_number().over(w).cast("bigint"))
         .select(
@@ -5130,6 +5151,8 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             _round6(F.col("total_value") / 100).alias("session_value"),
         )
     )
+    spark.catalog.dropTempView(name)  # resolved above; no catalog leak
+    return out
 
 
 ORACLE_SESSIONIZE = """
