@@ -434,6 +434,7 @@ def connected_components(
     dst: str = "b",
     max_iter: int = 25,
     driver_threshold: int = 500_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph →
     DataFrame(node, component) with component = min reachable node id.
@@ -460,6 +461,14 @@ def connected_components(
       at one round's depth; on a durable cluster job swap in
       ``checkpoint()`` with a checkpoint dir to also survive executor
       loss.
+
+    ``stats`` (optional dict) receives observability fields after the
+    run: ``strategy`` ('driver' | 'distributed'), ``n_edges``, and for
+    the distributed path ``rounds`` — the number of propagation rounds
+    executed including the final no-change detection round (= component
+    diameter + 1 for synchronous 1-hop min spreading). Convergence
+    tests pin this so a regression in the propagation shape (e.g. an
+    accidental 2-hop variant or a broken fixpoint check) is caught.
     """
     raw = _materialize(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     n_edges = raw.count()
@@ -490,6 +499,8 @@ def connected_components(
         rows = [(n, find(n)) for n in parent]
         out = spark.createDataFrame(rows, ["node", "comp"])
         raw.unpersist()
+        if stats is not None:
+            stats.update(strategy="driver", n_edges=n_edges)
         return out
 
     sym = _materialize(
@@ -502,7 +513,9 @@ def connected_components(
         .withColumn("comp", F.col("node"))
     )
     changed = 0
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr = sym.join(
             labels.withColumnRenamed("node", "v"), on="v"
         ).select(F.col("u").alias("node"), F.col("comp"))
@@ -536,6 +549,8 @@ def connected_components(
             f"rounds ({changed} labels still changing); raise max_iter "
             "— component diameter exceeds the iteration budget"
         )
+    if stats is not None:
+        stats.update(strategy="distributed", n_edges=n_edges, rounds=rounds)
     return labels
 
 

@@ -172,6 +172,77 @@ def test_connected_components_both_strategies_agree(spark):
     assert big == want
 
 
+def test_connected_components_distributed_at_1e5_edges(spark):
+    """r6 VERDICT ask #6: exercise the Pregel-lite branch at honest
+    size — 105,000 edges (3,500 stars of 30 nodes + 500 chains of 8
+    nodes), forced distributed via driver_threshold=0 — and pin both
+    the labels (vs the driver union-find on the same graph) and the
+    ROUND COUNT (chain diameter 7 + 1 detection round) before anyone
+    trusts the path's convergence behavior at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from converttovectordb_spark.operators.dedup import connected_components
+
+    stars = (
+        spark.range(3500)
+        .select((F.col("id") * 40).alias("base"))
+        .select(
+            "base",
+            F.explode(F.sequence(F.lit(1), F.lit(29))).alias("j"),
+        )
+        .select(
+            F.col("base").alias("a"), (F.col("base") + F.col("j")).alias("b")
+        )
+    )
+    chains = (
+        spark.range(500)
+        .select((F.lit(200_000) + F.col("id") * 10).alias("base"))
+        .select(
+            "base", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i")
+        )
+        .select(
+            (F.col("base") + F.col("i")).alias("a"),
+            (F.col("base") + F.col("i") + 1).alias("b"),
+        )
+    )
+    edges = stars.union(chains)
+    assert edges.count() == 3500 * 29 + 500 * 7  # 105,000
+
+    stats: dict = {}
+    dist = connected_components(
+        edges, driver_threshold=0, stats=stats
+    )
+    got = {r.node: r.comp for r in dist.collect()}
+
+    # expected labels derive from the construction: every node's
+    # component minimum is its group's base id
+    want = {}
+    for c in range(3500):
+        base = c * 40
+        for j in range(30):
+            want[base + j] = base
+    for c in range(500):
+        base = 200_000 + c * 10
+        for i in range(8):
+            want[base + i] = base
+    assert got == want
+
+    assert stats["strategy"] == "distributed"
+    assert stats["n_edges"] == 105_000
+    # synchronous 1-hop min propagation: the 8-node chains (diameter 7)
+    # dominate → 7 spreading rounds + 1 no-change detection round
+    assert stats["rounds"] == 8
+
+    # and the driver union-find agrees on the identical edge list
+    small_stats: dict = {}
+    small = {
+        r.node: r.comp
+        for r in connected_components(edges, stats=small_stats).collect()
+    }
+    assert small_stats["strategy"] == "driver"
+    assert small == want
+
+
 def test_connected_components_raises_on_nonconvergence(spark):
     """A chain whose diameter exceeds max_iter must RAISE, not silently
     return a partial fixpoint (round-2 advisory)."""
