@@ -83,6 +83,12 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--query", required=True)
     sp.add_argument("--top-k", type=int, default=5)
+    sp.add_argument(
+        "--report", action="store_true",
+        help="render the generation as the reference's markdown "
+        "estimate report (estimate_time.py format_output) instead of "
+        "raw JSON output",
+    )
     common(sp)
 
     sp = sub.add_parser("stats", help="corpus statistics")
@@ -186,15 +192,30 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"command": "hybrid", "results": rows}))
     elif args.command == "answer":
         row = eng.answer(args.query, args.top_k).collect()[0]
-        print(
-            json.dumps(
-                {
-                    "command": "answer",
-                    "n_results": row["n_results"],
-                    "generation": row["generation"],
-                }
+        if args.report:
+            from converttovectordb_spark.operators.generate import (
+                format_report,
             )
-        )
+
+            print(
+                json.dumps(
+                    {
+                        "command": "answer",
+                        "n_results": row["n_results"],
+                        "report": format_report(row["generation"]),
+                    }
+                )
+            )
+        else:
+            print(
+                json.dumps(
+                    {
+                        "command": "answer",
+                        "n_results": row["n_results"],
+                        "generation": row["generation"],
+                    }
+                )
+            )
     elif args.command == "stats":
         print(json.dumps({"command": "stats", **eng.stats()}))
     elif args.command == "health":

@@ -40,6 +40,7 @@ __all__ = [
     "ai_generate",
     "assemble_context",
     "rag_prompt",
+    "format_report",
 ]
 
 #: Instruction frame mirrored from the reference's prompt assembly
@@ -155,6 +156,60 @@ def assemble_context(
         ).alias("context"),
         F.count("*").alias("n_results"),
     )
+
+
+def format_report(generation_json: str) -> str:
+    """Render a generation's JSON payload as the reference's markdown
+    estimate report (``format_output``, estimate_time.py:105-153) —
+    the one downstream-consumer surface SURVEY §2.5 left open.
+
+    Behavior parity, independently implemented: the same section order
+    (Time Estimate / Complexity / Key Factors / Potential Challenges /
+    Implementation Tasks with per-task ``### name (hours)`` headers and
+    a summed total), and the same graceful degradation — unparseable
+    JSON or a missing key returns an error preamble plus the raw
+    response instead of raising, because a malformed LLM reply is an
+    expected input, not a crash."""
+    import json
+
+    try:
+        data = json.loads(generation_json)
+        lines = ["# Implementation Time Estimate Report\n"]
+        te = data["time_estimate"]
+        lines += [
+            "## Time Estimate",
+            f"- **Range**: {te['min_hours']} to {te['max_hours']} hours",
+            f"- **Confidence**: {te['confidence']}",
+            "",
+            "## Complexity",
+            f"- **Assessment**: {data['complexity']}",
+            "",
+            "## Key Factors",
+        ]
+        lines += [f"- {factor}" for factor in data["key_factors"]]
+        lines += ["", "## Potential Challenges"]
+        lines += [f"- {ch}" for ch in data["potential_challenges"]]
+        lines += ["", "## Implementation Tasks"]
+        total = 0
+        for task in data["tasks"]:
+            lines += [
+                f"### {task['name']} ({task['hours']} hours)",
+                f"{task['description']}",
+                "",
+            ]
+            total += task["hours"]
+        lines.append(f"**Total Hours (Sum of Tasks)**: {total}")
+        return "\n".join(lines)
+    except (json.JSONDecodeError, TypeError):
+        return (
+            "Error: Could not parse LLM response as JSON.\n\n"
+            "Raw response:\n" + generation_json
+        )
+    except KeyError as e:
+        return (
+            f"Error: Missing key in JSON response: {e}.\n\n"
+            "Raw response:\n" + generation_json
+        )
 
 
 def rag_prompt(question: str) -> Column:

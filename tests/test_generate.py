@@ -146,3 +146,78 @@ def test_rag_prompt_renders_template(spark):
     df = spark.createDataFrame([("CTX",)], ["context"])
     got = df.select(rag_prompt("Q?").alias("p")).collect()[0].p
     assert got == PROMPT_TEMPLATE.format(question="Q?", context="CTX")
+
+
+GOLDEN_REPORT = """# Implementation Time Estimate Report
+
+## Time Estimate
+- **Range**: 4 to 10 hours
+- **Confidence**: Medium
+
+## Complexity
+- **Assessment**: Medium
+
+## Key Factors
+- existing vector search engine
+- parquet store already partitioned
+
+## Potential Challenges
+- float tie-breaking
+- stream state sizing
+
+## Implementation Tasks
+### wire the endpoint (2 hours)
+expose the search verb
+
+### add tests (3 hours)
+golden-file coverage
+
+**Total Hours (Sum of Tasks)**: 5"""
+
+
+def test_format_report_golden():
+    """format_report renders the reference's markdown report shape
+    (estimate_time.py:105-153) byte-for-byte for a well-formed
+    generation payload."""
+    import json
+
+    from converttovectordb_spark.operators.generate import format_report
+
+    payload = json.dumps(
+        {
+            "time_estimate": {
+                "min_hours": 4, "max_hours": 10, "confidence": "Medium"
+            },
+            "complexity": "Medium",
+            "key_factors": [
+                "existing vector search engine",
+                "parquet store already partitioned",
+            ],
+            "potential_challenges": [
+                "float tie-breaking",
+                "stream state sizing",
+            ],
+            "tasks": [
+                {"name": "wire the endpoint", "hours": 2,
+                 "description": "expose the search verb"},
+                {"name": "add tests", "hours": 3,
+                 "description": "golden-file coverage"},
+            ],
+        }
+    )
+    assert format_report(payload) == GOLDEN_REPORT
+
+
+def test_format_report_degrades_gracefully():
+    """Malformed LLM output is an expected input: non-JSON and
+    missing-key payloads return an error preamble + the raw response
+    (reference estimate_time.py:150-153), never raise."""
+    from converttovectordb_spark.operators.generate import format_report
+
+    out = format_report("not json at all")
+    assert out.startswith("Error: Could not parse LLM response as JSON.")
+    assert "not json at all" in out
+
+    out = format_report('{"complexity": "Low"}')
+    assert out.startswith("Error: Missing key in JSON response:")
+    assert '"complexity": "Low"' in out
