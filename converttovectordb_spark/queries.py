@@ -2851,6 +2851,445 @@ FROM part
 """
 
 
+def q_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): orders in one quarter
+    with at least one LATE lineitem (shipped >90 days after the order
+    date — the testdata lacks commit/receipt dates, so lateness is
+    anchored to the order date; same EXISTS-semi structure), counted by
+    priority.
+
+    Plan: the date filter prunes the orders side BEFORE the semi join;
+    the semi join is an equi-join on orderkey with the lateness
+    predicate as a residual filter, so the lineitem side never
+    duplicates order rows and only join keys shuffle. Both sides are
+    SF-scaled → no broadcast hint; AQE decides."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (
+            li.l_shipdate
+            > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+
+
+ORACLE_ORDER_PRIORITY_SEMI = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): one tight
+    filter-then-aggregate over lineitem — no join, no groupBy key, so
+    the whole query is a scan with every predicate pushed to parquet
+    (PushedFilters on shipdate/discount/quantity), map-side partial
+    sums, and a 1-row merge. DECIMAL-exact revenue."""
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(price * disc).alias("_rev"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+        .select(_round6(F.col("_rev")).alias("revenue"), "n_items")
+    )
+
+
+ORACLE_REVENUE_FORECAST = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                     CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE), 6)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned item reporting): top-20 customers by
+    revenue lost to returns in one quarter, with their nation.
+
+    Plan: returnflag + date filters prune both fact sides before the
+    join; the per-customer aggregate runs BEFORE joining customer and
+    nation display columns, so the wide join input is ≤ |customers|
+    rows, not |lineitems|. The top-20 orders by the EXACT decimal
+    revenue (custkey tie-break) so both engines pick identical rows;
+    only nation (fixed 25 rows) is broadcast-hinted."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    rev = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(12,2)") - disc)).alias("_rev"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+    return (
+        rev.join(
+            cust.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .orderBy(F.col("_rev").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            _round6(F.col("c_acctbal")).alias("c_acctbal"),
+            _round6(F.col("_rev")).alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+ORACLE_RETURNED_ITEM_REVENUE = """
+WITH rev AS (
+  SELECT o_custkey,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           AS rev_exact,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, n_name,
+       round(CAST(c_acctbal AS DOUBLE), 6) AS c_acctbal,
+       round(CAST(rev_exact AS DOUBLE), 6) AS revenue,
+       n_items
+FROM rev
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY rev_exact DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / order priority): for LATE
+    lineitems (shipped >60 days after the order date; the testdata has
+    no shipmode column, so the partition key is l_linestatus), count
+    high-priority vs other orders — the conditional-aggregation join
+    shape. Filters prune before the join; counts are exact ints."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+    )
+
+
+ORACLE_LATE_PRIORITY_LINES = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+"""
+
+
+def q_cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): orders-per-customer via
+    a LEFT join (customers with zero orders land in the c_count=0
+    bucket — the part an inner join would silently drop), then the
+    histogram of those counts. Two hash aggregates; the second input is
+    ≤ |customers| rows."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    counts = (
+        cust.select("c_custkey")
+        .join(
+            orders.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").cast("bigint").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+ORACLE_CUST_ORDER_DISTRIBUTION = """
+WITH counts AS (
+  SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM counts GROUP BY c_count
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): percentage of one month's
+    revenue from PROMO-type parts. The month filter prunes lineitem
+    before the part join; both conditional and total revenue come from
+    ONE aggregate pass (DECIMAL-exact sums, divided as doubles at the
+    end — the one place divergent decimal-division scale rules between
+    engines could bite, so neither engine divides decimals)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    rev = price * (F.lit(1).cast("decimal(12,2)") - disc)
+    j = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    ).join(
+        part.select("p_partkey", "p_type"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    agg = j.agg(
+        F.sum(
+            F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+                F.lit(0).cast("decimal(12,2)")
+            )
+        ).alias("_promo"),
+        F.sum(rev).alias("_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+    return agg.select(
+        _round6(
+            F.lit(100.0)
+            * F.col("_promo").cast("double")
+            / F.col("_total").cast("double")
+        ).alias("promo_revenue_pct"),
+        _round6(F.col("_total")).alias("total_revenue"),
+        "n_items",
+    )
+
+
+ORACLE_PROMO_REVENUE = """
+WITH agg AS (
+  SELECT sum(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+                       (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS promo_exact,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           AS total_exact,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+)
+SELECT round(100.0 * CAST(promo_exact AS DOUBLE)
+             / CAST(total_exact AS DOUBLE), 6) AS promo_revenue_pct,
+       round(CAST(total_exact AS DOUBLE), 6) AS total_revenue,
+       n_items
+FROM agg
+"""
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for one
+    nation's suppliers, late lines (shipped >60 days after the order
+    date) in finished multi-supplier orders where NO other supplier was
+    also late — the EXISTS + NOT EXISTS correlated double, expressed as
+    a left-semi then a left-anti join with a suppkey-inequality
+    residual.
+
+    Plan: the late-line set is computed once and reused for both the
+    candidate side and the NOT EXISTS side; the semi probes the full
+    lineitem (any co-supplier), the anti probes only the (much smaller)
+    late set. supplier×nation reduces to one nation before joining.
+    Top-20 by exact count with name tie-break."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    late = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    s1 = supp.join(
+        F.broadcast(
+            nation.filter(F.col("n_name") == "NATION_1").select("n_nationkey")
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    cand = late.join(s1, F.col("l_suppkey") == F.col("s_suppkey"))
+    other = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    cand = cand.join(
+        other,
+        (F.col("l_orderkey") == F.col("_ok2"))
+        & (F.col("_sk2") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    cand = cand.join(
+        other_late,
+        (F.col("l_orderkey") == F.col("_ok3"))
+        & (F.col("_sk3") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    return (
+        cand.groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+ORACLE_WAITING_SUPPLIERS = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average positive balances and no RECENT orders (none since
+    2000-01-01 — this testdata gives every customer at least one
+    lifetime order, so the literal no-orders-ever predicate would be
+    vacuously empty; the recency window keeps the NOT-EXISTS shape and
+    a non-trivial result), grouped by market segment (no phone country
+    code in the schema). Scalar decimal subquery (exact,
+    order-independent — the double-avg would be partition-order-
+    dependent) + left-anti join with a pre-filtered right side +
+    group."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast("decimal(14,2)")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg(bal).cast("double").alias("_avg"))
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))  # 1-row scalar attach
+        .filter(F.col("c_acctbal").cast("double") > F.col("_avg"))
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    ).select("o_custkey")
+    idle = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        _round6(F.sum(bal)).alias("total_bal"),
+    )
+
+
+ORACLE_IDLE_CUSTOMERS = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE), 6)
+         AS total_bal
+FROM customer
+WHERE CAST(c_acctbal AS DOUBLE) > (
+    SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+    FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY c_mktsegment
+"""
+
+
 def q_cust_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join chain: customers with at least one returned
     lineitem. Both distinct key sets are SF-scaled (returned orderkeys
@@ -5287,6 +5726,14 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "large_volume_orders": q_large_volume_orders,
     "discount_bands": q_discount_bands,
+    "order_priority_semi": q_order_priority_semi,
+    "revenue_forecast": q_revenue_forecast,
+    "returned_item_revenue": q_returned_item_revenue,
+    "late_priority_lines": q_late_priority_lines,
+    "cust_order_distribution": q_cust_order_distribution,
+    "promo_revenue": q_promo_revenue,
+    "waiting_suppliers": q_waiting_suppliers,
+    "idle_customers": q_idle_customers,
     "top_orders_per_cust": q_top_orders_per_cust,
     "cust_no_orders": q_cust_no_orders,
     "cust_with_returns": q_cust_with_returns,
@@ -5338,6 +5785,14 @@ ORACLES = {
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "large_volume_orders": ORACLE_LARGE_VOLUME_ORDERS,
     "discount_bands": ORACLE_DISCOUNT_BANDS,
+    "order_priority_semi": ORACLE_ORDER_PRIORITY_SEMI,
+    "revenue_forecast": ORACLE_REVENUE_FORECAST,
+    "returned_item_revenue": ORACLE_RETURNED_ITEM_REVENUE,
+    "late_priority_lines": ORACLE_LATE_PRIORITY_LINES,
+    "cust_order_distribution": ORACLE_CUST_ORDER_DISTRIBUTION,
+    "promo_revenue": ORACLE_PROMO_REVENUE,
+    "waiting_suppliers": ORACLE_WAITING_SUPPLIERS,
+    "idle_customers": ORACLE_IDLE_CUSTOMERS,
     "order_grouping_sets": ORACLE_ORDER_GROUPING_SETS,
     "user_hourly_rolling": ORACLE_USER_HOURLY_ROLLING,
     "vector_math": ORACLE_VECTOR_MATH,
