@@ -79,6 +79,7 @@ def main() -> int:
         _kmeans_ivf_export,
         _lsh_bands_cached,
         _minhash_cands_cached,
+        _pq_export,
         _simhash_fp_cached,
     )
 
@@ -86,6 +87,7 @@ def main() -> int:
         ("ivf_index", _ivf_index_cached),
         ("jaccard_pairs", _jaccard_pairs_cached),
         ("ivf_kmeans", _kmeans_ivf_export),
+        ("pq_codec", _pq_export),
         ("lsh_bands", _lsh_bands_cached),
         ("lsh_bands_bucketed", _bucketed_lsh_bands_cached),
         ("minhash_cands", _minhash_cands_cached),
