@@ -625,6 +625,16 @@ _ORACLE_CORPUS_FP = (
     "FROM embeddings)"
 )
 
+#: Build-params version strings. Each is (a) part of the export dir's
+#: content key, (b) appended to the corpus_fp VALUE written into the
+#: export, and (c) appended as a literal to the oracle's fp filter —
+#: so bumping any parameter retires the old exports from the oracle's
+#: view instead of leaving two same-fingerprint dirs under the glob
+#: (append-only dirs are never deleted; without the params suffix a
+#: param bump would double every oracle row).
+_KMEANS_PARAMS = "k=16|seed=7|iters=20|fp-v3"
+_PQ_PARAMS = "pq|m=8|k=16|seed=7|iters=20|fp-v3"
+
 
 def _corpus_fingerprint(emb: DataFrame) -> str:
     """Spark-side corpus fingerprint over the embeddings table, matching
@@ -641,52 +651,84 @@ def _corpus_fingerprint(emb: DataFrame) -> str:
     return f"{r['n']}_{r['s']}_{r['d']}_{r['c']}"
 
 
+def _oracle_export(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    kind: str,
+    params: str,
+    writer,
+) -> str:
+    """Shared oracle-export protocol: content-keyed immutable dir per
+    (corpus bytes, params) under ``{_ORACLE_EXPORT_ROOT}/{kind}/``.
+
+    ``writer(emb, fp, build_dir)`` materializes the export's parquet
+    subdirs, tagging every row with ``fp`` (corpus fingerprint +
+    params — see _KMEANS_PARAMS). The scratch build dir lives OUTSIDE
+    the globbed ``{kind}/`` dir (a half-written build must never be
+    visible to a concurrent oracle read) and publishes by atomic
+    rename; the rename loser keeps the winner's identical bytes, and
+    any OTHER rename failure propagates instead of silently returning
+    a nonexistent path. Every directory level is forced 0700 (the
+    per-user cache hardening from the r2 advisory)."""
+    import os
+    import shutil
+
+    key = _content_key([f"{sf_dir}/embeddings.parquet"], params)
+    by_corpus = os.path.join(_ORACLE_EXPORT_ROOT, kind)
+    cache_root = os.path.dirname(_ORACLE_EXPORT_ROOT)
+    for d in (cache_root, _ORACLE_EXPORT_ROOT, by_corpus):
+        os.makedirs(d, mode=0o700, exist_ok=True)
+        os.chmod(d, 0o700)
+    path = os.path.join(by_corpus, key)
+    if os.path.isdir(path):
+        return path
+    emb = load(spark, sf_dir, "embeddings")
+    fp = f"{_corpus_fingerprint(emb)}|{params}"
+    build = os.path.join(
+        _ORACLE_EXPORT_ROOT, f".build-{kind}-{os.getpid()}-{key}"
+    )
+    shutil.rmtree(build, ignore_errors=True)
+    try:
+        writer(emb, fp, build)
+    except BaseException:
+        shutil.rmtree(build, ignore_errors=True)
+        raise
+    try:
+        os.rename(build, path)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)
+        if not os.path.isdir(path):  # not the concurrent-winner race
+            raise
+    return path
+
+
 def _kmeans_ivf_export(spark: SparkSession, sf_dir: str) -> str:
     """Train (content-cached) seeded k-means over the embeddings table
     and export centroids/ (cluster_id, centroid, corpus_fp) and
     assign/ (vec_id, cluster_id, corpus_fp) into this corpus's own
-    immutable dir under the oracle-export root (atomic publish, reused
-    on every later call with the same source bytes + params). Returns
-    the export dir."""
-    import os
-
+    immutable dir under the oracle-export root (shared protocol:
+    `_oracle_export`). Returns the export dir."""
     from converttovectordb_spark.plans.ivf_index import kmeans_centroids
 
-    import shutil
-
-    key = _content_key(
-        [f"{sf_dir}/embeddings.parquet"], "k=16|seed=7|iters=20|fp-v2"
-    )
-    by_corpus = os.path.join(_ORACLE_EXPORT_ROOT, "ivf_kmeans_by_corpus")
-    os.makedirs(by_corpus, mode=0o700, exist_ok=True)
-    path = os.path.join(by_corpus, key)
-    if not os.path.isdir(path):
-        emb = load(spark, sf_dir, "embeddings")
-        fp = _corpus_fingerprint(emb)
+    def write(emb, fp, build):
         cents, assigned = kmeans_centroids(
             emb, num_clusters=16, seed=7, max_iter=20
         )
-        # Scratch lives OUTSIDE the globbed by_corpus dir (the oracle
-        # reads `by_corpus/*/...` — a half-written build must never be
-        # visible to it), then publishes by atomic rename; the rename
-        # loser keeps the winner's identical bytes.
-        build = os.path.join(_ORACLE_EXPORT_ROOT, f".build-ivfk-{os.getpid()}-{key}")
-        shutil.rmtree(build, ignore_errors=True)
-        try:
-            cents.withColumn("corpus_fp", F.lit(fp)).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{build}/centroids")
-            assigned.select("vec_id", "cluster_id").withColumn(
-                "corpus_fp", F.lit(fp)
-            ).coalesce(1).write.mode("overwrite").parquet(f"{build}/assign")
-        except BaseException:
-            shutil.rmtree(build, ignore_errors=True)
-            raise
-        try:
-            os.rename(build, path)
-        except OSError:
-            shutil.rmtree(build, ignore_errors=True)
-    return path
+        cents.withColumn("corpus_fp", F.lit(fp)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{build}/centroids")
+        assigned.select("vec_id", "cluster_id").withColumn(
+            "corpus_fp", F.lit(fp)
+        ).coalesce(1).write.mode("overwrite").parquet(f"{build}/assign")
+
+    return _oracle_export(
+        spark,
+        sf_dir,
+        kind="ivf_kmeans_by_corpus",
+        params=_KMEANS_PARAMS,
+        writer=write,
+    )
 
 
 def q_ivf_recall_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -749,12 +791,12 @@ WITH docs AS (
 assign AS (
   SELECT vec_id, cluster_id
   FROM read_parquet('{IVF_KMEANS_EXPORT_GLOB}/assign/*.parquet')
-  WHERE corpus_fp = {_ORACLE_CORPUS_FP}
+  WHERE corpus_fp = {_ORACLE_CORPUS_FP} || '|{_KMEANS_PARAMS}'
 ),
 cent AS (
   SELECT cluster_id, centroid::DOUBLE[] AS c
   FROM read_parquet('{IVF_KMEANS_EXPORT_GLOB}/centroids/*.parquet')
-  WHERE corpus_fp = {_ORACLE_CORPUS_FP}
+  WHERE corpus_fp = {_ORACLE_CORPUS_FP} || '|{_KMEANS_PARAMS}'
 ),
 probes AS (SELECT vec_id AS query_id, v AS q FROM docs WHERE vec_id < 8),
 norm AS (
@@ -837,58 +879,53 @@ GROUP BY e.query_id, ov.n_overlap
 #: PQ export glob + params — same append-only fingerprint-tagged design
 #: as the kmeans export (see the note above _ORACLE_EXPORT_ROOT).
 PQ_EXPORT_GLOB = _os.path.join(_ORACLE_EXPORT_ROOT, "pq_by_corpus", "*")
-PQ_M, PQ_K = 8, 16
+#: PQ operating point. PQ_DIM is the embedding dimension the STATIC
+#: SQL oracle is generated for (subvector width = PQ_DIM // PQ_M baked
+#: into ORACLE_PQ_RECALL); `_pq_export` guards it against the actual
+#: corpus so a dimension change fails loudly instead of mis-slicing.
+PQ_M, PQ_K, PQ_DIM = 8, 16, 64
 
 
 def _pq_export(spark: SparkSession, sf_dir: str) -> str:
     """Train (content-cached) the PQ codec over the embeddings table
     and export codebooks/ (sub, code, centroid, corpus_fp) and codes/
     (vec_id, codes, corpus_fp) into this corpus's immutable dir under
-    the oracle-export root. Returns the export dir.
+    the oracle-export root (shared protocol: `_oracle_export`).
+    Returns the export dir.
 
     Training + encoding are the offline build (m tiny k-means fits +
     m assignment passes); queries pay only the code scan."""
-    import os
-    import shutil
-
     from converttovectordb_spark.plans.pq_index import (
         codebooks_df,
         pq_encode,
         train_pq,
     )
 
-    key = _content_key(
-        [f"{sf_dir}/embeddings.parquet"],
-        f"pq|m={PQ_M}|k={PQ_K}|seed=7|iters=20",
-    )
-    by_corpus = os.path.join(_ORACLE_EXPORT_ROOT, "pq_by_corpus")
-    os.makedirs(by_corpus, mode=0o700, exist_ok=True)
-    path = os.path.join(by_corpus, key)
-    if not os.path.isdir(path):
-        emb = load(spark, sf_dir, "embeddings")
-        fp = _corpus_fingerprint(emb)
+    def write(emb, fp, build):
+        # ORACLE_PQ_RECALL bakes the subvector width for PQ_DIM-dim
+        # embeddings into static SQL (it cannot read the dimension at
+        # run time) — fail loudly on any other corpus instead of
+        # letting the oracle silently mis-slice the query vector.
+        d = int(emb.select(F.size("embedding").alias("d")).first()["d"])
+        if d != PQ_DIM:
+            raise ValueError(
+                f"pq_recall's SQL oracle is built for {PQ_DIM}-dim "
+                f"embeddings; this corpus has d={d} — regenerate "
+                "ORACLE_PQ_RECALL (PQ_DIM) for the new corpus"
+            )
         models = train_pq(emb, m=PQ_M, k=PQ_K, seed=7, max_iter=20)
         books = codebooks_df(spark, models)
         codes = pq_encode(emb, models).select("vec_id", "codes")
-        build = os.path.join(
-            _ORACLE_EXPORT_ROOT, f".build-pq-{os.getpid()}-{key}"
-        )
-        shutil.rmtree(build, ignore_errors=True)
-        try:
-            books.withColumn("corpus_fp", F.lit(fp)).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{build}/codebooks")
-            codes.withColumn("corpus_fp", F.lit(fp)).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{build}/codes")
-        except BaseException:
-            shutil.rmtree(build, ignore_errors=True)
-            raise
-        try:
-            os.rename(build, path)
-        except OSError:
-            shutil.rmtree(build, ignore_errors=True)
-    return path
+        books.withColumn("corpus_fp", F.lit(fp)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{build}/codebooks")
+        codes.withColumn("corpus_fp", F.lit(fp)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{build}/codes")
+
+    return _oracle_export(
+        spark, sf_dir, kind="pq_by_corpus", params=_PQ_PARAMS, writer=write
+    )
 
 
 def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1035,17 +1072,17 @@ probes AS (SELECT vec_id AS query_id, u AS qu FROM unit WHERE vec_id < 8),
 books AS (
   SELECT sub, code, centroid::DOUBLE[] AS centroid
   FROM read_parquet('{PQ_EXPORT_GLOB}/codebooks/*.parquet')
-  WHERE corpus_fp = {_ORACLE_CORPUS_FP}
+  WHERE corpus_fp = {_ORACLE_CORPUS_FP} || '|{_PQ_PARAMS}'
 ),
 codes AS (
   SELECT vec_id, codes
   FROM read_parquet('{PQ_EXPORT_GLOB}/codes/*.parquet')
-  WHERE corpus_fp = {_ORACLE_CORPUS_FP}
+  WHERE corpus_fp = {_ORACLE_CORPUS_FP} || '|{_PQ_PARAMS}'
 ),
 lutrows AS (
   SELECT p.query_id, b.sub, b.code,
-         list_sum(list_transform(range(1, {64 // PQ_M} + 1),
-                  i -> p.qu[b.sub * {64 // PQ_M} + i] * b.centroid[i])) AS pdot
+         list_sum(list_transform(range(1, {PQ_DIM // PQ_M} + 1),
+                  i -> p.qu[b.sub * {PQ_DIM // PQ_M} + i] * b.centroid[i])) AS pdot
   FROM probes p CROSS JOIN books b
 ),
 luts AS (
@@ -3089,7 +3126,7 @@ def q_sql_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CAST(o.o_totalprice AS DOUBLE), 6) AS o_totalprice
         FROM orders_v o
         WHERE o.o_totalprice > (
-          SELECT CAST(avg(CAST(i.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+          SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / count(*)
           FROM orders_v i WHERE i.o_orderstatus = o.o_orderstatus
         )
         """
@@ -3101,7 +3138,7 @@ SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
        round(CAST(o.o_totalprice AS DOUBLE), 6) AS o_totalprice
 FROM orders o
 WHERE o.o_totalprice > (
-  SELECT CAST(avg(CAST(i.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+  SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / count(*)
   FROM orders i WHERE i.o_orderstatus = o.o_orderstatus
 )
 """
@@ -3529,16 +3566,22 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifetime order, so the literal no-orders-ever predicate would be
     vacuously empty; the recency window keeps the NOT-EXISTS shape and
     a non-trivial result), grouped by market segment (no phone country
-    code in the schema). Scalar decimal subquery (exact,
-    order-independent — the double-avg would be partition-order-
-    dependent) + left-anti join with a pre-filtered right side +
-    group."""
+    code in the schema). Scalar subquery + left-anti join with a
+    pre-filtered right side + group. The average is computed as
+    exact-decimal sum (order-independent) cast to double, divided by
+    the count — NOT the engines' avg(decimal), whose result scale
+    rules differ (Spark rounds the decimal quotient at scale 6 before
+    any cast; DuckDB returns the full-precision double quotient), so
+    a boundary-adjacent balance could land on different sides of the
+    threshold."""
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     bal = F.col("c_acctbal").cast("decimal(14,2)")
     avg_bal = (
         cust.filter(F.col("c_acctbal") > 0)
-        .agg(F.avg(bal).cast("double").alias("_avg"))
+        .agg(
+            (F.sum(bal).cast("double") / F.count(F.lit(1))).alias("_avg")
+        )
     )
     rich = (
         cust.crossJoin(F.broadcast(avg_bal))  # 1-row scalar attach
@@ -3562,7 +3605,7 @@ SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
          AS total_bal
 FROM customer
 WHERE CAST(c_acctbal AS DOUBLE) > (
-    SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / count(*)
     FROM customer WHERE c_acctbal > 0
   )
   AND NOT EXISTS (
