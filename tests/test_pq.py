@@ -100,6 +100,38 @@ def test_train_rejects_bad_shapes(spark, corpus):
         train_pq(empty, m=M, k=K)
 
 
+def test_ivfadc_end_to_end_recall(spark):
+    """The composed IVFADC serving query (probe -> ADC shortlist ->
+    exact rerank) must clear the measured recall bar against exact
+    brute force (0.708 at both test SFs; slack for kmeans variation),
+    and its per-query output must be exactly top-3 ranked rows."""
+    from converttovectordb_spark.operators.search import knn_join
+    from converttovectordb_spark.queries import load, q_ivfadc_knn
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_ivfadc_knn(spark, sf).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(8))
+    for q, rs in by_q.items():
+        assert sorted(r.rank for r in rs) == [1, 2, 3]
+        scores = [r.score for r in sorted(rs, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
+
+    emb = load(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in knn_join(probes, emb, top_k=3).collect()
+    }
+    got = {(r.query_id, r.vec_id) for r in rows}
+    assert len(exact & got) / len(exact) >= 0.55
+
+
 def test_pq_recall_query_dials(spark):
     """The suite query: shortlist-rerank recall must dominate pure-ADC
     recall and clear the measured bar (0.75 at both test SFs; slack
