@@ -5158,6 +5158,53 @@ FROM documents
 """
 
 
+def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-data shard export plan: every document is
+    assigned to one of 16 shards by the first hex digit of
+    md5(doc_id) — a reproducible global PERMUTATION without a global
+    sort (the classic pre-training shuffle+shard step; re-running on
+    any engine with md5 yields identical shards). Assignment is pure
+    map-side; at 100 TB the writer is `repartition(shard)` +
+    `sortWithinPartitions(md5)` — hash exchange only, no total order,
+    no single-partition window. The report verifies balance (docs +
+    chars per shard) and pins the within-shard order by its endpoints
+    (min_by/max_by doc over the md5 ordering — md5 is unique per
+    doc_id, so the endpoints are deterministic)."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    return (
+        docs.select(
+            F.substring(h, 1, 1).alias("shard"),
+            F.col("doc_id"),
+            F.col("n_chars"),
+            h.alias("_h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min_by("doc_id", F.col("_h")).cast("bigint").alias("first_doc"),
+            F.max_by("doc_id", F.col("_h")).cast("bigint").alias("last_doc"),
+        )
+    )
+
+
+ORACLE_EXPORT_SHARDS = """
+WITH s AS (
+  SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min_by(doc_id, h) AS BIGINT) AS first_doc,
+       CAST(max_by(doc_id, h) AS BIGINT) AS last_doc
+FROM s
+GROUP BY shard
+"""
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test assignment + stratified
     counts — the dataset-curation primitive every training pipeline
@@ -6248,6 +6295,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "pii_redact": q_pii_redact,
     "dataset_split": q_dataset_split,
+    "export_shards": q_export_shards,
     "context_packing": q_context_packing,
     "contamination_screen": q_contamination_screen,
     # -- multimodal ---------------------------------------------------
@@ -6398,6 +6446,7 @@ ORACLES = {
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "pii_redact": ORACLE_PII_REDACT,
     "dataset_split": ORACLE_DATASET_SPLIT,
+    "export_shards": ORACLE_EXPORT_SHARDS,
     "context_packing": ORACLE_CONTEXT_PACKING,
     "contamination_screen": ORACLE_CONTAMINATION_SCREEN,
     "value_percentiles": ORACLE_VALUE_PERCENTILES,
