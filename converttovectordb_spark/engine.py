@@ -362,11 +362,21 @@ class VectorEngine:
         )
 
     # -- ANN index -------------------------------------------------------
-    def build_index(self, num_clusters: int = 16, *, seed: int = 7):
+    def build_index(
+        self,
+        num_clusters: int = 16,
+        *,
+        seed: int = 7,
+        pq_m: int | None = None,
+        pq_k: int = 16,
+    ):
         """Train + materialize the IVF index beside the store (offline
         job, one corpus pass). Search with use_index=True afterwards —
         each query then touches ~nprobe/num_clusters of the corpus
-        FILES via partition pruning instead of scanning everything."""
+        FILES via partition pruning instead of scanning everything.
+        ``pq_m`` additionally materializes the product-quantization
+        codes table (IVFADC layout) so `search_indexed` can ADC-scan
+        compressed codes via ``adc_shortlist=N``."""
         from converttovectordb_spark.plans.ivf_index import build_ivf_index
 
         docs = self.store.load().withColumn(
@@ -378,16 +388,26 @@ class VectorEngine:
             f"{self.store.path}_ivf",
             num_clusters=num_clusters,
             seed=seed,
+            pq_m=pq_m,
+            pq_k=pq_k,
+            pq_id_cols=("_row_id",),
         )
         return self._index
 
     def search_indexed(
-        self, query_text: str, top_k: int = 5, nprobe: int = 2
+        self,
+        query_text: str,
+        top_k: int = 5,
+        nprobe: int = 2,
+        *,
+        adc_shortlist: int | None = None,
     ) -> DataFrame:
         """IVF-indexed search: same scoring as `search`, but the corpus
         scan is pruned to the probed cluster partitions. Requires
         `build_index()` (raises otherwise — an un-built index silently
-        falling back to a full scan would hide the regression)."""
+        falling back to a full scan would hide the regression).
+        ``adc_shortlist=N`` (PQ-enabled index) reranks an N-row ADC
+        shortlist instead of exact-scoring every probed row."""
         index = getattr(self, "_index", None)
         if index is None:
             raise RuntimeError("no IVF index built; call build_index() first")
@@ -399,6 +419,7 @@ class VectorEngine:
             top_k=validate_top_k(top_k),
             nprobe=nprobe,
             doc_id_col="_row_id",
+            adc_shortlist=adc_shortlist,
         )  # → (query_id, _row_id, score, rank)
         docs = index.corpus().drop("cluster_id", "embedding")
         return (

@@ -109,6 +109,10 @@ def kmeans_centroids(
     return centroids, assigned
 
 
+PQ_CODEBOOKS_SUBDIR = "pq_codebooks"
+PQ_CODES_SUBDIR = "pq_codes"
+
+
 def build_ivf_index(
     docs: DataFrame,
     index_path: str,
@@ -117,10 +121,20 @@ def build_ivf_index(
     cluster_col: str | None = None,
     num_clusters: int = 16,
     seed: int = 7,
+    pq_m: int | None = None,
+    pq_k: int = 16,
+    pq_id_cols: tuple | None = None,
 ) -> "IVFIndex":
     """Train + materialize the index: centroid table and a corpus
     re-written partitioned by cluster id. One full pass over the data,
     paid once; every subsequent search is partition-pruned.
+
+    ``pq_m`` additionally trains a product-quantization codec
+    (``plans/pq_index.py``) and materializes a cluster-partitioned
+    CODES table beside the corpus — the IVFADC layout: searches can
+    then ADC-scan m-byte codes of the probed partitions and only touch
+    full vectors for the rerank shortlist
+    (``IVFIndex.search(adc_shortlist=...)``).
     """
     if cluster_col is not None:
         centroids = mean_centroids(docs, cluster_col=cluster_col, vec_col=vec_col)
@@ -135,6 +149,28 @@ def build_ivf_index(
     assigned.write.mode("overwrite").partitionBy(CLUSTER_COL).parquet(
         f"{index_path}/{CORPUS_SUBDIR}"
     )
+    if pq_m is not None:
+        from converttovectordb_spark.plans.pq_index import (
+            codebooks_df,
+            pq_encode,
+            train_pq,
+        )
+
+        models = train_pq(
+            assigned, vec_col=vec_col, m=pq_m, k=pq_k, seed=seed
+        )
+        codebooks_df(docs.sparkSession, models).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{index_path}/{PQ_CODEBOOKS_SUBDIR}")
+        coded = pq_encode(assigned, models, vec_col=vec_col).drop(vec_col)
+        if pq_id_cols is not None:
+            # narrow codes table: id cols + cluster + codes (the point
+            # of the codec is m-byte rows — don't drag display columns
+            # like document content into it)
+            coded = coded.select(*pq_id_cols, CLUSTER_COL, "codes")
+        coded.write.mode("overwrite").partitionBy(CLUSTER_COL).parquet(
+            f"{index_path}/{PQ_CODES_SUBDIR}"
+        )
     return IVFIndex(docs.sparkSession, index_path)
 
 
@@ -193,6 +229,17 @@ class IVFIndex:
             F.col(CLUSTER_COL).isin([int(c) for c in cluster_ids])
         )
 
+    def has_pq(self) -> bool:
+        import os
+
+        return os.path.isdir(f"{self.path}/{PQ_CODEBOOKS_SUBDIR}")
+
+    def pq_codebooks(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/{PQ_CODEBOOKS_SUBDIR}")
+
+    def pq_codes(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/{PQ_CODES_SUBDIR}")
+
     def search(
         self,
         queries: DataFrame,
@@ -203,6 +250,7 @@ class IVFIndex:
         query_vec_col: str = "query_vec",
         doc_id_col: str = "vec_id",
         vec_col: str = "embedding",
+        adc_shortlist: int | None = None,
     ) -> DataFrame:
         """Batch IVF search over the materialized index.
 
@@ -217,6 +265,14 @@ class IVFIndex:
 
         At 100 TB with C=4096 and nprobe=8, stage 2 reads ~0.2% of the
         corpus files; nothing else touches the full table.
+
+        ``adc_shortlist=N`` (requires a PQ-enabled index,
+        ``build_ivf_index(pq_m=...)``) switches stage 2 to the IVFADC
+        plan: ADC-scan the probed partitions' m-byte CODES (driver-built
+        per-query lookup tables inlined as one codegen expression),
+        keep the top-N per query, and run exact cosine only on those N
+        full vectors — the probed partitions' embedding bytes are read
+        for N rows per query instead of every row.
         """
         probe = self.probe_clusters(
             queries, nprobe, query_id_col=query_id_col, query_vec_col=query_vec_col
@@ -225,9 +281,75 @@ class IVFIndex:
         cluster_ids = sorted(
             r[0] for r in probe.select(CLUSTER_COL).distinct().collect()
         )
-        cand = F.broadcast(probe).join(
-            self.pruned_corpus(cluster_ids), on=CLUSTER_COL, how="inner"
-        )
+        if adc_shortlist is not None:
+            if not self.has_pq():
+                raise ValueError(
+                    "adc_shortlist requires a PQ-enabled index; rebuild "
+                    "with build_ivf_index(..., pq_m=...)"
+                )
+            from converttovectordb_spark.plans.pq_index import (
+                adc_lut,
+                adc_score,
+            )
+
+            book_rows = self.pq_codebooks().collect()
+            m = 1 + max(r["sub"] for r in book_rows)
+            k = 1 + max(r["code"] for r in book_rows)
+            q_rows = queries.select(query_id_col, query_vec_col).collect()
+            # per-query probe restriction (the IVF contract: each query
+            # sees only ITS probed clusters, same as the exact path's
+            # (query, cluster) equi-join) — O(Q×nprobe) pairs collected
+            probed_by_q: dict = {}
+            for pr in probe.select(query_id_col, CLUSTER_COL).collect():
+                probed_by_q.setdefault(pr[query_id_col], []).append(
+                    int(pr[CLUSTER_COL])
+                )
+            all_codes = self.pq_codes()
+            # One ADC leg per query (few queries by serving contract);
+            # each leg scans only that query's probed code partitions
+            # (static partition filter) and keeps adc_shortlist rows.
+            shortlists = []
+            for r in q_rows:
+                lut = adc_lut(r[query_vec_col], book_rows, m=m, k=k)
+                leg = all_codes.filter(
+                    F.col(CLUSTER_COL).isin(
+                        probed_by_q.get(r[query_id_col], [])
+                    )
+                )
+                shortlists.append(
+                    leg.withColumn("_adc", adc_score(lut, k))
+                    .orderBy(F.col("_adc").desc(), F.col(doc_id_col).asc())
+                    .limit(adc_shortlist)
+                    .select(
+                        F.lit(r[query_id_col]).alias(query_id_col),
+                        F.col(doc_id_col),
+                    )
+                )
+            short = shortlists[0]
+            for s in shortlists[1:]:
+                short = short.unionByName(s)
+            cand = (
+                F.broadcast(short)
+                .join(
+                    self.pruned_corpus(cluster_ids).select(
+                        doc_id_col, vec_col
+                    ),
+                    on=doc_id_col,
+                )
+                .join(
+                    F.broadcast(
+                        queries.select(
+                            query_id_col,
+                            F.col(query_vec_col).alias("_qvec"),
+                        )
+                    ),
+                    on=query_id_col,
+                )
+            )
+        else:
+            cand = F.broadcast(probe).join(
+                self.pruned_corpus(cluster_ids), on=CLUSTER_COL, how="inner"
+            )
         scored = cand.withColumn(
             "score", cosine_similarity(F.col("_qvec"), F.col(vec_col))
         )

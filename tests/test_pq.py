@@ -132,6 +132,55 @@ def test_ivfadc_end_to_end_recall(spark):
     assert len(exact & got) / len(exact) >= 0.55
 
 
+def test_engine_ivfadc_index_path(spark, tmp_path, corpus):
+    """build_ivf_index(pq_m=...) materializes the cluster-partitioned
+    codes table; search(adc_shortlist=N) returns the same top hit as
+    the exact IVF path on the same probed clusters, and a generous
+    shortlist reproduces the IVF result exactly (the shortlist only
+    reorders which rows get exact-scored, never the exact scores)."""
+    from converttovectordb_spark.plans.ivf_index import build_ivf_index
+
+    idx = build_ivf_index(
+        corpus,
+        str(tmp_path / "ivfadc"),
+        num_clusters=4,
+        seed=3,
+        pq_m=M,
+        pq_k=K,
+        pq_id_cols=("vec_id",),
+    )
+    assert idx.has_pq()
+    codes = idx.pq_codes()
+    assert set(codes.columns) == {"vec_id", "codes", "cluster_id"}
+
+    probes = corpus.limit(3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact_ivf = idx.search(probes, top_k=3, nprobe=2).collect()
+    adc = idx.search(probes, top_k=3, nprobe=2, adc_shortlist=300).collect()
+    # shortlist covers every probed row → identical results
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(
+        (r["query_id"], r["rank"], r["vec_id"]) for r in exact_ivf
+    ) == sorted((r["query_id"], r["rank"], r["vec_id"]) for r in adc)
+    for a, b in zip(sorted(exact_ivf, key=key), sorted(adc, key=key)):
+        assert a["score"] == pytest.approx(b["score"], abs=1e-12)
+
+    # tight shortlist still finds each query's own vector first
+    tight = idx.search(probes, top_k=1, nprobe=2, adc_shortlist=5).collect()
+    assert {(r["query_id"], r["vec_id"]) for r in tight} == {
+        (r["query_id"], r["query_id"]) for r in probes.collect()
+    }
+
+    # adc_shortlist on a PQ-less index raises
+    plain = build_ivf_index(
+        corpus, str(tmp_path / "plain"), num_clusters=4, seed=3
+    )
+    with pytest.raises(ValueError, match="PQ-enabled"):
+        plain.search(probes, top_k=1, adc_shortlist=5)
+
+
 def test_pq_recall_query_dials(spark):
     """The suite query: shortlist-rerank recall must dominate pure-ADC
     recall and clear the measured bar (0.75 at both test SFs; slack
