@@ -392,6 +392,10 @@ class VectorEngine:
             pq_k=pq_k,
             pq_id_cols=("_row_id",),
         )
+        # Staleness stamp: remember which store state the index was
+        # built from, so later searches can detect out-of-band ingest
+        # (same hazard class as the REST warm-cache bug fixed in r7).
+        self._index_token = self.store.state_token()
         return self._index
 
     def search_indexed(
@@ -401,16 +405,31 @@ class VectorEngine:
         nprobe: int = 2,
         *,
         adc_shortlist: int | None = None,
+        allow_stale: bool = False,
     ) -> DataFrame:
         """IVF-indexed search: same scoring as `search`, but the corpus
         scan is pruned to the probed cluster partitions. Requires
         `build_index()` (raises otherwise — an un-built index silently
         falling back to a full scan would hide the regression).
         ``adc_shortlist=N`` (PQ-enabled index) reranks an N-row ADC
-        shortlist instead of exact-scoring every probed row."""
+        shortlist instead of exact-scoring every probed row.
+
+        Staleness guard: if the store changed since `build_index()`
+        (more ingest, clear, out-of-band writes), the index would
+        silently return results over the OLD corpus — raise instead,
+        unless the caller explicitly opts into ``allow_stale=True``
+        (a legitimate serving mode while a rebuild runs offline)."""
         index = getattr(self, "_index", None)
         if index is None:
             raise RuntimeError("no IVF index built; call build_index() first")
+        if not allow_stale and self.store.state_token() != getattr(
+            self, "_index_token", None
+        ):
+            raise RuntimeError(
+                "IVF index is stale: the store changed since "
+                "build_index(); rebuild the index or pass "
+                "allow_stale=True to search the old snapshot"
+            )
         qv = self.embedder([query_text])
         qv = np.asarray(qv, dtype=np.float64).reshape(-1).tolist()
         probes = self.spark.createDataFrame([(0, qv)], "query_id int, query_vec array<double>")

@@ -94,44 +94,13 @@ class VectorDBApi:
         self._corpus_lock = threading.Lock()
 
     def _store_token(self):
-        """Cheap fingerprint of the store's committed state.
-
-        Transactional stores: the committed version (one dir listing).
-        Plain parquet stores: the (relpath, mtime, size) set of data
-        files from a RECURSIVE walk — the engine's plain store is
-        partitioned (``extension=…/`` subdirectories), and an in-place
-        rewrite of a nested parquet file does not touch the top-level
-        directory entries, so a shallow scandir would miss it. A pure
-        os.walk, no Spark job. None when the store is absent.
-        """
-        store = self.engine.store
-        if not store.exists():
-            return None
-        if hasattr(store, "version"):
-            try:
-                return ("v", store.version())
-            except Exception:
-                pass
+        """Cheap fingerprint of the store's committed state — the
+        store's own ``state_token()`` (manifest version for
+        transactional stores; recursive data-file walk for plain
+        partitioned stores — see sources/store.py). None when absent."""
         try:
-            entries = set()
-            for dirpath, dirnames, filenames in os.walk(store.path):
-                dirnames[:] = [
-                    d for d in dirnames if not d.startswith(("_", "."))
-                ]
-                for name in filenames:
-                    if name.startswith(("_", ".")):
-                        continue
-                    full = os.path.join(dirpath, name)
-                    st = os.stat(full)
-                    entries.add(
-                        (
-                            os.path.relpath(full, store.path),
-                            st.st_mtime_ns,
-                            st.st_size,
-                        )
-                    )
-            return ("ls", frozenset(entries))
-        except OSError:
+            return self.engine.store.state_token()
+        except Exception:
             return None
 
     def _corpus_handle(self):

@@ -86,6 +86,39 @@ class DocumentStore:
     def exists(self) -> bool:
         return os.path.exists(self.path)
 
+    def state_token(self):
+        """Cheap fingerprint of the store's current data — hashable,
+        comparable; ``None`` when the store is absent. Plain stores
+        walk the (partitioned) layout RECURSIVELY and fingerprint
+        every data file's (relpath, mtime, size): an in-place rewrite
+        of a nested parquet file changes the token even though the
+        top-level directory entries don't move. Pure os.walk, no Spark
+        job. Consumers: the REST facade's warm-cache invalidation and
+        the IVF index staleness guard."""
+        if not self.exists():
+            return None
+        try:
+            entries = set()
+            for dirpath, dirnames, filenames in os.walk(self.path):
+                dirnames[:] = [
+                    d for d in dirnames if not d.startswith(("_", "."))
+                ]
+                for name in filenames:
+                    if name.startswith(("_", ".")):
+                        continue
+                    full = os.path.join(dirpath, name)
+                    st = os.stat(full)
+                    entries.add(
+                        (
+                            os.path.relpath(full, self.path),
+                            st.st_mtime_ns,
+                            st.st_size,
+                        )
+                    )
+            return ("ls", frozenset(entries))
+        except OSError:
+            return None
+
 
 class TransactionalDocumentStore(DocumentStore):
     """Manifest-committed store: atomic appends, snapshot reads, schema
@@ -377,6 +410,14 @@ class TransactionalDocumentStore(DocumentStore):
     def version(self) -> int:
         """Latest committed version, -1 when empty."""
         return (self._versions() or [-1])[-1]
+
+    def state_token(self):
+        """Committed-state fingerprint: the manifest version — one dir
+        listing, no file walk (the manifest IS the committed truth, so
+        data-file mtimes are irrelevant here)."""
+        if not self.exists():
+            return None
+        return ("v", self.version())
 
     def history(self) -> list[dict]:
         return [

@@ -108,6 +108,75 @@ def test_engine_indexed_search(spark, tmp_path):
     assert "embedding" not in hits[0].asDict()
 
 
+def test_engine_indexed_search_staleness_guard(spark, tmp_path):
+    """Out-of-band store changes after build_index must be detected:
+    search_indexed raises on a stale index instead of silently serving
+    results over the old corpus; allow_stale=True opts back in, and a
+    rebuild clears the guard."""
+    import pytest as _pytest
+
+    from converttovectordb_spark.embeddings import hash_embedder
+    from converttovectordb_spark.engine import VectorEngine
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    (repo / "a.py").write_text("def alpha():\n    return 'first'\n" * 20)
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(32),
+        dim=32, chunk_size=400, overlap=50,
+    )
+    eng.ingest(str(repo))
+    eng.build_index(num_clusters=2)
+    assert eng.search_indexed("alpha", top_k=1).collect()
+
+    (repo / "b.md").write_text("# beta document\nnew content\n" * 10)
+    eng.ingest(str(repo))  # store moved past the index
+    with _pytest.raises(RuntimeError, match="stale"):
+        eng.search_indexed("alpha", top_k=1)
+    # explicit opt-in serves the old snapshot
+    assert eng.search_indexed("alpha", top_k=1, allow_stale=True).collect()
+    # rebuild clears the guard
+    eng.build_index(num_clusters=2)
+    assert eng.search_indexed("alpha", top_k=1).collect()
+
+
+def test_store_state_tokens(spark, tmp_path):
+    """state_token(): None when absent; changes on append for both
+    store flavors; transactional tokens are manifest versions (no file
+    walk), plain tokens see nested in-place rewrites."""
+    from converttovectordb_spark.schema import DOCUMENTS_SCHEMA
+    from converttovectordb_spark.sources.store import (
+        DocumentStore,
+        TransactionalDocumentStore,
+    )
+
+    def batch(tag, n=2):
+        rows = [
+            (f"{tag}/f{i}.py", ".py", 0, 1, f"{tag} {i}", [1.0] * 4, 1.0)
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+
+    plain = DocumentStore(
+        spark, str(tmp_path / "plain"), partition_by=("extension",)
+    )
+    assert plain.state_token() is None
+    plain.append(batch("a"))
+    t1 = plain.state_token()
+    assert t1 is not None and t1[0] == "ls"
+    plain.append(batch("b"))
+    t2 = plain.state_token()
+    assert t2 != t1
+
+    txn = TransactionalDocumentStore(spark, str(tmp_path / "txn"))
+    assert txn.state_token() is None
+    txn.append(batch("a"))
+    v1 = txn.state_token()
+    assert v1 == ("v", txn.version())
+    txn.append(batch("b"))
+    assert txn.state_token() != v1
+
+
 def test_kmeans_recall_query_exports_and_clears_bar(spark):
     """ivf_recall_kmeans: trained-centroid IVF reaches the recall the
     label partition cannot (VERDICT r4 ask #8) and exports the index to
