@@ -379,6 +379,15 @@ class VectorEngine:
         compressed codes via ``adc_shortlist=N``."""
         from converttovectordb_spark.plans.ivf_index import build_ivf_index
 
+        # Staleness stamp: captured BEFORE the build reads the store —
+        # the build is multiple passes (kmeans fit, corpus rewrite, PQ
+        # fits, encode), each re-scanning the source, so a write
+        # landing mid-build yields an index mixing store states. With
+        # the pre-build token, that write makes the token mismatch and
+        # search_indexed raises stale instead of silently serving the
+        # inconsistent index (same hazard class as the REST warm-cache
+        # bug fixed in r7).
+        token = self.store.state_token()
         docs = self.store.load().withColumn(
             "_row_id",
             F.concat_ws("#", F.col("path"), F.col("chunk_index")),
@@ -392,10 +401,7 @@ class VectorEngine:
             pq_k=pq_k,
             pq_id_cols=("_row_id",),
         )
-        # Staleness stamp: remember which store state the index was
-        # built from, so later searches can detect out-of-band ingest
-        # (same hazard class as the REST warm-cache bug fixed in r7).
-        self._index_token = self.store.state_token()
+        self._index_token = token
         return self._index
 
     def search_indexed(

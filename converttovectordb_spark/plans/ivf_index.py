@@ -230,9 +230,14 @@ class IVFIndex:
         )
 
     def has_pq(self) -> bool:
-        import os
-
-        return os.path.isdir(f"{self.path}/{PQ_CODEBOOKS_SUBDIR}")
+        """PQ detection through the same storage layer every other
+        read uses (an os.path check would break for hdfs://, s3a://,
+        etc. even though the rest of the index is storage-agnostic)."""
+        try:
+            self.pq_codebooks().schema
+            return True
+        except Exception:
+            return False
 
     def pq_codebooks(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.path}/{PQ_CODEBOOKS_SUBDIR}")
@@ -277,16 +282,19 @@ class IVFIndex:
         probe = self.probe_clusters(
             queries, nprobe, query_id_col=query_id_col, query_vec_col=query_vec_col
         )
-        # Tiny collect: Q×nprobe cluster ids → a literal partition filter.
-        cluster_ids = sorted(
-            r[0] for r in probe.select(CLUSTER_COL).distinct().collect()
-        )
-        if adc_shortlist is not None:
-            if not self.has_pq():
-                raise ValueError(
-                    "adc_shortlist requires a PQ-enabled index; rebuild "
-                    "with build_ivf_index(..., pq_m=...)"
-                )
+        if adc_shortlist is not None and not self.has_pq():
+            raise ValueError(
+                "adc_shortlist requires a PQ-enabled index; rebuild "
+                "with build_ivf_index(..., pq_m=...)"
+            )
+        # ONE driver action over the probe result serves everything the
+        # two branches need: the distinct cluster ids for the static
+        # partition filter, and (ADC branch) each query's own cluster
+        # list + query vector for the per-query LUT legs. O(Q×nprobe)
+        # rows — tiny by the serving contract.
+        probe_rows = probe.collect()
+        cluster_ids = sorted({int(r[CLUSTER_COL]) for r in probe_rows})
+        if adc_shortlist is not None and probe_rows:
             from converttovectordb_spark.plans.pq_index import (
                 adc_lut,
                 adc_score,
@@ -295,13 +303,13 @@ class IVFIndex:
             book_rows = self.pq_codebooks().collect()
             m = 1 + max(r["sub"] for r in book_rows)
             k = 1 + max(r["code"] for r in book_rows)
-            q_rows = queries.select(query_id_col, query_vec_col).collect()
             # per-query probe restriction (the IVF contract: each query
             # sees only ITS probed clusters, same as the exact path's
-            # (query, cluster) equi-join) — O(Q×nprobe) pairs collected
-            probed_by_q: dict = {}
-            for pr in probe.select(query_id_col, CLUSTER_COL).collect():
-                probed_by_q.setdefault(pr[query_id_col], []).append(
+            # (query, cluster) equi-join)
+            by_q: dict = {}
+            for pr in probe_rows:
+                qid = pr[query_id_col]
+                by_q.setdefault(qid, ([], pr["_qvec"]))[0].append(
                     int(pr[CLUSTER_COL])
                 )
             all_codes = self.pq_codes()
@@ -309,19 +317,15 @@ class IVFIndex:
             # each leg scans only that query's probed code partitions
             # (static partition filter) and keeps adc_shortlist rows.
             shortlists = []
-            for r in q_rows:
-                lut = adc_lut(r[query_vec_col], book_rows, m=m, k=k)
-                leg = all_codes.filter(
-                    F.col(CLUSTER_COL).isin(
-                        probed_by_q.get(r[query_id_col], [])
-                    )
-                )
+            for qid, (clusters, qvec) in by_q.items():
+                lut = adc_lut(qvec, book_rows, m=m, k=k)
+                leg = all_codes.filter(F.col(CLUSTER_COL).isin(clusters))
                 shortlists.append(
                     leg.withColumn("_adc", adc_score(lut, k))
                     .orderBy(F.col("_adc").desc(), F.col(doc_id_col).asc())
                     .limit(adc_shortlist)
                     .select(
-                        F.lit(r[query_id_col]).alias(query_id_col),
+                        F.lit(qid).alias(query_id_col),
                         F.col(doc_id_col),
                     )
                 )
@@ -347,6 +351,9 @@ class IVFIndex:
                 )
             )
         else:
+            # exact rerank over the probed partitions; also the shared
+            # empty-probe path (no queries → empty probe → empty cand),
+            # keeping both modes' empty-input behavior identical
             cand = F.broadcast(probe).join(
                 self.pruned_corpus(cluster_ids), on=CLUSTER_COL, how="inner"
             )

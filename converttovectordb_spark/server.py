@@ -97,11 +97,11 @@ class VectorDBApi:
         """Cheap fingerprint of the store's committed state — the
         store's own ``state_token()`` (manifest version for
         transactional stores; recursive data-file walk for plain
-        partitioned stores — see sources/store.py). None when absent."""
-        try:
-            return self.engine.store.state_token()
-        except Exception:
-            return None
+        partitioned stores — see sources/store.py). None when absent.
+        A raising token (e.g. corrupt manifest) propagates to the
+        handler's 500 — mapping errors to None would silently serve
+        empty results for a store that actually has documents."""
+        return self.engine.store.state_token()
 
     def _corpus_handle(self):
         """``("matrix", DriverMatrixIndex)`` or ``("df", DataFrame)``;

@@ -173,6 +173,12 @@ def test_engine_ivfadc_index_path(spark, tmp_path, corpus):
         (r["query_id"], r["query_id"]) for r in probes.collect()
     }
 
+    # empty queries: ADC mode returns empty like the exact mode (no
+    # IndexError from zero shortlist legs)
+    empty = probes.limit(0)
+    assert idx.search(empty, top_k=3, nprobe=2, adc_shortlist=5).count() == 0
+    assert idx.search(empty, top_k=3, nprobe=2).count() == 0
+
     # adc_shortlist on a PQ-less index raises
     plain = build_ivf_index(
         corpus, str(tmp_path / "plain"), num_clusters=4, seed=3
