@@ -3373,6 +3373,69 @@ WHERE o.o_totalprice > (
 """
 
 
+def q_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Pearson correlation and OLS slope of
+    (l_quantity → l_extendedprice) — the statistics battery, computed
+    from DECIMAL-EXACT sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    Σy²) with the closed-form double arithmetic applied to the exact
+    sums.
+
+    Why not the built-in ``corr``/``covar_samp``: they accumulate
+    doubles in partition order, so the last ulp differs run-to-run and
+    engine-to-engine. Exact-decimal partial sums commute (same map-side
+    combine shape as every money aggregate here), and the final
+    formula runs on IDENTICAL inputs in IDENTICAL expression order on
+    both engines — bit-stable, hash-checkable, and the same one-pass
+    O(1)-state-per-group plan at 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x_n = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y_n = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "l_returnflag",
+        "n",
+        _round6(cov_n / (F.sqrt(var_x_n) * F.sqrt(var_y_n))).alias("corr"),
+        _round6(cov_n / var_x_n).alias("slope"),
+        _round6(F.col("sy") / nd).alias("avg_price"),
+    )
+
+
+ORACLE_PRICE_QUANTITY_CORR = """
+WITH agg AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) *
+                  CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) *
+                  CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                  CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+       round(sy / CAST(n AS DOUBLE), 6) AS avg_price
+FROM agg
+"""
+
+
 def q_part_name_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar string-function battery (upper / split / element_at /
     replace / LIKE / length) — pure codegen projection, no shuffle."""
@@ -6350,6 +6413,7 @@ QUERIES = {
     "salted_user_totals": q_salted_user_totals,
     "sql_orders_above_avg": q_sql_orders_above_avg,
     "part_name_stats": q_part_name_stats,
+    "price_quantity_corr": q_price_quantity_corr,
     "domain_cap_sample": q_domain_cap_sample,
     "source_mixture": q_source_mixture,
 }
@@ -6417,6 +6481,7 @@ ORACLES = {
     "salted_user_totals": ORACLE_SALTED_USER_TOTALS,
     "sql_orders_above_avg": ORACLE_SQL_ORDERS_ABOVE_AVG,
     "part_name_stats": ORACLE_PART_NAME_STATS,
+    "price_quantity_corr": ORACLE_PRICE_QUANTITY_CORR,
     "domain_cap_sample": ORACLE_DOMAIN_CAP_SAMPLE,
     "source_mixture": ORACLE_SOURCE_MIXTURE,
     "cust_with_returns": ORACLE_CUST_WITH_RETURNS,
