@@ -344,6 +344,66 @@ class VectorEngine:
             "prompt", "generation", "n_results"
         )
 
+    def search_batch(
+        self,
+        query_texts: list[str],
+        top_k: int = 5,
+        *,
+        score_threshold: float | None = None,
+    ) -> DataFrame:
+        """Many-queries-at-once search — the join-shaped bulk operator
+        SURVEY §7 phase 4 prescribes (bulk paths are where Spark wins;
+        single-query latency is the serving tiers' job). All query
+        texts embed in ONE embedder call, ship as a broadcast side,
+        and the corpus streams through a single join stage with no
+        shuffle (`operators/search.knn_join`). Returns
+        (query_index, query_text, path, chunk_index, content, score,
+        rank) — `query_index` is the position in ``query_texts``."""
+        from converttovectordb_spark.operators.search import knn_join
+
+        if not query_texts:
+            raise ValueError("query_texts must be non-empty")
+        if not self.store.exists():
+            return (
+                self.spark.createDataFrame(
+                    [], "query_index int, query_text string"
+                )
+                .join(self._empty_results(), how="cross")
+                .withColumn("rank", F.lit(None).cast("int"))
+                .select(
+                    "query_index", "query_text", "path", "chunk_index",
+                    "content", "score", "rank",
+                )
+            )
+        vecs = np.asarray(self.embedder(list(query_texts)), dtype=np.float64)
+        queries = self.spark.createDataFrame(
+            [
+                (i, t, vecs[i].reshape(-1).tolist())
+                for i, t in enumerate(query_texts)
+            ],
+            "query_index int, query_text string, query_vec array<double>",
+        )
+        docs = self.store.load().withColumn(
+            "_rid", F.concat_ws("#", F.col("path"), F.col("chunk_index"))
+        )
+        hits = knn_join(
+            queries,
+            docs,
+            validate_top_k(top_k),
+            query_id_col="query_index",
+            doc_id_col="_rid",
+            score_threshold=score_threshold,
+        )
+        return (
+            hits.join(F.broadcast(queries.drop("query_vec")), on="query_index")
+            .join(docs.drop("embedding"), on="_rid")
+            .select(
+                "query_index", "query_text", "path", "chunk_index",
+                "content", "score", "rank",
+            )
+            .orderBy(F.col("query_index").asc(), F.col("rank").asc())
+        )
+
     def search_vector(
         self,
         query_vector: list[float],

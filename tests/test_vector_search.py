@@ -163,3 +163,57 @@ def test_ivf_matches_bruteforce_on_clustered_data(spark):
     assert sorted(map(tuple, exact.collect())) == sorted(
         map(tuple, approx.collect())
     )
+
+
+def test_engine_search_batch(spark, tmp_path):
+    """Batch search verb: one embedder call, broadcast join, per-query
+    top-k that matches the single-query path row for row."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from converttovectordb_spark.embeddings import hash_embedder
+    from converttovectordb_spark.engine import VectorEngine
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    (repo / "a.py").write_text("def alpha():\n    return 'first'\n" * 15)
+    (repo / "b.md").write_text("# beta\nsecond topic entirely\n" * 10)
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(32),
+        dim=32, chunk_size=300, overlap=50,
+    )
+
+    with pytest.raises(ValueError, match="non-empty"):
+        eng.search_batch([])
+    # empty store: empty result with the documented schema
+    empty = eng.search_batch(["anything"])
+    assert empty.count() == 0
+    assert empty.columns == [
+        "query_index", "query_text", "path", "chunk_index", "content",
+        "score", "rank",
+    ]
+
+    eng.ingest(str(repo))
+    queries = ["alpha function first", "beta second topic"]
+    batch = eng.search_batch(queries, top_k=3).collect()
+    assert {r.query_index for r in batch} == {0, 1}
+    for i, text in enumerate(queries):
+        mine = [r for r in batch if r.query_index == i]
+        assert all(r.query_text == text for r in mine)
+        assert [r.rank for r in mine] == sorted(r.rank for r in mine)
+        # row-for-row parity with the single-query path (no threshold:
+        # search applies the reference's 0.1 cutoff, so compare against
+        # the same top-k WITHOUT threshold via search_vector semantics)
+        single = eng.search_vector(
+            [float(x) for x in eng.embedder([text])[0]], top_k=3
+        ).collect()
+        # single path applies threshold 0.1 after limit; batch with no
+        # threshold returns full top-k — the single result must be a
+        # prefix-subset of the batch ranks
+        single_ids = [(r.path, r.chunk_index) for r in single]
+        batch_ids = [
+            (r.path, r.chunk_index)
+            for r in sorted(mine, key=lambda r: r.rank)
+        ]
+        assert single_ids == batch_ids[: len(single_ids)]
