@@ -44,6 +44,17 @@ def test_cli_ingest_search_stats_clear(tmp_path):
     assert an["n_results"] >= 1
     assert an["generation"].startswith("FAKE[")
 
+    # --report renders via format_report; the fake generator's output
+    # is not JSON, so the renderer's documented degradation applies
+    rep = _run(
+        "answer", "--query", "return 42", "--top-k", "2", "--report", *common
+    )
+    assert "generation" not in rep
+    assert rep["report"].startswith(
+        "Error: Could not parse LLM response as JSON."
+    )
+    assert "FAKE[" in rep["report"]  # raw response included
+
     he = _run("health", *common)
     assert he["documents_count"] == st["total_documents"]
 
