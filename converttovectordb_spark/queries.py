@@ -6289,6 +6289,565 @@ GROUP BY user_id, session_seq
 
 
 # ---------------------------------------------------------------------------
+# Round-8 TPC-H shapes (Q2/Q8/Q9/Q11/Q15/Q16/Q17/Q20 analogs).
+# This testdata has no partsupp table, so the four queries that consume
+# it in TPC-H (Q2/Q11/Q16/Q20) derive the supply relation from lineitem
+# — the (l_partkey, l_suppkey) pairs with observed prices/quantities —
+# which preserves every plan shape the original exercises (correlated
+# min, HAVING vs scalar fraction, NOT-IN distinct count, >half-of-total
+# qualification) on the tables that exist.
+# ---------------------------------------------------------------------------
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each SMALL-type
+    part of size <= 10, the EUROPE supplier(s) whose observed unit
+    cost (min l_extendedprice/l_quantity over their lineitems — the
+    partsupp stand-in) equals the part's minimum over EUROPE
+    suppliers. The correlated-min subquery is a window min over
+    partkey on the ALREADY-AGGREGATED supply table — no self-join
+    (the naive correlated rewrite scans supply twice). The window's
+    extra exchange moves only |part x supplier| aggregated rows, a
+    tiny fraction of the lineitem scan that keeps its map-side
+    combine. Unit cost is a double division — bit-identical in both
+    engines — and min() selects an exact row value, so the equality
+    filter is safe cross-engine. Only fixed-size dims (nation, region)
+    are broadcast-hinted; supplier is SF-scaled and left to AQE."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    eu_supp = (
+        supp.join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                region.filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    supply = (
+        li.groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            )
+        )
+    )
+    eu_supply = supply.join(
+        eu_supp, F.col("suppkey") == F.col("s_suppkey")
+    )
+    w = Window.partitionBy("partkey")
+    best = eu_supply.withColumn(
+        "_min_cost", F.min("unit_cost").over(w)
+    ).filter(F.col("unit_cost") == F.col("_min_cost"))
+    return (
+        best.join(
+            part.filter(
+                (F.col("p_type") == "SMALL") & (F.col("p_size") <= 10)
+            ).select("p_partkey", "p_name"),
+            F.col("partkey") == F.col("p_partkey"),
+        )
+        .select(
+            _round6(F.col("s_acctbal")).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            _round6(F.col("unit_cost")).alias("unit_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name"),
+            F.col("s_name"),
+            F.col("p_partkey"),
+        )
+        .limit(100)
+    )
+
+
+ORACLE_MIN_COST_SUPPLIER = """
+WITH supply AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+),
+eu_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+best AS (
+  SELECT partkey, suppkey, unit_cost, s_name, s_acctbal, n_name,
+         min(unit_cost) OVER (PARTITION BY partkey) AS _min_cost
+  FROM supply JOIN eu_supp ON suppkey = s_suppkey
+)
+SELECT round(CAST(s_acctbal AS DOUBLE), 6) AS s_acctbal, s_name, n_name,
+       p_partkey, p_name, round(CAST(unit_cost AS DOUBLE), 6) AS unit_cost
+FROM best JOIN part ON partkey = p_partkey
+WHERE p_type = 'SMALL' AND p_size <= 10 AND unit_cost = _min_cost
+ORDER BY best.s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_2's share of
+    ECONOMY-part revenue sold to AMERICA customers, by order year.
+    7-way star join where only the constant-size dims (nation twice,
+    region) carry broadcast hints; part/customer/supplier/orders are
+    SF-scaled and AQE-planned. Revenue is decimal-exact (sum of
+    DECIMAL products, order-independent); the share division happens
+    once per year-group in double after the exact sums."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    vol = price * (F.lit(1).cast("decimal(12,2)") - disc)
+    joined = (
+        li.join(
+            part.filter(F.col("p_type") == "ECONOMY").select("p_partkey"),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("_cn_key"),
+                    F.col("n_regionkey").alias("_cn_region"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("_cn_key"),
+        )
+        .join(
+            F.broadcast(
+                region.filter(F.col("r_name") == "AMERICA").select(
+                    "r_regionkey"
+                )
+            ),
+            F.col("_cn_region") == F.col("r_regionkey"),
+        )
+        .join(supp.select("s_suppkey", "s_nationkey"),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("_sn_key"),
+                    F.col("n_name").alias("_sn_name"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("_sn_key"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(25,4)")
+    agg = joined.groupBy(
+        F.year("o_orderdate").alias("o_year")
+    ).agg(
+        F.sum(
+            F.when(F.col("_sn_name") == "NATION_2", vol).otherwise(zero)
+        ).alias("_nat"),
+        F.sum(vol).alias("_all"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(
+            F.col("_nat").cast("double") / F.col("_all").cast("double"), 6
+        ).alias("share"),
+        "n",
+    ).orderBy("o_year")
+
+
+ORACLE_MARKET_SHARE = """
+SELECT year(o_orderdate) AS o_year,
+       round(
+         CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+                  THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+                       (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                  ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                AS DOUBLE), 6) AS share,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit on red* parts by
+    supplier nation and order year. No partsupp here, so supply cost
+    is proxied as 10% of p_retailprice per unit — the amount stays a
+    pure-decimal expression (scale grows 4 -> 6 through the two
+    products, precision < 38, so neither engine rounds) and the group
+    sums are exact/order-independent. The LIKE filter prunes part
+    BEFORE its join (predicate pushdown to the parquet scan)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    retail = F.col("p_retailprice").cast("decimal(12,2)")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    amount = price * (F.lit(1).cast("decimal(12,2)") - disc) - (
+        retail * qty * F.lit(0.10).cast("decimal(3,2)")
+    )
+    return (
+        li.join(
+            part.filter(F.col("p_name").like("red%")).select(
+                "p_partkey", "p_retailprice"
+            ),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(supp.select("s_suppkey", "s_nationkey"),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(
+            _round6(F.sum(amount)).alias("profit"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy(F.col("n_name"), F.col("o_year").desc())
+    )
+
+
+ORACLE_PRODUCT_PROFIT = """
+SELECT n_name, year(o_orderdate) AS o_year,
+       round(CAST(sum(
+         CAST(l_extendedprice AS DECIMAL(12,2)) *
+         (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+         - CAST(p_retailprice AS DECIMAL(12,2)) *
+           CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.10 AS DECIMAL(3,2))
+       ) AS DOUBLE), 6) AS profit,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE 'red%'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose supply value
+    from NATION_3 suppliers exceeds 0.1% of that nation's total
+    supply value (value = exact-decimal sum of l_extendedprice over
+    the nation's lineitems — the partsupp stand-in). The fraction
+    threshold is a 1-row scalar aggregate attached by broadcast
+    cross-join; the per-part values aggregate once and feed BOTH the
+    scalar and the filter (Spark reuses the exchange under AQE).
+    Cross-engine safety: both sides of the comparison derive from
+    exact decimal sums cast to double, and 0.001 parses to the same
+    double in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    n3 = supp.join(
+        F.broadcast(
+            nation.filter(F.col("n_name") == "NATION_3").select("n_nationkey")
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    value = F.col("l_extendedprice").cast("decimal(12,2)")
+    per_part = (
+        li.join(n3, li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(value).alias("_value"))
+    )
+    total = per_part.agg(
+        (F.sum("_value").cast("double") * F.lit(0.001)).alias("_threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))  # 1-row scalar attach
+        .filter(F.col("_value").cast("double") > F.col("_threshold"))
+        .select("partkey", _round6(F.col("_value")).alias("value"))
+        .orderBy(F.col("value").desc(), F.col("partkey"))
+    )
+
+
+ORACLE_IMPORTANT_PARTS = """
+WITH n3_supp AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+),
+per_part AS (
+  SELECT l_partkey AS partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS _value
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM n3_supp)
+  GROUP BY 1
+)
+SELECT partkey, round(CAST(_value AS DOUBLE), 6) AS value
+FROM per_part
+WHERE CAST(_value AS DOUBLE) >
+      (SELECT CAST(sum(_value) AS DOUBLE) * 0.001 FROM per_part)
+ORDER BY value DESC, partkey
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): supplier(s) with maximum
+    revenue over 1996Q1 shipments. The revenue "view" aggregates
+    once; the max is a 1-row scalar attached by broadcast, and the
+    qualifying filter compares DECIMALS (exact — no float-equality
+    hazard, the reason Q15's equality predicate is safe to hash
+    cross-engine). Returns all tied suppliers, ordered by key."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(12,2)") - disc)).alias(
+                "_rev"
+            )
+        )
+    )
+    mx = rev.agg(F.max("_rev").alias("_max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))  # 1-row scalar attach
+        .filter(F.col("_rev") == F.col("_max_rev"))
+        .join(supp.select("s_suppkey", "s_name"),
+              F.col("suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            _round6(F.col("_rev")).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           AS _rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, round(CAST(_rev AS DOUBLE), 6) AS total_revenue
+FROM rev JOIN supplier ON suppkey = s_suppkey
+WHERE _rev = (SELECT max(_rev) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct
+    supplier count per (brand, type, size) bucket over the observed
+    supply pairs, excluding negative-balance suppliers (the
+    'customer complaints' NOT-IN stand-in — same anti-join plan).
+    The exact countDistinct shuffles (brand,type,size,suppkey) once
+    with map-side partial dedup; the excluded-supplier set is a
+    scalar-count-sized broadcast anti join."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    sizes = [1, 4, 9, 14, 19, 23, 36, 45]
+    return (
+        li.join(
+            part.filter(
+                (F.col("p_brand") != "Brand#2")
+                & (F.col("p_type") != "PROMO")
+                & (F.col("p_size").isin(sizes))
+            ).select("p_partkey", "p_brand", "p_type", "p_size"),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")
+        )
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand"),
+            F.col("p_type"),
+            F.col("p_size"),
+        )
+    )
+
+
+ORACLE_SUPPLIER_PART_COUNTS = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#2' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): yearly-average
+    revenue from Brand#3 lineitems whose quantity is below 20% of
+    that part's average quantity. The correlated avg subquery becomes
+    a per-part aggregate joined back on partkey (one shuffle; AQE
+    broadcasts the per-part side while small). The per-part average
+    is exact-decimal sum / count in double — identical in both
+    engines — so the `< 0.2 * avg` comparison is bit-deterministic."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    qty_dec = F.col("l_quantity").cast("decimal(12,2)")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.sum(qty_dec).cast("double") / F.count(F.lit(1))).alias("_avg_qty")
+    )
+    return (
+        li.join(
+            part.filter(F.col("p_brand") == "Brand#3").select("p_partkey"),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(per_part, li.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("_avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+                .cast("double")
+                / F.lit(7.0),
+                6,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_SMALL_QTY_REVENUE = """
+WITH per_part AS (
+  SELECT l_partkey AS _pk,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+           AS _avg_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / 7.0, 6) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part ON l_partkey = _pk
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < CAST(0.2 AS DOUBLE) * _avg_qty
+"""
+
+
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who in
+    1995 shipped MORE THAN HALF of some small* part's total shipped
+    quantity. Per-(part, supplier) quantities aggregate once with
+    map-side combine on the filtered scan; the part total is a window
+    sum whose exchange moves only the aggregated pair table (|pairs|
+    << |lineitem|, the right side of the combine-vs-shuffle tradeoff);
+    qualification compares doubles derived from exact decimal sums
+    scaled by 0.5 (exact in binary). Distinct qualifying suppliers
+    then join supplier for names."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    pairs = (
+        li.filter(F.year("l_shipdate") == 1995)
+        .join(
+            part.filter(F.col("p_name").like("small%")).select("p_partkey"),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.sum(qty).alias("_qty"))
+    )
+    w = Window.partitionBy("partkey")
+    dominant = (
+        pairs.withColumn("_total", F.sum("_qty").over(w))
+        .filter(
+            F.col("_qty").cast("double")
+            > F.lit(0.5) * F.col("_total").cast("double")
+        )
+        .select("suppkey")
+        .distinct()
+    )
+    return (
+        dominant.join(
+            supp.select("s_suppkey", "s_name"),
+            F.col("suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_DOMINANT_SUPPLIERS = """
+WITH pairs AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         sum(CAST(l_quantity AS DECIMAL(12,2))) AS _qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = 1995 AND p_name LIKE 'small%'
+  GROUP BY 1, 2
+),
+dom AS (
+  SELECT DISTINCT suppkey FROM (
+    SELECT suppkey, _qty,
+           sum(_qty) OVER (PARTITION BY partkey) AS _total
+    FROM pairs
+  ) WHERE CAST(_qty AS DOUBLE) > 0.5 * CAST(_total AS DOUBLE)
+)
+SELECT s_suppkey, s_name
+FROM dom JOIN supplier ON suppkey = s_suppkey
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -6403,6 +6962,14 @@ QUERIES = {
     "promo_revenue": q_promo_revenue,
     "waiting_suppliers": q_waiting_suppliers,
     "idle_customers": q_idle_customers,
+    "min_cost_supplier": q_min_cost_supplier,
+    "market_share": q_market_share,
+    "product_profit": q_product_profit,
+    "important_parts": q_important_parts,
+    "top_supplier": q_top_supplier,
+    "supplier_part_counts": q_supplier_part_counts,
+    "small_qty_revenue": q_small_qty_revenue,
+    "dominant_suppliers": q_dominant_suppliers,
     "top_orders_per_cust": q_top_orders_per_cust,
     "cust_no_orders": q_cust_no_orders,
     "cust_with_returns": q_cust_with_returns,
@@ -6465,6 +7032,14 @@ ORACLES = {
     "promo_revenue": ORACLE_PROMO_REVENUE,
     "waiting_suppliers": ORACLE_WAITING_SUPPLIERS,
     "idle_customers": ORACLE_IDLE_CUSTOMERS,
+    "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
+    "market_share": ORACLE_MARKET_SHARE,
+    "product_profit": ORACLE_PRODUCT_PROFIT,
+    "important_parts": ORACLE_IMPORTANT_PARTS,
+    "top_supplier": ORACLE_TOP_SUPPLIER,
+    "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,
+    "small_qty_revenue": ORACLE_SMALL_QTY_REVENUE,
+    "dominant_suppliers": ORACLE_DOMINANT_SUPPLIERS,
     "order_grouping_sets": ORACLE_ORDER_GROUPING_SETS,
     "user_hourly_rolling": ORACLE_USER_HOURLY_ROLLING,
     "vector_math": ORACLE_VECTOR_MATH,
