@@ -6847,6 +6847,95 @@ ORDER BY s_suppkey
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    partition the corpus by TRAINED k-means cluster (reusing the
+    persisted IVF artifact — the index does double duty as the dedup
+    bucketer), mine in-cluster cosine pairs, and drop the higher
+    vec_id of every pair over threshold. Per-cluster summary of
+    members / dropped / keep ratio.
+
+    The scale story is the whole point of SemDeDup: pairwise work is
+    Sigma cluster_size^2 instead of N^2, and the cluster id is the
+    shuffle key (each task sees one cluster's pairs). The pair miner
+    is the same `embedding_neardup_pairs` bucketed equi-join used by
+    embedding_neardup — here bucketed by the LEARNED partition rather
+    than the ground-truth label column. The oracle replays cluster
+    pairing from the fingerprint-tagged assignment export with the
+    same left-fold cosine, so the drop DECISIONS (not just counts)
+    cross-check."""
+    export = _kmeans_ivf_export(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    assign = spark.read.parquet(f"{export}/assign").drop("corpus_fp")
+    docs = emb.join(assign, on="vec_id").select(
+        "vec_id", "cluster_id", "embedding"
+    )
+    pairs = embedding_neardup_pairs(
+        docs, threshold=0.3, bucket_col="cluster_id"
+    )
+    drops = (
+        pairs.select(F.col("b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    flagged = assign.join(drops, on="vec_id", how="left")
+    return (
+        flagged.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum(F.coalesce(F.col("_dropped"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+        .withColumn(
+            "keep_ratio",
+            _round6(
+                (F.col("n_members") - F.col("n_dropped"))
+                / F.col("n_members")
+            ),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = f"""
+WITH assign AS (
+  SELECT vec_id, cluster_id
+  FROM read_parquet('{IVF_KMEANS_EXPORT_GLOB}/assign/*.parquet')
+  WHERE corpus_fp = {_ORACLE_CORPUS_FP} || '|{_KMEANS_PARAMS}'
+),
+docs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+norm AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+  FROM docs
+),
+unit AS (
+  SELECT vec_id,
+         CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS u
+  FROM norm
+),
+pairs AS (
+  SELECT a.cluster_id, b.vec_id AS idb,
+         list_sum(list_transform(list_zip(ua.u, ub.u), x -> x[1] * x[2]))
+           AS score
+  FROM assign a
+  JOIN assign b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  JOIN unit ua ON ua.vec_id = a.vec_id
+  JOIN unit ub ON ub.vec_id = b.vec_id
+),
+drops AS (SELECT DISTINCT idb FROM pairs WHERE score >= 0.3)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(*) FILTER (a.vec_id IN (SELECT idb FROM drops))
+            AS BIGINT) AS n_dropped,
+       round(CAST(count(*) FILTER (a.vec_id NOT IN (SELECT idb FROM drops))
+                  AS DOUBLE) / count(*), 6) AS keep_ratio
+FROM assign a
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6970,6 +7059,7 @@ QUERIES = {
     "supplier_part_counts": q_supplier_part_counts,
     "small_qty_revenue": q_small_qty_revenue,
     "dominant_suppliers": q_dominant_suppliers,
+    "semantic_dedup": q_semantic_dedup,
     "top_orders_per_cust": q_top_orders_per_cust,
     "cust_no_orders": q_cust_no_orders,
     "cust_with_returns": q_cust_with_returns,
@@ -7040,6 +7130,7 @@ ORACLES = {
     "supplier_part_counts": ORACLE_SUPPLIER_PART_COUNTS,
     "small_qty_revenue": ORACLE_SMALL_QTY_REVENUE,
     "dominant_suppliers": ORACLE_DOMINANT_SUPPLIERS,
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "order_grouping_sets": ORACLE_ORDER_GROUPING_SETS,
     "user_hourly_rolling": ORACLE_USER_HOURLY_ROLLING,
     "vector_math": ORACLE_VECTOR_MATH,
