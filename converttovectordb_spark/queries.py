@@ -6735,18 +6735,32 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-part aggregate joined back on partkey (one shuffle; AQE
     broadcasts the per-part side while small). The per-part average
     is exact-decimal sum / count in double — identical in both
-    engines — so the `< 0.2 * avg` comparison is bit-deterministic."""
+    engines — so the `< 0.2 * avg` comparison is bit-deterministic.
+
+    Scale note: the averages are only CONSUMED for Brand#3 parts, and
+    a part's average over its own lineitems is unchanged by dropping
+    other parts' rows — so the per-part aggregate runs on the
+    brand-semi-joined scan (~1/25 of lineitem), not the full table.
+    The naive correlated rewrite aggregates everything and throws 96%
+    away; at 100 TB that is the difference between a filtered pass
+    and a full-corpus shuffle."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     qty_dec = F.col("l_quantity").cast("decimal(12,2)")
-    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        (F.sum(qty_dec).cast("double") / F.count(F.lit(1))).alias("_avg_qty")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#3").select(
+        "p_partkey"
+    )
+    per_part = (
+        li.join(brand_parts, li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("_pk"))
+        .agg(
+            (F.sum(qty_dec).cast("double") / F.count(F.lit(1))).alias(
+                "_avg_qty"
+            )
+        )
     )
     return (
-        li.join(
-            part.filter(F.col("p_brand") == "Brand#3").select("p_partkey"),
-            li.l_partkey == F.col("p_partkey"),
-        )
+        li.join(brand_parts, li.l_partkey == F.col("p_partkey"))
         .join(per_part, li.l_partkey == F.col("_pk"))
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("_avg_qty"))
         .agg(

@@ -189,3 +189,87 @@ def test_discount_bands_disjunction_pushed_to_both_scans(spark):
     assert sum("Or(" in ln for ln in pushed) >= 2  # both scans
     assert any("GreaterThanOrEqual(p_size,1)" in ln for ln in pushed)
     assert broadcast_hinted_leaves(df) == []  # AQE chooses the join
+
+
+def test_r8_tpch_star_joins_hint_only_fixed_dims(spark):
+    """Round-8 TPC-H shapes: broadcast hints may pin only the
+    constant-size dims (nation/region); part/supplier/customer/orders
+    are SF-scaled and stay AQE-chosen."""
+    from converttovectordb_spark.queries import (
+        q_market_share,
+        q_min_cost_supplier,
+        q_product_profit,
+    )
+
+    for q, expected_hints in (
+        (q_min_cost_supplier, 2),  # nation + region
+        (q_market_share, 3),  # nation x2 + region
+        (q_product_profit, 1),  # nation
+    ):
+        df = q(spark, SF_DIR)
+        hinted = broadcast_hinted_leaves(df)
+        assert len(hinted) == expected_hints, q.__name__
+        assert_hints_only_on_fixed_dims(df)
+
+
+def test_r8_scalar_attach_hints_are_one_row_aggregates(spark):
+    """important_parts / top_supplier hint their 1-row scalar
+    aggregate (threshold / max) — the hinted subtree must be an
+    Aggregate, never a raw SF-scaled relation."""
+    from converttovectordb_spark.queries import (
+        q_important_parts,
+        q_top_supplier,
+    )
+
+    for q in (q_important_parts, q_top_supplier):
+        df = q(spark, SF_DIR)
+        stack = [df._jdf.queryExecution().analyzed()]
+        hints = []
+        while stack:
+            node = stack.pop()
+            if node.nodeName() == "ResolvedHint":
+                hints.append(node)
+                continue
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+        assert hints, q.__name__
+        for h in hints:
+            head = h.child().toString().splitlines()[0]
+            if "Aggregate" in head:
+                continue  # the 1-row scalar attach
+            # any other hint must resolve to a fixed-size dim
+            leaves = h.child().collectLeaves()
+            for i in range(leaves.size()):
+                leaf = leaves.apply(i).toString()
+                assert any(
+                    t.split(".")[0] in leaf for t in FIXED_SIZE_TABLES
+                ), (q.__name__, head, leaf)
+
+
+def test_r8_window_shapes_shuffle_aggregated_tables_only(spark):
+    """min_cost_supplier / dominant_suppliers window over partkey AFTER
+    the (partkey, suppkey) aggregate: the big lineitem scan must keep
+    its map-side partial aggregate, and the window's exchange must sit
+    above a HashAggregate (moving pair-table rows), not above a scan."""
+    from converttovectordb_spark.queries import (
+        q_dominant_suppliers,
+        q_min_cost_supplier,
+    )
+
+    for q in (q_dominant_suppliers, q_min_cost_supplier):
+        plan = physical_plan(q(spark, SF_DIR))
+        assert "Window" in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+        # partial_ markers prove map-side combine before the exchange
+        assert "partial_min" in plan or "partial_sum" in plan, q.__name__
+
+
+def test_semantic_dedup_pair_join_is_bucketed_not_cross(spark):
+    """SemDeDup's pair space must be the in-cluster equi-join
+    (Sigma cluster^2), never an all-pairs product."""
+    from converttovectordb_spark.queries import q_semantic_dedup
+
+    plan = physical_plan(q_semantic_dedup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -63,6 +63,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     li0 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders0 = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     n_docs0, n_li0 = docs0.count(), li0.count()
 
     def op_exact_dedup(d):
@@ -109,6 +110,37 @@ def main() -> int:
         dt = _time(op_pricing(li))
         results.setdefault("pricing_summary_agg", {})[mult] = dt
         print(f"pricing x{mult}: {dt:.2f}s", file=sys.stderr)
+        # fact-to-fact join slope (the TPC-H star-join family's core
+        # shape): lineitem JOIN orders on orderkey, both sides scaled
+        # together with a consistent key shift so join cardinality
+        # stays proportional. No broadcast is possible past 1x — this
+        # measures the shuffled-hash-join + agg path the 100 TB plans
+        # rely on.
+        K = 10_000_000  # > max orderkey at any probed mult
+        li_parts = [
+            li0.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * K))
+            for k in range(mult)
+        ]
+        o_parts = [
+            orders0.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(k * K))
+            for k in range(mult)
+        ]
+        li_j, o_j = li_parts[0], o_parts[0]
+        for c in li_parts[1:]:
+            li_j = li_j.unionByName(c)
+        for c in o_parts[1:]:
+            o_j = o_j.unionByName(c)
+        rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+               * (1 - F.col("l_discount").cast("decimal(18,4)")))
+        joined_fact = (
+            li_j.repartition(32)
+            .join(o_j.repartition(32), li_j.l_orderkey == o_j.o_orderkey)
+            .groupBy(F.year("o_orderdate").alias("y"))
+            .agg(F.sum(rev).alias("rev"), F.count(F.lit(1)).alias("n"))
+        )
+        dt = _time(joined_fact)
+        results.setdefault("orders_lineitem_join_agg", {})[mult] = dt
+        print(f"fact-join x{mult}: {dt:.2f}s", file=sys.stderr)
 
     # --- skew experiment: exact distinct-count under a Zipf-hot key ---
     # Partial aggregation absorbs SUM-style skew for free, so the case
@@ -243,6 +275,23 @@ def main() -> int:
         "those rewrites are unavailable.",
         "",
     ]
+    # Preserve the sections the OTHER probes append (ANN / PQ /
+    # streaming) — this probe owns only the base document above them.
+    tail = ""
+    try:
+        with open("SCALING.md") as fh:
+            prev = fh.read()
+        for marker in (
+            "\n## ANN serving path",
+            "\n## PQ: compressed-code ADC scan",
+            "\n## Streaming micro-batch",
+        ):
+            if marker in prev:
+                tail = "\n" + prev[prev.index(marker) :].lstrip("\n")
+                break
+    except FileNotFoundError:
+        pass
+    lines.append(tail)
     with open("SCALING.md", "w") as fh:
         fh.write("\n".join(lines))
     print("wrote SCALING.md")
