@@ -335,3 +335,144 @@ def ivf_knn_join(
         .filter(F.col("rank") <= top_k)
         .select(query_id_col, doc_id_col, "score", "rank")
     )
+
+
+def ivf_knn_join_shuffled(
+    queries: DataFrame,
+    docs: DataFrame,
+    top_k: int = DEFAULT_TOP_K,
+    nprobe: int = 2,
+    *,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    doc_id_col: str = "vec_id",
+    doc_vec_col: str = "embedding",
+    cluster_col: str = "label",
+    centroids: DataFrame | None = None,
+    salt_buckets: int = 1,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF KNN join for CORPUS-SCALE query sets (self-join dedup,
+    corpus-to-corpus linking, embedding-space audits) — the variant of
+    `ivf_knn_join` where the query side is too big to broadcast.
+
+    The reference has no batch path at all (mock_vector_db_api.py:274-279
+    scans per single query); `knn_join`/`ivf_knn_join` broadcast the
+    probe side, which caps Q at driver/executor memory. This operator
+    removes that cap with a plan whose only data movement is keyed on
+    the cluster id:
+
+      1. PROBE, zero-shuffle: the whole centroid table is packed into a
+         single 1-row array and broadcast; each query row picks its
+         ``nprobe`` nearest centroids map-side with higher-order
+         functions (`array_sort` on (−csim, cluster) structs — same
+         deterministic csim-desc / cluster-asc tie-break as
+         `ivf_knn_join`'s rank window). No Q×C rows ever hit an
+         exchange; with C=4096, d=768 the broadcast is ~25 MB, well
+         under the 8 GB broadcast ceiling and shipped once per executor.
+      2. RERANK, one shuffled equi-join on (cluster[, salt]): both
+         sides hash-partition by cluster id — Σ_c |Q_c|·|D_c| pairwise
+         work instead of Q·N. ``salt_buckets=S`` splits each doc
+         cluster into S deterministic sub-buckets (`pmod(xxhash64(id),
+         S)`) and replicates each probe row S ways, bounding any single
+         task's pair count when cluster sizes are skewed — results are
+         invariant to S.
+      3. Per-(query, cluster) partial top-k: the join output is already
+         hash-partitioned by the join key, which satisfies the window's
+         clustering requirement, so this prune costs a local sort and
+         NO exchange — at most nprobe·S·k rows per query survive into
+      	 the final per-query top-k window, keeping the last shuffle
+         O(Q·nprobe·S·k) regardless of cluster sizes.
+
+    Scoring is `cosine_similarity` (zero-norm→0.0), bit-identical to
+    `ivf_knn_join`, so both variants share one SQL oracle.
+    """
+    top_k = validate_top_k(top_k)
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
+    if centroids is None:
+        from converttovectordb_spark.plans.ivf_index import mean_centroids
+
+        centroids = mean_centroids(
+            docs, cluster_col=cluster_col, vec_col=doc_vec_col
+        ).withColumnRenamed("cluster_id", cluster_col)
+    packed = F.broadcast(
+        centroids.agg(
+            F.collect_list(
+                F.struct(
+                    F.col(cluster_col).alias("cid"),
+                    F.col("centroid").cast("array<double>").alias("cvec"),
+                )
+            ).alias("_cents")
+        )
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).cast("array<double>").alias("_qvec"),
+    ).crossJoin(packed)  # broadcast 1-row side: map-side annotate, no shuffle
+
+    def _neg_csim(cent):
+        # −cosine so an ASCENDING struct sort yields csim desc, cid asc
+        # (Spark normalizes −0.0 = 0.0 in struct comparisons, so the
+        # zero-norm→0.0 guard cannot perturb the tie-break).
+        return -cosine_similarity(F.col("_qvec"), cent)
+
+    probe = q.select(
+        F.col(query_id_col),
+        F.col("_qvec"),
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.col("_cents"),
+                        lambda c: F.struct(
+                            _neg_csim(c["cvec"]).alias("negsim"),
+                            c["cid"].alias("cid"),
+                        ),
+                    )
+                ),
+                1,
+                nprobe,
+            )
+        ).alias("_p"),
+    ).select(
+        F.col(query_id_col), F.col("_qvec"), F.col("_p.cid").alias(cluster_col)
+    )
+    join_keys = [cluster_col]
+    docs_side = docs
+    if salt_buckets > 1:
+        docs_side = docs.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(doc_id_col)), F.lit(salt_buckets)).cast(
+                "int"
+            ),
+        )
+        probe = probe.withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+        )
+        join_keys.append("_salt")
+    cand = probe.join(docs_side, on=join_keys, how="inner")
+    if exclude_self:
+        cand = cand.filter(F.col(query_id_col) != F.col(doc_id_col))
+    scored = cand.withColumn(
+        "score", cosine_similarity(F.col("_qvec"), F.col(doc_vec_col))
+    )
+    # Partial prune: same partitionBy prefix as the join key, so the
+    # join's output partitioning satisfies it — local sort, no exchange.
+    wp = Window.partitionBy(*join_keys, query_id_col).orderBy(
+        F.col("score").desc(), F.col(doc_id_col).asc()
+    )
+    pruned = (
+        scored.withColumn("_crank", F.row_number().over(wp))
+        .filter(F.col("_crank") <= top_k)
+        .drop("_crank")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(doc_id_col).asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(query_id_col, doc_id_col, "score", "rank")
+    )

@@ -55,6 +55,7 @@ from converttovectordb_spark.operators.dedup import (
 from converttovectordb_spark.operators.search import (
     bm25_scores,
     ivf_knn_join,
+    ivf_knn_join_shuffled,
     knn_join,
     truncate_content,
 )
@@ -390,6 +391,88 @@ scored AS (
            sqrt(list_sum(list_transform(p.q, x -> x * x))) AS nq,
            sqrt(list_sum(list_transform(d.v, x -> x * x))) AS nd
     FROM probe p JOIN docs d ON d.label = p.label
+  )
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(CAST(score AS DOUBLE), 6) AS score,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_vector_knn_selfjoin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale KNN SELF-join via the shuffled IVF plan: EVERY
+    embedding row is a query (top-3 neighbors, self excluded,
+    nprobe=2 of 10 clusters, salt_buckets=4).
+
+    This is the many-queries shape `vector_knn_batch` cannot take at
+    scale — there the probe side is broadcast, here the only data
+    movement is the (cluster, salt) equi-join shuffle plus a final
+    per-query exchange that carries at most nprobe·S·k rows per query
+    (partial top-k pruned map-side, zero-shuffle HOF centroid probe).
+    Salting is exercised in the graded entry on purpose: results are
+    invariant to S, which the oracle (no salt concept at all) checks.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_knn_join_shuffled(
+        probes, emb, top_k=3, nprobe=2, salt_buckets=4, exclude_self=True
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        _round6(F.col("score")).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+ORACLE_VECTOR_KNN_SELFJOIN_IVF = """
+WITH docs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+probes AS (SELECT vec_id AS query_id, v AS q FROM docs),
+pos AS (
+  SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM docs
+),
+cpos AS (SELECT label, pos, avg(val) AS cval FROM pos GROUP BY label, pos),
+cent AS (SELECT label, list(cval ORDER BY pos) AS c FROM cpos GROUP BY label),
+qc AS (
+  SELECT query_id, q, label,
+         CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS csim
+  FROM (
+    SELECT p.query_id, p.q, ct.label,
+           list_sum(list_transform(list_zip(p.q, ct.c), x -> x[1] * x[2])) AS dot,
+           sqrt(list_sum(list_transform(p.q, x -> x * x))) AS nq,
+           sqrt(list_sum(list_transform(ct.c, x -> x * x))) AS nc
+    FROM probes p CROSS JOIN cent ct
+  )
+),
+probe AS (
+  SELECT query_id, q, label
+  FROM (
+    SELECT query_id, q, label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY csim DESC, label) AS crank
+    FROM qc
+  ) WHERE crank <= 2
+),
+scored AS (
+  SELECT query_id, vec_id,
+         CASE WHEN nq = 0 OR nd = 0 THEN 0.0 ELSE dot / (nq * nd) END AS score
+  FROM (
+    SELECT p.query_id, d.vec_id,
+           list_sum(list_transform(list_zip(p.q, d.v), x -> x[1] * x[2])) AS dot,
+           sqrt(list_sum(list_transform(p.q, x -> x * x))) AS nq,
+           sqrt(list_sum(list_transform(d.v, x -> x * x))) AS nd
+    FROM probe p JOIN docs d ON d.label = p.label
+    WHERE d.vec_id <> p.query_id
   )
 ),
 ranked AS (
@@ -6978,6 +7061,7 @@ QUERIES = {
     # -- vector / ANN / retrieval ------------------------------------
     "vector_topk": q_vector_topk,
     "vector_knn_batch": q_vector_knn_batch,
+    "vector_knn_selfjoin_ivf": q_vector_knn_selfjoin_ivf,
     "vector_ivf_knn_indexed": q_vector_ivf_knn_indexed,
     "ivf_recall": q_ivf_recall,
     "ivf_recall_kmeans": q_ivf_recall_kmeans,
@@ -7097,6 +7181,7 @@ QUERIES = {
 ORACLES = {
     "vector_topk": ORACLE_VECTOR_TOPK,
     "vector_knn_batch": ORACLE_VECTOR_KNN_BATCH,
+    "vector_knn_selfjoin_ivf": ORACLE_VECTOR_KNN_SELFJOIN_IVF,
     "vector_ivf_knn": ORACLE_VECTOR_IVF_KNN,
     # Bit-identical results by construction (same centroids/tie-breaks);
     # the indexed variant differs only in physical layout.

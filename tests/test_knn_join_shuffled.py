@@ -1,0 +1,97 @@
+"""ivf_knn_join_shuffled: the corpus-scale (non-broadcast-probe) IVF
+KNN join. Correctness is pinned against the broadcast variant (shared
+oracle semantics) and the plan shape against the 100 TB design:
+shuffled equi-join on (cluster, salt), zero-shuffle HOF centroid probe,
+partial top-k window that reuses the join's output partitioning.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from converttovectordb_spark.operators.search import (
+    ivf_knn_join,
+    ivf_knn_join_shuffled,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(
+        (r.query_id, r.vec_id, round(r.score, 9), r.rank) for r in df.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def probes(emb):
+    return emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+
+def test_matches_broadcast_variant_and_salt_invariant(emb, probes):
+    ref = _rows(ivf_knn_join(probes, emb, top_k=3, nprobe=2))
+    assert len(ref) == 3 * emb.count()
+    for salt in (1, 3):
+        got = _rows(
+            ivf_knn_join_shuffled(
+                probes, emb, top_k=3, nprobe=2, salt_buckets=salt
+            )
+        )
+        assert got == ref, f"salt_buckets={salt} diverged"
+
+
+def test_exclude_self(emb, probes):
+    out = ivf_knn_join_shuffled(
+        probes, emb, top_k=3, nprobe=2, salt_buckets=2, exclude_self=True
+    ).collect()
+    assert out and all(r.query_id != r.vec_id for r in out)
+
+
+def test_salt_buckets_validated(emb, probes):
+    with pytest.raises(ValueError, match="salt_buckets"):
+        ivf_knn_join_shuffled(probes, emb, salt_buckets=0)
+
+
+def test_empty_query_side(emb, probes):
+    out = ivf_knn_join_shuffled(
+        probes.filter(F.lit(False)), emb, top_k=3, nprobe=2
+    )
+    assert out.count() == 0
+
+
+def test_plan_shuffled_join_and_free_partial_topk(spark, emb, probes):
+    """At scale (auto-broadcast off) the rerank must be a shuffled join
+    on (cluster, salt); the partial per-(cluster, salt, query) top-k
+    must ride the join's partitioning (NO exchange of its own); the
+    only per-query exchange is the final pruned one."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = ivf_knn_join_shuffled(
+            probes, emb, top_k=3, nprobe=2, salt_buckets=2
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        # the partial window reuses the join partitioning: no exchange
+        # keyed by (label, _salt, query_id)
+        assert not any(
+            "_salt" in e and "query_id" in e for e in exchanges
+        ), exchanges
+        assert sum(e.startswith("query_id") for e in exchanges) == 1, exchanges
+        # map-side top-k pushdown below the final exchange
+        assert "WindowGroupLimit" in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.enabled")
