@@ -464,6 +464,44 @@ class VectorEngine:
         self._index_token = token
         return self._index
 
+    def append_to_index(self, batch: DataFrame) -> None:
+        """Incrementally index a just-ingested batch instead of
+        rebuilding — the O(new rows) maintenance path that keeps
+        `search_indexed`'s staleness guard green across ingests.
+
+        ``batch`` is the DataFrame `ingest()` returned. Caller
+        contract: it must be EXACTLY the rows written since the index
+        last matched the store (one ingest, nothing else interleaved);
+        a cheap count reconciliation (index corpus + batch == store)
+        guards the common drift case before the token is advanced —
+        metadata-scale counts, not a content diff.
+
+        Centroids/codebooks stay frozen (see `IVFIndex.append`); under
+        drift recall degrades gracefully and a periodic `build_index`
+        rebuild re-trains.
+        """
+        index = getattr(self, "_index", None)
+        if index is None:
+            raise RuntimeError("no IVF index built; call build_index() first")
+        token = self.store.state_token()
+        indexed = index.corpus().count()
+        added = batch.count()
+        total = self.store.load().count()
+        if indexed + added != total:
+            raise RuntimeError(
+                f"append_to_index reconciliation failed: index has "
+                f"{indexed} rows + batch {added} != store {total}; the "
+                f"store moved outside this batch — rebuild with "
+                f"build_index()"
+            )
+        index.append(
+            batch.withColumn(
+                "_row_id",
+                F.concat_ws("#", F.col("path"), F.col("chunk_index")),
+            ),
+        )
+        self._index_token = token
+
     def search_indexed(
         self,
         query_text: str,

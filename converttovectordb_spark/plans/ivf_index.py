@@ -368,3 +368,116 @@ class IVFIndex:
             .filter(F.col("rank") <= top_k)
             .select(query_id_col, doc_id_col, "score", "rank")
         )
+
+
+    def assign_clusters(
+        self, docs: DataFrame, *, vec_col: str = "embedding"
+    ) -> DataFrame:
+        """Nearest-centroid assignment against the FROZEN centroid
+        table: squared Euclidean (the ml KMeans.transform rule, so an
+        appended row lands where the build would have put it), ties →
+        lowest cluster id.
+
+        Plan: the C centroids are packed into one broadcast 1-row array
+        and the argmin is a single HOF projection — map-side, O(rows·C),
+        no shuffle, no training pass.
+        """
+        packed = F.broadcast(
+            self.centroids().agg(
+                F.collect_list(
+                    F.struct(
+                        F.col(CLUSTER_COL).alias("cid"),
+                        F.col("centroid").cast("array<double>").alias("cvec"),
+                    )
+                ).alias("_cents")
+            )
+        )
+
+        def _sqdist(c):
+            return F.aggregate(
+                F.zip_with(
+                    F.col("_v"), c, lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+
+        return (
+            docs.crossJoin(packed)
+            .withColumn("_v", F.col(vec_col).cast("array<double>"))
+            .withColumn(
+                CLUSTER_COL,
+                F.array_min(
+                    F.transform(
+                        F.col("_cents"),
+                        lambda c: F.struct(
+                            _sqdist(c["cvec"]).alias("d"),
+                            c["cid"].alias("cid"),
+                        ),
+                    )
+                )["cid"],
+            )
+            .drop("_cents", "_v")
+        )
+
+    def append(
+        self,
+        new_docs: DataFrame,
+        *,
+        vec_col: str = "embedding",
+        cluster_col: str | None = None,
+    ) -> None:
+        """Incremental index maintenance: O(new rows), never O(corpus).
+
+        A 100 TB index cannot be rebuilt per ingest batch — this routes
+        an append batch into the EXISTING layout: assign each row to its
+        nearest frozen centroid (or take ``cluster_col`` when the index
+        was built from a label column), append-write into the
+        cluster-partitioned corpus (new files inside existing partition
+        directories — partition pruning is untouched), and, for a
+        PQ-enabled index, encode against the frozen codebooks
+        (`pq_encode_frozen`) and append the codes rows with the exact
+        schema of the existing codes table.
+
+        Centroids and codebooks stay FROZEN — append never retrains.
+        Under distribution drift the index degrades gracefully (recall
+        drops, correctness doesn't), and a periodic offline
+        `build_ivf_index` rebuild remains the curator's job; the engine
+        pairs this with its staleness token so searches know whether
+        the index covers the store (`VectorEngine.append_to_index`).
+        """
+        first = new_docs.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            return  # empty batch: nothing to place
+        cent_first = self.centroids().select(
+            F.size(F.col("centroid")).alias("d")
+        ).first()
+        if int(first["d"]) != int(cent_first["d"]):
+            raise ValueError(
+                f"append dimension {first['d']} != index dimension "
+                f"{cent_first['d']}"
+            )
+        if cluster_col is not None:
+            assigned = (
+                new_docs
+                if cluster_col == CLUSTER_COL
+                else new_docs.withColumn(CLUSTER_COL, F.col(cluster_col))
+            )
+        else:
+            assigned = self.assign_clusters(new_docs, vec_col=vec_col)
+        corpus_cols = self.corpus().columns
+        assigned.select(*corpus_cols).write.mode("append").partitionBy(
+            CLUSTER_COL
+        ).parquet(f"{self.path}/{CORPUS_SUBDIR}")
+        if self.has_pq():
+            from converttovectordb_spark.plans.pq_index import (
+                pq_encode_frozen,
+            )
+
+            coded = pq_encode_frozen(
+                assigned, self.pq_codebooks(), vec_col=vec_col
+            )
+            codes_cols = self.pq_codes().columns
+            coded.select(*codes_cols).write.mode("append").partitionBy(
+                CLUSTER_COL
+            ).parquet(f"{self.path}/{PQ_CODES_SUBDIR}")

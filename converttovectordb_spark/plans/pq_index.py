@@ -172,3 +172,76 @@ def adc_score(lut: list[float], k: int, codes_col: str = "codes") -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def pq_encode_frozen(
+    docs: DataFrame,
+    codebooks: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    normalize: bool = True,
+) -> DataFrame:
+    """Encode against FROZEN, already-persisted codebooks — the
+    incremental-maintenance twin of `pq_encode` (which needs the
+    driver-held trained models and exists for build time only).
+
+    The (sub, code, centroid) table is packed into a single broadcast
+    1-row nested array; each row's m codes are then m HOF argmins
+    (squared Euclidean over the subvector slice, ties → lowest code id,
+    matching the ml KMeans assignment rule) — entirely map-side, O(new
+    rows · m · k), no shuffle, no Python. This is what lets an append
+    batch be coded without retraining or touching the corpus.
+    """
+    packed = F.broadcast(
+        codebooks.groupBy("sub")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("code"), F.col("centroid"))
+            ).alias("entries")
+        )
+        .agg(
+            F.collect_list(F.struct(F.col("sub"), F.col("entries"))).alias(
+                "_books"
+            ),
+            F.min(F.size(F.col("entries").getField("centroid")[0])).alias(
+                "_ds"
+            ),
+        )
+    )
+    vec = (
+        l2_normalize(F.col(vec_col))
+        if normalize
+        else F.col(vec_col).cast("array<double>")
+    )
+
+    def _sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def _code_for(book):
+        sub_slice = F.slice(
+            F.col("_vn"), book["sub"] * F.col("_ds") + 1, F.col("_ds")
+        )
+        return F.array_min(
+            F.transform(
+                book["entries"],
+                lambda e: F.struct(
+                    _sqdist(sub_slice, e["centroid"]).alias("d"),
+                    e["code"].alias("code"),
+                ),
+            )
+        )["code"]
+
+    return (
+        docs.crossJoin(packed)  # broadcast 1-row: map-side annotate
+        .withColumn("_vn", vec)
+        .withColumn(
+            codes_col,
+            F.transform(F.array_sort(F.col("_books")), _code_for),
+        )
+        .drop("_books", "_ds", "_vn")
+    )
