@@ -220,6 +220,64 @@ class VectorEngine:
             out = truncate_content(out, max_chars=truncate_chars)
         return out
 
+    def search_diverse(
+        self,
+        query_text: str,
+        top_k: int = 5,
+        *,
+        fetch_k: int = 50,
+        mmr_lambda: float = 0.5,
+        truncate_chars: int | None = None,
+    ) -> DataFrame:
+        """Two-stage diverse retrieval: relevance top-``fetch_k``
+        (TakeOrderedAndProject over the corpus — the only stage that
+        touches the store), then an MMR rerank (λ=``mmr_lambda``) of
+        that bounded candidate set via `operators.search.mmr_rerank`.
+        Near-duplicate chunks (the overlap chunker guarantees some)
+        stop crowding out distinct results.
+
+        Keeps the reference's observable search contract where it
+        applies: threshold 0.1 AFTER selection (on relevance, so a
+        diverse-but-irrelevant pick is still dropped), embeddings
+        stripped from results."""
+        from converttovectordb_spark.operators.search import mmr_rerank
+
+        if not self.store.exists():
+            return self._empty_results()
+        qv = self.embedder([query_text])
+        qv = np.asarray(qv, dtype=np.float64).reshape(-1).tolist()
+        corpus = self.load_corpus().withColumn(
+            "_rid", F.concat_ws("#", F.col("path"), F.col("chunk_index"))
+        )
+        from converttovectordb_spark.functions.vector import cosine_to_query
+
+        cands = (
+            corpus.withColumn("score", cosine_to_query("embedding", qv))
+            .orderBy(F.col("score").desc(), F.col("_rid").asc())
+            .limit(max(int(fetch_k), validate_top_k(top_k)))
+        )
+        picked = mmr_rerank(
+            cands.select(
+                F.lit(0).alias("_qid"),
+                "_rid",
+                "score",
+                F.col("embedding").cast("array<double>").alias("embedding"),
+            ),
+            top_k=validate_top_k(top_k),
+            lambda_=mmr_lambda,
+            query_id_col="_qid",
+            doc_id_col="_rid",
+        )
+        out = (
+            picked.filter(F.col("score") >= DEFAULT_SCORE_THRESHOLD)
+            .join(corpus.drop("embedding", "score"), on="_rid")
+            .drop("_qid", "_rid")
+            .orderBy(F.col("mmr_rank").asc())
+        )
+        if truncate_chars is not None:
+            out = truncate_content(out, max_chars=truncate_chars)
+        return out
+
     def search_hybrid(
         self,
         query_text: str,

@@ -476,3 +476,103 @@ def ivf_knn_join_shuffled(
         .filter(F.col("rank") <= top_k)
         .select(query_id_col, doc_id_col, "score", "rank")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    top_k: int = DEFAULT_TOP_K,
+    lambda_: float = 0.5,
+    *,
+    query_id_col: str = "query_id",
+    doc_id_col: str = "vec_id",
+    doc_vec_col: str = "embedding",
+    rel_col: str = "score",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998)
+    diversity rerank of per-query candidate sets:
+
+        mmr(d) = λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)
+
+    picked greedily k times (ties → doc id ascending; empty-S diversity
+    term is 0, so the first pick is the relevance argmax).
+
+    Scale shape: MMR is inherently sequential WITHIN a query but
+    embarrassingly parallel ACROSS queries, and it runs on first-stage
+    output (tens–hundreds of rows per query, by the serving contract),
+    never on the corpus. So: `applyInPandas` grouped by query — one
+    Arrow batch per query group, each group's greedy loop bounded by
+    |candidates|²·k — while the corpus-touching work stays in the
+    first stage (knn_topk / ivf_knn_join*), which is where the 100 TB
+    bytes are. Pairwise sims use sequential left-fold float64 (not
+    numpy dot) to bit-match the engine's JVM folds and the DuckDB
+    oracle's `list_sum`.
+
+    The reference has no second-stage rerank at all (results go
+    straight from the brute scan to display, mock_vector_db_api.py:
+    282-300); MMR is part of the engine's retrieval-quality surface.
+    """
+    import pandas as pd
+
+    top_k = validate_top_k(top_k)
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+    lam = float(lambda_)
+
+    def _cos(a: list, b: list) -> float:
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        if na == 0.0 or nb == 0.0:
+            return 0.0
+        import math
+
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    # id column types follow the input (long vec ids in the suite
+    # queries, string row ids from the engine facade)
+    in_fields = {f.name: f.dataType.simpleString() for f in candidates.schema}
+    out_schema = (
+        f"`{query_id_col}` {in_fields[query_id_col]}, "
+        f"`{doc_id_col}` {in_fields[doc_id_col]}, "
+        f"`{rel_col}` double, mmr double, mmr_rank int"
+    )
+
+    def _mmr(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        cands = [
+            (
+                r[doc_id_col],
+                float(r[rel_col]),
+                [float(x) for x in r[doc_vec_col]],
+            )
+            for _, r in pdf.iterrows()
+        ]
+        qid = pdf[query_id_col].iloc[0]
+        selected: list[tuple[object, float, list]] = []
+        rows = []
+        remaining = dict((c[0], c) for c in cands)
+        while remaining and len(selected) < top_k:
+            best = None
+            for did in sorted(remaining):  # id-asc scan → deterministic ties
+                _, rel, vec = remaining[did]
+                # true max (cosine can be negative — clipping at 0
+                # would under-penalize all-dissimilar sets); empty S → 0
+                maxsim = 0.0
+                if selected:
+                    maxsim = max(_cos(vec, svec) for _, _, svec in selected)
+                mmr = lam * rel - (1.0 - lam) * maxsim
+                if best is None or mmr > best[1]:
+                    best = (did, mmr)
+            did, mmr = best
+            _, rel, vec = remaining.pop(did)
+            selected.append((did, rel, vec))
+            rows.append((qid, did, rel, mmr, len(selected)))
+        return pd.DataFrame(
+            rows,
+            columns=[query_id_col, doc_id_col, rel_col, "mmr", "mmr_rank"],
+        )
+
+    return candidates.groupBy(query_id_col).applyInPandas(_mmr, out_schema)

@@ -57,6 +57,7 @@ from converttovectordb_spark.operators.search import (
     ivf_knn_join,
     ivf_knn_join_shuffled,
     knn_join,
+    mmr_rerank,
     truncate_content,
 )
 from converttovectordb_spark.operators.textstats import (
@@ -484,6 +485,116 @@ ranked AS (
 SELECT query_id, vec_id, round(CAST(score AS DOUBLE), 6) AS score,
        CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 3
+"""
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank (λ=0.5, k=5) over each query's top-20
+    first-stage candidates — the two-stage serving pattern: the corpus
+    is touched only by the first stage (broadcast KNN here; the IVF
+    index at scale), then the greedy sequential rerank runs per-query
+    on Arrow batches via `applyInPandas`.
+
+    The oracle replays the greedy loop exactly with a recursive CTE +
+    LATERAL argmax pick — pairwise sims from the same sequential
+    float64 folds — so the pick-by-pick cascade, not just the final
+    set, is hash-checked."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cands = knn_join(probes, emb, top_k=20, exclude_self=True).join(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ),
+        on="vec_id",
+    )
+    out = mmr_rerank(cands, top_k=5, lambda_=0.5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        _round6(F.col("score")).alias("rel"),
+        _round6(F.col("mmr")).alias("mmr"),
+        F.col("mmr_rank").cast("int").alias("mmr_rank"),
+    )
+
+
+ORACLE_MMR_RERANK = """
+WITH RECURSIVE
+norm AS (
+  SELECT vec_id,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS n,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+unit AS (
+  SELECT vec_id,
+         CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS u
+  FROM norm
+),
+scored AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS vec_id,
+         list_sum(list_transform(list_zip(q.u, d.u), x -> x[1] * x[2])) AS score
+  FROM unit q CROSS JOIN unit d
+  WHERE q.vec_id < 4 AND q.vec_id <> d.vec_id
+),
+cand AS (
+  SELECT query_id, vec_id, score
+  FROM (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id) AS rank
+    FROM scored
+  ) WHERE rank <= 20
+),
+pairsim AS (
+  SELECT query_id, a, b,
+         CASE WHEN na = 0 OR nb = 0 THEN 0.0
+              ELSE dot / (sqrt(na) * sqrt(nb)) END AS sim
+  FROM (
+    SELECT c1.query_id, c1.vec_id AS a, c2.vec_id AS b,
+           list_sum(list_transform(list_zip(d1.v, d2.v),
+                                   x -> x[1] * x[2])) AS dot,
+           list_sum(list_transform(d1.v, x -> x * x)) AS na,
+           list_sum(list_transform(d2.v, x -> x * x)) AS nb
+    FROM cand c1
+    JOIN cand c2 ON c1.query_id = c2.query_id AND c1.vec_id <> c2.vec_id
+    JOIN norm d1 ON d1.vec_id = c1.vec_id
+    JOIN norm d2 ON d2.vec_id = c2.vec_id
+  )
+),
+sel AS (
+  SELECT query_id, [vec_id] AS sel_ids, 1 AS step, vec_id AS pick,
+         score AS rel, 0.5 * score - 0.5 * 0.0 AS mmr
+  FROM (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id) AS r
+    FROM cand
+  ) WHERE r = 1
+  UNION ALL
+  SELECT s.query_id, list_append(s.sel_ids, p.vec_id), s.step + 1,
+         p.vec_id, p.score, p.mmr
+  FROM sel s, LATERAL (
+    SELECT c.vec_id, c.score,
+           0.5 * c.score - 0.5 * (
+             SELECT max(ps.sim) FROM pairsim ps
+             WHERE ps.query_id = c.query_id AND ps.a = c.vec_id
+               AND list_contains(s.sel_ids, ps.b)
+           ) AS mmr
+    FROM cand c
+    WHERE c.query_id = s.query_id
+      AND NOT list_contains(s.sel_ids, c.vec_id)
+    ORDER BY mmr DESC, c.vec_id
+    LIMIT 1
+  ) p
+  WHERE s.step < 5
+)
+SELECT query_id, pick AS vec_id,
+       round(CAST(rel AS DOUBLE), 6) AS rel,
+       round(CAST(mmr AS DOUBLE), 6) AS mmr,
+       CAST(step AS INT) AS mmr_rank
+FROM sel
 """
 
 
@@ -7062,6 +7173,7 @@ QUERIES = {
     "vector_topk": q_vector_topk,
     "vector_knn_batch": q_vector_knn_batch,
     "vector_knn_selfjoin_ivf": q_vector_knn_selfjoin_ivf,
+    "mmr_rerank": q_mmr_rerank,
     "vector_ivf_knn_indexed": q_vector_ivf_knn_indexed,
     "ivf_recall": q_ivf_recall,
     "ivf_recall_kmeans": q_ivf_recall_kmeans,
@@ -7182,6 +7294,7 @@ ORACLES = {
     "vector_topk": ORACLE_VECTOR_TOPK,
     "vector_knn_batch": ORACLE_VECTOR_KNN_BATCH,
     "vector_knn_selfjoin_ivf": ORACLE_VECTOR_KNN_SELFJOIN_IVF,
+    "mmr_rerank": ORACLE_MMR_RERANK,
     "vector_ivf_knn": ORACLE_VECTOR_IVF_KNN,
     # Bit-identical results by construction (same centroids/tie-breaks);
     # the indexed variant differs only in physical layout.
