@@ -77,6 +77,24 @@ def _build_parser() -> argparse.ArgumentParser:
     common(sp)
 
     sp = sub.add_parser(
+        "diverse",
+        help="MMR-diversified search: relevance top-fetch-k, then a "
+        "maximal-marginal-relevance rerank",
+    )
+    sp.add_argument("--query", required=True)
+    sp.add_argument("--top-k", type=int, default=5)
+    sp.add_argument("--fetch-k", type=int, default=50)
+    sp.add_argument(
+        "--mmr-lambda", type=float, default=0.5,
+        help="relevance/diversity tradeoff in [0,1]; 1 = pure relevance",
+    )
+    sp.add_argument(
+        "--truncate", type=int, default=500,
+        help="display truncation (reference T6); 0 disables",
+    )
+    common(sp)
+
+    sp = sub.add_parser(
         "answer",
         help="RAG answer: top-k retrieval + prompt assembly + LLM seam "
         "(deterministic fake generator in this environment)",
@@ -190,6 +208,20 @@ def main(argv: list[str] | None = None) -> int:
         res = eng.search_hybrid(args.query, args.top_k)
         rows = [r.asDict() for r in res.collect()]
         print(json.dumps({"command": "hybrid", "results": rows}))
+    elif args.command == "diverse":
+        try:
+            res = eng.search_diverse(
+                args.query,
+                args.top_k,
+                fetch_k=args.fetch_k,
+                mmr_lambda=args.mmr_lambda,
+                truncate_chars=args.truncate or None,
+            )
+        except ValueError as e:  # e.g. --mmr-lambda outside [0, 1]
+            print(json.dumps({"command": "diverse", "error": str(e)}))
+            return 1
+        rows = [r.asDict() for r in res.collect()]
+        print(json.dumps({"command": "diverse", "results": rows}))
     elif args.command == "answer":
         row = eng.answer(args.query, args.top_k).collect()[0]
         if args.report:

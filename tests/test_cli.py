@@ -40,6 +40,14 @@ def test_cli_ingest_search_stats_clear(tmp_path):
     hy = _run("hybrid", "--query", "return 42", "--top-k", "2", *common)
     assert isinstance(hy["results"], list) and len(hy["results"]) <= 2
 
+    dv = _run(
+        "diverse", "--query", "return 42", "--top-k", "2", "--fetch-k", "10",
+        *common,
+    )
+    assert isinstance(dv["results"], list) and len(dv["results"]) <= 2
+    for r in dv["results"]:
+        assert "mmr_rank" in r and "embedding" not in r
+
     an = _run("answer", "--query", "return 42", "--top-k", "2", *common)
     assert an["n_results"] >= 1
     assert an["generation"].startswith("FAKE[")
@@ -94,3 +102,17 @@ def test_cli_transactional_verbs_fail_clean_on_plain_store(tmp_path):
     rc, out = _run_fail("ingest", "--repo", str(repo), "--replace", *common)
     assert rc == 1 and out["command"] == "ingest"
     assert "transactional" in out["error"]
+
+
+def test_cli_diverse_bad_lambda_fails_clean(tmp_path):
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    (repo / "a.py").write_text("def f():\n    return 42\n" * 10)
+    store = str(tmp_path / "store")
+    common = ["--store", store, "--dim", "16", "--master", "local[2]"]
+    _run("ingest", "--repo", str(repo), *common)
+    rc, out = _run_fail(
+        "diverse", "--query", "q", "--mmr-lambda", "1.5", *common
+    )
+    assert rc == 1 and out["command"] == "diverse"
+    assert "lambda" in out["error"]
