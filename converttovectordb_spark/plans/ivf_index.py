@@ -481,3 +481,305 @@ class IVFIndex:
             coded.select(*codes_cols).write.mode("append").partitionBy(
                 CLUSTER_COL
             ).parquet(f"{self.path}/{PQ_CODES_SUBDIR}")
+
+
+class TransactionalIVFIndex(IVFIndex):
+    """Manifest-committed IVF index: the index twin of
+    `TransactionalDocumentStore`.
+
+    The plain index's `append` is a bare parquet append — fine for a
+    single offline maintainer, but it has a crash window (corpus files
+    land, codes don't) and no replay protection, so it cannot sit
+    behind a streaming sink. This variant stages each append batch into
+    fresh uuid dirs (corpus AND pq codes) and publishes them with ONE
+    O_EXCL manifest commit:
+
+      * atomicity — a crash mid-write leaves orphan dirs that no reader
+        ever sees (the manifest is the committed truth);
+      * corpus/codes consistency — both sides of a batch become visible
+        in the same commit or not at all;
+      * idempotence — ``txn_id`` dedupes replayed epochs exactly like
+        the store's append, which is what `stream_ingest_indexed`
+        needs for end-to-end exactly-once (store and index share the
+        epoch id);
+      * compaction — many micro-batch appends mean many small files
+        per cluster partition; `compact()` rewrites the snapshot as one
+        batch pair and supersedes the old versions in the manifest
+        (dirs stay until a vacuum, mirroring the store).
+
+    Layout::
+
+        <path>/centroids/              (unchanged, frozen)
+        <path>/pq_codebooks/           (unchanged, frozen)
+        <path>/corpus_batches/<uuid>/  parquet partitioned by cluster_id
+        <path>/codes_batches/<uuid>/   parquet partitioned by cluster_id
+        <path>/_manifest/<v>.json      {corpus_dir, codes_dir?, rows,
+                                        txn_id?, replaces?}
+
+    `search()` / `pruned_corpus()` are inherited: `corpus()` returns a
+    union of committed batch scans, and Catalyst pushes the cluster-id
+    filter into every branch, so file-level partition pruning holds
+    per batch dir.
+    """
+
+    MANIFEST_DIR = "_manifest"
+    CORPUS_BATCHES = "corpus_batches"
+    CODES_BATCHES = "codes_batches"
+
+    # -- manifest machinery (same O_EXCL-create-is-the-commit protocol
+    # as TransactionalDocumentStore.append) --------------------------
+    def _manifest_path(self) -> str:
+        import os
+
+        return os.path.join(self.path, self.MANIFEST_DIR)
+
+    def _versions(self) -> list[int]:
+        import os
+
+        try:
+            names = os.listdir(self._manifest_path())
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(n[:-5]) for n in names if n.endswith(".json")
+        )
+
+    def _read_manifest(self, version: int) -> dict:
+        import json
+        import os
+
+        with open(
+            os.path.join(self._manifest_path(), f"{version}.json")
+        ) as fh:
+            return json.load(fh)
+
+    def _live_versions(self) -> list[int]:
+        versions = self._versions()
+        replaced: set[int] = set()
+        for v in versions:
+            replaced.update(self._read_manifest(v).get("replaces", []))
+        return [v for v in versions if v not in replaced]
+
+    def _commit(self, commit: dict) -> int:
+        import json
+        import os
+
+        os.makedirs(self._manifest_path(), exist_ok=True)
+        version = (self._versions() or [-1])[-1] + 1
+        while True:
+            target = os.path.join(self._manifest_path(), f"{version}.json")
+            try:
+                with open(target, "x") as fh:
+                    json.dump(commit, fh)
+                return version
+            except FileExistsError:
+                version += 1
+
+    def version(self) -> int:
+        return (self._versions() or [-1])[-1]
+
+    def exists(self) -> bool:
+        return bool(self._versions())
+
+    # -- committed reads ---------------------------------------------
+    def _union_batches(self, key: str) -> DataFrame:
+        from functools import reduce
+
+        dirs = [
+            self._read_manifest(v)[key]
+            for v in self._live_versions()
+            if key in self._read_manifest(v)
+        ]
+        if not dirs:
+            raise FileNotFoundError(
+                f"no committed {key} under {self.path}"
+            )
+        parts = [self.spark.read.parquet(d) for d in dirs]
+        return reduce(lambda x, y: x.unionByName(y), parts)
+
+    def corpus(self) -> DataFrame:
+        return self._union_batches("corpus_dir")
+
+    def pq_codes(self) -> DataFrame:
+        return self._union_batches("codes_dir")
+
+    # -- writes ------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        docs: DataFrame,
+        index_path: str,
+        *,
+        vec_col: str = "embedding",
+        cluster_col: str | None = None,
+        num_clusters: int = 16,
+        seed: int = 7,
+        pq_m: int | None = None,
+        pq_k: int = 16,
+        pq_id_cols: tuple | None = None,
+    ) -> "TransactionalIVFIndex":
+        """Train (same recipe as `build_ivf_index`) and publish the
+        initial corpus/codes as version-0 of the manifest."""
+        if cluster_col is not None:
+            centroids = mean_centroids(
+                docs, cluster_col=cluster_col, vec_col=vec_col
+            )
+            assigned = docs.withColumn(CLUSTER_COL, F.col(cluster_col))
+        else:
+            centroids, assigned = kmeans_centroids(
+                docs, vec_col=vec_col, num_clusters=num_clusters, seed=seed
+            )
+        centroids.coalesce(1).write.mode("overwrite").parquet(
+            f"{index_path}/{CENTROIDS_SUBDIR}"
+        )
+        index = cls(docs.sparkSession, index_path)
+        models = None
+        if pq_m is not None:
+            from converttovectordb_spark.plans.pq_index import (
+                codebooks_df,
+                train_pq,
+            )
+
+            models = train_pq(assigned, vec_col=vec_col, m=pq_m, k=pq_k, seed=seed)
+            codebooks_df(docs.sparkSession, models).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{index_path}/{PQ_CODEBOOKS_SUBDIR}")
+        index._append_assigned(
+            assigned, vec_col=vec_col, pq_id_cols=pq_id_cols, models=models
+        )
+        return index
+
+    def _append_assigned(
+        self,
+        assigned: DataFrame,
+        *,
+        vec_col: str,
+        pq_id_cols: tuple | None = None,
+        models=None,
+        txn_id: str | None = None,
+    ) -> int:
+        """Stage corpus (and codes) batch dirs, then one commit."""
+        import os
+        import uuid
+
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        staged = assigned.observe(obs, F.count(F.lit(1)).alias("rows"))
+        corpus_dir = os.path.join(
+            self.path, self.CORPUS_BATCHES, uuid.uuid4().hex
+        )
+        staged.write.mode("overwrite").partitionBy(CLUSTER_COL).parquet(
+            corpus_dir
+        )
+        rows = int(obs.get["rows"])
+        commit = {"corpus_dir": corpus_dir, "rows": rows}
+        if txn_id is not None:
+            commit["txn_id"] = txn_id
+        if models is not None or self.has_pq():
+            from converttovectordb_spark.plans.pq_index import (
+                pq_encode,
+                pq_encode_frozen,
+            )
+
+            if models is not None:
+                coded = pq_encode(assigned, models, vec_col=vec_col)
+            else:
+                coded = pq_encode_frozen(
+                    assigned, self.pq_codebooks(), vec_col=vec_col
+                )
+            coded = coded.drop(vec_col)
+            if pq_id_cols is not None:
+                coded = coded.select(*pq_id_cols, CLUSTER_COL, "codes")
+            elif self.exists():
+                coded = coded.select(*self.pq_codes().columns)
+            codes_dir = os.path.join(
+                self.path, self.CODES_BATCHES, uuid.uuid4().hex
+            )
+            coded.write.mode("overwrite").partitionBy(CLUSTER_COL).parquet(
+                codes_dir
+            )
+            commit["codes_dir"] = codes_dir
+        self._commit(commit)
+        return rows
+
+    def append(
+        self,
+        new_docs: DataFrame,
+        *,
+        vec_col: str = "embedding",
+        cluster_col: str | None = None,
+        txn_id: str | None = None,
+    ) -> int:
+        """Manifest-committed incremental append; returns rows written
+        (0 for a deduped ``txn_id`` replay). Same frozen-centroid /
+        frozen-codebook routing as the plain index's append."""
+        if txn_id is not None and any(
+            self._read_manifest(v).get("txn_id") == txn_id
+            for v in self._versions()
+        ):
+            return 0
+        first = new_docs.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            return 0
+        cent_first = self.centroids().select(
+            F.size(F.col("centroid")).alias("d")
+        ).first()
+        if int(first["d"]) != int(cent_first["d"]):
+            raise ValueError(
+                f"append dimension {first['d']} != index dimension "
+                f"{cent_first['d']}"
+            )
+        if cluster_col is not None:
+            assigned = (
+                new_docs
+                if cluster_col == CLUSTER_COL
+                else new_docs.withColumn(CLUSTER_COL, F.col(cluster_col))
+            )
+        else:
+            assigned = self.assign_clusters(new_docs, vec_col=vec_col)
+        assigned = assigned.select(*self.corpus().columns)
+        return self._append_assigned(
+            assigned, vec_col=vec_col, txn_id=txn_id
+        )
+
+    def compact(self) -> int:
+        """Rewrite the committed snapshot as ONE batch pair and publish
+        a commit superseding every prior version — the small-files
+        answer for a streaming-maintained index. Old dirs stay on disk
+        (cheap, and a reader holding an old plan keeps working)."""
+        versions = self._live_versions()
+        if not versions:
+            return 0
+        snapshot = self.corpus()
+        has_codes = any(
+            "codes_dir" in self._read_manifest(v) for v in versions
+        )
+        import os
+        import uuid
+
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        corpus_dir = os.path.join(
+            self.path, self.CORPUS_BATCHES, uuid.uuid4().hex
+        )
+        snapshot.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).partitionBy(CLUSTER_COL).parquet(corpus_dir)
+        rows = int(obs.get["rows"])
+        commit = {
+            "corpus_dir": corpus_dir,
+            "rows": rows,
+            "replaces": list(self._versions()),
+        }
+        if has_codes:
+            codes_dir = os.path.join(
+                self.path, self.CODES_BATCHES, uuid.uuid4().hex
+            )
+            self.pq_codes().write.mode("overwrite").partitionBy(
+                CLUSTER_COL
+            ).parquet(codes_dir)
+            commit["codes_dir"] = codes_dir
+        self._commit(commit)
+        return rows

@@ -200,3 +200,61 @@ def run_stream_to_memory(
     )
     q.processAllAvailable()
     return q
+
+
+def stream_ingest_indexed(
+    spark: SparkSession,
+    drop_dir: str,
+    store,
+    index,
+    checkpoint_dir: str,
+    *,
+    embedder: Callable | None = None,
+    dim: int = 384,
+    chunk_size: int = 1000,
+    overlap: int = 200,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Exactly-once continuous ingest that keeps the ANN index FRESH:
+    each micro-batch commits to the `TransactionalDocumentStore` AND to
+    a `TransactionalIVFIndex`, both under the SAME epoch txn id.
+
+    Why both sides must be manifest-committed: a bare parquet append on
+    the index would double-write on an epoch replay (sink succeeded,
+    checkpoint write crashed) and has a corpus/codes crash window. With
+    two idempotent sinks sharing the txn id, any replay converges —
+    whichever side already committed the epoch skips it, the other
+    catches up — so a search over the index never sees a half-applied
+    epoch, and the store and index can only disagree transiently
+    BETWEEN the two commits of an in-flight epoch, never durably.
+
+    Index cost per epoch is O(batch): frozen-centroid assignment +
+    frozen-codebook encoding (`TransactionalIVFIndex.append`), no
+    retraining. Periodic `index.compact()` bounds the small-files debt
+    a micro-batch cadence accumulates; periodic offline rebuilds
+    re-train under drift.
+    """
+    raw = (
+        spark.readStream.schema(RAW_FILES_SCHEMA)
+        .json(drop_dir)
+        .filter(F.col("content").isNotNull())
+    )
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        chunks = explode_chunks(
+            batch_df, chunk_size=chunk_size, overlap=overlap
+        )
+        docs = embed_column(
+            chunks, "content", "embedding", embedder, dim
+        ).withColumn("timestamp", F.lit(float(epoch_id)))
+        txn = stream_txn_id(checkpoint_dir, epoch_id)
+        store.append(docs, txn_id=txn)
+        index.append(docs, txn_id=txn)
+
+    writer = (
+        raw.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,201 @@
+"""TransactionalIVFIndex: manifest-committed index appends.
+
+Contracts under test: atomic visibility (uncommitted dirs invisible),
+txn-id idempotence (epoch replays are no-ops), corpus/codes published
+in one commit, compaction superseding prior versions while results
+stay identical, and the exactly-once streaming sink that keeps a store
+and an index in lockstep under epoch replay.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from converttovectordb_spark.plans.ivf_index import TransactionalIVFIndex
+
+
+def _emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _build(spark, tmp_path, docs=None, **kw):
+    emb = docs if docs is not None else _emb(spark)
+    kw.setdefault("num_clusters", 4)
+    kw.setdefault("seed", 7)
+    return TransactionalIVFIndex.build(emb, str(tmp_path / "tivf"), **kw)
+
+
+def test_build_then_append_versions_and_counts(spark, tmp_path):
+    emb = _emb(spark)
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    index = _build(spark, tmp_path, docs=old)
+    assert index.version() == 0
+    assert index.corpus().count() == old.count()
+    wrote = index.append(new)
+    assert wrote == new.count()
+    assert index.version() == 1
+    assert index.corpus().count() == emb.count()
+
+
+def test_txn_replay_is_noop(spark, tmp_path):
+    emb = _emb(spark)
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    index = _build(spark, tmp_path, docs=old)
+    assert index.append(new, txn_id="epoch-0") == new.count()
+    n = index.corpus().count()
+    assert index.append(new, txn_id="epoch-0") == 0  # replayed epoch
+    assert index.corpus().count() == n
+    assert index.version() == 1
+
+
+def test_staged_but_uncommitted_is_invisible(spark, tmp_path):
+    """A crash between staging and commit must leave readers on the
+    old snapshot: simulate by writing a batch dir without a manifest
+    entry."""
+    import os
+    import shutil
+
+    emb = _emb(spark)
+    index = _build(spark, tmp_path, docs=emb)
+    n = index.corpus().count()
+    # orphan dir: a copy of an existing committed batch, never committed
+    committed = index._read_manifest(0)["corpus_dir"]
+    orphan = os.path.join(index.path, index.CORPUS_BATCHES, "deadbeef")
+    shutil.copytree(committed, orphan)
+    assert index.corpus().count() == n  # unchanged: manifest is truth
+
+
+def test_corpus_and_codes_commit_together(spark, tmp_path):
+    emb = _emb(spark)
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    index = _build(spark, tmp_path, docs=old, pq_m=8, pq_k=4)
+    assert index.has_pq()
+    assert index.pq_codes().count() == old.count()
+    index.append(new)
+    m = index._read_manifest(1)
+    assert "corpus_dir" in m and "codes_dir" in m  # one commit, both sides
+    assert index.pq_codes().count() == emb.count()
+    sample = (
+        index.pq_codes().join(new.select("vec_id"), on="vec_id").limit(3)
+    ).collect()
+    assert sample and all(len(r.codes) == 8 for r in sample)
+
+
+def test_search_and_pruning_over_batches(spark, tmp_path):
+    emb = _emb(spark)
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    index = _build(spark, tmp_path, docs=old)
+    index.append(new)
+    probe_rows = new.limit(2).collect()
+    probes = spark.createDataFrame(
+        [(r.vec_id, r.embedding) for r in probe_rows],
+        "query_id long, query_vec array<float>",
+    )
+    hits = index.search(probes, top_k=1, nprobe=1).collect()
+    assert {r.vec_id for r in hits} == {r.vec_id for r in probe_rows}
+    pruned = index.pruned_corpus([0])
+    assert 0 < pruned.count() < index.corpus().count()
+
+
+def test_compact_supersedes_but_preserves_results(spark, tmp_path):
+    emb = _emb(spark)
+    index = _build(
+        spark, tmp_path, docs=emb.filter(F.col("vec_id") < 200), pq_m=8,
+        pq_k=4,
+    )
+    for lo in (200, 300, 400):
+        index.append(
+            emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 100)
+            ),
+            txn_id=f"e{lo}",
+        )
+    before_corpus = index.corpus().count()
+    before_codes = index.pq_codes().count()
+    rows = index.compact()
+    assert rows == before_corpus
+    assert len(index._live_versions()) == 1
+    assert index.corpus().count() == before_corpus
+    assert index.pq_codes().count() == before_codes
+    # a replayed pre-compaction epoch must STILL dedupe (manifest keeps
+    # superseded commits' txn ids)
+    assert (
+        index.append(
+            emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300)),
+            txn_id="e200",
+        )
+        == 0
+    )
+
+
+def test_stream_ingest_indexed_exactly_once(spark, tmp_path):
+    """Store and index share the epoch txn id; replaying the epoch
+    against BOTH sinks (the crash-recovery path) changes nothing."""
+    import json
+
+    from converttovectordb_spark.sources.store import (
+        TransactionalDocumentStore,
+    )
+    from converttovectordb_spark.streaming.jobs import (
+        stream_ingest_indexed,
+        stream_txn_id,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    rec = {
+        "path": "a.txt",
+        "extension": "txt",
+        "content": "streaming keeps the vector index fresh " * 20,
+    }
+    (drop / "a.json").write_text(json.dumps(rec))
+
+    store = TransactionalDocumentStore(spark, str(tmp_path / "store"))
+    # seed the store+index with one batch so the index has a schema
+    from converttovectordb_spark.embeddings import embed_column
+    from converttovectordb_spark.sources.chunker import explode_chunks
+
+    seed_raw = spark.createDataFrame(
+        [("seed.txt", "txt", "initial corpus document " * 30)],
+        "path string, extension string, content string",
+    )
+    seed = embed_column(
+        explode_chunks(seed_raw, chunk_size=200, overlap=50),
+        "content", "embedding", None, 16,
+    ).withColumn("timestamp", F.lit(0.0))
+    store.append(seed)
+    index = TransactionalIVFIndex.build(
+        store.load(), str(tmp_path / "tivf"), num_clusters=2
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_ingest_indexed(
+        spark, str(drop), store, index, ckpt, dim=16,
+        chunk_size=200, overlap=50,
+    )
+    q.awaitTermination(120)
+    n_store = store.load().count()
+    n_index = index.corpus().count()
+    assert n_store == n_index > seed.count()
+
+    # crash-replay simulation: re-apply epoch 0's sink by hand
+    docs = embed_column(
+        explode_chunks(
+            spark.read.schema(
+                "path string, extension string, content string"
+            ).json(str(drop)),
+            chunk_size=200,
+            overlap=50,
+        ),
+        "content", "embedding", None, 16,
+    ).withColumn("timestamp", F.lit(0.0))
+    txn = stream_txn_id(ckpt, 0)
+    assert store.append(docs, txn_id=txn) == 0
+    assert index.append(docs, txn_id=txn) == 0
+    assert store.load().count() == n_store
+    assert index.corpus().count() == n_index
