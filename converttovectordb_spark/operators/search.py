@@ -384,8 +384,17 @@ def ivf_knn_join_shuffled(
       	 the final per-query top-k window, keeping the last shuffle
          O(Q·nprobe·S·k) regardless of cluster sizes.
 
-    Scoring is `cosine_similarity` (zero-norm→0.0), bit-identical to
-    `ivf_knn_join`, so both variants share one SQL oracle.
+    Scoring PRENORMALIZES both sides (the `knn_join` optimization: the
+    norm is computed once per row, so the per-pair work is one dot
+    product — 3× less arithmetic than per-pair cosine; zero vectors
+    pass through and dot to 0.0, preserving the zero-norm→0.0
+    contract). Both join sides are explicitly repartitioned on the
+    join key with the session's shuffle width: semantically free (the
+    join would shuffle on that key anyway) but it pins the scoring
+    stage's parallelism — AQE's coalescing is byte-based and would
+    otherwise serialize this compute-dense/byte-light stage at small
+    data sizes (measured 16.7 s → 1.9 s at sf0.1 on local[32]), and it
+    never coalesces a user-specified partition count.
     """
     top_k = validate_top_k(top_k)
     if salt_buckets < 1:
@@ -408,7 +417,7 @@ def ivf_knn_join_shuffled(
     )
     q = queries.select(
         F.col(query_id_col),
-        F.col(query_vec_col).cast("array<double>").alias("_qvec"),
+        l2_normalize(F.col(query_vec_col)).alias("_qvec"),
     ).crossJoin(packed)  # broadcast 1-row side: map-side annotate, no shuffle
 
     def _neg_csim(cent):
@@ -439,9 +448,13 @@ def ivf_knn_join_shuffled(
         F.col(query_id_col), F.col("_qvec"), F.col("_p.cid").alias(cluster_col)
     )
     join_keys = [cluster_col]
-    docs_side = docs
+    docs_side = docs.select(
+        F.col(cluster_col),
+        F.col(doc_id_col),
+        l2_normalize(F.col(doc_vec_col)).alias("_dvec"),
+    )
     if salt_buckets > 1:
-        docs_side = docs.withColumn(
+        docs_side = docs_side.withColumn(
             "_salt",
             F.pmod(F.xxhash64(F.col(doc_id_col)), F.lit(salt_buckets)).cast(
                 "int"
@@ -452,11 +465,19 @@ def ivf_knn_join_shuffled(
             F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
         )
         join_keys.append("_salt")
+    # Explicit width on both join inputs: AQE honors a user partition
+    # count, so the post-join scoring stage cannot be byte-coalesced
+    # onto one core (see docstring); the join reuses these exchanges.
+    nparts = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    docs_side = docs_side.repartition(nparts, *join_keys)
+    probe = probe.repartition(nparts, *join_keys)
     cand = probe.join(docs_side, on=join_keys, how="inner")
     if exclude_self:
         cand = cand.filter(F.col(query_id_col) != F.col(doc_id_col))
     scored = cand.withColumn(
-        "score", cosine_similarity(F.col("_qvec"), F.col(doc_vec_col))
+        "score", dot_product(F.col("_qvec"), F.col("_dvec"))
     )
     # Partial prune: same partitionBy prefix as the join key, so the
     # join's output partitioning satisfies it — local sort, no exchange.

@@ -418,13 +418,28 @@ def q_vector_knn_selfjoin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partial top-k pruned map-side, zero-shuffle HOF centroid probe).
     Salting is exercised in the graded entry on purpose: results are
     invariant to S, which the oracle (no salt concept at all) checks.
+    Centroids come from the MATERIALIZED index artifact (same
+    mean-per-label values the oracle derives inline, the established
+    `vector_ivf_knn_indexed` equivalence) — no training pass at query
+    time, matching production where the index build is offline.
     """
     emb = load(spark, sf_dir, "embeddings")
     probes = emb.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
+    cents = (
+        _ivf_index_cached(spark, sf_dir)
+        .centroids()
+        .withColumnRenamed("cluster_id", "label")
+    )
     out = ivf_knn_join_shuffled(
-        probes, emb, top_k=3, nprobe=2, salt_buckets=4, exclude_self=True
+        probes,
+        emb,
+        top_k=3,
+        nprobe=2,
+        salt_buckets=4,
+        exclude_self=True,
+        centroids=cents,
     )
     return out.select(
         "query_id",
@@ -438,7 +453,16 @@ ORACLE_VECTOR_KNN_SELFJOIN_IVF = """
 WITH docs AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
 ),
-probes AS (SELECT vec_id AS query_id, v AS q FROM docs),
+unit AS (
+  SELECT vec_id, label,
+         CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS u
+  FROM (
+    SELECT vec_id, label, v,
+           sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+    FROM docs
+  )
+),
+probes AS (SELECT vec_id AS query_id, u AS q FROM unit),
 pos AS (
   SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM docs
 ),
@@ -465,16 +489,10 @@ probe AS (
   ) WHERE crank <= 2
 ),
 scored AS (
-  SELECT query_id, vec_id,
-         CASE WHEN nq = 0 OR nd = 0 THEN 0.0 ELSE dot / (nq * nd) END AS score
-  FROM (
-    SELECT p.query_id, d.vec_id,
-           list_sum(list_transform(list_zip(p.q, d.v), x -> x[1] * x[2])) AS dot,
-           sqrt(list_sum(list_transform(p.q, x -> x * x))) AS nq,
-           sqrt(list_sum(list_transform(d.v, x -> x * x))) AS nd
-    FROM probe p JOIN docs d ON d.label = p.label
-    WHERE d.vec_id <> p.query_id
-  )
+  SELECT p.query_id, d.vec_id,
+         list_sum(list_transform(list_zip(p.q, d.u), x -> x[1] * x[2])) AS score
+  FROM probe p JOIN unit d ON d.label = p.label
+  WHERE d.vec_id <> p.query_id
 ),
 ranked AS (
   SELECT query_id, vec_id, score,
