@@ -634,19 +634,31 @@ class TransactionalIVFIndex(IVFIndex):
         )
         index = cls(docs.sparkSession, index_path)
         models = None
-        if pq_m is not None:
-            from converttovectordb_spark.plans.pq_index import (
-                codebooks_df,
-                train_pq,
-            )
+        # Materialize the assigned corpus before the iterative PQ fits:
+        # each of the m k-means fits would otherwise re-execute the
+        # upstream lineage (cluster transform + whatever produced the
+        # docs — possibly a Python-UDF embed chain) per iteration.
+        assigned = assigned.persist()
+        try:
+            if pq_m is not None:
+                from converttovectordb_spark.plans.pq_index import (
+                    codebooks_df,
+                    train_pq,
+                )
 
-            models = train_pq(assigned, vec_col=vec_col, m=pq_m, k=pq_k, seed=seed)
-            codebooks_df(docs.sparkSession, models).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{index_path}/{PQ_CODEBOOKS_SUBDIR}")
-        index._append_assigned(
-            assigned, vec_col=vec_col, pq_id_cols=pq_id_cols, models=models
-        )
+                models = train_pq(
+                    assigned, vec_col=vec_col, m=pq_m, k=pq_k, seed=seed
+                )
+                codebooks_df(docs.sparkSession, models).coalesce(
+                    1
+                ).write.mode("overwrite").parquet(
+                    f"{index_path}/{PQ_CODEBOOKS_SUBDIR}"
+                )
+            index._append_assigned(
+                assigned, vec_col=vec_col, pq_id_cols=pq_id_cols, models=models
+            )
+        finally:
+            assigned.unpersist()
         return index
 
     def _append_assigned(
@@ -658,50 +670,61 @@ class TransactionalIVFIndex(IVFIndex):
         models=None,
         txn_id: str | None = None,
     ) -> int:
-        """Stage corpus (and codes) batch dirs, then one commit."""
+        """Stage corpus (and codes) batch dirs, then one commit.
+
+        ``assigned`` is materialized for the duration: the corpus and
+        codes writes are separate actions (plus schema probes), and an
+        un-persisted upstream lineage — a streaming epoch's chunk+embed
+        chain, or k-means transforms at build time — would re-execute
+        once per action. Batch-sized by contract, so the persist is
+        bounded."""
         import os
         import uuid
 
         from pyspark.sql import Observation
 
-        obs = Observation()
-        staged = assigned.observe(obs, F.count(F.lit(1)).alias("rows"))
-        corpus_dir = os.path.join(
-            self.path, self.CORPUS_BATCHES, uuid.uuid4().hex
-        )
-        staged.write.mode("overwrite").partitionBy(CLUSTER_COL).parquet(
-            corpus_dir
-        )
-        rows = int(obs.get["rows"])
-        commit = {"corpus_dir": corpus_dir, "rows": rows}
-        if txn_id is not None:
-            commit["txn_id"] = txn_id
-        if models is not None or self.has_pq():
-            from converttovectordb_spark.plans.pq_index import (
-                pq_encode,
-                pq_encode_frozen,
+        assigned = assigned.persist()
+        try:
+            obs = Observation()
+            staged = assigned.observe(obs, F.count(F.lit(1)).alias("rows"))
+            corpus_dir = os.path.join(
+                self.path, self.CORPUS_BATCHES, uuid.uuid4().hex
             )
-
-            if models is not None:
-                coded = pq_encode(assigned, models, vec_col=vec_col)
-            else:
-                coded = pq_encode_frozen(
-                    assigned, self.pq_codebooks(), vec_col=vec_col
+            staged.write.mode("overwrite").partitionBy(CLUSTER_COL).parquet(
+                corpus_dir
+            )
+            rows = int(obs.get["rows"])
+            commit = {"corpus_dir": corpus_dir, "rows": rows}
+            if txn_id is not None:
+                commit["txn_id"] = txn_id
+            if models is not None or self.has_pq():
+                from converttovectordb_spark.plans.pq_index import (
+                    pq_encode,
+                    pq_encode_frozen,
                 )
-            coded = coded.drop(vec_col)
-            if pq_id_cols is not None:
-                coded = coded.select(*pq_id_cols, CLUSTER_COL, "codes")
-            elif self.exists():
-                coded = coded.select(*self.pq_codes().columns)
-            codes_dir = os.path.join(
-                self.path, self.CODES_BATCHES, uuid.uuid4().hex
-            )
-            coded.write.mode("overwrite").partitionBy(CLUSTER_COL).parquet(
-                codes_dir
-            )
-            commit["codes_dir"] = codes_dir
-        self._commit(commit)
-        return rows
+
+                if models is not None:
+                    coded = pq_encode(assigned, models, vec_col=vec_col)
+                else:
+                    coded = pq_encode_frozen(
+                        assigned, self.pq_codebooks(), vec_col=vec_col
+                    )
+                coded = coded.drop(vec_col)
+                if pq_id_cols is not None:
+                    coded = coded.select(*pq_id_cols, CLUSTER_COL, "codes")
+                elif self.exists():
+                    coded = coded.select(*self.pq_codes().columns)
+                codes_dir = os.path.join(
+                    self.path, self.CODES_BATCHES, uuid.uuid4().hex
+                )
+                coded.write.mode("overwrite").partitionBy(
+                    CLUSTER_COL
+                ).parquet(codes_dir)
+                commit["codes_dir"] = codes_dir
+            self._commit(commit)
+            return rows
+        finally:
+            assigned.unpersist()
 
     def append(
         self,

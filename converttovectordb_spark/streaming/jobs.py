@@ -247,9 +247,16 @@ def stream_ingest_indexed(
         docs = embed_column(
             chunks, "content", "embedding", embedder, dim
         ).withColumn("timestamp", F.lit(float(epoch_id)))
-        txn = stream_txn_id(checkpoint_dir, epoch_id)
-        store.append(docs, txn_id=txn)
-        index.append(docs, txn_id=txn)
+        # Two sinks + the index's assignment/encode jobs would re-run
+        # the chunk+embed lineage once per action — materialize the
+        # epoch ONCE (batch-sized, bounded by the trigger) instead.
+        docs = docs.persist()
+        try:
+            txn = stream_txn_id(checkpoint_dir, epoch_id)
+            store.append(docs, txn_id=txn)
+            index.append(docs, txn_id=txn)
+        finally:
+            docs.unpersist()
 
     writer = (
         raw.writeStream.foreachBatch(_sink)
