@@ -242,8 +242,22 @@ class VectorEngine:
         stripped from results."""
         from converttovectordb_spark.operators.search import mmr_rerank
 
+        if not 0.0 <= mmr_lambda <= 1.0:
+            # validate BEFORE the empty-store short-circuit: a bad
+            # lambda_ must fail the same way on an empty store as on a
+            # populated one (the CLI error contract)
+            raise ValueError(
+                f"lambda_ must be in [0, 1], got {mmr_lambda}"
+            )
         if not self.store.exists():
-            return self._empty_results()
+            # result-shaped: same mmr/mmr_rank columns the non-empty
+            # path returns, so .orderBy("mmr_rank") never crashes only
+            # on the empty case
+            return (
+                self._empty_results()
+                .withColumn("mmr", F.lit(None).cast("double"))
+                .withColumn("mmr_rank", F.lit(None).cast("int"))
+            )
         qv = self.embedder([query_text])
         qv = np.asarray(qv, dtype=np.float64).reshape(-1).tolist()
         corpus = self.load_corpus().withColumn(
@@ -270,7 +284,14 @@ class VectorEngine:
         )
         out = (
             picked.filter(F.col("score") >= DEFAULT_SCORE_THRESHOLD)
-            .join(corpus.drop("embedding", "score"), on="_rid")
+            # dropDuplicates: a plain store can hold repeated
+            # (path, chunk_index) rows (blind re-ingest) — without it
+            # the display join fans each pick out to every copy and the
+            # result exceeds top_k with duplicated mmr_ranks
+            .join(
+                corpus.drop("embedding", "score").dropDuplicates(["_rid"]),
+                on="_rid",
+            )
             .drop("_qid", "_rid")
             .orderBy(F.col("mmr_rank").asc())
         )
@@ -522,43 +543,50 @@ class VectorEngine:
         self._index_token = token
         return self._index
 
-    def append_to_index(self, batch: DataFrame) -> None:
-        """Incrementally index a just-ingested batch instead of
-        rebuilding — the O(new rows) maintenance path that keeps
+    def append_to_index(self) -> int:
+        """Incrementally index whatever the STORE has that the index
+        does not — the O(new rows) maintenance path that keeps
         `search_indexed`'s staleness guard green across ingests.
 
-        ``batch`` is the DataFrame `ingest()` returned. Caller
-        contract: it must be EXACTLY the rows written since the index
-        last matched the store (one ingest, nothing else interleaved);
-        a cheap count reconciliation (index corpus + batch == store)
-        guards the common drift case before the token is advanced —
-        metadata-scale counts, not a content diff.
+        The delta comes from the committed store itself (a `_row_id`
+        anti-join against the index corpus), never from a caller-held
+        batch DataFrame: a lazy ingest lineage re-executed at index
+        time could silently produce different rows than the ones the
+        store committed, and the token would bless the divergence.
+        Deriving from the store also makes the call idempotent and
+        self-healing — interleaved ingests are simply included.
 
-        Centroids/codebooks stay frozen (see `IVFIndex.append`); under
-        drift recall degrades gracefully and a periodic `build_index`
-        rebuild re-trains.
-        """
+        Rows present in the index but GONE from the store (a replace/
+        upsert or clear) cannot be healed by appending — that asks for
+        a rebuild, and raising here beats silently serving deleted
+        rows. Centroids/codebooks stay frozen (see `IVFIndex.append`);
+        under drift recall degrades gracefully and a periodic
+        `build_index` rebuild re-trains. Returns the number of rows
+        appended."""
         index = getattr(self, "_index", None)
         if index is None:
             raise RuntimeError("no IVF index built; call build_index() first")
         token = self.store.state_token()
-        indexed = index.corpus().count()
-        added = batch.count()
-        total = self.store.load().count()
-        if indexed + added != total:
-            raise RuntimeError(
-                f"append_to_index reconciliation failed: index has "
-                f"{indexed} rows + batch {added} != store {total}; the "
-                f"store moved outside this batch — rebuild with "
-                f"build_index()"
-            )
-        index.append(
-            batch.withColumn(
-                "_row_id",
-                F.concat_ws("#", F.col("path"), F.col("chunk_index")),
-            ),
+        docs = self.store.load().withColumn(
+            "_row_id",
+            F.concat_ws("#", F.col("path"), F.col("chunk_index")),
         )
+        indexed_ids = index.corpus().select("_row_id")
+        orphans = indexed_ids.join(
+            docs.select("_row_id"), on="_row_id", how="left_anti"
+        ).count()
+        if orphans:
+            raise RuntimeError(
+                f"index holds {orphans} rows no longer in the store "
+                f"(replace/clear happened); appending cannot remove "
+                f"them — rebuild with build_index()"
+            )
+        missing = docs.join(indexed_ids, on="_row_id", how="left_anti")
+        added = missing.count()
+        if added:
+            index.append(missing)
         self._index_token = token
+        return added
 
     def search_indexed(
         self,

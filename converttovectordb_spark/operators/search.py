@@ -539,20 +539,6 @@ def mmr_rerank(
         raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
     lam = float(lambda_)
 
-    def _cos(a: list, b: list) -> float:
-        dot = 0.0
-        na = 0.0
-        nb = 0.0
-        for x, y in zip(a, b):
-            dot += x * y
-            na += x * x
-            nb += y * y
-        if na == 0.0 or nb == 0.0:
-            return 0.0
-        import math
-
-        return dot / (math.sqrt(na) * math.sqrt(nb))
-
     # id column types follow the input (long vec ids in the suite
     # queries, string row ids from the engine facade)
     in_fields = {f.name: f.dataType.simpleString() for f in candidates.schema}
@@ -563,34 +549,64 @@ def mmr_rerank(
     )
 
     def _mmr(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        cands = [
-            (
-                r[doc_id_col],
-                float(r[rel_col]),
-                [float(x) for x in r[doc_vec_col]],
-            )
-            for _, r in pdf.iterrows()
-        ]
+        import math
+
+        # duplicate doc ids collapse last-wins (equal keys by contract)
+        cand: dict = {}
+        for did, rel, vec in zip(
+            pdf[doc_id_col], pdf[rel_col], pdf[doc_vec_col]
+        ):
+            cand[did] = (float(rel), [float(x) for x in vec])
+        norms: dict = {}
+        for did, (_, vec) in cand.items():
+            s = 0.0
+            for x in vec:
+                s += x * x
+            norms[did] = math.sqrt(s)
+
+        def _cos(a: object, b: object) -> float:
+            na, nb = norms[a], norms[b]
+            if na == 0.0 or nb == 0.0:
+                return 0.0
+            dot = 0.0
+            for x, y in zip(cand[a][1], cand[b][1]):
+                dot += x * y
+            return dot / (na * nb)
+
         qid = pdf[query_id_col].iloc[0]
-        selected: list[tuple[object, float, list]] = []
         rows = []
-        remaining = dict((c[0], c) for c in cands)
-        while remaining and len(selected) < top_k:
+        remaining = dict(cand)
+        # running max-sim vs the selected set, updated incrementally
+        # against only the newest pick — O(n·k·d) instead of the naive
+        # per-step full recompute's O(n·k²·d). max() is order-invariant
+        # so results are identical.
+        maxsim: dict = {did: None for did in cand}
+        last_pick = None
+        while remaining and len(rows) < top_k:
             best = None
             for did in sorted(remaining):  # id-asc scan → deterministic ties
-                _, rel, vec = remaining[did]
-                # true max (cosine can be negative — clipping at 0
-                # would under-penalize all-dissimilar sets); empty S → 0
-                maxsim = 0.0
-                if selected:
-                    maxsim = max(_cos(vec, svec) for _, _, svec in selected)
-                mmr = lam * rel - (1.0 - lam) * maxsim
-                if best is None or mmr > best[1]:
-                    best = (did, mmr)
-            did, mmr = best
-            _, rel, vec = remaining.pop(did)
-            selected.append((did, rel, vec))
-            rows.append((qid, did, rel, mmr, len(selected)))
+                rel, _ = remaining[did]
+                if last_pick is not None:
+                    s = _cos(did, last_pick)
+                    if maxsim[did] is None or s > maxsim[did]:
+                        maxsim[did] = s
+                if not rows:
+                    # MMR seeds with the RELEVANCE argmax (at λ=0 the
+                    # objective is flat over an empty set — seeding by
+                    # id would be arbitrary); the recorded mmr value is
+                    # still λ·rel − (1−λ)·0.
+                    key = rel
+                else:
+                    # true max (cosine can be negative — clipping at 0
+                    # would under-penalize all-dissimilar sets)
+                    key = lam * rel - (1.0 - lam) * maxsim[did]
+                if best is None or key > best[1]:
+                    best = (did, key)
+            did, key = best
+            rel, _ = remaining.pop(did)
+            mmr = lam * rel if not rows else key
+            last_pick = did
+            rows.append((qid, did, rel, mmr, len(rows) + 1))
         return pd.DataFrame(
             rows,
             columns=[query_id_col, doc_id_col, rel_col, "mmr", "mmr_rank"],

@@ -446,9 +446,51 @@ class IVFIndex:
         pairs this with its staleness token so searches know whether
         the index covers the store (`VectorEngine.append_to_index`).
         """
+        # Materialize the batch BEFORE any probe/write: the dim check,
+        # the corpus write, and the codes write are separate actions,
+        # and a lazy upstream lineage (a scan->chunk->embed chain)
+        # re-executed per action could write an index whose rows differ
+        # from what the caller stored — the staleness token would then
+        # bless a silently diverged index.
+        new_docs = new_docs.persist()
+        try:
+            assigned = self._route_batch(
+                new_docs, vec_col=vec_col, cluster_col=cluster_col
+            )
+            if assigned is None:
+                return  # empty batch: nothing to place
+            corpus_cols = self.corpus().columns
+            assigned.select(*corpus_cols).write.mode("append").partitionBy(
+                CLUSTER_COL
+            ).parquet(f"{self.path}/{CORPUS_SUBDIR}")
+            if self.has_pq():
+                from converttovectordb_spark.plans.pq_index import (
+                    pq_encode_frozen,
+                )
+
+                coded = pq_encode_frozen(
+                    assigned, self.pq_codebooks(), vec_col=vec_col
+                )
+                codes_cols = self.pq_codes().columns
+                coded.select(*codes_cols).write.mode("append").partitionBy(
+                    CLUSTER_COL
+                ).parquet(f"{self.path}/{PQ_CODES_SUBDIR}")
+        finally:
+            new_docs.unpersist()
+
+    def _route_batch(
+        self,
+        new_docs: DataFrame,
+        *,
+        vec_col: str,
+        cluster_col: str | None,
+    ) -> DataFrame | None:
+        """Shared append routing: dimension guard against the frozen
+        centroids, then cluster assignment (caller's label column or
+        nearest-frozen-centroid). None for an empty batch."""
         first = new_docs.select(F.size(F.col(vec_col)).alias("d")).first()
         if first is None:
-            return  # empty batch: nothing to place
+            return None
         cent_first = self.centroids().select(
             F.size(F.col("centroid")).alias("d")
         ).first()
@@ -458,29 +500,12 @@ class IVFIndex:
                 f"{cent_first['d']}"
             )
         if cluster_col is not None:
-            assigned = (
+            return (
                 new_docs
                 if cluster_col == CLUSTER_COL
                 else new_docs.withColumn(CLUSTER_COL, F.col(cluster_col))
             )
-        else:
-            assigned = self.assign_clusters(new_docs, vec_col=vec_col)
-        corpus_cols = self.corpus().columns
-        assigned.select(*corpus_cols).write.mode("append").partitionBy(
-            CLUSTER_COL
-        ).parquet(f"{self.path}/{CORPUS_SUBDIR}")
-        if self.has_pq():
-            from converttovectordb_spark.plans.pq_index import (
-                pq_encode_frozen,
-            )
-
-            coded = pq_encode_frozen(
-                assigned, self.pq_codebooks(), vec_col=vec_col
-            )
-            codes_cols = self.pq_codes().columns
-            coded.select(*codes_cols).write.mode("append").partitionBy(
-                CLUSTER_COL
-            ).parquet(f"{self.path}/{PQ_CODES_SUBDIR}")
+        return self.assign_clusters(new_docs, vec_col=vec_col)
 
 
 class TransactionalIVFIndex(IVFIndex):
@@ -553,12 +578,22 @@ class TransactionalIVFIndex(IVFIndex):
         ) as fh:
             return json.load(fh)
 
-    def _live_versions(self) -> list[int]:
-        versions = self._versions()
+    def _manifests(self) -> dict[int, dict]:
+        """One pass over the manifest dir — every committed read below
+        works from this dict instead of re-opening each JSON several
+        times per operation (after thousands of micro-batch commits
+        the repeated small-file opens are real I/O)."""
+        return {v: self._read_manifest(v) for v in self._versions()}
+
+    @staticmethod
+    def _live_of(manifests: dict[int, dict]) -> list[int]:
         replaced: set[int] = set()
-        for v in versions:
-            replaced.update(self._read_manifest(v).get("replaces", []))
-        return [v for v in versions if v not in replaced]
+        for m in manifests.values():
+            replaced.update(m.get("replaces", []))
+        return [v for v in sorted(manifests) if v not in replaced]
+
+    def _live_versions(self) -> list[int]:
+        return self._live_of(self._manifests())
 
     def _commit(self, commit: dict) -> int:
         import json
@@ -585,10 +620,9 @@ class TransactionalIVFIndex(IVFIndex):
     def _union_batches(self, key: str) -> DataFrame:
         from functools import reduce
 
+        ms = self._manifests()
         dirs = [
-            self._read_manifest(v)[key]
-            for v in self._live_versions()
-            if key in self._read_manifest(v)
+            ms[v][key] for v in self._live_of(ms) if key in ms[v]
         ]
         if not dirs:
             raise FileNotFoundError(
@@ -619,7 +653,21 @@ class TransactionalIVFIndex(IVFIndex):
         pq_id_cols: tuple | None = None,
     ) -> "TransactionalIVFIndex":
         """Train (same recipe as `build_ivf_index`) and publish the
-        initial corpus/codes as version-0 of the manifest."""
+        initial corpus/codes as version-0 of the manifest.
+
+        Refuses a path that already has committed versions: building
+        over a live manifest would OVERWRITE the frozen centroids and
+        codebooks while the old corpus batches stay live — every
+        document would appear twice and the old codes would no longer
+        match the new codebooks. The rebuild-under-drift flow is
+        build into a FRESH path, then swap (and the old index keeps
+        serving until the swap)."""
+        probe = cls(docs.sparkSession, index_path)
+        if probe.exists():
+            raise ValueError(
+                f"{index_path} already has committed index versions; "
+                "rebuild into a fresh path and swap, or use append()"
+            )
         if cluster_col is not None:
             centroids = mean_centroids(
                 docs, cluster_col=cluster_col, vec_col=vec_col
@@ -736,47 +784,55 @@ class TransactionalIVFIndex(IVFIndex):
     ) -> int:
         """Manifest-committed incremental append; returns rows written
         (0 for a deduped ``txn_id`` replay). Same frozen-centroid /
-        frozen-codebook routing as the plain index's append."""
+        frozen-codebook routing as the plain index's append (shared
+        `_route_batch`); the batch is materialized before any probe so
+        the committed corpus/codes cannot diverge from what the caller
+        stored (see the plain append's persist rationale)."""
         if txn_id is not None and any(
-            self._read_manifest(v).get("txn_id") == txn_id
-            for v in self._versions()
+            m.get("txn_id") == txn_id for m in self._manifests().values()
         ):
             return 0
-        first = new_docs.select(F.size(F.col(vec_col)).alias("d")).first()
-        if first is None:
-            return 0
-        cent_first = self.centroids().select(
-            F.size(F.col("centroid")).alias("d")
-        ).first()
-        if int(first["d"]) != int(cent_first["d"]):
-            raise ValueError(
-                f"append dimension {first['d']} != index dimension "
-                f"{cent_first['d']}"
+        new_docs = new_docs.persist()
+        try:
+            assigned = self._route_batch(
+                new_docs, vec_col=vec_col, cluster_col=cluster_col
             )
-        if cluster_col is not None:
-            assigned = (
-                new_docs
-                if cluster_col == CLUSTER_COL
-                else new_docs.withColumn(CLUSTER_COL, F.col(cluster_col))
+            if assigned is None:
+                return 0
+            assigned = assigned.select(*self.corpus().columns)
+            return self._append_assigned(
+                assigned, vec_col=vec_col, txn_id=txn_id
             )
-        else:
-            assigned = self.assign_clusters(new_docs, vec_col=vec_col)
-        assigned = assigned.select(*self.corpus().columns)
-        return self._append_assigned(
-            assigned, vec_col=vec_col, txn_id=txn_id
-        )
+        finally:
+            new_docs.unpersist()
 
     def compact(self) -> int:
         """Rewrite the committed snapshot as ONE batch pair and publish
-        a commit superseding every prior version — the small-files
-        answer for a streaming-maintained index. Old dirs stay on disk
-        (cheap, and a reader holding an old plan keeps working)."""
-        versions = self._live_versions()
-        if not versions:
+        a commit superseding the versions that went INTO it — the
+        small-files answer for a streaming-maintained index. Old dirs
+        stay on disk (cheap, and a reader holding an old plan keeps
+        working).
+
+        Concurrency contract: the manifest set is captured ONCE at
+        entry; the snapshot is built from exactly those dirs and the
+        ``replaces`` list covers exactly those versions. An epoch
+        committed by the streaming maintainer WHILE the rewrite runs is
+        therefore neither in the snapshot nor superseded — it stays
+        live beside the compacted commit, and nothing is lost. (The
+        naive ``replaces=all versions at commit time`` would silently
+        drop such an epoch: superseded but not rewritten, and its
+        txn-id dedup would eat the replay too.)"""
+        from functools import reduce
+
+        ms = self._manifests()
+        live = self._live_of(ms)
+        if not live:
             return 0
-        snapshot = self.corpus()
-        has_codes = any(
-            "codes_dir" in self._read_manifest(v) for v in versions
+        corpus_dirs = [ms[v]["corpus_dir"] for v in live if "corpus_dir" in ms[v]]
+        codes_dirs = [ms[v]["codes_dir"] for v in live if "codes_dir" in ms[v]]
+        snapshot = reduce(
+            lambda x, y: x.unionByName(y),
+            [self.spark.read.parquet(d) for d in corpus_dirs],
         )
         import os
         import uuid
@@ -794,15 +850,18 @@ class TransactionalIVFIndex(IVFIndex):
         commit = {
             "corpus_dir": corpus_dir,
             "rows": rows,
-            "replaces": list(self._versions()),
+            "replaces": sorted(ms),
         }
-        if has_codes:
+        if codes_dirs:
             codes_dir = os.path.join(
                 self.path, self.CODES_BATCHES, uuid.uuid4().hex
             )
-            self.pq_codes().write.mode("overwrite").partitionBy(
-                CLUSTER_COL
-            ).parquet(codes_dir)
+            reduce(
+                lambda x, y: x.unionByName(y),
+                [self.spark.read.parquet(d) for d in codes_dirs],
+            ).write.mode("overwrite").partitionBy(CLUSTER_COL).parquet(
+                codes_dir
+            )
             commit["codes_dir"] = codes_dir
         self._commit(commit)
         return rows

@@ -128,6 +128,7 @@ def stream_ingest_transactional(
     chunk_size: int = 1000,
     overlap: int = 200,
     available_now: bool = True,
+    index=None,
 ) -> StreamingQuery:
     """EXACTLY-ONCE continuous ingest into a TransactionalDocumentStore:
     each micro-batch commits through `append(txn_id=epoch)` — an epoch
@@ -135,7 +136,11 @@ def stream_ingest_transactional(
     the manifest's txn id instead of double-writing (the Delta
     txnAppId/txnVersion idempotent-sink pattern). Checkpoint tracks
     which input files are consumed; the manifest guards the replay
-    window between sink success and checkpoint write."""
+    window between sink success and checkpoint write.
+
+    ``index`` (a `TransactionalIVFIndex`) additionally commits every
+    epoch to the ANN index under the SAME txn id — see
+    `stream_ingest_indexed` for the two-idempotent-sinks argument."""
     raw = (
         spark.readStream.schema(RAW_FILES_SCHEMA)
         .json(drop_dir)
@@ -146,11 +151,22 @@ def stream_ingest_transactional(
         chunks = explode_chunks(
             batch_df, chunk_size=chunk_size, overlap=overlap
         )
-        docs = embed_column(chunks, "content", "embedding", embedder, dim)
-        store.append(
-            docs.withColumn("timestamp", F.lit(float(epoch_id))),
-            txn_id=stream_txn_id(checkpoint_dir, epoch_id),
-        )
+        docs = embed_column(
+            chunks, "content", "embedding", embedder, dim
+        ).withColumn("timestamp", F.lit(float(epoch_id)))
+        txn = stream_txn_id(checkpoint_dir, epoch_id)
+        if index is None:
+            store.append(docs, txn_id=txn)
+            return
+        # Two sinks + the index's assignment/encode jobs would re-run
+        # the chunk+embed lineage once per action — materialize the
+        # epoch ONCE (batch-sized, bounded by the trigger) instead.
+        docs = docs.persist()
+        try:
+            store.append(docs, txn_id=txn)
+            index.append(docs, txn_id=txn)
+        finally:
+            docs.unpersist()
 
     writer = (
         raw.writeStream.foreachBatch(_sink)
@@ -233,35 +249,19 @@ def stream_ingest_indexed(
     retraining. Periodic `index.compact()` bounds the small-files debt
     a micro-batch cadence accumulates; periodic offline rebuilds
     re-train under drift.
+
+    Thin wrapper over `stream_ingest_transactional(index=...)` — one
+    sink implementation, two entry points.
     """
-    raw = (
-        spark.readStream.schema(RAW_FILES_SCHEMA)
-        .json(drop_dir)
-        .filter(F.col("content").isNotNull())
+    return stream_ingest_transactional(
+        spark,
+        drop_dir,
+        store,
+        checkpoint_dir,
+        embedder=embedder,
+        dim=dim,
+        chunk_size=chunk_size,
+        overlap=overlap,
+        available_now=available_now,
+        index=index,
     )
-
-    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        chunks = explode_chunks(
-            batch_df, chunk_size=chunk_size, overlap=overlap
-        )
-        docs = embed_column(
-            chunks, "content", "embedding", embedder, dim
-        ).withColumn("timestamp", F.lit(float(epoch_id)))
-        # Two sinks + the index's assignment/encode jobs would re-run
-        # the chunk+embed lineage once per action — materialize the
-        # epoch ONCE (batch-sized, bounded by the trigger) instead.
-        docs = docs.persist()
-        try:
-            txn = stream_txn_id(checkpoint_dir, epoch_id)
-            store.append(docs, txn_id=txn)
-            index.append(docs, txn_id=txn)
-        finally:
-            docs.unpersist()
-
-    writer = (
-        raw.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

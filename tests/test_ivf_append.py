@@ -164,15 +164,23 @@ def test_engine_append_to_index_clears_staleness(spark, tmp_path):
     eng = VectorEngine(spark, str(tmp_path / "store"), dim=16)
     eng.ingest(str(repo_a))
     eng.build_index(num_clusters=2)
-    batch = eng.ingest(str(repo_b))
+    eng.ingest(str(repo_b))
     with pytest.raises(RuntimeError, match="stale"):
         eng.search_indexed("vector indexes", top_k=3)
-    eng.append_to_index(batch)
+    added = eng.append_to_index()
+    assert added > 0
     hits = eng.search_indexed("vector indexes", top_k=5, nprobe=2)
     assert any("b.txt" in r.path for r in hits.collect())
+    # idempotent: a second call finds nothing missing
+    assert eng.append_to_index() == 0
 
 
-def test_engine_append_reconciliation_guards_drift(spark, tmp_path):
+def test_engine_append_heals_interleaved_ingests_but_not_deletes(
+    spark, tmp_path
+):
+    """The delta is derived from the STORE, so an interleaved foreign
+    ingest is simply included; rows the store dropped (replace/clear)
+    cannot be healed by appending and must raise for a rebuild."""
     from converttovectordb_spark.engine import VectorEngine
 
     repo_a = _mk_repo(
@@ -194,7 +202,18 @@ def test_engine_append_reconciliation_guards_drift(spark, tmp_path):
     eng = VectorEngine(spark, str(tmp_path / "store"), dim=16)
     eng.ingest(str(repo_a))
     eng.build_index(num_clusters=2)
-    batch = eng.ingest(str(repo_b))
-    eng.ingest(str(repo_c))  # interleaved foreign write
-    with pytest.raises(RuntimeError, match="reconciliation"):
-        eng.append_to_index(batch)
+    eng.ingest(str(repo_b))
+    eng.ingest(str(repo_c))  # interleaved foreign write: healed, not fatal
+    eng.append_to_index()
+    assert (
+        eng._index.corpus().count() == eng.store.load().count()
+    )
+    hits = eng.search_indexed("sneaks", top_k=5, nprobe=2)
+    assert any("c.txt" in r.path for r in hits.collect())
+
+    # store-side deletion: clear + re-ingest a subset → index has
+    # orphans → append cannot heal, must demand a rebuild
+    eng.clear(backup=False)
+    eng.ingest(str(repo_a))
+    with pytest.raises(RuntimeError, match="rebuild"):
+        eng.append_to_index()

@@ -199,3 +199,39 @@ def test_stream_ingest_indexed_exactly_once(spark, tmp_path):
     assert index.append(docs, txn_id=txn) == 0
     assert store.load().count() == n_store
     assert index.corpus().count() == n_index
+
+
+def test_compact_race_preserves_concurrent_epoch(spark, tmp_path):
+    """An epoch committed WHILE compact() rewrites must survive: the
+    replaces list covers only the versions captured at entry, so the
+    late commit stays live beside the compacted snapshot."""
+    emb = _emb(spark)
+    index = _build(spark, tmp_path, docs=emb.filter(F.col("vec_id") < 300))
+    index.append(
+        emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)),
+        txn_id="e1",
+    )
+    late = emb.filter(F.col("vec_id") >= 400)
+    orig_commit = index._commit
+    state = {"fired": False}
+
+    def racing_commit(commit):
+        if "replaces" in commit and not state["fired"]:
+            state["fired"] = True
+            index.append(late, txn_id="late-epoch")  # lands mid-compaction
+        return orig_commit(commit)
+
+    index._commit = racing_commit
+    n_before = index.corpus().count()
+    index.compact()
+    assert state["fired"]
+    assert index.corpus().count() == n_before + late.count()
+    # the late epoch is still live AND its replay still dedupes
+    assert index.append(late, txn_id="late-epoch") == 0
+
+
+def test_build_refuses_populated_path(spark, tmp_path):
+    emb = _emb(spark)
+    _build(spark, tmp_path, docs=emb)
+    with pytest.raises(ValueError, match="fresh path"):
+        _build(spark, tmp_path, docs=emb)
