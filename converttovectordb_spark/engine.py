@@ -508,6 +508,7 @@ class VectorEngine:
         seed: int = 7,
         pq_m: int | None = None,
         pq_k: int = 16,
+        transactional: bool = False,
     ):
         """Train + materialize the IVF index beside the store (offline
         job, one corpus pass). Search with use_index=True afterwards —
@@ -515,8 +516,20 @@ class VectorEngine:
         FILES via partition pruning instead of scanning everything.
         ``pq_m`` additionally materializes the product-quantization
         codes table (IVFADC layout) so `search_indexed` can ADC-scan
-        compressed codes via ``adc_shortlist=N``."""
-        from converttovectordb_spark.plans.ivf_index import build_ivf_index
+        compressed codes via ``adc_shortlist=N``.
+
+        ``transactional=True`` builds a `TransactionalIVFIndex` under
+        the rebuild-and-swap protocol: each build lands in a fresh
+        versioned dir under ``<store>_tivf/`` and a CURRENT pointer
+        file is atomically replaced — a rebuild under drift never
+        touches the index readers are on, and `open_index()` attaches
+        a fresh process to whatever CURRENT points at. Incremental
+        maintenance (`append_to_index`) then commits through the index
+        manifest instead of bare parquet appends."""
+        from converttovectordb_spark.plans.ivf_index import (
+            TransactionalIVFIndex,
+            build_ivf_index,
+        )
 
         # Staleness stamp: captured BEFORE the build reads the store —
         # the build is multiple passes (kmeans fit, corpus rewrite, PQ
@@ -531,16 +544,68 @@ class VectorEngine:
             "_row_id",
             F.concat_ws("#", F.col("path"), F.col("chunk_index")),
         )
-        self._index = build_ivf_index(
-            docs,
-            f"{self.store.path}_ivf",
-            num_clusters=num_clusters,
-            seed=seed,
-            pq_m=pq_m,
-            pq_k=pq_k,
-            pq_id_cols=("_row_id",),
-        )
+        if transactional:
+            import os
+            import uuid
+
+            base = f"{self.store.path}_tivf"
+            os.makedirs(base, exist_ok=True)
+            new_dir = os.path.join(base, uuid.uuid4().hex)
+            self._index = TransactionalIVFIndex.build(
+                docs,
+                new_dir,
+                num_clusters=num_clusters,
+                seed=seed,
+                pq_m=pq_m,
+                pq_k=pq_k,
+                pq_id_cols=("_row_id",),
+            )
+            # publish: atomic pointer replace — readers attached to the
+            # old dir keep working, new open_index() calls see this one
+            tmp = os.path.join(base, "CURRENT.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(new_dir)
+            os.replace(tmp, os.path.join(base, "CURRENT"))
+        else:
+            self._index = build_ivf_index(
+                docs,
+                f"{self.store.path}_ivf",
+                num_clusters=num_clusters,
+                seed=seed,
+                pq_m=pq_m,
+                pq_k=pq_k,
+                pq_id_cols=("_row_id",),
+            )
         self._index_token = token
+        return self._index
+
+    def open_index(self, *, refresh: bool = True):
+        """Attach to the PUBLISHED transactional index (the CURRENT
+        pointer `build_index(transactional=True)` swaps) — the fresh-
+        process path: a serving replica opens the index a maintenance
+        job built elsewhere. ``refresh=True`` then runs
+        `append_to_index()` so the attach heals any store rows the
+        index missed and the staleness token is earned, not assumed
+        (raises for a rebuild if the store dropped indexed rows)."""
+        import os
+
+        from converttovectordb_spark.plans.ivf_index import (
+            TransactionalIVFIndex,
+        )
+
+        cur = os.path.join(f"{self.store.path}_tivf", "CURRENT")
+        try:
+            with open(cur) as fh:
+                path = fh.read().strip()
+        except FileNotFoundError:
+            raise RuntimeError(
+                "no published transactional index; run "
+                "build_index(transactional=True) first"
+            ) from None
+        self._index = TransactionalIVFIndex(self.spark, path)
+        self._index_token = None
+        if refresh:
+            self.append_to_index()
         return self._index
 
     def append_to_index(self) -> int:

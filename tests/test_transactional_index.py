@@ -235,3 +235,64 @@ def test_build_refuses_populated_path(spark, tmp_path):
     _build(spark, tmp_path, docs=emb)
     with pytest.raises(ValueError, match="fresh path"):
         _build(spark, tmp_path, docs=emb)
+
+
+def test_engine_transactional_index_rebuild_and_swap(spark, tmp_path):
+    """build_index(transactional=True) publishes via a CURRENT pointer;
+    a rebuild lands in a fresh dir and swaps the pointer; open_index
+    attaches a fresh engine and heals missed rows before earning the
+    staleness token."""
+    import os
+
+    from converttovectordb_spark.engine import VectorEngine
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    for i, text in enumerate(
+        [
+            "alpha document about spark joins",
+            "shuffle partitions and broadcast sides",
+            "catalyst pushes filters into the parquet scan",
+            "watermarks bound streaming state growth",
+        ]
+    ):
+        (repo / f"f{i}.txt").write_text(text)
+
+    eng = VectorEngine(spark, str(tmp_path / "store"), dim=16)
+    eng.ingest(str(repo))
+    eng.build_index(num_clusters=2, transactional=True)
+    hits = eng.search_indexed("broadcast sides", top_k=2, nprobe=2)
+    assert hits.count() >= 1
+    first_dir = eng._index.path
+
+    # rebuild: fresh dir, pointer swapped, old dir untouched on disk
+    eng.build_index(num_clusters=2, transactional=True)
+    assert eng._index.path != first_dir
+    assert os.path.isdir(first_dir)
+    cur = open(
+        os.path.join(str(tmp_path / "store") + "_tivf", "CURRENT")
+    ).read()
+    assert cur == eng._index.path
+
+    # fresh-process attach: new engine, more data, open_index heals
+    repo2 = tmp_path / "repo2"
+    repo2.mkdir()
+    (repo2 / "new.txt").write_text("a brand new late-arriving document")
+    eng2 = VectorEngine(spark, str(tmp_path / "store"), dim=16)
+    eng2.ingest(str(repo2))
+    eng2.open_index()
+    assert eng2._index.corpus().count() == eng2.store.load().count()
+    got = eng2.search_indexed("late-arriving", top_k=3, nprobe=2)
+    assert any("new.txt" in r.path for r in got.collect())
+
+
+def test_engine_open_index_without_publish_raises(spark, tmp_path):
+    from converttovectordb_spark.engine import VectorEngine
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    (repo / "a.txt").write_text("hello world document")
+    eng = VectorEngine(spark, str(tmp_path / "store"), dim=16)
+    eng.ingest(str(repo))
+    with pytest.raises(RuntimeError, match="no published"):
+        eng.open_index()
