@@ -5480,6 +5480,128 @@ GROUP BY shard
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score each raw document by how target-like its
+    hashed-unigram distribution is, where the target is the English
+    slice of the corpus.
+
+    Shape (all linear, two shuffles): tokenize → md5 hash-bucket each
+    token into B=256 features (the cross-engine `export_shards` md5
+    recipe — no engine-specific hash) → per-bucket counts for target
+    and raw with add-1 smoothing → per-token log-ratio
+    ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B)) → per-doc sum. The tiny
+    256-row ratio table broadcasts back onto the token stream; the
+    per-doc aggregation sums DECIMAL(18,6)-rounded contributions, so
+    the sum is order-independent and hash-exact across engines (the
+    `price_quantity_corr` trick — float Σ over a shuffle is
+    partition-order-dependent in the last ulp, decimals are not).
+    Output: top-30 docs by per-token average (length-debiased), the
+    selection head a DSIR resampler would draw from."""
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "lang", F.explode(word_shingles(F.col("text"), 1)).alias("tok")
+    )
+    b = toks.withColumn(
+        "bucket",
+        F.expr(
+            "(instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16"
+            " + instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1"
+        ).cast("int"),
+    )
+    raw = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("r"))
+    tgt = (
+        b.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    totals = b.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_tgt"),
+    )
+    lr = (
+        raw.join(tgt, on="bucket", how="left")
+        .withColumn("t", F.coalesce(F.col("t"), F.lit(0)))
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "lr",
+            F.log((F.col("t") + 1) / (F.col("n_tgt") + 256))
+            - F.log((F.col("r") + 1) / (F.col("n_all") + 256)),
+        )
+        .select("bucket", "lr")
+    )
+    scored = (
+        b.join(F.broadcast(lr), on="bucket")
+        .withColumn(
+            "contrib", F.round(F.col("lr"), 6).cast("decimal(18,6)")
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("contrib").alias("s"),
+            F.count(F.lit(1)).alias("n_toks"),
+        )
+        .withColumn(
+            "avg_weight",
+            F.col("s").cast("double") / F.col("n_toks"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("avg_weight").desc(), F.col("doc_id").asc())
+        .limit(30)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_toks").cast("bigint").alias("n_toks"),
+            _round6(F.col("s").cast("double")).alias("sum_weight"),
+            _round6(F.col("avg_weight")).alias("avg_weight"),
+        )
+    )
+
+
+ORACLE_DSIR_WEIGHTS = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+b AS (
+  SELECT doc_id, lang,
+         (strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1 AS bucket
+  FROM toks
+),
+totals AS (
+  SELECT count(*) AS R,
+         count(*) FILTER (WHERE lang = 'en') AS T
+  FROM b
+),
+raw AS (SELECT bucket, count(*) AS r FROM b GROUP BY bucket),
+tgt AS (SELECT bucket, count(*) AS t FROM b WHERE lang = 'en' GROUP BY bucket),
+lr AS (
+  SELECT raw.bucket,
+         ln((coalesce(tgt.t, 0) + 1) / (totals.T + 256))
+           - ln((raw.r + 1) / (totals.R + 256)) AS lr
+  FROM raw LEFT JOIN tgt ON tgt.bucket = raw.bucket CROSS JOIN totals
+),
+scored AS (
+  SELECT b.doc_id, b.lang,
+         sum(CAST(round(lr.lr, 6) AS DECIMAL(18,6))) AS s,
+         count(*) AS n_toks
+  FROM b JOIN lr ON lr.bucket = b.bucket
+  GROUP BY b.doc_id, b.lang
+)
+SELECT doc_id, lang,
+       CAST(n_toks AS BIGINT) AS n_toks,
+       round(CAST(s AS DOUBLE), 6) AS sum_weight,
+       round(CAST(s AS DOUBLE) / n_toks, 6) AS avg_weight
+FROM scored
+ORDER BY CAST(s AS DOUBLE) / n_toks DESC, doc_id
+LIMIT 30
+"""
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test assignment + stratified
     counts — the dataset-curation primitive every training pipeline
@@ -7235,6 +7357,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "dataset_split": q_dataset_split,
     "export_shards": q_export_shards,
+    "dsir_weights": q_dsir_weights,
     "context_packing": q_context_packing,
     "contamination_screen": q_contamination_screen,
     # -- multimodal ---------------------------------------------------
@@ -7408,6 +7531,7 @@ ORACLES = {
     "pii_redact": ORACLE_PII_REDACT,
     "dataset_split": ORACLE_DATASET_SPLIT,
     "export_shards": ORACLE_EXPORT_SHARDS,
+    "dsir_weights": ORACLE_DSIR_WEIGHTS,
     "context_packing": ORACLE_CONTEXT_PACKING,
     "contamination_screen": ORACLE_CONTAMINATION_SCREEN,
     "value_percentiles": ORACLE_VALUE_PERCENTILES,
