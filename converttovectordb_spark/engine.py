@@ -661,6 +661,7 @@ class VectorEngine:
         *,
         adc_shortlist: int | None = None,
         allow_stale: bool = False,
+        where: str | None = None,
     ) -> DataFrame:
         """IVF-indexed search: same scoring as `search`, but the corpus
         scan is pruned to the probed cluster partitions. Requires
@@ -673,7 +674,14 @@ class VectorEngine:
         (more ingest, clear, out-of-band writes), the index would
         silently return results over the OLD corpus — raise instead,
         unless the caller explicitly opts into ``allow_stale=True``
-        (a legitimate serving mode while a rebuild runs offline)."""
+        (a legitimate serving mode while a rebuild runs offline).
+
+        ``where`` is a SQL predicate over document columns (e.g.
+        "extension = '.py'") — FILTERED ANN: pushed into the probed
+        partitions' parquet scan next to the cluster pruning. A
+        selective filter can leave fewer than k matches inside the
+        probed clusters; raise nprobe for more recall under heavy
+        filters."""
         index = getattr(self, "_index", None)
         if index is None:
             raise RuntimeError("no IVF index built; call build_index() first")
@@ -694,6 +702,7 @@ class VectorEngine:
             nprobe=nprobe,
             doc_id_col="_row_id",
             adc_shortlist=adc_shortlist,
+            predicate=where,
         )  # → (query_id, _row_id, score, rank)
         docs = index.corpus().drop("cluster_id", "embedding")
         return (

@@ -256,8 +256,21 @@ class IVFIndex:
         doc_id_col: str = "vec_id",
         vec_col: str = "embedding",
         adc_shortlist: int | None = None,
+        predicate=None,
     ) -> DataFrame:
         """Batch IVF search over the materialized index.
+
+        ``predicate`` (a Column or SQL string) restricts results to
+        matching rows — FILTERED ANN: the filter lands on the probed
+        corpus scan, composing with the cluster partition pruning, so
+        Catalyst pushes it into the parquet read (PushedFilters next to
+        PartitionFilters). Filtering happens BEFORE the per-query
+        top-k, the honest ANN-with-filter tradeoff: a selective filter
+        can leave fewer than k matches inside the probed clusters —
+        raise nprobe rather than silently widening the probe. On the
+        ADC path the predicate applies at the full-vector rerank join
+        (the m-byte codes table carries no metadata columns), so a
+        selective filter also shrinks the surviving shortlist.
 
         Two stages:
           1. probe: Q×C centroid scoring (both sides broadcast), then a
@@ -294,6 +307,10 @@ class IVFIndex:
         # rows — tiny by the serving contract.
         probe_rows = probe.collect()
         cluster_ids = sorted({int(r[CLUSTER_COL]) for r in probe_rows})
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        corpus_scan = self.pruned_corpus(cluster_ids)
+        if pred is not None:
+            corpus_scan = corpus_scan.filter(pred)
         if adc_shortlist is not None and probe_rows:
             from converttovectordb_spark.plans.pq_index import (
                 adc_lut,
@@ -335,9 +352,7 @@ class IVFIndex:
             cand = (
                 F.broadcast(short)
                 .join(
-                    self.pruned_corpus(cluster_ids).select(
-                        doc_id_col, vec_col
-                    ),
+                    corpus_scan.select(doc_id_col, vec_col),
                     on=doc_id_col,
                 )
                 .join(
@@ -355,7 +370,7 @@ class IVFIndex:
             # empty-probe path (no queries → empty probe → empty cand),
             # keeping both modes' empty-input behavior identical
             cand = F.broadcast(probe).join(
-                self.pruned_corpus(cluster_ids), on=CLUSTER_COL, how="inner"
+                corpus_scan, on=CLUSTER_COL, how="inner"
             )
         scored = cand.withColumn(
             "score", cosine_similarity(F.col("_qvec"), F.col(vec_col))

@@ -217,3 +217,26 @@ def test_engine_append_heals_interleaved_ingests_but_not_deletes(
     eng.ingest(str(repo_a))
     with pytest.raises(RuntimeError, match="rebuild"):
         eng.append_to_index()
+
+
+def test_engine_search_indexed_where(spark, tmp_path):
+    from converttovectordb_spark.engine import VectorEngine
+
+    repo = _mk_repo(
+        tmp_path,
+        "repo_w",
+        [
+            "alpha document about spark joins",
+            "shuffle partitions and broadcast sides",
+            "catalyst pushes filters into the parquet scan",
+            "watermarks bound streaming state growth",
+        ],
+    )
+    (repo / "extra.md").write_text("a markdown document about spark joins")
+    eng = VectorEngine(spark, str(tmp_path / "store_w"), dim=16)
+    eng.ingest(str(repo))
+    eng.build_index(num_clusters=2)
+    hits = eng.search_indexed(
+        "spark joins", top_k=5, nprobe=2, where="extension = '.md'"
+    ).collect()
+    assert hits and all(r.extension == ".md" for r in hits)

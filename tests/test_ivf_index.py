@@ -232,3 +232,43 @@ def test_kmeans_oracle_interleaved_sf_dirs_stay_green(spark):
         )
         con.close()
         assert oracle == spark_rows[sf], f"oracle mismatch for {sf}"
+
+
+def test_filtered_ann_search_predicate_pushdown(spark, tmp_path):
+    """Filtered ANN: the metadata predicate must land in the probed
+    scan's PushedFilters NEXT TO the cluster PartitionFilters, and
+    results must satisfy it."""
+    emb = _emb(spark)
+    index = build_ivf_index(emb, str(tmp_path / "ivf"), cluster_col="label")
+    probes = _probes(emb)
+    out = index.search(probes, top_k=3, nprobe=2, predicate="vec_id >= 100")
+    rows = out.collect()
+    assert rows and all(r.vec_id >= 100 for r in rows)
+    # unfiltered returns some vec_id < 100 (sanity that the filter bit)
+    assert any(
+        r.vec_id < 100
+        for r in index.search(probes, top_k=3, nprobe=2).collect()
+    )
+    from converttovectordb_spark.plans import physical_plan
+
+    plan = physical_plan(out)
+    scan = [
+        seg for seg in plan.split("Scan parquet")
+        if "PartitionFilters" in seg and "cluster_id" in seg
+    ]
+    assert scan, plan
+    assert any("vec_id" in seg.split("PushedFilters:")[1][:200]
+               for seg in scan if "PushedFilters:" in seg), plan
+
+
+def test_filtered_ann_on_adc_path(spark, tmp_path):
+    emb = _emb(spark)
+    index = build_ivf_index(
+        emb, str(tmp_path / "ivf_pq"), cluster_col="label", pq_m=8, pq_k=4
+    )
+    probes = _probes(emb)
+    out = index.search(
+        probes, top_k=3, nprobe=2, adc_shortlist=20,
+        predicate="vec_id >= 100",
+    ).collect()
+    assert out and all(r.vec_id >= 100 for r in out)
