@@ -250,14 +250,20 @@ class VectorEngine:
                 f"lambda_ must be in [0, 1], got {mmr_lambda}"
             )
         if not self.store.exists():
-            # result-shaped: same mmr/mmr_rank columns the non-empty
-            # path returns, so .orderBy("mmr_rank") never crashes only
-            # on the empty case
-            return (
+            # result-shaped INCLUDING column order: the non-empty path
+            # yields (score, mmr, mmr_rank, <display cols>) after its
+            # join/drop, and a positional union across stores must not
+            # break only when one side was empty
+            empty = (
                 self._empty_results()
                 .withColumn("mmr", F.lit(None).cast("double"))
                 .withColumn("mmr_rank", F.lit(None).cast("int"))
             )
+            display = [
+                c for c in empty.columns
+                if c not in ("score", "mmr", "mmr_rank")
+            ]
+            return empty.select("score", "mmr", "mmr_rank", *display)
         qv = self.embedder([query_text])
         qv = np.asarray(qv, dtype=np.float64).reshape(-1).tolist()
         corpus = self.load_corpus().withColumn(
@@ -540,9 +546,17 @@ class VectorEngine:
         # inconsistent index (same hazard class as the REST warm-cache
         # bug fixed in r7).
         token = self.store.state_token()
-        docs = self.store.load().withColumn(
-            "_row_id",
-            F.concat_ws("#", F.col("path"), F.col("chunk_index")),
+        # _row_id must be unique in the index: a blind re-ingest can
+        # duplicate (path, chunk_index) rows in the plain store — keep
+        # one copy (they are identical by construction) so ranks and
+        # display joins stay k-sized
+        docs = (
+            self.store.load()
+            .withColumn(
+                "_row_id",
+                F.concat_ws("#", F.col("path"), F.col("chunk_index")),
+            )
+            .dropDuplicates(["_row_id"])
         )
         if transactional:
             import os
@@ -562,10 +576,7 @@ class VectorEngine:
             )
             # publish: atomic pointer replace — readers attached to the
             # old dir keep working, new open_index() calls see this one
-            tmp = os.path.join(base, "CURRENT.tmp")
-            with open(tmp, "w") as fh:
-                fh.write(new_dir)
-            os.replace(tmp, os.path.join(base, "CURRENT"))
+            TransactionalIVFIndex.publish_current(base, new_dir)
         else:
             self._index = build_ivf_index(
                 docs,
@@ -587,23 +598,24 @@ class VectorEngine:
         `append_to_index()` so the attach heals any store rows the
         index missed and the staleness token is earned, not assumed
         (raises for a rebuild if the store dropped indexed rows)."""
-        import os
-
         from converttovectordb_spark.plans.ivf_index import (
             TransactionalIVFIndex,
         )
 
-        cur = os.path.join(f"{self.store.path}_tivf", "CURRENT")
         try:
-            with open(cur) as fh:
-                path = fh.read().strip()
+            self._index = TransactionalIVFIndex.open_current(
+                self.spark, f"{self.store.path}_tivf"
+            )
         except FileNotFoundError:
             raise RuntimeError(
                 "no published transactional index; run "
                 "build_index(transactional=True) first"
             ) from None
-        self._index = TransactionalIVFIndex(self.spark, path)
-        self._index_token = None
+        # sentinel, NOT None: an absent/cleared store's state_token()
+        # is None, and None == None would silently pass the staleness
+        # guard — the unverified marker must compare unequal to every
+        # real token until append_to_index() earns a fresh one.
+        self._index_token = object()
         if refresh:
             self.append_to_index()
         return self._index
@@ -647,9 +659,27 @@ class VectorEngine:
                 f"them — rebuild with build_index()"
             )
         missing = docs.join(indexed_ids, on="_row_id", how="left_anti")
-        added = missing.count()
-        if added:
-            index.append(missing)
+        missing = missing.persist()
+        try:
+            added = missing.count()
+            if added:
+                from converttovectordb_spark.plans.ivf_index import (
+                    TransactionalIVFIndex,
+                )
+
+                if isinstance(index, TransactionalIVFIndex):
+                    # token-derived txn id: two replicas healing the
+                    # same store version dedupe on the manifest instead
+                    # of double-inserting the same delta
+                    index.append(
+                        missing,
+                        txn_id=f"heal-{token}",
+                        materialized=True,
+                    )
+                else:
+                    index.append(missing, materialized=True)
+        finally:
+            missing.unpersist()
         self._index_token = token
         return added
 
@@ -704,7 +734,12 @@ class VectorEngine:
             adc_shortlist=adc_shortlist,
             predicate=where,
         )  # → (query_id, _row_id, score, rank)
-        docs = index.corpus().drop("cluster_id", "embedding")
+        # dropDuplicates: a blind re-ingest can put repeated
+        # (path, chunk_index) rows in the store and thus the index —
+        # without it the display join fans each hit out per copy
+        docs = index.corpus().drop("cluster_id", "embedding").dropDuplicates(
+            ["_row_id"]
+        )
         return (
             hits.join(docs, on="_row_id")
             .drop("query_id", "_row_id")

@@ -441,6 +441,7 @@ class IVFIndex:
         *,
         vec_col: str = "embedding",
         cluster_col: str | None = None,
+        materialized: bool = False,
     ) -> None:
         """Incremental index maintenance: O(new rows), never O(corpus).
 
@@ -466,8 +467,12 @@ class IVFIndex:
         # and a lazy upstream lineage (a scan->chunk->embed chain)
         # re-executed per action could write an index whose rows differ
         # from what the caller stored — the staleness token would then
-        # bless a silently diverged index.
-        new_docs = new_docs.persist()
+        # bless a silently diverged index. ``materialized=True`` says
+        # the caller already persisted the batch — don't cache a second
+        # copy of the embeddings.
+        we_persisted = not materialized
+        if we_persisted:
+            new_docs = new_docs.persist()
         try:
             assigned = self._route_batch(
                 new_docs, vec_col=vec_col, cluster_col=cluster_col
@@ -491,7 +496,8 @@ class IVFIndex:
                     CLUSTER_COL
                 ).parquet(f"{self.path}/{PQ_CODES_SUBDIR}")
         finally:
-            new_docs.unpersist()
+            if we_persisted:
+                new_docs.unpersist()
 
     def _route_batch(
         self,
@@ -632,9 +638,13 @@ class TransactionalIVFIndex(IVFIndex):
         return bool(self._versions())
 
     # -- committed reads ---------------------------------------------
-    def _union_batches(self, key: str) -> DataFrame:
+    def _union_dirs(self, dirs: list[str]) -> DataFrame:
         from functools import reduce
 
+        parts = [self.spark.read.parquet(d) for d in dirs]
+        return reduce(lambda x, y: x.unionByName(y), parts)
+
+    def _union_batches(self, key: str) -> DataFrame:
         ms = self._manifests()
         dirs = [
             ms[v][key] for v in self._live_of(ms) if key in ms[v]
@@ -643,8 +653,7 @@ class TransactionalIVFIndex(IVFIndex):
             raise FileNotFoundError(
                 f"no committed {key} under {self.path}"
             )
-        parts = [self.spark.read.parquet(d) for d in dirs]
-        return reduce(lambda x, y: x.unionByName(y), parts)
+        return self._union_dirs(dirs)
 
     def corpus(self) -> DataFrame:
         return self._union_batches("corpus_dir")
@@ -701,6 +710,8 @@ class TransactionalIVFIndex(IVFIndex):
         # each of the m k-means fits would otherwise re-execute the
         # upstream lineage (cluster transform + whatever produced the
         # docs — possibly a Python-UDF embed chain) per iteration.
+        # (_append_assigned is told skip_persist — this is the one
+        # materialization boundary for the whole build.)
         assigned = assigned.persist()
         try:
             if pq_m is not None:
@@ -718,7 +729,11 @@ class TransactionalIVFIndex(IVFIndex):
                     f"{index_path}/{PQ_CODEBOOKS_SUBDIR}"
                 )
             index._append_assigned(
-                assigned, vec_col=vec_col, pq_id_cols=pq_id_cols, models=models
+                assigned,
+                vec_col=vec_col,
+                pq_id_cols=pq_id_cols,
+                models=models,
+                skip_persist=True,
             )
         finally:
             assigned.unpersist()
@@ -732,6 +747,7 @@ class TransactionalIVFIndex(IVFIndex):
         pq_id_cols: tuple | None = None,
         models=None,
         txn_id: str | None = None,
+        skip_persist: bool = False,
     ) -> int:
         """Stage corpus (and codes) batch dirs, then one commit.
 
@@ -746,7 +762,9 @@ class TransactionalIVFIndex(IVFIndex):
 
         from pyspark.sql import Observation
 
-        assigned = assigned.persist()
+        we_persisted = not skip_persist
+        if we_persisted:
+            assigned = assigned.persist()
         try:
             obs = Observation()
             staged = assigned.observe(obs, F.count(F.lit(1)).alias("rows"))
@@ -787,7 +805,8 @@ class TransactionalIVFIndex(IVFIndex):
             self._commit(commit)
             return rows
         finally:
-            assigned.unpersist()
+            if we_persisted:
+                assigned.unpersist()
 
     def append(
         self,
@@ -796,6 +815,7 @@ class TransactionalIVFIndex(IVFIndex):
         vec_col: str = "embedding",
         cluster_col: str | None = None,
         txn_id: str | None = None,
+        materialized: bool = False,
     ) -> int:
         """Manifest-committed incremental append; returns rows written
         (0 for a deduped ``txn_id`` replay). Same frozen-centroid /
@@ -807,19 +827,51 @@ class TransactionalIVFIndex(IVFIndex):
             m.get("txn_id") == txn_id for m in self._manifests().values()
         ):
             return 0
-        new_docs = new_docs.persist()
-        try:
-            assigned = self._route_batch(
-                new_docs, vec_col=vec_col, cluster_col=cluster_col
-            )
-            if assigned is None:
-                return 0
-            assigned = assigned.select(*self.corpus().columns)
-            return self._append_assigned(
-                assigned, vec_col=vec_col, txn_id=txn_id
-            )
-        finally:
-            new_docs.unpersist()
+        assigned = self._route_batch(
+            new_docs, vec_col=vec_col, cluster_col=cluster_col
+        )
+        if assigned is None:
+            return 0
+        assigned = assigned.select(*self.corpus().columns)
+        # one materialization boundary: _append_assigned persists the
+        # routed batch (skipped when the caller already persisted the
+        # input — no second cached copy of the embeddings)
+        return self._append_assigned(
+            assigned,
+            vec_col=vec_col,
+            txn_id=txn_id,
+            skip_persist=materialized,
+        )
+
+    CURRENT_POINTER = "CURRENT"
+
+    @staticmethod
+    def publish_current(base_dir: str, index_path: str) -> None:
+        """Atomically point ``base_dir``'s CURRENT at ``index_path`` —
+        the rebuild-and-swap publication step. Kept on the class so the
+        whole commit protocol (manifest commits, replaces lists, this
+        pointer) lives in one module; writers that re-implemented the
+        recipe could diverge (non-atomic write, different name)."""
+        import os
+
+        os.makedirs(base_dir, exist_ok=True)
+        tmp = os.path.join(base_dir, "CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(index_path)
+        os.replace(
+            tmp, os.path.join(base_dir, TransactionalIVFIndex.CURRENT_POINTER)
+        )
+
+    @classmethod
+    def open_current(
+        cls, spark: SparkSession, base_dir: str
+    ) -> "TransactionalIVFIndex":
+        """Attach to whatever CURRENT points at (raises FileNotFoundError
+        when nothing was published)."""
+        import os
+
+        with open(os.path.join(base_dir, cls.CURRENT_POINTER)) as fh:
+            return cls(spark, fh.read().strip())
 
     def compact(self) -> int:
         """Rewrite the committed snapshot as ONE batch pair and publish
@@ -837,18 +889,13 @@ class TransactionalIVFIndex(IVFIndex):
         naive ``replaces=all versions at commit time`` would silently
         drop such an epoch: superseded but not rewritten, and its
         txn-id dedup would eat the replay too.)"""
-        from functools import reduce
-
         ms = self._manifests()
         live = self._live_of(ms)
         if not live:
             return 0
         corpus_dirs = [ms[v]["corpus_dir"] for v in live if "corpus_dir" in ms[v]]
         codes_dirs = [ms[v]["codes_dir"] for v in live if "codes_dir" in ms[v]]
-        snapshot = reduce(
-            lambda x, y: x.unionByName(y),
-            [self.spark.read.parquet(d) for d in corpus_dirs],
-        )
+        snapshot = self._union_dirs(corpus_dirs)
         import os
         import uuid
 
@@ -871,12 +918,9 @@ class TransactionalIVFIndex(IVFIndex):
             codes_dir = os.path.join(
                 self.path, self.CODES_BATCHES, uuid.uuid4().hex
             )
-            reduce(
-                lambda x, y: x.unionByName(y),
-                [self.spark.read.parquet(d) for d in codes_dirs],
-            ).write.mode("overwrite").partitionBy(CLUSTER_COL).parquet(
-                codes_dir
-            )
+            self._union_dirs(codes_dirs).write.mode("overwrite").partitionBy(
+                CLUSTER_COL
+            ).parquet(codes_dir)
             commit["codes_dir"] = codes_dir
         self._commit(commit)
         return rows

@@ -164,7 +164,7 @@ def stream_ingest_transactional(
         docs = docs.persist()
         try:
             store.append(docs, txn_id=txn)
-            index.append(docs, txn_id=txn)
+            index.append(docs, txn_id=txn, materialized=True)
         finally:
             docs.unpersist()
 

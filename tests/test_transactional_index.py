@@ -296,3 +296,27 @@ def test_engine_open_index_without_publish_raises(spark, tmp_path):
     eng.ingest(str(repo))
     with pytest.raises(RuntimeError, match="no published"):
         eng.open_index()
+
+
+def test_open_index_unverified_token_blocks_search(spark, tmp_path):
+    """refresh=False attaches WITHOUT earning the staleness token — the
+    unverified sentinel must fail the guard (None == None for an
+    absent/cleared store would otherwise silently pass it)."""
+    from converttovectordb_spark.engine import VectorEngine
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    for i in range(3):
+        (repo / f"f{i}.txt").write_text(f"document {i} about spark " * 10)
+    eng = VectorEngine(spark, str(tmp_path / "store"), dim=16)
+    eng.ingest(str(repo))
+    eng.build_index(num_clusters=2, transactional=True)
+
+    eng2 = VectorEngine(spark, str(tmp_path / "store"), dim=16)
+    eng2.open_index(refresh=False)
+    with pytest.raises(RuntimeError, match="stale"):
+        eng2.search_indexed("spark", top_k=2)
+    # explicit opt-in still serves the attached snapshot
+    assert (
+        eng2.search_indexed("spark", top_k=2, allow_stale=True).count() >= 1
+    )
