@@ -924,3 +924,25 @@ class TransactionalIVFIndex(IVFIndex):
             commit["codes_dir"] = codes_dir
         self._commit(commit)
         return rows
+
+    def vacuum(self) -> int:
+        """Delete corpus/codes batch dirs only reachable through
+        superseded versions — the disk-reclaim step after `compact()`,
+        mirroring the store's vacuum. The manifests themselves are
+        KEPT: superseded commits still carry txn ids the replay dedup
+        must keep honoring (a vacuumed epoch replayed by a recovering
+        stream must stay a no-op). Returns directories removed."""
+        import os
+        import shutil
+
+        ms = self._manifests()
+        live = set(self._live_of(ms))
+        removed = 0
+        for v, m in ms.items():
+            if v in live:
+                continue
+            for d in (m.get("corpus_dir"), m.get("codes_dir")):
+                if d and os.path.isdir(d):
+                    shutil.rmtree(d)
+                    removed += 1
+        return removed

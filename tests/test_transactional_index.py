@@ -320,3 +320,33 @@ def test_open_index_unverified_token_blocks_search(spark, tmp_path):
     assert (
         eng2.search_indexed("spark", top_k=2, allow_stale=True).count() >= 1
     )
+
+
+def test_vacuum_reclaims_superseded_dirs_keeps_replay_dedup(spark, tmp_path):
+    import os
+
+    emb = _emb(spark)
+    index = _build(spark, tmp_path, docs=emb.filter(F.col("vec_id") < 300))
+    index.append(
+        emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)),
+        txn_id="e1",
+    )
+    n = index.corpus().count()
+    index.compact()
+    removed = index.vacuum()
+    assert removed >= 2  # the two pre-compaction corpus dirs
+    # results unchanged, superseded dirs gone, manifests kept
+    assert index.corpus().count() == n
+    ms = index._manifests()
+    assert len(ms) == 3  # v0, v1, compaction commit
+    for v in index._live_of(ms):
+        assert os.path.isdir(ms[v]["corpus_dir"])
+    # a vacuumed epoch replay must STILL be a no-op
+    assert (
+        index.append(
+            emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)),
+            txn_id="e1",
+        )
+        == 0
+    )
+    assert index.vacuum() == 0  # idempotent
