@@ -350,3 +350,38 @@ def test_vacuum_reclaims_superseded_dirs_keeps_replay_dedup(spark, tmp_path):
         == 0
     )
     assert index.vacuum() == 0  # idempotent
+
+
+def test_concurrent_index_appends_all_commit(spark, tmp_path):
+    """Racing appenders: the O_EXCL manifest protocol must give every
+    writer a distinct version with no rows lost (same contract the
+    store's concurrent-writers test pins)."""
+    import threading
+
+    emb = _emb(spark)
+    index = _build(spark, tmp_path, docs=emb.filter(F.col("vec_id") < 100))
+    errs: list = []
+
+    def work(lo: int):
+        try:
+            index.append(
+                emb.filter(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 100)
+                )
+            )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=work, args=(lo,))
+        for lo in (100, 200, 300, 400)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    assert index.version() == 4  # build + 4 racing appends
+    assert index.corpus().count() == emb.count()
+    ms = index._manifests()
+    assert len({m["corpus_dir"] for m in ms.values()}) == 5
