@@ -147,6 +147,19 @@ class VectorEngine:
         }
         return batch
 
+    @staticmethod
+    def _dedup_row_ids(docs: DataFrame) -> DataFrame:
+        """Deterministic one-copy-per-_row_id: blind re-ingest copies
+        differ in `timestamp` (each ingest stamps its batch), so a bare
+        dropDuplicates would keep an arbitrary copy and make results
+        run-to-run nondeterministic — keep the NEWEST instead."""
+        w = Window.partitionBy("_row_id").orderBy(F.col("timestamp").desc())
+        return (
+            docs.withColumn("_rn_dedup", F.row_number().over(w))
+            .filter(F.col("_rn_dedup") == 1)
+            .drop("_rn_dedup")
+        )
+
     def _empty_results(self) -> DataFrame:
         """Result-shaped empty DataFrame — the reference returns empty
         results (not an error) for a never-ingested database
@@ -288,17 +301,21 @@ class VectorEngine:
             query_id_col="_qid",
             doc_id_col="_rid",
         )
+        joined = picked.filter(
+            F.col("score") >= DEFAULT_SCORE_THRESHOLD
+        ).join(corpus.drop("embedding", "score"), on="_rid")
+        # bounded post-join dedupe: a plain store can hold repeated
+        # (path, chunk_index) rows (blind re-ingest) and the display
+        # join fans each pick out per copy — dedupe AFTER the join
+        # (<= k x copies rows, newest copy kept deterministically)
+        # instead of shuffling the whole corpus per query
+        wdup = Window.partitionBy("_rid").orderBy(
+            F.col("timestamp").desc()
+        )
         out = (
-            picked.filter(F.col("score") >= DEFAULT_SCORE_THRESHOLD)
-            # dropDuplicates: a plain store can hold repeated
-            # (path, chunk_index) rows (blind re-ingest) — without it
-            # the display join fans each pick out to every copy and the
-            # result exceeds top_k with duplicated mmr_ranks
-            .join(
-                corpus.drop("embedding", "score").dropDuplicates(["_rid"]),
-                on="_rid",
-            )
-            .drop("_qid", "_rid")
+            joined.withColumn("_rn_dedup", F.row_number().over(wdup))
+            .filter(F.col("_rn_dedup") == 1)
+            .drop("_rn_dedup", "_qid", "_rid")
             .orderBy(F.col("mmr_rank").asc())
         )
         if truncate_chars is not None:
@@ -548,15 +565,13 @@ class VectorEngine:
         token = self.store.state_token()
         # _row_id must be unique in the index: a blind re-ingest can
         # duplicate (path, chunk_index) rows in the plain store — keep
-        # one copy (they are identical by construction) so ranks and
-        # display joins stay k-sized
-        docs = (
-            self.store.load()
-            .withColumn(
+        # the newest copy (deterministic) so ranks and display joins
+        # stay k-sized and repeatable
+        docs = self._dedup_row_ids(
+            self.store.load().withColumn(
                 "_row_id",
                 F.concat_ws("#", F.col("path"), F.col("chunk_index")),
             )
-            .dropDuplicates(["_row_id"])
         )
         if transactional:
             import os
@@ -644,9 +659,11 @@ class VectorEngine:
         if index is None:
             raise RuntimeError("no IVF index built; call build_index() first")
         token = self.store.state_token()
-        docs = self.store.load().withColumn(
-            "_row_id",
-            F.concat_ws("#", F.col("path"), F.col("chunk_index")),
+        docs = self._dedup_row_ids(
+            self.store.load().withColumn(
+                "_row_id",
+                F.concat_ws("#", F.col("path"), F.col("chunk_index")),
+            )
         )
         indexed_ids = index.corpus().select("_row_id")
         orphans = indexed_ids.join(
@@ -668,13 +685,27 @@ class VectorEngine:
                 )
 
                 if isinstance(index, TransactionalIVFIndex):
-                    # token-derived txn id: two replicas healing the
-                    # same store version dedupe on the manifest instead
-                    # of double-inserting the same delta
-                    index.append(
-                        missing,
-                        txn_id=f"heal-{token}",
-                        materialized=True,
+                    # token-DIGEST txn id: two replicas healing the same
+                    # store state dedupe on the manifest (best-effort —
+                    # the commit re-checks the txn just before O_EXCL).
+                    # The digest is stable across processes: the plain
+                    # store's token embeds a frozenset whose repr order
+                    # is hash-salted, so it must be canonicalized first.
+                    import hashlib
+
+                    basis = token
+                    if (
+                        isinstance(token, tuple)
+                        and len(token) == 2
+                        and isinstance(token[1], frozenset)
+                    ):
+                        basis = (token[0], tuple(sorted(token[1])))
+                    txn = "heal-" + hashlib.sha256(
+                        repr(basis).encode()
+                    ).hexdigest()[:16]
+                    # honest count: a deduped replay commits 0 rows
+                    added = index.append(
+                        missing, txn_id=txn, materialized=True
                     )
                 else:
                     index.append(missing, materialized=True)
@@ -734,12 +765,12 @@ class VectorEngine:
             adc_shortlist=adc_shortlist,
             predicate=where,
         )  # → (query_id, _row_id, score, rank)
-        # dropDuplicates: a blind re-ingest can put repeated
-        # (path, chunk_index) rows in the store and thus the index —
-        # without it the display join fans each hit out per copy
-        docs = index.corpus().drop("cluster_id", "embedding").dropDuplicates(
-            ["_row_id"]
-        )
+        # no display-side dedupe needed: _row_id uniqueness is enforced
+        # at WRITE time (build_index and the append_to_index heal both
+        # route through _dedup_row_ids), and a per-query corpus-wide
+        # dropDuplicates here would add a full shuffle to a path whose
+        # contract is ~nprobe/C of the files
+        docs = index.corpus().drop("cluster_id", "embedding")
         return (
             hits.join(docs, on="_row_id")
             .drop("query_id", "_row_id")

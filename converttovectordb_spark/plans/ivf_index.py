@@ -617,12 +617,28 @@ class TransactionalIVFIndex(IVFIndex):
         return self._live_of(self._manifests())
 
     def _commit(self, commit: dict) -> int:
+        """O_EXCL-create IS the commit. For txn-carrying commits the
+        dedup is re-checked immediately before each create attempt —
+        the caller's early check can be minutes stale by the time the
+        batch dirs are staged (a concurrent replica healing the same
+        delta), and losing that race must become a no-op, not a
+        duplicate insert. A microsecond TOCTOU window remains (this is
+        a filesystem manifest, not a CAS register); the remaining
+        callers are sequential by construction (one streaming query's
+        epochs; replays). Returns the committed version, or -1 when
+        the txn id was found already committed (staged dirs are left
+        as invisible orphans, same as crash debris)."""
         import json
         import os
 
         os.makedirs(self._manifest_path(), exist_ok=True)
         version = (self._versions() or [-1])[-1] + 1
         while True:
+            if commit.get("txn_id") is not None and any(
+                m.get("txn_id") == commit["txn_id"]
+                for m in self._manifests().values()
+            ):
+                return -1
             target = os.path.join(self._manifest_path(), f"{version}.json")
             try:
                 with open(target, "x") as fh:
@@ -802,7 +818,8 @@ class TransactionalIVFIndex(IVFIndex):
                     CLUSTER_COL
                 ).parquet(codes_dir)
                 commit["codes_dir"] = codes_dir
-            self._commit(commit)
+            if self._commit(commit) == -1:
+                return 0  # txn raced a concurrent identical commit
             return rows
         finally:
             if we_persisted:
@@ -827,21 +844,28 @@ class TransactionalIVFIndex(IVFIndex):
             m.get("txn_id") == txn_id for m in self._manifests().values()
         ):
             return 0
-        assigned = self._route_batch(
-            new_docs, vec_col=vec_col, cluster_col=cluster_col
-        )
-        if assigned is None:
-            return 0
-        assigned = assigned.select(*self.corpus().columns)
-        # one materialization boundary: _append_assigned persists the
-        # routed batch (skipped when the caller already persisted the
-        # input — no second cached copy of the embeddings)
-        return self._append_assigned(
-            assigned,
-            vec_col=vec_col,
-            txn_id=txn_id,
-            skip_persist=materialized,
-        )
+        # one materialization boundary, placed BEFORE the dim probe so
+        # the rows validated are the rows committed (the routed/selected
+        # frames below are cheap projections over this cache)
+        we_persisted = not materialized
+        if we_persisted:
+            new_docs = new_docs.persist()
+        try:
+            assigned = self._route_batch(
+                new_docs, vec_col=vec_col, cluster_col=cluster_col
+            )
+            if assigned is None:
+                return 0
+            assigned = assigned.select(*self.corpus().columns)
+            return self._append_assigned(
+                assigned,
+                vec_col=vec_col,
+                txn_id=txn_id,
+                skip_persist=True,
+            )
+        finally:
+            if we_persisted:
+                new_docs.unpersist()
 
     CURRENT_POINTER = "CURRENT"
 
@@ -853,9 +877,13 @@ class TransactionalIVFIndex(IVFIndex):
         pointer) lives in one module; writers that re-implemented the
         recipe could diverge (non-atomic write, different name)."""
         import os
+        import uuid
 
         os.makedirs(base_dir, exist_ok=True)
-        tmp = os.path.join(base_dir, "CURRENT.tmp")
+        # per-publisher temp name: a FIXED name would let two racing
+        # publishers interleave writes on one file and rename a
+        # truncated pointer into CURRENT
+        tmp = os.path.join(base_dir, f"CURRENT.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as fh:
             fh.write(index_path)
         os.replace(

@@ -385,3 +385,52 @@ def test_concurrent_index_appends_all_commit(spark, tmp_path):
     assert index.corpus().count() == emb.count()
     ms = index._manifests()
     assert len({m["corpus_dir"] for m in ms.values()}) == 5
+
+
+def test_commit_rechecks_txn_dedup_at_create_time(spark, tmp_path):
+    """The manifest commit re-checks the txn id just before O_EXCL —
+    a caller whose early dedup check went stale (concurrent identical
+    heal) must become a no-op commit, not a duplicate version."""
+    emb = _emb(spark)
+    index = _build(spark, tmp_path, docs=emb.filter(F.col("vec_id") < 300))
+    index.append(emb.filter(F.col("vec_id") >= 300), txn_id="heal-x")
+    v = index.version()
+    assert (
+        index._commit({"corpus_dir": "/nonexistent", "rows": 0,
+                       "txn_id": "heal-x"})
+        == -1
+    )
+    assert index.version() == v  # nothing new committed
+
+
+def test_blind_reingest_store_builds_unique_index(spark, tmp_path):
+    """Duplicate (path, chunk_index) rows from a blind re-ingest must
+    collapse (newest copy) at index build AND on the heal path, so
+    search_indexed never returns the same chunk at two ranks."""
+    from converttovectordb_spark.engine import VectorEngine
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    for i in range(3):
+        (repo / f"f{i}.txt").write_text(f"document {i} about spark " * 10)
+    eng = VectorEngine(spark, str(tmp_path / "store"), dim=16)
+    eng.ingest(str(repo))
+    eng.ingest(str(repo))  # blind re-ingest: duplicated rows
+    store_rows = eng.store.load().count()
+    eng.build_index(num_clusters=2, transactional=True)
+    corpus = eng._index.corpus()
+    assert corpus.count() == corpus.select("_row_id").distinct().count()
+    assert corpus.count() < store_rows
+    hits = eng.search_indexed("spark", top_k=4, nprobe=2).collect()
+    ids = [f"{r.path}#{r.chunk_index}" for r in hits]
+    assert len(ids) == len(set(ids))  # no chunk at two ranks
+
+    # heal path: another blind double-ingest, then append_to_index
+    repo2 = tmp_path / "repo2"
+    repo2.mkdir()
+    (repo2 / "new.txt").write_text("a late document about joins " * 10)
+    eng.ingest(str(repo2))
+    eng.ingest(str(repo2))
+    eng.append_to_index()
+    corpus = eng._index.corpus()
+    assert corpus.count() == corpus.select("_row_id").distinct().count()
