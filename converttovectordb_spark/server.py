@@ -436,11 +436,38 @@ class VectorDBApi:
                 "message": f"Database cleared: removed {n} documents"}
 
 
+    def diverse(self, body: dict) -> dict:
+        """MMR-diversified search — always the distributed engine path:
+        the first stage is a TakeOrderedAndProject over the corpus and
+        the rerank needs candidate EMBEDDINGS, which the warm serving
+        tiers deliberately strip; a matrix-tier MMR would be a second
+        rerank implementation for a verb whose cost is dominated by the
+        bounded greedy loop anyway."""
+        start = time.time()
+        query = body.get("query")
+        if not query:
+            raise _ApiError(400, "No query provided")
+        try:
+            hits = self.engine.search_diverse(
+                query,
+                body.get("top_k", 5),
+                fetch_k=body.get("fetch_k", 50),
+                mmr_lambda=body.get("mmr_lambda", 0.5),
+            )
+        except ValueError as e:  # e.g. mmr_lambda out of [0, 1]
+            raise _ApiError(400, str(e))
+        return {
+            "results": _rows_to_json(hits.collect()),
+            "query_time": time.time() - start,
+        }
+
+
 _POST_ROUTES = {
     "/add_documents": "add_documents",
     "/query": "query",
     "/search": "search_text",
     "/hybrid": "hybrid",
+    "/diverse": "diverse",
     "/answer": "answer",
     "/clear": "clear",
 }

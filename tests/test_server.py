@@ -447,3 +447,29 @@ def test_hybrid_matrix_tier_matches_engine_path(server):
         assert r["lex_rank"] == w["lex_rank"]
         assert abs(r["rrf"] - w["rrf"]) < 1e-9
         assert "embedding" not in r
+
+
+def test_diverse_endpoint(server):
+    """/diverse runs the MMR verb end-to-end and enforces the lambda
+    range with the 400 contract."""
+    _seed(server)
+    status, out = _call(
+        server,
+        "POST",
+        "/diverse",
+        {"query": "document number 3", "top_k": 3, "fetch_k": 6},
+    )
+    assert status == 200
+    assert out["results"]
+    ranks = [r["mmr_rank"] for r in out["results"]]
+    assert ranks == sorted(ranks) and len(set(ranks)) == len(ranks)
+    for r in out["results"]:
+        assert "embedding" not in r and "mmr" in r
+
+    status, err = _call(
+        server, "POST", "/diverse", {"query": "x", "mmr_lambda": 2.0}
+    )
+    assert status == 400 and "lambda" in err["error"]
+
+    status, err = _call(server, "POST", "/diverse", {})
+    assert status == 400
