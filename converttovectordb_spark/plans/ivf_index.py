@@ -974,3 +974,59 @@ class TransactionalIVFIndex(IVFIndex):
                     shutil.rmtree(d)
                     removed += 1
         return removed
+
+
+def index_drift_report(
+    index: IVFIndex,
+    docs: DataFrame,
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maintenance diagnostic: how far has the corpus drifted from the
+    index's FROZEN geometry — the number that tells a curator when the
+    periodic retrain is due (incremental `append` keeps correctness
+    under drift, but recall decays as clusters stop matching the data).
+
+    Per frozen centroid: the CURRENT corpus rows that would route to it
+    (`assign_clusters`, the same rule append uses) and the L2 distance
+    between the frozen centroid and those rows' actual mean. Shifts
+    near 0 → the index still fits; large shifts or starved/bloated
+    clusters (`n_rows` skew) → rebuild-and-swap.
+
+    Cost: one map-side assignment pass + a d×C-row mean shuffle —
+    linear, safe to run on a schedule against 100 TB.
+    """
+    assigned = index.assign_clusters(docs, vec_col=vec_col)
+    cur = mean_centroids(
+        assigned, cluster_col=CLUSTER_COL, vec_col=vec_col
+    ).withColumnRenamed("centroid", "current_mean")
+    counts = assigned.groupBy(CLUSTER_COL).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    frozen = index.centroids().withColumnRenamed(
+        "centroid", "frozen_centroid"
+    )
+    shift = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("frozen_centroid").cast("array<double>"),
+                F.col("current_mean"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        frozen.join(cur, on=CLUSTER_COL, how="left")
+        .join(counts, on=CLUSTER_COL, how="left")
+        .withColumn("n_rows", F.coalesce(F.col("n_rows"), F.lit(0)))
+        .withColumn(
+            "centroid_shift",
+            F.when(F.col("current_mean").isNull(), F.lit(None)).otherwise(
+                shift
+            ),
+        )
+        .select(CLUSTER_COL, "n_rows", "centroid_shift")
+        .orderBy(CLUSTER_COL)
+    )

@@ -240,3 +240,26 @@ def test_engine_search_indexed_where(spark, tmp_path):
         "spark joins", top_k=5, nprobe=2, where="extension = '.md'"
     ).collect()
     assert hits and all(r.extension == ".md" for r in hits)
+
+
+def test_index_drift_report_flags_shifted_corpus(spark, tmp_path):
+    """Drift ~0 against the training corpus; large against a corpus
+    whose vectors moved — the retrain trigger a curator schedules."""
+    from converttovectordb_spark.plans.ivf_index import index_drift_report
+
+    emb = _emb(spark)
+    index = build_ivf_index(emb, str(tmp_path / "ivf"), num_clusters=4, seed=7)
+    base = index_drift_report(index, emb).collect()
+    assert len(base) == 4
+    assert all(r.n_rows > 0 for r in base)
+    base_max = max(r.centroid_shift for r in base)
+
+    shifted = emb.withColumn(
+        "embedding",
+        F.transform(F.col("embedding"), lambda x: x + F.lit(5.0)),
+    )
+    moved = index_drift_report(index, shifted).collect()
+    moved_shifts = [
+        r.centroid_shift for r in moved if r.centroid_shift is not None
+    ]
+    assert moved_shifts and min(moved_shifts) > base_max

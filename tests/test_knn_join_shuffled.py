@@ -95,3 +95,26 @@ def test_plan_shuffled_join_and_free_partial_topk(spark, emb, probes):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.enabled")
+
+
+def test_composes_with_materialized_index(spark, emb, probes, tmp_path):
+    """The shuffled join over a MATERIALIZED index corpus (cluster-
+    partitioned scan + persisted centroids) must equal the inline-label
+    run — the production composition: partition-pruned reads feeding
+    the shuffle join, no training pass at query time."""
+    from converttovectordb_spark.plans.ivf_index import build_ivf_index
+
+    index = build_ivf_index(emb, str(tmp_path / "ivf"), cluster_col="label")
+    ref = _rows(ivf_knn_join_shuffled(probes, emb, top_k=3, nprobe=2))
+    got = _rows(
+        ivf_knn_join_shuffled(
+            probes,
+            index.corpus(),
+            top_k=3,
+            nprobe=2,
+            cluster_col="cluster_id",
+            centroids=index.centroids(),
+            salt_buckets=2,
+        )
+    )
+    assert got == ref
