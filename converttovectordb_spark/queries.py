@@ -668,6 +668,83 @@ def q_vector_ivf_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vector_ivf_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN over the materialized index: the metadata predicate
+    (even vec_ids here) rides the probed partitions' parquet scan next
+    to the cluster pruning (`IVFIndex.search(predicate=...)`), and the
+    filter applies BEFORE the per-query top-k — the honest
+    ANN-with-filter semantics (a selective filter can leave fewer than
+    k matches in the probed clusters; the answer is raising nprobe).
+    The oracle is the inline-IVF formulation with the same pre-rank
+    WHERE, so the filter-then-rank order itself is hash-checked."""
+    emb = load(spark, sf_dir, "embeddings")
+    index = _ivf_index_cached(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = index.search(probes, top_k=3, nprobe=2, predicate="vec_id % 2 = 0")
+    return out.select(
+        "query_id",
+        "vec_id",
+        _round6(F.col("score")).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+ORACLE_VECTOR_IVF_KNN_FILTERED = """
+WITH docs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+probes AS (SELECT vec_id AS query_id, v AS q FROM docs WHERE vec_id < 8),
+pos AS (
+  SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM docs
+),
+cpos AS (SELECT label, pos, avg(val) AS cval FROM pos GROUP BY label, pos),
+cent AS (SELECT label, list(cval ORDER BY pos) AS c FROM cpos GROUP BY label),
+qc AS (
+  SELECT query_id, q, label,
+         CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS csim
+  FROM (
+    SELECT p.query_id, p.q, ct.label,
+           list_sum(list_transform(list_zip(p.q, ct.c), x -> x[1] * x[2])) AS dot,
+           sqrt(list_sum(list_transform(p.q, x -> x * x))) AS nq,
+           sqrt(list_sum(list_transform(ct.c, x -> x * x))) AS nc
+    FROM probes p CROSS JOIN cent ct
+  )
+),
+probe AS (
+  SELECT query_id, q, label
+  FROM (
+    SELECT query_id, q, label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY csim DESC, label) AS crank
+    FROM qc
+  ) WHERE crank <= 2
+),
+scored AS (
+  SELECT query_id, vec_id,
+         CASE WHEN nq = 0 OR nd = 0 THEN 0.0 ELSE dot / (nq * nd) END AS score
+  FROM (
+    SELECT p.query_id, d.vec_id,
+           list_sum(list_transform(list_zip(p.q, d.v), x -> x[1] * x[2])) AS dot,
+           sqrt(list_sum(list_transform(p.q, x -> x * x))) AS nq,
+           sqrt(list_sum(list_transform(d.v, x -> x * x))) AS nd
+    FROM probe p JOIN docs d ON d.label = p.label
+    WHERE d.vec_id % 2 = 0
+  )
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(CAST(score AS DOUBLE), 6) AS score,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DIAGNOSTIC recall dial: what an IVF partition that is NOT
     geometrically trained costs. The headline ANN recall metric is
@@ -7315,6 +7392,7 @@ QUERIES = {
     "vector_knn_selfjoin_ivf": q_vector_knn_selfjoin_ivf,
     "mmr_rerank": q_mmr_rerank,
     "vector_ivf_knn_indexed": q_vector_ivf_knn_indexed,
+    "vector_ivf_knn_filtered": q_vector_ivf_knn_filtered,
     "ivf_recall": q_ivf_recall,
     "ivf_recall_kmeans": q_ivf_recall_kmeans,
     "pq_recall": q_pq_recall,
@@ -7440,6 +7518,7 @@ ORACLES = {
     # Bit-identical results by construction (same centroids/tie-breaks);
     # the indexed variant differs only in physical layout.
     "vector_ivf_knn_indexed": ORACLE_VECTOR_IVF_KNN,
+    "vector_ivf_knn_filtered": ORACLE_VECTOR_IVF_KNN_FILTERED,
     "ivf_recall": ORACLE_IVF_RECALL,
     "ivf_recall_kmeans": ORACLE_IVF_RECALL_KMEANS,
     "pq_recall": ORACLE_PQ_RECALL,
