@@ -745,6 +745,78 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance diagnostic as a graded query: per frozen
+    centroid, how many corpus rows would route to it TODAY (nearest-
+    centroid assignment, the same rule incremental append uses) and the
+    L2 shift between the frozen centroid and those rows' actual mean —
+    the retrain trigger (`plans.ivf_index.index_drift_report`).
+
+    Deliberately non-degenerate even without synthetic drift: the index
+    is label-built (mean-per-label centroids) but assignment is
+    geometric, so rows whose nearest centroid is NOT their label's
+    produce nonzero shifts — the oracle re-derives the whole
+    assignment→mean→shift chain in SQL."""
+    from converttovectordb_spark.plans.ivf_index import index_drift_report
+
+    emb = load(spark, sf_dir, "embeddings")
+    index = _ivf_index_cached(spark, sf_dir)
+    out = index_drift_report(index, emb)
+    return out.select(
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        _round6(F.col("centroid_shift")).alias("centroid_shift"),
+    )
+
+
+ORACLE_INDEX_DRIFT = """
+WITH docs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+pos AS (
+  SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM docs
+),
+cpos AS (SELECT label, pos, avg(val) AS cval FROM pos GROUP BY label, pos),
+cent AS (SELECT label, list(cval ORDER BY pos) AS c FROM cpos GROUP BY label),
+assign AS (
+  SELECT vec_id, v, label AS cluster_id
+  FROM (
+    SELECT d.vec_id, d.v, ct.label,
+           row_number() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY list_sum(list_transform(list_zip(d.v, ct.c),
+                                              x -> (x[1] - x[2]) * (x[1] - x[2]))),
+                      ct.label
+           ) AS rn
+    FROM docs d CROSS JOIN cent ct
+  ) WHERE rn = 1
+),
+curpos AS (
+  SELECT cluster_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+  FROM assign
+),
+curmean AS (
+  SELECT cluster_id, list(avg_val ORDER BY pos) AS m
+  FROM (
+    SELECT cluster_id, pos, avg(val) AS avg_val
+    FROM curpos GROUP BY cluster_id, pos
+  ) GROUP BY cluster_id
+),
+counts AS (SELECT cluster_id, count(*) AS n_rows FROM assign GROUP BY cluster_id)
+SELECT CAST(ct.label AS BIGINT) AS cluster_id,
+       CAST(coalesce(counts.n_rows, 0) AS BIGINT) AS n_rows,
+       round(CAST(
+         CASE WHEN curmean.m IS NULL THEN NULL
+              ELSE sqrt(list_sum(list_transform(list_zip(ct.c, curmean.m),
+                                  x -> (x[1] - x[2]) * (x[1] - x[2]))))
+         END AS DOUBLE), 6) AS centroid_shift
+FROM cent ct
+LEFT JOIN curmean ON curmean.cluster_id = ct.label
+LEFT JOIN counts ON counts.cluster_id = ct.label
+ORDER BY ct.label
+"""
+
+
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DIAGNOSTIC recall dial: what an IVF partition that is NOT
     geometrically trained costs. The headline ANN recall metric is
@@ -7393,6 +7465,7 @@ QUERIES = {
     "mmr_rerank": q_mmr_rerank,
     "vector_ivf_knn_indexed": q_vector_ivf_knn_indexed,
     "vector_ivf_knn_filtered": q_vector_ivf_knn_filtered,
+    "index_drift": q_index_drift,
     "ivf_recall": q_ivf_recall,
     "ivf_recall_kmeans": q_ivf_recall_kmeans,
     "pq_recall": q_pq_recall,
@@ -7519,6 +7592,7 @@ ORACLES = {
     # the indexed variant differs only in physical layout.
     "vector_ivf_knn_indexed": ORACLE_VECTOR_IVF_KNN,
     "vector_ivf_knn_filtered": ORACLE_VECTOR_IVF_KNN_FILTERED,
+    "index_drift": ORACLE_INDEX_DRIFT,
     "ivf_recall": ORACLE_IVF_RECALL,
     "ivf_recall_kmeans": ORACLE_IVF_RECALL_KMEANS,
     "pq_recall": ORACLE_PQ_RECALL,
