@@ -241,6 +241,7 @@ class VectorEngine:
         fetch_k: int = 50,
         mmr_lambda: float = 0.5,
         truncate_chars: int | None = None,
+        corpus: DataFrame | None = None,
     ) -> DataFrame:
         """Two-stage diverse retrieval: relevance top-``fetch_k``
         (TakeOrderedAndProject over the corpus — the only stage that
@@ -279,7 +280,16 @@ class VectorEngine:
             return empty.select("score", "mmr", "mmr_rank", *display)
         qv = self.embedder([query_text])
         qv = np.asarray(qv, dtype=np.float64).reshape(-1).tolist()
-        corpus = self.load_corpus().withColumn(
+        # ``corpus`` lets the REST facade hand in its warm df-tier
+        # cache (prenormed — the extra norm column is dropped below so
+        # it cannot leak into display columns) instead of a cold
+        # store.load() per request.
+        from converttovectordb_spark.functions.vector import NORM_COL
+
+        base = corpus if corpus is not None else self.load_corpus()
+        if NORM_COL in base.columns:
+            base = base.drop(NORM_COL)
+        corpus = base.withColumn(
             "_rid", F.concat_ws("#", F.col("path"), F.col("chunk_index"))
         )
         from converttovectordb_spark.functions.vector import cosine_to_query

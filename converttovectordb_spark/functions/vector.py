@@ -32,6 +32,20 @@ def dot_product(a: Column, b: Column) -> Column:
     )
 
 
+def l2_sq_distance(a: Column, b: Column) -> Column:
+    """Σ (a_i − b_i)² as a sequential left-fold in float64 — the
+    squared-Euclidean used by centroid assignment and drift; one
+    definition so the fold order (and thus oracle bit-parity) cannot
+    drift between call sites."""
+    return F.aggregate(
+        F.zip_with(
+            _as_double(a), _as_double(b), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def l2_norm(a: Column) -> Column:
     """√(Σ a_i²) in float64."""
     ad = _as_double(a)

@@ -36,7 +36,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from converttovectordb_spark.functions.vector import cosine_similarity
+from converttovectordb_spark.functions.vector import (
+    cosine_similarity,
+    l2_sq_distance,
+)
 
 CENTROIDS_SUBDIR = "centroids"
 CORPUS_SUBDIR = "corpus"
@@ -395,8 +398,14 @@ class IVFIndex:
 
         Plan: the C centroids are packed into one broadcast 1-row array
         and the argmin is a single HOF projection — map-side, O(rows·C),
-        no shuffle, no training pass.
+        no shuffle, no training pass. Guards the embedding dimension
+        against the frozen centroids first (a re-embedded corpus of a
+        different dimension would otherwise zip_with into NULL
+        distances and route every row arbitrarily — a silently garbage
+        assignment where append and the drift report both need a loud
+        error).
         """
+        self._check_dim(docs, vec_col)
         packed = F.broadcast(
             self.centroids().agg(
                 F.collect_list(
@@ -407,16 +416,6 @@ class IVFIndex:
                 ).alias("_cents")
             )
         )
-
-        def _sqdist(c):
-            return F.aggregate(
-                F.zip_with(
-                    F.col("_v"), c, lambda x, y: (x - y) * (x - y)
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-
         return (
             docs.crossJoin(packed)
             .withColumn("_v", F.col(vec_col).cast("array<double>"))
@@ -426,7 +425,9 @@ class IVFIndex:
                     F.transform(
                         F.col("_cents"),
                         lambda c: F.struct(
-                            _sqdist(c["cvec"]).alias("d"),
+                            l2_sq_distance(F.col("_v"), c["cvec"]).alias(
+                                "d"
+                            ),
                             c["cid"].alias("cid"),
                         ),
                     )
@@ -434,6 +435,21 @@ class IVFIndex:
             )
             .drop("_cents", "_v")
         )
+
+    def _check_dim(self, docs: DataFrame, vec_col: str) -> None:
+        """Loud dimension guard against the frozen centroids; no-op for
+        an empty frame (callers handle empty separately)."""
+        first = docs.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            return
+        cent_first = self.centroids().select(
+            F.size(F.col("centroid")).alias("d")
+        ).first()
+        if int(first["d"]) != int(cent_first["d"]):
+            raise ValueError(
+                f"append dimension {first['d']} != index dimension "
+                f"{cent_first['d']}"
+            )
 
     def append(
         self,
@@ -509,18 +525,10 @@ class IVFIndex:
         """Shared append routing: dimension guard against the frozen
         centroids, then cluster assignment (caller's label column or
         nearest-frozen-centroid). None for an empty batch."""
-        first = new_docs.select(F.size(F.col(vec_col)).alias("d")).first()
-        if first is None:
+        if new_docs.select(F.lit(1)).first() is None:
             return None
-        cent_first = self.centroids().select(
-            F.size(F.col("centroid")).alias("d")
-        ).first()
-        if int(first["d"]) != int(cent_first["d"]):
-            raise ValueError(
-                f"append dimension {first['d']} != index dimension "
-                f"{cent_first['d']}"
-            )
         if cluster_col is not None:
+            self._check_dim(new_docs, vec_col)
             return (
                 new_docs
                 if cluster_col == CLUSTER_COL
@@ -993,40 +1001,48 @@ def index_drift_report(
     near 0 → the index still fits; large shifts or starved/bloated
     clusters (`n_rows` skew) → rebuild-and-swap.
 
-    Cost: one map-side assignment pass + a d×C-row mean shuffle —
-    linear, safe to run on a schedule against 100 TB.
+    Cost: ONE pass over the corpus — the assignment projection feeds a
+    single posexplode aggregation that carries both the per-position
+    means and the row count (count per (cluster, pos) equals the
+    cluster's row count, so no second corpus scan for counts) — plus a
+    d×C-row shuffle; linear, safe to run on a schedule against 100 TB.
     """
     assigned = index.assign_clusters(docs, vec_col=vec_col)
-    cur = mean_centroids(
-        assigned, cluster_col=CLUSTER_COL, vec_col=vec_col
-    ).withColumnRenamed("centroid", "current_mean")
-    counts = assigned.groupBy(CLUSTER_COL).agg(
-        F.count(F.lit(1)).alias("n_rows")
+    pos = assigned.select(
+        F.col(CLUSTER_COL),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    )
+    cur = (
+        pos.groupBy(CLUSTER_COL, "pos")
+        .agg(
+            F.avg("val").alias("cval"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .groupBy(CLUSTER_COL)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("cval")))
+                ),
+                lambda s: s.getField("cval"),
+            ).alias("current_mean"),
+            F.max("cnt").alias("n_rows"),
+        )
     )
     frozen = index.centroids().withColumnRenamed(
         "centroid", "frozen_centroid"
     )
+    # NULL current_mean (a starved cluster) propagates to a NULL shift
+    # through the fold on its own — no explicit branch needed
     shift = F.sqrt(
-        F.aggregate(
-            F.zip_with(
-                F.col("frozen_centroid").cast("array<double>"),
-                F.col("current_mean"),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        l2_sq_distance(F.col("frozen_centroid"), F.col("current_mean"))
     )
     return (
         frozen.join(cur, on=CLUSTER_COL, how="left")
-        .join(counts, on=CLUSTER_COL, how="left")
         .withColumn("n_rows", F.coalesce(F.col("n_rows"), F.lit(0)))
-        .withColumn(
-            "centroid_shift",
-            F.when(F.col("current_mean").isNull(), F.lit(None)).otherwise(
-                shift
-            ),
-        )
+        .withColumn("centroid_shift", shift)
         .select(CLUSTER_COL, "n_rows", "centroid_shift")
         .orderBy(CLUSTER_COL)
     )

@@ -353,7 +353,10 @@ def q_vector_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_VECTOR_IVF_KNN = """
+#: Shared template: the filtered variant differs ONLY by a pre-rank
+#: WHERE on the rerank join — one source of truth for tie-breaks and
+#: the zero-norm guard.
+_IVF_ORACLE_TEMPLATE = """
 WITH docs AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
 ),
@@ -391,7 +394,7 @@ scored AS (
            list_sum(list_transform(list_zip(p.q, d.v), x -> x[1] * x[2])) AS dot,
            sqrt(list_sum(list_transform(p.q, x -> x * x))) AS nq,
            sqrt(list_sum(list_transform(d.v, x -> x * x))) AS nd
-    FROM probe p JOIN docs d ON d.label = p.label
+    FROM probe p JOIN docs d ON d.label = p.label{extra_where}
   )
 ),
 ranked AS (
@@ -404,6 +407,8 @@ SELECT query_id, vec_id, round(CAST(score AS DOUBLE), 6) AS score,
        CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 3
 """
+
+ORACLE_VECTOR_IVF_KNN = _IVF_ORACLE_TEMPLATE.format(extra_where="")
 
 
 def q_vector_knn_selfjoin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -691,58 +696,9 @@ def q_vector_ivf_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_VECTOR_IVF_KNN_FILTERED = """
-WITH docs AS (
-  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-),
-probes AS (SELECT vec_id AS query_id, v AS q FROM docs WHERE vec_id < 8),
-pos AS (
-  SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM docs
-),
-cpos AS (SELECT label, pos, avg(val) AS cval FROM pos GROUP BY label, pos),
-cent AS (SELECT label, list(cval ORDER BY pos) AS c FROM cpos GROUP BY label),
-qc AS (
-  SELECT query_id, q, label,
-         CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS csim
-  FROM (
-    SELECT p.query_id, p.q, ct.label,
-           list_sum(list_transform(list_zip(p.q, ct.c), x -> x[1] * x[2])) AS dot,
-           sqrt(list_sum(list_transform(p.q, x -> x * x))) AS nq,
-           sqrt(list_sum(list_transform(ct.c, x -> x * x))) AS nc
-    FROM probes p CROSS JOIN cent ct
-  )
-),
-probe AS (
-  SELECT query_id, q, label
-  FROM (
-    SELECT query_id, q, label,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY csim DESC, label) AS crank
-    FROM qc
-  ) WHERE crank <= 2
-),
-scored AS (
-  SELECT query_id, vec_id,
-         CASE WHEN nq = 0 OR nd = 0 THEN 0.0 ELSE dot / (nq * nd) END AS score
-  FROM (
-    SELECT p.query_id, d.vec_id,
-           list_sum(list_transform(list_zip(p.q, d.v), x -> x[1] * x[2])) AS dot,
-           sqrt(list_sum(list_transform(p.q, x -> x * x))) AS nq,
-           sqrt(list_sum(list_transform(d.v, x -> x * x))) AS nd
-    FROM probe p JOIN docs d ON d.label = p.label
-    WHERE d.vec_id % 2 = 0
-  )
-),
-ranked AS (
-  SELECT query_id, vec_id, score,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, vec_id) AS rank
-  FROM scored
+ORACLE_VECTOR_IVF_KNN_FILTERED = _IVF_ORACLE_TEMPLATE.format(
+    extra_where="\n    WHERE d.vec_id % 2 = 0"
 )
-SELECT query_id, vec_id, round(CAST(score AS DOUBLE), 6) AS score,
-       CAST(rank AS INT) AS rank
-FROM ranked WHERE rank <= 3
-"""
 
 
 def q_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:

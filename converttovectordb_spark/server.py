@@ -10,7 +10,8 @@ top-k / scalar results out.
 
 Engine-native extensions beyond the reference surface (documented, not
 hidden): ``POST /search`` (text query through the embedder seam),
-``POST /hybrid`` (BM25+semantic RRF), ``POST /answer`` (RAG seam),
+``POST /hybrid`` (BM25+semantic RRF), ``POST /diverse`` (MMR
+diversity rerank), ``POST /answer`` (RAG seam),
 ``GET /history`` + ``POST /query`` with ``"version": N`` (time-travel
 snapshot reads against a transactional store).
 
@@ -437,22 +438,31 @@ class VectorDBApi:
 
 
     def diverse(self, body: dict) -> dict:
-        """MMR-diversified search — always the distributed engine path:
-        the first stage is a TakeOrderedAndProject over the corpus and
-        the rerank needs candidate EMBEDDINGS, which the warm serving
-        tiers deliberately strip; a matrix-tier MMR would be a second
-        rerank implementation for a verb whose cost is dominated by the
-        bounded greedy loop anyway."""
+        """MMR-diversified search. The distributed first stage rides
+        the warm df-tier cache when present (prenormed corpus with
+        embeddings, same reuse as /search); only the MATRIX tier is
+        skipped — it strips embeddings, which the rerank needs, and a
+        matrix-tier MMR would be a second rerank implementation for a
+        verb whose cost is dominated by the bounded greedy loop."""
         start = time.time()
         query = body.get("query")
         if not query:
             raise _ApiError(400, "No query provided")
+        # df-tier reuse: the cached prenormed corpus serves the first
+        # (relevance) stage instead of a cold store.load() per request;
+        # matrix tier falls through with corpus=None (it strips
+        # embeddings, which the MMR rerank needs).
+        handle = self._corpus_handle()
+        corpus = (
+            handle[1] if handle is not None and handle[0] == "df" else None
+        )
         try:
             hits = self.engine.search_diverse(
                 query,
                 body.get("top_k", 5),
                 fetch_k=body.get("fetch_k", 50),
                 mmr_lambda=body.get("mmr_lambda", 0.5),
+                corpus=corpus,
             )
         except ValueError as e:  # e.g. mmr_lambda out of [0, 1]
             raise _ApiError(400, str(e))
