@@ -76,6 +76,7 @@ class VectorEngine:
         *,
         repo_url: str | None = None,
         replace: bool = False,
+        semantic_dedup: float | None = None,
     ) -> DataFrame:
         """scan → chunk → embed → append. Returns the written batch.
 
@@ -83,6 +84,18 @@ class VectorEngine:
         only): re-ingesting a changed repo replaces each file's old
         chunks via merge-on-read tombstones instead of duplicating
         them — the incremental re-crawl story.
+
+        ``semantic_dedup=t`` drops batch rows whose nearest committed
+        neighbor has cosine ≥ t BEFORE the write — dedup-on-arrival
+        for paraphrase/boilerplate re-crawls the store-level
+        content-hash `append_dedup` cannot catch (it needs byte
+        equality). Shape: the batch is the SMALL side by construction,
+        so it broadcasts against one corpus scan (`knn_join` top-1) and
+        the corpus never shuffles — O(corpus) per ingest batch, the
+        same cost class as the exact-dedup anti-join. Batch-internal
+        near-dups are NOT collapsed (order within a batch is
+        arbitrary, so which copy survived would be nondeterministic —
+        the within-corpus `embedding_neardup` family owns that job).
 
         A9 pipeline metrics (reference repo_to_vector.py:58-64,452-467)
         ride the single write job as `df.observe` metrics plus an
@@ -121,6 +134,41 @@ class VectorEngine:
             "embedding",
             "timestamp",
         )
+        if semantic_dedup is not None:
+            if not 0.0 < semantic_dedup <= 1.0:
+                raise ValueError(
+                    f"semantic_dedup must be in (0, 1], got {semantic_dedup}"
+                )
+            if self.store.exists():
+                from converttovectordb_spark.operators.search import (
+                    knn_join,
+                )
+
+                probes = batch.select(
+                    F.concat_ws(
+                        "#", F.col("path"), F.col("chunk_index")
+                    ).alias("query_id"),
+                    F.col("embedding").alias("query_vec"),
+                )
+                corpus = self.store.load().select(
+                    F.concat_ws(
+                        "#", F.col("path"), F.col("chunk_index")
+                    ).alias("vec_id"),
+                    "embedding",
+                )
+                near = (
+                    knn_join(probes, corpus, top_k=1)
+                    .filter(F.col("score") >= F.lit(float(semantic_dedup)))
+                    .select(F.col("query_id").alias("_dup_rid"))
+                )
+                batch = batch.join(
+                    near,
+                    on=F.concat_ws(
+                        "#", F.col("path"), F.col("chunk_index")
+                    )
+                    == F.col("_dup_rid"),
+                    how="left_anti",
+                )
         if replace:
             if not isinstance(self.store, TransactionalDocumentStore):
                 raise ValueError(

@@ -337,3 +337,39 @@ def test_embedding_banded_injection_matches_direct_path(spark):
         )
     )
     assert direct == injected and len(direct) > 0
+
+
+def test_ingest_semantic_dedup_drops_near_dup_arrivals(spark, tmp_path):
+    """dedup-on-arrival: a re-crawled file whose content already sits
+    in the store (under ANOTHER path, so content-hash append_dedup by
+    (path,content) identity aside — byte-equal embeddings) is dropped
+    before the write; genuinely new content lands."""
+    from converttovectordb_spark.engine import VectorEngine
+
+    repo_a = tmp_path / "repo_a"
+    repo_a.mkdir()
+    (repo_a / "orig.txt").write_text("spark shuffles partition data " * 20)
+    repo_b = tmp_path / "repo_b"
+    repo_b.mkdir()
+    # same bytes, different path → same embedding → near-dup arrival
+    (repo_b / "copy.txt").write_text("spark shuffles partition data " * 20)
+    (repo_b / "fresh.txt").write_text("watermarks bound streaming state")
+
+    eng = VectorEngine(spark, str(tmp_path / "store"), dim=16)
+    eng.ingest(str(repo_a))
+    n0 = eng.store.load().count()
+    eng.ingest(str(repo_b), semantic_dedup=0.999)
+    rows = eng.store.load().collect()
+    paths = {r.path for r in rows}
+    assert any("fresh.txt" in p for p in paths)
+    assert not any("copy.txt" in p for p in paths)
+    assert eng.last_ingest_metrics["rows_written"] == len(rows) - n0
+
+    # threshold validated; empty store is a no-op path
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="semantic_dedup"):
+        eng.ingest(str(repo_b), semantic_dedup=1.5)
+    eng2 = VectorEngine(spark, str(tmp_path / "store2"), dim=16)
+    eng2.ingest(str(repo_b), semantic_dedup=0.9)  # no corpus yet: all land
+    assert eng2.store.load().count() > 0
