@@ -53,6 +53,11 @@ def _build_parser() -> argparse.ArgumentParser:
         help="upsert by file path (requires --transactional): changed "
         "files replace their old chunks instead of duplicating them",
     )
+    sp.add_argument(
+        "--semantic-dedup", type=float, default=None, metavar="T",
+        help="drop arriving chunks whose nearest committed neighbor "
+        "has cosine >= T (dedup-on-arrival for re-crawls)",
+    )
     common(sp)
 
     sp = sub.add_parser("search", help="top-k similarity search")
@@ -183,7 +188,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.command == "ingest":
         try:
-            eng.ingest(args.repo, repo_url=args.repo_url, replace=args.replace)
+            eng.ingest(
+                args.repo,
+                repo_url=args.repo_url,
+                replace=args.replace,
+                semantic_dedup=args.semantic_dedup,
+            )
         except ValueError as e:
             # e.g. --replace on a non-transactional store: the clean
             # JSON-error + exit-1 pattern compact/vacuum use, not a

@@ -37,6 +37,15 @@ def test_cli_ingest_search_stats_clear(tmp_path):
     se = _run("search", "--query", "return 42", "--top-k", "2", *common)
     assert isinstance(se["results"], list)
 
+    # dedup-on-arrival: re-ingesting the same repo with a semantic
+    # threshold writes nothing (every chunk's nearest neighbor is its
+    # own committed copy at cosine 1.0)
+    re_ing = _run(
+        "ingest", "--repo", str(repo), "--semantic-dedup", "0.999", *common
+    )
+    assert re_ing["rows_written"] == 0
+    assert _run("stats", *common)["total_documents"] == ing["rows_written"]
+
     hy = _run("hybrid", "--query", "return 42", "--top-k", "2", *common)
     assert isinstance(hy["results"], list) and len(hy["results"]) <= 2
 
