@@ -49,6 +49,13 @@ from converttovectordb_spark.sources.store import (
 )
 
 
+def _row_id():
+    """The engine-wide row identity: path#chunk_index. ONE definition —
+    joins across the store, the IVF index, and the dedup paths all key
+    on this expression and must stay byte-identical."""
+    return F.concat_ws("#", F.col("path"), F.col("chunk_index"))
+
+
 class VectorEngine:
     def __init__(
         self,
@@ -90,9 +97,13 @@ class VectorEngine:
         for paraphrase/boilerplate re-crawls the store-level
         content-hash `append_dedup` cannot catch (it needs byte
         equality). Shape: the batch is the SMALL side by construction,
-        so it broadcasts against one corpus scan (`knn_join` top-1) and
-        the corpus never shuffles — O(corpus) per ingest batch, the
-        same cost class as the exact-dedup anti-join. Batch-internal
+        so it broadcasts prenormalized against one corpus scan, the
+        pair filter runs map-side (a threshold test needs no rank
+        window), and the only exchange carries the distinct duplicate
+        ids — the corpus never shuffles; O(corpus) scan per ingest
+        batch. Mutually exclusive with ``replace=True`` (upsert
+        tombstones every old chunk of a touched path; dedup would stop
+        the unchanged ones from being rewritten). Batch-internal
         near-dups are NOT collapsed (order within a batch is
         arbitrary, so which copy survived would be nondeterministic —
         the within-corpus `embedding_neardup` family owns that job).
@@ -110,6 +121,20 @@ class VectorEngine:
         parallel write there is no meaningful per-row wall order."""
         from pyspark.sql import Observation
 
+        if semantic_dedup is not None:
+            if not 0.0 < semantic_dedup <= 1.0:
+                # precondition: before the clone side effect
+                raise ValueError(
+                    f"semantic_dedup must be in (0, 1], got {semantic_dedup}"
+                )
+            if replace:
+                raise ValueError(
+                    "semantic_dedup cannot be combined with replace=True: "
+                    "upsert tombstones EVERY old chunk of a path while "
+                    "dedup drops the unchanged chunks from the batch — "
+                    "the surviving old chunks would never be rewritten "
+                    "and silently vanish from the live snapshot"
+                )
         t0 = time.time()
         if repo_url:
             clone_repository(repo_url, repo_path)
@@ -134,41 +159,43 @@ class VectorEngine:
             "embedding",
             "timestamp",
         )
-        if semantic_dedup is not None:
-            if not 0.0 < semantic_dedup <= 1.0:
-                raise ValueError(
-                    f"semantic_dedup must be in (0, 1], got {semantic_dedup}"
-                )
-            if self.store.exists():
-                from converttovectordb_spark.operators.search import (
-                    knn_join,
-                )
+        if semantic_dedup is not None and self.store.exists():
+            from converttovectordb_spark.functions.vector import (
+                dot_product,
+                l2_normalize,
+            )
 
-                probes = batch.select(
-                    F.concat_ws(
-                        "#", F.col("path"), F.col("chunk_index")
-                    ).alias("query_id"),
-                    F.col("embedding").alias("query_vec"),
+            # Materialize the batch ONCE: it appears on both sides of
+            # the dedup decision (broadcast probe + anti-join left), so
+            # an uncached lineage would run the embed UDF twice and
+            # double-fire the metrics observations/accumulator.
+            batch = batch.persist()
+            self._batch_to_unpersist = batch
+            # Threshold test, not a ranking: broadcast the prenormed
+            # batch against ONE corpus scan, filter pairs on the dot,
+            # and anti-join the distinct duplicate ids — no rank
+            # window, so no |batch|x|corpus| shuffle; the only
+            # exchange carries the (small) duplicate id set.
+            probes = batch.select(
+                _row_id().alias("_bid"),
+                l2_normalize(F.col("embedding")).alias("_bq"),
+            )
+            corpus_u = self.store.load().select(
+                l2_normalize(F.col("embedding")).alias("_cq")
+            )
+            dup_ids = (
+                F.broadcast(probes)
+                .crossJoin(corpus_u)
+                .filter(
+                    dot_product(F.col("_bq"), F.col("_cq"))
+                    >= F.lit(float(semantic_dedup))
                 )
-                corpus = self.store.load().select(
-                    F.concat_ws(
-                        "#", F.col("path"), F.col("chunk_index")
-                    ).alias("vec_id"),
-                    "embedding",
-                )
-                near = (
-                    knn_join(probes, corpus, top_k=1)
-                    .filter(F.col("score") >= F.lit(float(semantic_dedup)))
-                    .select(F.col("query_id").alias("_dup_rid"))
-                )
-                batch = batch.join(
-                    near,
-                    on=F.concat_ws(
-                        "#", F.col("path"), F.col("chunk_index")
-                    )
-                    == F.col("_dup_rid"),
-                    how="left_anti",
-                )
+                .select("_bid")
+                .distinct()
+            )
+            batch = batch.join(
+                dup_ids, on=_row_id() == F.col("_bid"), how="left_anti"
+            )
         if replace:
             if not isinstance(self.store, TransactionalDocumentStore):
                 raise ValueError(
@@ -193,6 +220,10 @@ class VectorEngine:
             "embedding_time": float(embed_acc.value),
             "total_time": time.time() - t0,
         }
+        cached = getattr(self, "_batch_to_unpersist", None)
+        if cached is not None:
+            cached.unpersist()
+            self._batch_to_unpersist = None
         return batch
 
     @staticmethod
@@ -338,7 +369,7 @@ class VectorEngine:
         if NORM_COL in base.columns:
             base = base.drop(NORM_COL)
         corpus = base.withColumn(
-            "_rid", F.concat_ws("#", F.col("path"), F.col("chunk_index"))
+            "_rid", _row_id()
         )
         from converttovectordb_spark.functions.vector import cosine_to_query
 
@@ -423,7 +454,7 @@ class VectorEngine:
         docs = (
             corpus if corpus is not None else self.store.load()
         ).withColumn(
-            "_rid", F.concat_ws("#", F.col("path"), F.col("chunk_index"))
+            "_rid", _row_id()
         )
         terms = [t for t in query_text.lower().split() if t]
 
@@ -544,7 +575,7 @@ class VectorEngine:
             "query_index int, query_text string, query_vec array<double>",
         )
         docs = self.store.load().withColumn(
-            "_rid", F.concat_ws("#", F.col("path"), F.col("chunk_index"))
+            "_rid", _row_id()
         )
         hits = knn_join(
             queries,
@@ -628,7 +659,7 @@ class VectorEngine:
         docs = self._dedup_row_ids(
             self.store.load().withColumn(
                 "_row_id",
-                F.concat_ws("#", F.col("path"), F.col("chunk_index")),
+                _row_id(),
             )
         )
         if transactional:
@@ -720,7 +751,7 @@ class VectorEngine:
         docs = self._dedup_row_ids(
             self.store.load().withColumn(
                 "_row_id",
-                F.concat_ws("#", F.col("path"), F.col("chunk_index")),
+                _row_id(),
             )
         )
         indexed_ids = index.corpus().select("_row_id")

@@ -366,10 +366,25 @@ def test_ingest_semantic_dedup_drops_near_dup_arrivals(spark, tmp_path):
     assert eng.last_ingest_metrics["rows_written"] == len(rows) - n0
 
     # threshold validated; empty store is a no-op path
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="semantic_dedup"):
+    with pytest.raises(ValueError, match="semantic_dedup"):
         eng.ingest(str(repo_b), semantic_dedup=1.5)
     eng2 = VectorEngine(spark, str(tmp_path / "store2"), dim=16)
     eng2.ingest(str(repo_b), semantic_dedup=0.9)  # no corpus yet: all land
     assert eng2.store.load().count() > 0
+
+
+def test_ingest_semantic_dedup_rejects_replace_combo(spark, tmp_path):
+    """replace tombstones every old chunk of a touched path; dedup
+    would drop the unchanged chunks from the batch so they'd never be
+    rewritten — the combination must refuse loudly, before any work."""
+    from converttovectordb_spark.engine import VectorEngine
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    (repo / "a.txt").write_text("some document content here")
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), dim=16, transactional=True
+    )
+    eng.ingest(str(repo))
+    with pytest.raises(ValueError, match="replace"):
+        eng.ingest(str(repo), replace=True, semantic_dedup=0.9)
