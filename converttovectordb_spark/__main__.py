@@ -56,7 +56,19 @@ def _build_parser() -> argparse.ArgumentParser:
     sp.add_argument(
         "--semantic-dedup", type=float, default=None, metavar="T",
         help="drop arriving chunks whose nearest committed neighbor "
-        "has cosine >= T (dedup-on-arrival for re-crawls)",
+        "has cosine >= T (dedup-on-arrival for re-crawls); scans only "
+        "the probed IVF cluster partitions when a fresh index covers "
+        "the store, full corpus otherwise",
+    )
+    sp.add_argument(
+        "--semantic-dedup-nprobe", type=int, default=2, metavar="N",
+        help="clusters probed per arriving chunk on the indexed "
+        "dedup path (recall/cost dial; ignored without an index)",
+    )
+    sp.add_argument(
+        "--within-batch-dedup", action="store_true",
+        help="also collapse near-dups INSIDE the arriving batch "
+        "(keep-lowest (path, chunk_index) rule)",
     )
     common(sp)
 
@@ -193,6 +205,8 @@ def main(argv: list[str] | None = None) -> int:
                 repo_url=args.repo_url,
                 replace=args.replace,
                 semantic_dedup=args.semantic_dedup,
+                semantic_dedup_nprobe=args.semantic_dedup_nprobe,
+                semantic_dedup_within_batch=args.within_batch_dedup,
             )
         except ValueError as e:
             # e.g. --replace on a non-transactional store: the clean

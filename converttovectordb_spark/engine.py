@@ -84,6 +84,8 @@ class VectorEngine:
         repo_url: str | None = None,
         replace: bool = False,
         semantic_dedup: float | None = None,
+        semantic_dedup_nprobe: int = 2,
+        semantic_dedup_within_batch: bool = False,
     ) -> DataFrame:
         """scan → chunk → embed → append. Returns the written batch.
 
@@ -96,17 +98,42 @@ class VectorEngine:
         neighbor has cosine ≥ t BEFORE the write — dedup-on-arrival
         for paraphrase/boilerplate re-crawls the store-level
         content-hash `append_dedup` cannot catch (it needs byte
-        equality). Shape: the batch is the SMALL side by construction,
-        so it broadcasts prenormalized against one corpus scan, the
-        pair filter runs map-side (a threshold test needs no rank
-        window), and the only exchange carries the distinct duplicate
-        ids — the corpus never shuffles; O(corpus) scan per ingest
-        batch. Mutually exclusive with ``replace=True`` (upsert
-        tombstones every old chunk of a touched path; dedup would stop
-        the unchanged ones from being rewritten). Batch-internal
-        near-dups are NOT collapsed (order within a batch is
-        arbitrary, so which copy survived would be nondeterministic —
-        the within-corpus `embedding_neardup` family owns that job).
+        equality). Scale shape: when an IVF index covers the store
+        (attached via `build_index`/`open_index`, healed to freshness
+        — see `_fresh_index_for_dedup`), the threshold test scans ONLY
+        the batch's probed cluster partitions: probe the frozen
+        centroids (broadcast × broadcast), turn the probed cluster ids
+        into a static partition filter (directory-level pruning, the
+        `vector_ivf_knn_filtered` shape), and run the cosine test as a
+        cluster-id equi-join — per-batch cost O(batch × nprobe/C of
+        the corpus FILES), never a full corpus read. Without a usable
+        index the documented fallback broadcasts the prenormalized
+        batch against one full corpus scan (map-side filter, the only
+        exchange carries the distinct duplicate ids — the corpus never
+        shuffles) — fine for small stores, O(corpus) per batch at
+        scale, which is why the indexed path exists. The duplicate
+        DECISIONS of the indexed path are those of SemDeDup-style
+        cluster-pruned search: a committed near-neighbor outside the
+        probed clusters is invisible (raise ``semantic_dedup_nprobe``
+        for more recall); the indexed corpus is the serving corpus
+        (newest copy per `_row_id` — see `_dedup_row_ids`).
+
+        Mutually exclusive with ``replace=True`` (upsert tombstones
+        every old chunk of a touched path; dedup would stop the
+        unchanged ones from being rewritten).
+
+        ``semantic_dedup_within_batch=True`` additionally collapses
+        near-dups INSIDE the arriving batch (two paraphrase copies in
+        one crawl batch) with the deterministic keep-lowest rule: a
+        batch row is dropped when ANY batch row with a lower
+        ``(path, chunk_index)`` key lies within the threshold —
+        independent of whether that lower row itself survives the
+        corpus test, so the decision is a local one-pass rule with no
+        order sensitivity. Off by default: the within-corpus
+        `embedding_neardup` family remains the bulk tool. Cost is one
+        batch × batch broadcast pass — bounded by the ingest batch
+        contract (the batch is the SMALL side by construction), never
+        corpus-sized.
 
         A9 pipeline metrics (reference repo_to_vector.py:58-64,452-467)
         ride the single write job as `df.observe` metrics plus an
@@ -159,11 +186,10 @@ class VectorEngine:
             "embedding",
             "timestamp",
         )
-        if semantic_dedup is not None and self.store.exists():
-            from converttovectordb_spark.functions.vector import (
-                dot_product,
-                l2_normalize,
-            )
+        if semantic_dedup is not None and (
+            self.store.exists() or semantic_dedup_within_batch
+        ):
+            from converttovectordb_spark.functions.vector import l2_normalize
 
             # Materialize the batch ONCE: it appears on both sides of
             # the dedup decision (broadcast probe + anti-join left), so
@@ -171,28 +197,28 @@ class VectorEngine:
             # double-fire the metrics observations/accumulator.
             batch = batch.persist()
             self._batch_to_unpersist = batch
-            # Threshold test, not a ranking: broadcast the prenormed
-            # batch against ONE corpus scan, filter pairs on the dot,
-            # and anti-join the distinct duplicate ids — no rank
-            # window, so no |batch|x|corpus| shuffle; the only
-            # exchange carries the (small) duplicate id set.
             probes = batch.select(
                 _row_id().alias("_bid"),
                 l2_normalize(F.col("embedding")).alias("_bq"),
             )
-            corpus_u = self.store.load().select(
-                l2_normalize(F.col("embedding")).alias("_cq")
-            )
-            dup_ids = (
-                F.broadcast(probes)
-                .crossJoin(corpus_u)
-                .filter(
-                    dot_product(F.col("_bq"), F.col("_cq"))
-                    >= F.lit(float(semantic_dedup))
+            dup_ids = None
+            if self.store.exists():
+                threshold = float(semantic_dedup)
+                index = self._fresh_index_for_dedup()
+                if index is not None:
+                    dup_ids = self._dup_ids_pruned(
+                        probes, index, threshold, semantic_dedup_nprobe
+                    )
+                else:
+                    dup_ids = self._dup_ids_brute(probes, threshold)
+            if semantic_dedup_within_batch:
+                wb = self._dup_ids_within_batch(
+                    batch, float(semantic_dedup)
                 )
-                .select("_bid")
-                .distinct()
-            )
+                dup_ids = (
+                    wb if dup_ids is None
+                    else dup_ids.unionByName(wb).distinct()
+                )
             batch = batch.join(
                 dup_ids, on=_row_id() == F.col("_bid"), how="left_anti"
             )
@@ -225,6 +251,153 @@ class VectorEngine:
             cached.unpersist()
             self._batch_to_unpersist = None
         return batch
+
+    # -- ingest semantic-dedup internals ----------------------------------
+    def _fresh_index_for_dedup(self):
+        """Best-effort FRESH index for the ingest-dedup pruned scan;
+        None → the caller uses the brute full-scan fallback.
+
+        Fresh means the index corpus provably covers the committed
+        store (the staleness token is earned, the same guard
+        `search_indexed` enforces): an index missing recently committed
+        rows would silently miss duplicates against exactly the newest
+        content — the rows a re-crawl is most likely to duplicate. So
+        a stale attached index is HEALED here via `append_to_index`
+        (O(store delta), idempotent, the sanctioned maintenance path —
+        dedup-on-arrival at scale implies the index tracks the corpus),
+        and when nothing is attached the published CURRENT pointer is
+        opened with the same healing refresh. Failures — no index
+        anywhere, or orphaned index rows after a replace/clear (rebuild
+        territory) — degrade to None rather than failing the ingest:
+        the index is purely the pruning vehicle for the threshold test,
+        never a correctness dependency (the brute path is always
+        available and always sound)."""
+        if getattr(self, "_index", None) is None:
+            try:
+                self.open_index(refresh=True)
+            except RuntimeError:
+                return None
+        if self.store.state_token() != getattr(self, "_index_token", None):
+            try:
+                self.append_to_index()
+            except RuntimeError:
+                return None
+        if self.store.state_token() != getattr(self, "_index_token", None):
+            return None
+        return self._index
+
+    def _dup_ids_pruned(
+        self,
+        probes: DataFrame,
+        index,
+        threshold: float,
+        nprobe: int,
+    ) -> DataFrame:
+        """IVF-pruned dedup threshold test: batch ids whose committed
+        near-neighbor (cosine ≥ threshold) sits inside the batch's
+        probed clusters.
+
+        Shape (the `vector_ivf_knn_filtered` scan pattern): probe the
+        frozen centroids per batch row (broadcast × broadcast), collect
+        the DISTINCT probed cluster ids — O(batch × nprobe) ints, the
+        price of a *static* partition filter Catalyst applies at
+        planning time — then scan ONLY those cluster partitions
+        (directory-level PartitionFilters, plan-asserted in
+        `test_dedup.py`) and run the cosine test as a cluster-id
+        equi-join against the broadcast probe assignment. No rank
+        window (a threshold test needs none) and no corpus shuffle;
+        the only exchange carries the distinct duplicate ids."""
+        from converttovectordb_spark.functions.vector import dot_product
+        from converttovectordb_spark.functions.vector import l2_normalize
+        from converttovectordb_spark.plans.ivf_index import CLUSTER_COL
+
+        probe = index.probe_clusters(
+            probes, nprobe, query_id_col="_bid", query_vec_col="_bq"
+        )
+        cluster_ids = sorted(
+            int(r[0])
+            for r in probe.select(CLUSTER_COL).distinct().collect()
+        )
+        if not cluster_ids:  # empty batch → nothing to drop
+            return probes.select("_bid").limit(0)
+        corpus_u = index.pruned_corpus(cluster_ids).select(
+            F.col(CLUSTER_COL),
+            l2_normalize(F.col("embedding")).alias("_cq"),
+        )
+        return (
+            F.broadcast(probe)
+            .join(corpus_u, on=CLUSTER_COL)
+            .filter(
+                dot_product(F.col("_qvec"), F.col("_cq"))
+                >= F.lit(threshold)
+            )
+            .select("_bid")
+            .distinct()
+        )
+
+    def _dup_ids_brute(
+        self, probes: DataFrame, threshold: float
+    ) -> DataFrame:
+        """No-index fallback: broadcast the prenormalized batch against
+        ONE full corpus scan and filter pairs map-side. Sound at any
+        size but O(corpus) per ingest batch — the indexed path
+        (`_dup_ids_pruned`) is the 100 TB shape."""
+        from converttovectordb_spark.functions.vector import dot_product
+        from converttovectordb_spark.functions.vector import l2_normalize
+
+        corpus_u = self.store.load().select(
+            l2_normalize(F.col("embedding")).alias("_cq")
+        )
+        return (
+            F.broadcast(probes)
+            .crossJoin(corpus_u)
+            .filter(
+                dot_product(F.col("_bq"), F.col("_cq"))
+                >= F.lit(threshold)
+            )
+            .select("_bid")
+            .distinct()
+        )
+
+    @staticmethod
+    def _dup_ids_within_batch(
+        batch: DataFrame, threshold: float
+    ) -> DataFrame:
+        """Within-batch collapse, keep-lowest rule: a batch row is a
+        duplicate when ANY batch row with a strictly lower
+        ``(path, chunk_index)`` key is within the cosine threshold —
+        whether or not that lower row itself survives. Local, one-pass,
+        deterministic (the key order is total). Batch × batch broadcast
+        pass, bounded by the ingest batch contract — never
+        corpus-sized."""
+        from converttovectordb_spark.functions.vector import dot_product
+        from converttovectordb_spark.functions.vector import l2_normalize
+
+        lhs = batch.select(
+            F.col("path").alias("_pa"),
+            F.col("chunk_index").alias("_ca"),
+            l2_normalize(F.col("embedding")).alias("_ua"),
+        )
+        rhs = batch.select(
+            F.col("path").alias("_pb"),
+            F.col("chunk_index").alias("_cb"),
+            l2_normalize(F.col("embedding")).alias("_ub"),
+            _row_id().alias("_bid"),
+        )
+        earlier = (F.col("_pa") < F.col("_pb")) | (
+            (F.col("_pa") == F.col("_pb")) & (F.col("_ca") < F.col("_cb"))
+        )
+        return (
+            F.broadcast(lhs)
+            .crossJoin(rhs)
+            .filter(earlier)
+            .filter(
+                dot_product(F.col("_ua"), F.col("_ub"))
+                >= F.lit(threshold)
+            )
+            .select("_bid")
+            .distinct()
+        )
 
     @staticmethod
     def _dedup_row_ids(docs: DataFrame) -> DataFrame:

@@ -373,6 +373,202 @@ def test_ingest_semantic_dedup_drops_near_dup_arrivals(spark, tmp_path):
     assert eng2.store.load().count() > 0
 
 
+def _crawl(tmp_path, name, files):
+    repo = tmp_path / name
+    repo.mkdir()
+    for fname, text in files.items():
+        (repo / fname).write_text(text)
+    return str(repo)
+
+
+ORIG = "spark shuffles partition data across executors " * 20
+FRESH = "watermarks bound the streaming state store growth"
+
+
+def test_ingest_semantic_dedup_pruned_matches_brute(spark, tmp_path):
+    """The IVF-bucketed dedup-on-arrival path (a fresh index attached)
+    must make the SAME drop decisions as the brute full-scan fallback
+    on a fixture where the near-dup lands in its copy's cluster (an
+    identical vector always routes to the identical nearest frozen
+    centroid, so nprobe=1 suffices)."""
+    from converttovectordb_spark.engine import VectorEngine
+
+    seed = {
+        "orig.txt": ORIG,
+        "a.txt": "completely different words about parquet file footers",
+        "b.txt": "a third topic entirely the catalyst optimizer rules",
+    }
+    arrival = {"copy.txt": ORIG, "fresh.txt": FRESH}
+
+    # brute engine: no index anywhere
+    eb = VectorEngine(spark, str(tmp_path / "store_brute"), dim=16)
+    eb.ingest(_crawl(tmp_path, "seed_b", seed))
+    eb.ingest(
+        _crawl(tmp_path, "arr_b", arrival), semantic_dedup=0.999
+    )
+    brute_paths = sorted(
+        r.path.rsplit("/", 1)[-1] for r in eb.store.load().collect()
+    )
+
+    # indexed engine: same corpus, fresh IVF index attached
+    ei = VectorEngine(spark, str(tmp_path / "store_ivf"), dim=16)
+    ei.ingest(_crawl(tmp_path, "seed_i", seed))
+    ei.build_index(num_clusters=3)
+    ei.ingest(
+        _crawl(tmp_path, "arr_i", arrival),
+        semantic_dedup=0.999,
+        semantic_dedup_nprobe=1,
+    )
+    ivf_paths = sorted(
+        r.path.rsplit("/", 1)[-1] for r in ei.store.load().collect()
+    )
+    assert ivf_paths == brute_paths
+    assert "fresh.txt" in ivf_paths and "copy.txt" not in ivf_paths
+
+
+def test_ingest_semantic_dedup_pruned_plan_has_partition_filter(
+    spark, tmp_path
+):
+    """The indexed dedup threshold test must scan ONLY probed cluster
+    partitions: the corpus read carries a cluster_id PartitionFilter
+    (directory pruning) — never a full-corpus scan node."""
+    from converttovectordb_spark.engine import VectorEngine, _row_id
+    from converttovectordb_spark.functions.vector import l2_normalize
+    from converttovectordb_spark.plans import physical_plan
+
+    eng = VectorEngine(spark, str(tmp_path / "store"), dim=16)
+    eng.ingest(
+        _crawl(
+            tmp_path,
+            "seed",
+            {
+                "orig.txt": ORIG,
+                "a.txt": "completely different words about parquet footers",
+                "b.txt": "a third topic entirely the catalyst rules",
+            },
+        )
+    )
+    index = eng.build_index(num_clusters=3)
+    probes = eng.store.load().limit(1).select(
+        _row_id().alias("_bid"),
+        l2_normalize(F.col("embedding")).alias("_bq"),
+    )
+    dup_ids = eng._dup_ids_pruned(probes, index, 0.999, 1)
+    plan = physical_plan(dup_ids)
+    assert "PartitionFilters: [" in plan
+    pruned_scans = [
+        seg.split("]")[0]
+        for seg in plan.split("PartitionFilters:")[1:]
+    ]
+    assert any("cluster_id" in seg for seg in pruned_scans)
+    # with nprobe=1 of 3 clusters, the pruned path really drops the dup
+    assert dup_ids.count() == 1
+
+
+def test_ingest_semantic_dedup_heals_stale_index(spark, tmp_path):
+    """A store that moved past the index (an ingest after build_index)
+    must NOT silently miss duplicates of the newest rows: the dedup
+    path heals the index first (append_to_index), so a near-dup of the
+    post-build content is still caught, pruned."""
+    from converttovectordb_spark.engine import VectorEngine
+
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), dim=16, transactional=True
+    )
+    eng.ingest(
+        _crawl(
+            tmp_path,
+            "seed",
+            {
+                "a.txt": "completely different words about parquet footers",
+                "b.txt": "a third topic entirely the catalyst rules",
+            },
+        )
+    )
+    eng.build_index(num_clusters=2, transactional=True)
+    # index is now stale relative to this second commit
+    eng.ingest(_crawl(tmp_path, "late", {"orig.txt": ORIG}))
+    eng.ingest(
+        _crawl(tmp_path, "arr", {"copy.txt": ORIG, "fresh.txt": FRESH}),
+        semantic_dedup=0.999,
+    )
+    names = {
+        r.path.rsplit("/", 1)[-1] for r in eng.store.load().collect()
+    }
+    assert "fresh.txt" in names and "copy.txt" not in names
+    # the heal really indexed the late row (not just scanned it brute)
+    assert {
+        r["_row_id"].rsplit("/", 1)[-1]
+        for r in eng._index.corpus().select("_row_id").collect()
+    } >= {"orig.txt#0"}
+
+
+def test_ingest_semantic_dedup_opens_published_index(spark, tmp_path):
+    """Fresh process: nothing attached, but a CURRENT transactional
+    index is published — the dedup path opens it (with the healing
+    refresh) instead of falling back to the brute full scan."""
+    from converttovectordb_spark.engine import VectorEngine
+
+    store = str(tmp_path / "store")
+    e1 = VectorEngine(spark, store, dim=16, transactional=True)
+    e1.ingest(
+        _crawl(
+            tmp_path,
+            "seed",
+            {
+                "orig.txt": ORIG,
+                "a.txt": "completely different words about parquet footers",
+            },
+        )
+    )
+    e1.build_index(num_clusters=2, transactional=True)
+
+    e2 = VectorEngine(spark, store, dim=16, transactional=True)
+    assert getattr(e2, "_index", None) is None
+    e2.ingest(
+        _crawl(tmp_path, "arr", {"copy.txt": ORIG, "fresh.txt": FRESH}),
+        semantic_dedup=0.999,
+    )
+    assert e2._index is not None  # opened CURRENT, not brute
+    names = {
+        r.path.rsplit("/", 1)[-1] for r in e2.store.load().collect()
+    }
+    assert "fresh.txt" in names and "copy.txt" not in names
+
+
+def test_ingest_within_batch_dedup_keeps_lowest_key(spark, tmp_path):
+    """Two paraphrase copies arriving in ONE batch: the keep-lowest
+    (path, chunk_index) rule lands exactly the lexicographically
+    first copy — deterministic, re-runnable."""
+    from converttovectordb_spark.engine import VectorEngine
+
+    eng = VectorEngine(spark, str(tmp_path / "store"), dim=16)
+    eng.ingest(
+        _crawl(
+            tmp_path,
+            "arr",
+            {"dup1.txt": ORIG, "dup2.txt": ORIG, "fresh.txt": FRESH},
+        ),
+        semantic_dedup=0.999,
+        semantic_dedup_within_batch=True,
+    )
+    names = sorted(
+        r.path.rsplit("/", 1)[-1] for r in eng.store.load().collect()
+    )
+    assert names == ["dup1.txt", "fresh.txt"]
+    # default (opt-out) keeps both copies — the documented behavior
+    eng2 = VectorEngine(spark, str(tmp_path / "store2"), dim=16)
+    eng2.ingest(
+        _crawl(
+            tmp_path,
+            "arr2",
+            {"dup1.txt": ORIG, "dup2.txt": ORIG},
+        ),
+        semantic_dedup=0.999,
+    )
+    assert eng2.store.load().count() == 2
+
+
 def test_ingest_semantic_dedup_rejects_replace_combo(spark, tmp_path):
     """replace tombstones every old chunk of a touched path; dedup
     would drop the unchanged chunks from the batch so they'd never be
