@@ -45,6 +45,17 @@ CENTROIDS_SUBDIR = "centroids"
 CORPUS_SUBDIR = "corpus"
 CLUSTER_COL = "cluster_id"
 
+#: Ceiling on the number of queries `IVFIndex.search(adc_shortlist=...)`
+#: accepts. The IVFADC plan builds ONE driver-side ADC leg per query
+#: (each query's lookup table is inlined as a literal codegen
+#: expression), so plan size grows linearly with Q — right for
+#: serving-sized batches, pathological for curation-sized ones. The
+#: guard turns the silent degradation into a loud redirect to the
+#: corpus-scale path (`operators.search.ivf_knn_join_shuffled`), which
+#: shuffles queries and corpus on the cluster key instead of building
+#: per-query plans.
+ADC_MAX_QUERIES = 64
+
 
 def mean_centroids(
     docs: DataFrame,
@@ -293,7 +304,11 @@ class IVFIndex:
         per-query lookup tables inlined as one codegen expression),
         keep the top-N per query, and run exact cosine only on those N
         full vectors — the probed partitions' embedding bytes are read
-        for N rows per query instead of every row.
+        for N rows per query instead of every row. The ADC mode is
+        capped at ``ADC_MAX_QUERIES`` queries (one driver-built plan
+        leg each — plan size is linear in Q); curation-sized query
+        batches belong on `operators.search.ivf_knn_join_shuffled`,
+        which raises here instead of degrading silently.
         """
         probe = self.probe_clusters(
             queries, nprobe, query_id_col=query_id_col, query_vec_col=query_vec_col
@@ -332,8 +347,17 @@ class IVFIndex:
                 by_q.setdefault(qid, ([], pr["_qvec"]))[0].append(
                     int(pr[CLUSTER_COL])
                 )
+            if len(by_q) > ADC_MAX_QUERIES:
+                raise ValueError(
+                    f"adc_shortlist builds one driver-side ADC plan leg "
+                    f"per query and got {len(by_q)} queries "
+                    f"(> ADC_MAX_QUERIES={ADC_MAX_QUERIES}) — this is a "
+                    "serving path for small query batches; for "
+                    "corpus-scale KNN joins use "
+                    "operators.search.ivf_knn_join_shuffled"
+                )
             all_codes = self.pq_codes()
-            # One ADC leg per query (few queries by serving contract);
+            # One ADC leg per query (enforced serving-sized above);
             # each leg scans only that query's probed code partitions
             # (static partition filter) and keeps adc_shortlist rows.
             shortlists = []

@@ -187,6 +187,42 @@ def test_engine_ivfadc_index_path(spark, tmp_path, corpus):
         plain.search(probes, top_k=1, adc_shortlist=5)
 
 
+def test_adc_query_batch_guard(spark, tmp_path, corpus, monkeypatch):
+    """The IVFADC mode builds one driver-side plan leg per query, so a
+    curation-sized query batch must be refused loudly (pointing at the
+    shuffled corpus-scale join), not accepted into a Q-legged plan.
+    The exact (non-ADC) mode has no such cap. The cap is patched small
+    so the boundary case stays a fast test."""
+    import converttovectordb_spark.plans.ivf_index as ivf_mod
+
+    idx = ivf_mod.build_ivf_index(
+        corpus,
+        str(tmp_path / "ivfadc_guard"),
+        num_clusters=4,
+        seed=3,
+        pq_m=M,
+        pq_k=K,
+        pq_id_cols=("vec_id",),
+    )
+    monkeypatch.setattr(ivf_mod, "ADC_MAX_QUERIES", 4)
+    big = corpus.limit(5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    with pytest.raises(ValueError, match="ivf_knn_join_shuffled"):
+        idx.search(big, top_k=1, nprobe=1, adc_shortlist=5)
+    # at the cap exactly: allowed
+    at_cap = corpus.limit(4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    assert (
+        idx.search(at_cap, top_k=1, nprobe=1, adc_shortlist=5).count() > 0
+    )
+    # the exact path takes the same batch without a cap
+    assert idx.search(big, top_k=1, nprobe=1).count() > 0
+
+
 def test_pq_recall_query_dials(spark):
     """The suite query: shortlist-rerank recall must dominate pure-ADC
     recall and clear the measured bar (0.75 at both test SFs; slack
