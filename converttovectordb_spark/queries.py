@@ -6745,10 +6745,12 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     partsupp stand-in) equals the part's minimum over EUROPE
     suppliers. The correlated-min subquery is a window min over
     partkey on the ALREADY-AGGREGATED supply table — no self-join
-    (the naive correlated rewrite scans supply twice). The window's
-    extra exchange moves only |part x supplier| aggregated rows, a
-    tiny fraction of the lineitem scan that keeps its map-side
-    combine. Unit cost is a double division — bit-identical in both
+    (the naive correlated rewrite scans supply twice), and the part
+    predicate semi-joins lineitem BEFORE the aggregation, so the
+    aggregate, the window's exchange, and the supplier join all carry
+    only the qualifying partkeys' rows — the exchange moves a
+    qualifying-fraction of |part x supplier| aggregated pairs, a tiny
+    fraction of the lineitem scan that keeps its map-side combine. Unit cost is a double division — bit-identical in both
     engines — and min() selects an exact row value, so the equality
     filter is safe cross-engine. Only fixed-size dims (nation, region)
     are broadcast-hinted; supplier is SF-scaled and left to AQE."""
@@ -6770,8 +6772,23 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    # Part predicate BEFORE the supply aggregation (r7 review finding):
+    # the window min is per-partkey, so semi-joining lineitem against
+    # the qualifying partkeys up front is semantics-preserving while
+    # shrinking the aggregate, the window exchange, and the supplier
+    # join to the qualifying fraction of (part, supplier) pairs. The
+    # filtered part side is small at runtime — AQE turns the semi-join
+    # into a broadcast (SF-scaled sides get no manual hint).
+    small_parts = part.filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 10)
+    ).select("p_partkey", "p_name")
     supply = (
-        li.groupBy(
+        li.join(
+            small_parts.select("p_partkey"),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy(
             F.col("l_partkey").alias("partkey"),
             F.col("l_suppkey").alias("suppkey"),
         )
@@ -6790,9 +6807,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("unit_cost") == F.col("_min_cost"))
     return (
         best.join(
-            part.filter(
-                (F.col("p_type") == "SMALL") & (F.col("p_size") <= 10)
-            ).select("p_partkey", "p_name"),
+            small_parts,
             F.col("partkey") == F.col("p_partkey"),
         )
         .select(

