@@ -210,7 +210,9 @@ class VectorEngine:
                         probes, index, threshold, semantic_dedup_nprobe
                     )
                 else:
-                    dup_ids = self._dup_ids_brute(probes, threshold)
+                    dup_ids = self._dup_ids_brute(
+                        probes, self.store.load(), threshold
+                    )
             if semantic_dedup_within_batch:
                 wb = self._dup_ids_within_batch(
                     batch, float(semantic_dedup)
@@ -286,8 +288,8 @@ class VectorEngine:
             return None
         return self._index
 
+    @staticmethod
     def _dup_ids_pruned(
-        self,
         probes: DataFrame,
         index,
         threshold: float,
@@ -335,8 +337,9 @@ class VectorEngine:
             .distinct()
         )
 
+    @staticmethod
     def _dup_ids_brute(
-        self, probes: DataFrame, threshold: float
+        probes: DataFrame, corpus: DataFrame, threshold: float
     ) -> DataFrame:
         """No-index fallback: broadcast the prenormalized batch against
         ONE full corpus scan and filter pairs map-side. Sound at any
@@ -345,7 +348,7 @@ class VectorEngine:
         from converttovectordb_spark.functions.vector import dot_product
         from converttovectordb_spark.functions.vector import l2_normalize
 
-        corpus_u = self.store.load().select(
+        corpus_u = corpus.select(
             l2_normalize(F.col("embedding")).alias("_cq")
         )
         return (
