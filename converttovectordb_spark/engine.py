@@ -289,6 +289,77 @@ class VectorEngine:
         return self._index
 
     @staticmethod
+    def _dup_hits_map(batch_rows: list, threshold: float, by_cluster):
+        """Build the mapInPandas scorer shared by the brute and pruned
+        dedup paths: each Arrow chunk of corpus rows is matmul'd (BLAS)
+        against the in-closure batch matrix and the surviving batch ids
+        are emitted. Vectorized ON PURPOSE: a per-pair column-expression
+        dot (`F.aggregate`/`zip_with`) is evaluated interpreted, ~µs per
+        pair — measured 416 s for a 200-row batch against 850k vectors
+        (tools/ingest_dedup_scale_probe.py), where one matmul is
+        milliseconds. The batch side is driver-collected — bounded by
+        the ingest batch contract, the same assumption the previous
+        broadcast carried.
+
+        ``by_cluster`` None → test every (batch, corpus-chunk) pair
+        (brute). Otherwise a dict cluster_id → batch-row indices: each
+        corpus chunk is grouped by its cluster and tested only against
+        the batch rows that PROBED that cluster (the IVF contract).
+
+        Float semantics: corpus rows are L2-normalized in NumPy with
+        the zero-norm→unchanged rule of `l2_normalize` (a zero vector
+        scores 0 and can never pass a positive threshold). This path
+        has no SQL oracle — the engine-level tests compare pruned vs
+        brute DECISIONS, which both use this scorer."""
+        import numpy as np
+
+        qids = [r["_bid"] for r in batch_rows]
+        qmat = np.array([r["_bq"] for r in batch_rows], dtype=np.float64)
+
+        def find_dups(chunks):
+            import pandas as pd
+
+            hit = np.zeros(len(qids), dtype=bool)
+            for pdf in chunks:
+                if len(pdf) == 0:
+                    continue
+                groups = (
+                    [(None, pdf)]
+                    if by_cluster is None
+                    else pdf.groupby("cluster_id", sort=False)
+                )
+                for cid, grp in groups:
+                    qidx = (
+                        None
+                        if by_cluster is None
+                        else by_cluster.get(int(cid))
+                    )
+                    if by_cluster is not None and not qidx:
+                        continue
+                    cmat = np.array(
+                        list(grp["embedding"]), dtype=np.float64
+                    )
+                    norms = np.linalg.norm(cmat, axis=1)
+                    norms[norms == 0.0] = 1.0
+                    q = qmat if qidx is None else qmat[qidx]
+                    sims = (cmat / norms[:, None]) @ q.T
+                    matched = (sims >= threshold).any(axis=0)
+                    if qidx is None:
+                        hit |= matched
+                    else:
+                        hit[np.asarray(qidx)[matched]] = True
+            yield pd.DataFrame(
+                {
+                    "_bid": pd.Series(
+                        [i for i, h in zip(qids, hit) if h],
+                        dtype="object",  # empty hit set must stay a string column
+                    )
+                }
+            )
+
+        return find_dups
+
+    @staticmethod
     def _dup_ids_pruned(
         probes: DataFrame,
         index,
@@ -300,67 +371,64 @@ class VectorEngine:
         probed clusters.
 
         Shape (the `vector_ivf_knn_filtered` scan pattern): probe the
-        frozen centroids per batch row (broadcast × broadcast), collect
-        the DISTINCT probed cluster ids — O(batch × nprobe) ints, the
-        price of a *static* partition filter Catalyst applies at
-        planning time — then scan ONLY those cluster partitions
+        frozen centroids per batch row DRIVER-SIDE — both sides are
+        tiny by contract (one ingest batch × C centroids), so a numpy
+        B×C product replaces the two Spark jobs `probe_clusters` +
+        collect would cost per ingest batch, with the identical
+        deterministic tie-break (similarity desc, cluster id asc) and
+        the identical zero-norm→0 cosine rule. The probed cluster ids
+        become a *static* partition filter Catalyst applies at
+        planning time: scan ONLY those cluster partitions
         (directory-level PartitionFilters, plan-asserted in
-        `test_dedup.py`) and run the cosine test as a cluster-id
-        equi-join against the broadcast probe assignment. No rank
-        window (a threshold test needs none) and no corpus shuffle;
-        the only exchange carries the distinct duplicate ids."""
-        from converttovectordb_spark.functions.vector import dot_product
-        from converttovectordb_spark.functions.vector import l2_normalize
+        `test_dedup.py`) and matmul each scanned cluster's rows against
+        exactly the batch rows that probed it (`_dup_hits_map`). Pure
+        map-side over the pruned scan; the only exchange carries the
+        distinct duplicate ids."""
         from converttovectordb_spark.plans.ivf_index import CLUSTER_COL
 
-        probe = index.probe_clusters(
-            probes, nprobe, query_id_col="_bid", query_vec_col="_bq"
-        )
-        cluster_ids = sorted(
-            int(r[0])
-            for r in probe.select(CLUSTER_COL).distinct().collect()
-        )
-        if not cluster_ids:  # empty batch → nothing to drop
+        batch_rows = probes.collect()  # bounded: one ingest batch
+        if not batch_rows:
             return probes.select("_bid").limit(0)
-        corpus_u = index.pruned_corpus(cluster_ids).select(
-            F.col(CLUSTER_COL),
-            l2_normalize(F.col("embedding")).alias("_cq"),
+        cents = index.centroids().collect()  # C rows — tiny
+        cids = np.array([int(r[CLUSTER_COL]) for r in cents])
+        cmat = np.array([r["centroid"] for r in cents], dtype=np.float64)
+        cnorm = np.linalg.norm(cmat, axis=1)
+        cnorm[cnorm == 0.0] = 1.0  # zero-norm centroid → cosine 0
+        qmat = np.array([r["_bq"] for r in batch_rows], dtype=np.float64)
+        sims = qmat @ (cmat / cnorm[:, None]).T  # _bq is already unit
+        by_cluster: dict[int, list[int]] = {}
+        k = min(int(nprobe), len(cents))
+        for i in range(len(batch_rows)):
+            # ties: similarity desc, then cluster id asc (lexsort keys
+            # are applied last-first) — byte-identical to probe_clusters
+            order = np.lexsort((cids, -sims[i]))[:k]
+            for j in order:
+                by_cluster.setdefault(int(cids[j]), []).append(i)
+        if not by_cluster:
+            return probes.select("_bid").limit(0)
+        corpus_scan = index.pruned_corpus(sorted(by_cluster)).select(
+            CLUSTER_COL, "embedding"
         )
-        return (
-            F.broadcast(probe)
-            .join(corpus_u, on=CLUSTER_COL)
-            .filter(
-                dot_product(F.col("_qvec"), F.col("_cq"))
-                >= F.lit(threshold)
-            )
-            .select("_bid")
-            .distinct()
-        )
+        return corpus_scan.mapInPandas(
+            VectorEngine._dup_hits_map(batch_rows, threshold, by_cluster),
+            "_bid string",
+        ).distinct()
 
     @staticmethod
     def _dup_ids_brute(
         probes: DataFrame, corpus: DataFrame, threshold: float
     ) -> DataFrame:
-        """No-index fallback: broadcast the prenormalized batch against
-        ONE full corpus scan and filter pairs map-side. Sound at any
-        size but O(corpus) per ingest batch — the indexed path
-        (`_dup_ids_pruned`) is the 100 TB shape."""
-        from converttovectordb_spark.functions.vector import dot_product
-        from converttovectordb_spark.functions.vector import l2_normalize
-
-        corpus_u = corpus.select(
-            l2_normalize(F.col("embedding")).alias("_cq")
-        )
-        return (
-            F.broadcast(probes)
-            .crossJoin(corpus_u)
-            .filter(
-                dot_product(F.col("_bq"), F.col("_cq"))
-                >= F.lit(threshold)
-            )
-            .select("_bid")
-            .distinct()
-        )
+        """No-index fallback: ONE full corpus scan, each Arrow chunk
+        matmul'd against the batch matrix map-side (`_dup_hits_map`).
+        Sound at any size but O(corpus) per ingest batch — the indexed
+        path (`_dup_ids_pruned`) is the 100 TB shape."""
+        batch_rows = probes.collect()  # bounded: one ingest batch
+        if not batch_rows:
+            return probes.select("_bid").limit(0)
+        return corpus.select("embedding").mapInPandas(
+            VectorEngine._dup_hits_map(batch_rows, threshold, None),
+            "_bid string",
+        ).distinct()
 
     @staticmethod
     def _dup_ids_within_batch(

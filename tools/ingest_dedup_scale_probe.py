@@ -28,9 +28,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
 MULTS = [1, 8, 32]
-NUM_CLUSTERS = 16
+NUM_CLUSTERS = 64
 NPROBE = 2
 BATCH = 200  # arriving chunks per ingest batch (fixed across N)
+SMALL_BATCH = 8  # concentrated re-crawl: probes << C clusters
 THRESHOLD = 0.95
 
 
@@ -90,13 +91,20 @@ def main() -> int:
         .cache()
     )
     batch.count()
+    # Concentrated re-crawl condition: a small batch probes far fewer
+    # than C distinct clusters, so the static partition filter actually
+    # prunes FILES (a diverse 200-row batch at nprobe 2 covers most of
+    # C=64 — its saving is the per-pair restriction, not the scan).
+    small_batch = batch.limit(SMALL_BATCH).cache()
+    small_batch.count()
 
     print(
-        f"| N | brute sec (full corpus scan) | IVF-pruned sec "
-        f"(nprobe {NPROBE}/{NUM_CLUSTERS}) | dups found |",
+        f"| N | brute B={BATCH} | pruned B={BATCH} "
+        f"(nprobe {NPROBE}/{NUM_CLUSTERS}) | brute B={SMALL_BATCH} | "
+        f"pruned B={SMALL_BATCH} | dups found (B={BATCH}) |",
         flush=True,
     )
-    print("|---|---|---|---|", flush=True)
+    print("|---|---|---|---|---|---|", flush=True)
 
     for mult in MULTS:
         rep = base
@@ -104,42 +112,58 @@ def main() -> int:
             rep = rep.unionByName(
                 base.withColumn("vec_id", F.col("vec_id") + F.lit(k * n_base))
             )
-        # cluster id for PHYSICAL layout only — pruned-path cost depends
-        # on the partition fraction read, not on assignment quality
-        rep = rep.withColumn(
-            "label", (F.col("vec_id") % NUM_CLUSTERS).cast("int")
-        ).repartition(32)
+        rep = rep.repartition(32)
 
         with tempfile.TemporaryDirectory(prefix="dedup_probe_") as tmp:
             rep.write.mode("overwrite").parquet(f"{tmp}/flat")
             flat = spark.read.parquet(f"{tmp}/flat")
             n = flat.count()
-            index = build_ivf_index(rep, f"{tmp}/ivf", cluster_col="label")
+            # TRAINED layout (k-means), the engine's real build_index
+            # path: a duplicate arrival probes (cosine) toward the
+            # cluster its committed copy was assigned to (Euclidean),
+            # so the dups-found column measures the pruned path's
+            # real recall, not an arbitrary-layout artifact. Build is
+            # outside the timed region (offline-job condition).
+            index = build_ivf_index(
+                flat, f"{tmp}/ivf", num_clusters=NUM_CLUSTERS, seed=7
+            )
 
-            def brute_once():
-                return VectorEngine._dup_ids_brute(
+            def timed(fn):
+                fn()  # warm
+                return min(
+                    (lambda t0=time.time(): (fn(), time.time() - t0)[1])()
+                    for _ in range(3)
+                )
+
+            n_dups = VectorEngine._dup_ids_brute(
+                batch, flat, THRESHOLD
+            ).count()
+            n_dups_pruned = VectorEngine._dup_ids_pruned(
+                batch, index, THRESHOLD, NPROBE
+            ).count()
+            brute = timed(
+                lambda: VectorEngine._dup_ids_brute(
                     batch, flat, THRESHOLD
                 ).count()
-
-            n_dups = brute_once()
-            brute = min(
-                (lambda t0=time.time(): (brute_once(), time.time() - t0)[1])()
-                for _ in range(3)
             )
-
-            def pruned_once():
-                return VectorEngine._dup_ids_pruned(
+            pruned = timed(
+                lambda: VectorEngine._dup_ids_pruned(
                     batch, index, THRESHOLD, NPROBE
                 ).count()
-
-            n_dups_pruned = pruned_once()
-            pruned = min(
-                (lambda t0=time.time(): (pruned_once(), time.time() - t0)[1])()
-                for _ in range(3)
+            )
+            brute_s = timed(
+                lambda: VectorEngine._dup_ids_brute(
+                    small_batch, flat, THRESHOLD
+                ).count()
+            )
+            pruned_s = timed(
+                lambda: VectorEngine._dup_ids_pruned(
+                    small_batch, index, THRESHOLD, NPROBE
+                ).count()
             )
         print(
-            f"| {n} | {brute:.3f} | {pruned:.3f} | "
-            f"{n_dups} brute / {n_dups_pruned} pruned |",
+            f"| {n} | {brute:.3f} | {pruned:.3f} | {brute_s:.3f} | "
+            f"{pruned_s:.3f} | {n_dups} brute / {n_dups_pruned} pruned |",
             flush=True,
         )
 
