@@ -438,36 +438,49 @@ class VectorEngine:
         duplicate when ANY batch row with a strictly lower
         ``(path, chunk_index)`` key is within the cosine threshold —
         whether or not that lower row itself survives. Local, one-pass,
-        deterministic (the key order is total). Batch × batch broadcast
-        pass, bounded by the ingest batch contract — never
-        corpus-sized."""
-        from converttovectordb_spark.functions.vector import dot_product
-        from converttovectordb_spark.functions.vector import l2_normalize
+        deterministic (the key order is total).
 
-        lhs = batch.select(
-            F.col("path").alias("_pa"),
-            F.col("chunk_index").alias("_ca"),
-            l2_normalize(F.col("embedding")).alias("_ua"),
-        )
-        rhs = batch.select(
-            F.col("path").alias("_pb"),
-            F.col("chunk_index").alias("_cb"),
-            l2_normalize(F.col("embedding")).alias("_ub"),
+        Computed DRIVER-SIDE in blocked BLAS: the batch is the bounded
+        small side by the ingest contract (the corpus-facing paths
+        already collect it), and the batch² pair space expressed as a
+        crossJoin with a per-pair HOF dot would evaluate interpreted —
+        the ~µs/pair pathology `_dup_hits_map` documents, which at a
+        10k-chunk batch is 10⁸ interpreted folds. Block rows so the
+        similarity matrix stays bounded (block × B), never a full
+        B×B materialization."""
+        import numpy as np
+
+        rows = batch.select(
             _row_id().alias("_bid"),
+            "path",
+            "chunk_index",
+            F.col("embedding").cast("array<double>").alias("_v"),
+        ).collect()
+        spark = batch.sparkSession
+        if len(rows) < 2:
+            return spark.createDataFrame([], "_bid string")
+        vmat = np.array([r["_v"] for r in rows], dtype=np.float64)
+        norms = np.linalg.norm(vmat, axis=1)
+        norms[norms == 0.0] = 1.0  # zero-norm → cosine 0, never a dup
+        vmat /= norms[:, None]
+        keys = sorted(
+            range(len(rows)),
+            key=lambda i: (rows[i]["path"], rows[i]["chunk_index"]),
         )
-        earlier = (F.col("_pa") < F.col("_pb")) | (
-            (F.col("_pa") == F.col("_pb")) & (F.col("_ca") < F.col("_cb"))
-        )
-        return (
-            F.broadcast(lhs)
-            .crossJoin(rhs)
-            .filter(earlier)
-            .filter(
-                dot_product(F.col("_ua"), F.col("_ub"))
-                >= F.lit(threshold)
+        rank = np.empty(len(rows), dtype=np.int64)
+        rank[keys] = np.arange(len(rows))
+        dropped = []
+        for start in range(0, len(rows), 2048):
+            stop = min(start + 2048, len(rows))
+            sims = vmat[start:stop] @ vmat.T  # block × B
+            hit = (
+                (sims >= threshold) & (rank[None, :] < rank[start:stop, None])
+            ).any(axis=1)
+            dropped.extend(
+                rows[i]["_bid"] for i in range(start, stop) if hit[i - start]
             )
-            .select("_bid")
-            .distinct()
+        return spark.createDataFrame(
+            [(b,) for b in dropped], "_bid string"
         )
 
     @staticmethod
