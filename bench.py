@@ -306,7 +306,49 @@ def main() -> int:
         embedded = embed_column(chunks, "content", "embedding", None, 64)
         embedded.write.mode("overwrite").parquet(f"{tmp}/store")
         n_chunks = spark.read.parquet(f"{tmp}/store").count()
-    ingest_sec = time.time() - t0
+        ingest_sec = time.time() - t0
+        # Dedup-on-arrival cost against the store just written (r8): a
+        # 200-row arriving batch (half re-crawled copies, half fresh)
+        # threshold-tested brute (full corpus scan) vs IVF-pruned
+        # (trained index built OUTSIDE the timed region — the offline
+        # maintenance job). Tracks the ingest-dedup serving cost per
+        # round; slopes live in SCALING.md's dedicated probe.
+        from converttovectordb_spark.functions.vector import l2_normalize
+        from converttovectordb_spark.plans.ivf_index import build_ivf_index
+
+        corpus = spark.read.parquet(f"{tmp}/store")
+        dup_half = corpus.limit(100).select(
+            F.concat_ws("#", F.lit("dup"), "path", "chunk_index").alias(
+                "_bid"
+            ),
+            "embedding",
+        )
+        fresh_half = corpus.limit(100).select(
+            F.concat_ws("#", F.lit("new"), "path", "chunk_index").alias(
+                "_bid"
+            ),
+            F.reverse(F.col("embedding")).alias("embedding"),
+        )
+        ded_batch = (
+            dup_half.unionByName(fresh_half)
+            .select(
+                "_bid", l2_normalize(F.col("embedding")).alias("_bq")
+            )
+            .cache()
+        )
+        ded_batch.count()
+        ded_index = build_ivf_index(
+            corpus, f"{tmp}/dedup_ivf", num_clusters=16, seed=7
+        )
+        dedup_brute = dedup_pruned = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            VectorEngine._dup_ids_brute(ded_batch, corpus, 0.95).count()
+            dedup_brute = min(dedup_brute, round(time.time() - t0, 4))
+            t0 = time.time()
+            VectorEngine._dup_ids_pruned(ded_batch, ded_index, 0.95, 2).count()
+            dedup_pruned = min(dedup_pruned, round(time.time() - t0, 4))
+        ded_batch.unpersist()
     chunks_per_sec = round(n_chunks / ingest_sec, 1)
 
     # Real-model ingest throughput, when the model is importable in this
@@ -379,6 +421,12 @@ def main() -> int:
                     "real_model_chunks_per_sec": real_model_chunks_per_sec,
                     "real_model_error": real_model_error,
                     "ingest_n_chunks": n_chunks,
+                    # dedup-on-arrival: 200-row batch vs the ingest
+                    # corpus, cosine >= 0.95 (brute full scan vs
+                    # IVF-pruned; trained index built outside the
+                    # timed region)
+                    "dedup_batch_brute_sec": dedup_brute,
+                    "dedup_batch_pruned_sec": dedup_pruned,
                     # artifact builds pre-warmed outside the query
                     # timings (build-once/probe-many; 0.0 ≈ cache hit)
                     "artifact_build_sec": build_secs,
