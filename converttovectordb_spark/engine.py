@@ -154,6 +154,15 @@ class VectorEngine:
                 raise ValueError(
                     f"semantic_dedup must be in (0, 1], got {semantic_dedup}"
                 )
+            if semantic_dedup_nprobe < 1:
+                # nprobe=0 would silently disable the indexed dedup
+                # (empty probe set → empty dup set) and a negative one
+                # would slice from the tail — both loud errors, not
+                # silently-no-dedup ingests
+                raise ValueError(
+                    "semantic_dedup_nprobe must be >= 1, got "
+                    f"{semantic_dedup_nprobe}"
+                )
             if replace:
                 raise ValueError(
                     "semantic_dedup cannot be combined with replace=True: "
@@ -162,6 +171,13 @@ class VectorEngine:
                     "the surviving old chunks would never be rewritten "
                     "and silently vanish from the live snapshot"
                 )
+        elif semantic_dedup_within_batch:
+            # the flag is meaningless without a threshold — refusing
+            # beats silently writing every within-batch duplicate
+            raise ValueError(
+                "semantic_dedup_within_batch requires semantic_dedup=t "
+                "(the cosine threshold the collapse tests against)"
+            )
         t0 = time.time()
         if repo_url:
             clone_repository(repo_url, repo_path)
@@ -199,23 +215,38 @@ class VectorEngine:
             self._batch_to_unpersist = batch
             probes = batch.select(
                 _row_id().alias("_bid"),
+                F.col("path"),
+                F.col("chunk_index"),
                 l2_normalize(F.col("embedding")).alias("_bq"),
             )
+            # ONE driver collect serves every decision path below (ids,
+            # keys, prenormalized vectors) — the batch is the bounded
+            # side by the ingest contract, and each helper re-collecting
+            # it would add a Spark job plus a duplicate O(B×d) transfer
+            # per ingest
+            batch_rows = probes.collect()
             dup_ids = None
             if self.store.exists():
                 threshold = float(semantic_dedup)
                 index = self._fresh_index_for_dedup()
                 if index is not None:
                     dup_ids = self._dup_ids_pruned(
-                        probes, index, threshold, semantic_dedup_nprobe
+                        probes,
+                        index,
+                        threshold,
+                        semantic_dedup_nprobe,
+                        rows=batch_rows,
                     )
                 else:
                     dup_ids = self._dup_ids_brute(
-                        probes, self.store.load(), threshold
+                        probes,
+                        self.store.load(),
+                        threshold,
+                        rows=batch_rows,
                     )
             if semantic_dedup_within_batch:
                 wb = self._dup_ids_within_batch(
-                    batch, float(semantic_dedup)
+                    batch, float(semantic_dedup), rows=batch_rows
                 )
                 dup_ids = (
                     wb if dup_ids is None
@@ -278,6 +309,15 @@ class VectorEngine:
             try:
                 self.open_index(refresh=True)
             except RuntimeError:
+                # restore: open_index ATTACHES the index before its
+                # healing refresh, so a failed heal (orphaned rows —
+                # rebuild territory) would otherwise leave a
+                # half-opened index attached with the sentinel token,
+                # silently flipping later search_indexed calls from
+                # "no IVF index built" to staleness/allow_stale paths
+                # over a snapshot the caller never opted into
+                self._index = None
+                self._index_token = None
                 return None
         if self.store.state_token() != getattr(self, "_index_token", None):
             try:
@@ -365,6 +405,7 @@ class VectorEngine:
         index,
         threshold: float,
         nprobe: int,
+        rows: list | None = None,
     ) -> DataFrame:
         """IVF-pruned dedup threshold test: batch ids whose committed
         near-neighbor (cosine ≥ threshold) sits inside the batch's
@@ -386,7 +427,9 @@ class VectorEngine:
         distinct duplicate ids."""
         from converttovectordb_spark.plans.ivf_index import CLUSTER_COL
 
-        batch_rows = probes.collect()  # bounded: one ingest batch
+        # bounded: one ingest batch; ``rows`` lets the caller share one
+        # collect across the decision paths
+        batch_rows = probes.collect() if rows is None else rows
         if not batch_rows:
             return probes.select("_bid").limit(0)
         cents = index.centroids().collect()  # C rows — tiny
@@ -416,13 +459,16 @@ class VectorEngine:
 
     @staticmethod
     def _dup_ids_brute(
-        probes: DataFrame, corpus: DataFrame, threshold: float
+        probes: DataFrame,
+        corpus: DataFrame,
+        threshold: float,
+        rows: list | None = None,
     ) -> DataFrame:
         """No-index fallback: ONE full corpus scan, each Arrow chunk
         matmul'd against the batch matrix map-side (`_dup_hits_map`).
         Sound at any size but O(corpus) per ingest batch — the indexed
         path (`_dup_ids_pruned`) is the 100 TB shape."""
-        batch_rows = probes.collect()  # bounded: one ingest batch
+        batch_rows = probes.collect() if rows is None else rows
         if not batch_rows:
             return probes.select("_bid").limit(0)
         return corpus.select("embedding").mapInPandas(
@@ -432,7 +478,9 @@ class VectorEngine:
 
     @staticmethod
     def _dup_ids_within_batch(
-        batch: DataFrame, threshold: float
+        batch: DataFrame,
+        threshold: float,
+        rows: list | None = None,
     ) -> DataFrame:
         """Within-batch collapse, keep-lowest rule: a batch row is a
         duplicate when ANY batch row with a strictly lower
@@ -450,19 +498,23 @@ class VectorEngine:
         B×B materialization."""
         import numpy as np
 
-        rows = batch.select(
-            _row_id().alias("_bid"),
-            "path",
-            "chunk_index",
-            F.col("embedding").cast("array<double>").alias("_v"),
-        ).collect()
+        if rows is None:
+            from converttovectordb_spark.functions.vector import (
+                l2_normalize,
+            )
+
+            rows = batch.select(
+                _row_id().alias("_bid"),
+                "path",
+                "chunk_index",
+                l2_normalize(F.col("embedding")).alias("_bq"),
+            ).collect()
         spark = batch.sparkSession
         if len(rows) < 2:
             return spark.createDataFrame([], "_bid string")
-        vmat = np.array([r["_v"] for r in rows], dtype=np.float64)
-        norms = np.linalg.norm(vmat, axis=1)
-        norms[norms == 0.0] = 1.0  # zero-norm → cosine 0, never a dup
-        vmat /= norms[:, None]
+        # _bq is unit-normalized (a zero-norm vector stays zero and
+        # scores 0 against everything — can never pass the threshold)
+        vmat = np.array([r["_bq"] for r in rows], dtype=np.float64)
         keys = sorted(
             range(len(rows)),
             key=lambda i: (rows[i]["path"], rows[i]["chunk_index"]),

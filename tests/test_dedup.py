@@ -569,6 +569,63 @@ def test_ingest_within_batch_dedup_keeps_lowest_key(spark, tmp_path):
     assert eng2.store.load().count() == 2
 
 
+def test_ingest_dedup_flag_validation(spark, tmp_path):
+    """Misconfigured dedup knobs must refuse loudly BEFORE any work:
+    within-batch without a threshold would silently write every
+    duplicate; nprobe<1 would silently disable the indexed dedup."""
+    from converttovectordb_spark.engine import VectorEngine
+
+    repo = _crawl(tmp_path, "repo", {"a.txt": ORIG})
+    eng = VectorEngine(spark, str(tmp_path / "store"), dim=16)
+    with pytest.raises(ValueError, match="within_batch"):
+        eng.ingest(repo, semantic_dedup_within_batch=True)
+    with pytest.raises(ValueError, match="nprobe"):
+        eng.ingest(repo, semantic_dedup=0.9, semantic_dedup_nprobe=0)
+    assert not eng.store.exists()  # both refused before any write
+
+
+def test_ingest_dedup_failed_index_open_restores_no_index_state(
+    spark, tmp_path
+):
+    """A published CURRENT index that cannot be healed (orphaned rows
+    after a clear) must fall back to brute AND leave the engine in the
+    no-index state — not half-attached with the sentinel token, which
+    would flip later search_indexed calls onto the orphaned snapshot."""
+    from converttovectordb_spark.engine import VectorEngine
+
+    store = str(tmp_path / "store")
+    e1 = VectorEngine(spark, store, dim=16, transactional=True)
+    e1.ingest(
+        _crawl(
+            tmp_path,
+            "seed",
+            {
+                "old.txt": "content that will be cleared away entirely",
+                "b.txt": "another doomed seed file with words",
+            },
+        )
+    )
+    e1.build_index(num_clusters=2, transactional=True)
+    e1.clear(backup=False)
+    e1.ingest(_crawl(tmp_path, "re", {"orig.txt": ORIG}))
+    # fresh process: CURRENT points at an index holding rows the store
+    # no longer has — open succeeds, heal raises (rebuild territory)
+    e2 = VectorEngine(spark, store, dim=16, transactional=True)
+    e2.ingest(
+        _crawl(tmp_path, "arr", {"copy.txt": ORIG, "fresh.txt": FRESH}),
+        semantic_dedup=0.999,
+    )
+    names = {
+        r.path.rsplit("/", 1)[-1] for r in e2.store.load().collect()
+    }
+    # brute fallback still made the right decisions
+    assert "fresh.txt" in names and "copy.txt" not in names
+    # and the engine is back in the documented no-index state
+    assert getattr(e2, "_index", None) is None
+    with pytest.raises(RuntimeError, match="no IVF index built"):
+        e2.search_indexed("anything", allow_stale=True)
+
+
 def test_ingest_semantic_dedup_rejects_replace_combo(spark, tmp_path):
     """replace tombstones every old chunk of a touched path; dedup
     would drop the unchanged chunks from the batch so they'd never be

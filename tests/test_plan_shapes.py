@@ -274,12 +274,16 @@ def test_min_cost_supplier_prefilters_supply_aggregate(spark):
     from converttovectordb_spark.queries import q_min_cost_supplier
 
     plan = physical_plan(q_min_cost_supplier(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
     assert "partial_min" in plan
-    # the semi-join must sit BELOW the partial aggregate: the first
-    # partial_min marker appears after the LeftSemi in the bottom-up
-    # formatted plan's operator list for this shape
-    assert "CartesianProduct" not in plan
+    # the semi-join must sit BELOW the partial aggregate. The simple
+    # tree prints parents before children, so the partial_min
+    # HashAggregate (the parent) must appear BEFORE its LeftSemi child
+    # — a regression hoisting the part filter back above the
+    # aggregation would print the join first (both markers would still
+    # be present, so mere containment checks can't catch it).
+    assert plan.index("partial_min") < plan.index("LeftSemi"), plan
 
 
 def test_semantic_dedup_pair_join_is_bucketed_not_cross(spark):
