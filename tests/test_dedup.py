@@ -569,6 +569,60 @@ def test_ingest_within_batch_dedup_keeps_lowest_key(spark, tmp_path):
     assert eng2.store.load().count() == 2
 
 
+def test_pruned_dedup_exhaustive_probe_equals_brute(spark, tmp_path):
+    """Invariant, not fixture luck: with nprobe = num_clusters the
+    probed union is the whole corpus, so the pruned path's decisions
+    must equal brute ON ANY DATA — random vectors, thresholds both
+    loose and tight. Pins the two code paths to one semantics."""
+    import random
+
+    from converttovectordb_spark.engine import VectorEngine
+    from converttovectordb_spark.functions.vector import l2_normalize
+    from converttovectordb_spark.plans.ivf_index import build_ivf_index
+
+    rng = random.Random(23)
+    dim, n, k = 8, 120, 5
+    corpus = spark.createDataFrame(
+        [
+            (i, [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(n)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    index = build_ivf_index(
+        corpus, str(tmp_path / "ivf"), num_clusters=k, seed=5
+    )
+    # batch: some corpus rows (guaranteed dups at high threshold),
+    # some fresh randoms, one zero vector (must never be a dup)
+    batch_rows = (
+        [(f"dup{i}", [float(x) for x in r["embedding"]])
+         for i, r in enumerate(corpus.limit(10).collect())]
+        + [
+            (f"new{i}", [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(10)
+        ]
+        + [("zero", [0.0] * dim)]
+    )
+    probes = spark.createDataFrame(
+        batch_rows, "_bid string, embedding array<double>"
+    ).select("_bid", l2_normalize(F.col("embedding")).alias("_bq"))
+    for t in (0.99, 0.6, 0.2):
+        brute = {
+            r["_bid"]
+            for r in VectorEngine._dup_ids_brute(
+                probes, corpus, t
+            ).collect()
+        }
+        pruned = {
+            r["_bid"]
+            for r in VectorEngine._dup_ids_pruned(
+                probes, index, t, nprobe=k
+            ).collect()
+        }
+        assert pruned == brute, (t, pruned ^ brute)
+        assert "zero" not in brute
+
+
 def test_ingest_dedup_flag_validation(spark, tmp_path):
     """Misconfigured dedup knobs must refuse loudly BEFORE any work:
     within-batch without a threshold would silently write every
