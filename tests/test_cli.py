@@ -46,6 +46,18 @@ def test_cli_ingest_search_stats_clear(tmp_path):
     assert re_ing["rows_written"] == 0
     assert _run("stats", *common)["total_documents"] == ing["rows_written"]
 
+    # within-batch collapse flag wiring: a second copy inside ONE batch
+    # collapses to the keep-lowest survivor; fresh content still lands
+    repo2 = tmp_path / "repo2"
+    repo2.mkdir()
+    (repo2 / "m.txt").write_text("within batch duplicate content here " * 10)
+    (repo2 / "n.txt").write_text("within batch duplicate content here " * 10)
+    wb = _run(
+        "ingest", "--repo", str(repo2), "--semantic-dedup", "0.999",
+        "--semantic-dedup-nprobe", "2", "--within-batch-dedup", *common,
+    )
+    assert wb["rows_written"] == 1  # m.txt survives, n.txt collapsed
+
     hy = _run("hybrid", "--query", "return 42", "--top-k", "2", *common)
     assert isinstance(hy["results"], list) and len(hy["results"]) <= 2
 
@@ -73,7 +85,9 @@ def test_cli_ingest_search_stats_clear(tmp_path):
     assert "FAKE[" in rep["report"]  # raw response included
 
     he = _run("health", *common)
-    assert he["documents_count"] == st["total_documents"]
+    # repo ingest + the within-batch survivor (m.txt) landed after the
+    # early stats snapshot
+    assert he["documents_count"] == ing["rows_written"] + 1
 
     cl = _run("clear", "--no-backup", *common)
     assert cl["cleared"]
