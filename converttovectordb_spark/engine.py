@@ -379,6 +379,17 @@ class VectorEngine:
                     cmat = np.array(
                         list(grp["embedding"]), dtype=np.float64
                     )
+                    if cmat.shape[1] != qmat.shape[1]:
+                        # loud, not an opaque matmul shape error from
+                        # deep inside an executor — the Q5 dim-guard
+                        # courtesy, dedup edition (an engine re-created
+                        # with a different dim over an existing store)
+                        raise ValueError(
+                            f"semantic_dedup dimension mismatch: batch "
+                            f"d={qmat.shape[1]} vs corpus "
+                            f"d={cmat.shape[1]} — re-embed or use a "
+                            "matching VectorEngine dim"
+                        )
                     norms = np.linalg.norm(cmat, axis=1)
                     norms[norms == 0.0] = 1.0
                     q = qmat if qidx is None else qmat[qidx]
@@ -438,6 +449,13 @@ class VectorEngine:
         cnorm = np.linalg.norm(cmat, axis=1)
         cnorm[cnorm == 0.0] = 1.0  # zero-norm centroid → cosine 0
         qmat = np.array([r["_bq"] for r in batch_rows], dtype=np.float64)
+        if qmat.shape[1] != cmat.shape[1]:
+            raise ValueError(
+                f"semantic_dedup dimension mismatch: batch "
+                f"d={qmat.shape[1]} vs index centroids "
+                f"d={cmat.shape[1]} — rebuild the index or use a "
+                "matching VectorEngine dim"
+            )
         sims = qmat @ (cmat / cnorm[:, None]).T  # _bq is already unit
         by_cluster: dict[int, list[int]] = {}
         k = min(int(nprobe), len(cents))

@@ -623,6 +623,23 @@ def test_pruned_dedup_exhaustive_probe_equals_brute(spark, tmp_path):
         assert "zero" not in brute
 
 
+def test_ingest_dedup_dimension_mismatch_is_loud(spark, tmp_path):
+    """An engine re-created with a different dim over an existing store
+    must fail the dedup threshold test with a clear dimension error,
+    not an opaque matmul shape error from inside an executor."""
+    from converttovectordb_spark.engine import VectorEngine
+
+    store = str(tmp_path / "store")
+    e16 = VectorEngine(spark, store, dim=16)
+    e16.ingest(_crawl(tmp_path, "seed", {"a.txt": ORIG}))
+    e8 = VectorEngine(spark, store, dim=8)
+    with pytest.raises(Exception, match="dimension mismatch"):
+        e8.ingest(
+            _crawl(tmp_path, "arr", {"b.txt": FRESH}),
+            semantic_dedup=0.9,
+        )
+
+
 def test_ingest_dedup_flag_validation(spark, tmp_path):
     """Misconfigured dedup knobs must refuse loudly BEFORE any work:
     within-batch without a threshold would silently write every
