@@ -202,87 +202,98 @@ class VectorEngine:
             "embedding",
             "timestamp",
         )
-        if semantic_dedup is not None and (
-            self.store.exists() or semantic_dedup_within_batch
-        ):
-            from converttovectordb_spark.functions.vector import l2_normalize
+        # finally-guarded: a dedup or write failure (dimension
+        # mismatch, storage error) must still release the persisted
+        # batch — a long-lived engine retrying failed ingests would
+        # otherwise accumulate orphaned cached embedding batches for
+        # the SparkSession lifetime
+        try:
+            if semantic_dedup is not None and (
+                self.store.exists() or semantic_dedup_within_batch
+            ):
+                from converttovectordb_spark.functions.vector import (
+                    l2_normalize,
+                )
 
-            # Materialize the batch ONCE: it appears on both sides of
-            # the dedup decision (broadcast probe + anti-join left), so
-            # an uncached lineage would run the embed UDF twice and
-            # double-fire the metrics observations/accumulator.
-            batch = batch.persist()
-            self._batch_to_unpersist = batch
-            probes = batch.select(
-                _row_id().alias("_bid"),
-                F.col("path"),
-                F.col("chunk_index"),
-                l2_normalize(F.col("embedding")).alias("_bq"),
-            )
-            # ONE driver collect serves every decision path below (ids,
-            # keys, prenormalized vectors) — the batch is the bounded
-            # side by the ingest contract, and each helper re-collecting
-            # it would add a Spark job plus a duplicate O(B×d) transfer
-            # per ingest
-            batch_rows = probes.collect()
-            dup_ids = None
-            if self.store.exists():
-                threshold = float(semantic_dedup)
-                index = self._fresh_index_for_dedup()
-                if index is not None:
-                    dup_ids = self._dup_ids_pruned(
-                        probes,
-                        index,
-                        threshold,
-                        semantic_dedup_nprobe,
-                        rows=batch_rows,
+                # Materialize the batch ONCE: it appears on both sides
+                # of the dedup decision (broadcast probe + anti-join
+                # left), so an uncached lineage would run the embed UDF
+                # twice and double-fire the metrics observations/
+                # accumulator.
+                batch = batch.persist()
+                self._batch_to_unpersist = batch
+                probes = batch.select(
+                    _row_id().alias("_bid"),
+                    F.col("path"),
+                    F.col("chunk_index"),
+                    l2_normalize(F.col("embedding")).alias("_bq"),
+                )
+                # ONE driver collect serves every decision path below
+                # (ids, keys, prenormalized vectors) — the batch is the
+                # bounded side by the ingest contract, and each helper
+                # re-collecting it would add a Spark job plus a
+                # duplicate O(B×d) transfer per ingest
+                batch_rows = probes.collect()
+                dup_ids = None
+                if self.store.exists():
+                    threshold = float(semantic_dedup)
+                    index = self._fresh_index_for_dedup()
+                    if index is not None:
+                        dup_ids = self._dup_ids_pruned(
+                            probes,
+                            index,
+                            threshold,
+                            semantic_dedup_nprobe,
+                            rows=batch_rows,
+                        )
+                    else:
+                        dup_ids = self._dup_ids_brute(
+                            probes,
+                            self.store.load(),
+                            threshold,
+                            rows=batch_rows,
+                        )
+                if semantic_dedup_within_batch:
+                    wb = self._dup_ids_within_batch(
+                        batch, float(semantic_dedup), rows=batch_rows
                     )
-                else:
-                    dup_ids = self._dup_ids_brute(
-                        probes,
-                        self.store.load(),
-                        threshold,
-                        rows=batch_rows,
+                    dup_ids = (
+                        wb if dup_ids is None
+                        else dup_ids.unionByName(wb).distinct()
                     )
-            if semantic_dedup_within_batch:
-                wb = self._dup_ids_within_batch(
-                    batch, float(semantic_dedup), rows=batch_rows
+                batch = batch.join(
+                    dup_ids, on=_row_id() == F.col("_bid"), how="left_anti"
                 )
-                dup_ids = (
-                    wb if dup_ids is None
-                    else dup_ids.unionByName(wb).distinct()
-                )
-            batch = batch.join(
-                dup_ids, on=_row_id() == F.col("_bid"), how="left_anti"
-            )
-        if replace:
-            if not isinstance(self.store, TransactionalDocumentStore):
-                raise ValueError(
-                    "replace=True requires a transactional store "
-                    "(VectorEngine(..., transactional=True))"
-                )
-            rows_written = self.store.upsert(batch, key_cols=("path",))
-        else:
-            rows_written = self.store.append(batch)
-        # files_skipped derives from a metadata-only listing: the scan
-        # prunes hidden/size/extension misses at the FILE INDEX (never
-        # opening them — the 100 TB contract), so counting them inline
-        # would force reads the filter exists to avoid.
-        files_listed = count_repo_files(self.spark, repo_path)
-        files_processed = int(obs_files.get["files_processed"])
-        self.last_ingest_metrics = {
-            "files_listed": files_listed,
-            "files_processed": files_processed,
-            "files_skipped": files_listed - files_processed,
-            "chunks_created": int(obs_chunks.get["chunks_created"]),
-            "rows_written": rows_written,
-            "embedding_time": float(embed_acc.value),
-            "total_time": time.time() - t0,
-        }
-        cached = getattr(self, "_batch_to_unpersist", None)
-        if cached is not None:
-            cached.unpersist()
-            self._batch_to_unpersist = None
+            if replace:
+                if not isinstance(self.store, TransactionalDocumentStore):
+                    raise ValueError(
+                        "replace=True requires a transactional store "
+                        "(VectorEngine(..., transactional=True))"
+                    )
+                rows_written = self.store.upsert(batch, key_cols=("path",))
+            else:
+                rows_written = self.store.append(batch)
+            # files_skipped derives from a metadata-only listing: the
+            # scan prunes hidden/size/extension misses at the FILE
+            # INDEX (never opening them — the 100 TB contract), so
+            # counting them inline would force reads the filter exists
+            # to avoid.
+            files_listed = count_repo_files(self.spark, repo_path)
+            files_processed = int(obs_files.get["files_processed"])
+            self.last_ingest_metrics = {
+                "files_listed": files_listed,
+                "files_processed": files_processed,
+                "files_skipped": files_listed - files_processed,
+                "chunks_created": int(obs_chunks.get["chunks_created"]),
+                "rows_written": rows_written,
+                "embedding_time": float(embed_acc.value),
+                "total_time": time.time() - t0,
+            }
+        finally:
+            cached = getattr(self, "_batch_to_unpersist", None)
+            if cached is not None:
+                cached.unpersist()
+                self._batch_to_unpersist = None
         return batch
 
     # -- ingest semantic-dedup internals ----------------------------------
@@ -498,13 +509,19 @@ class VectorEngine:
     def _dup_ids_within_batch(
         batch: DataFrame,
         threshold: float,
-        rows: list | None = None,
+        rows: list,
     ) -> DataFrame:
         """Within-batch collapse, keep-lowest rule: a batch row is a
         duplicate when ANY batch row with a strictly lower
         ``(path, chunk_index)`` key is within the cosine threshold —
         whether or not that lower row itself survives. Local, one-pass,
         deterministic (the key order is total).
+
+        ``rows`` is the shared ingest collect — Row(_bid, path,
+        chunk_index, _bq) with ``_bq`` unit-normalized (zero-norm
+        vectors pass through unchanged and score 0) — required, so
+        this path can never silently drift from the probes the
+        corpus-facing paths saw.
 
         Computed DRIVER-SIDE in blocked BLAS: the batch is the bounded
         small side by the ingest contract (the corpus-facing paths
@@ -516,17 +533,6 @@ class VectorEngine:
         B×B materialization."""
         import numpy as np
 
-        if rows is None:
-            from converttovectordb_spark.functions.vector import (
-                l2_normalize,
-            )
-
-            rows = batch.select(
-                _row_id().alias("_bid"),
-                "path",
-                "chunk_index",
-                l2_normalize(F.col("embedding")).alias("_bq"),
-            ).collect()
         spark = batch.sparkSession
         if len(rows) < 2:
             return spark.createDataFrame([], "_bid string")
