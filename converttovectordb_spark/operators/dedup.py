@@ -718,3 +718,98 @@ def embedding_lsh_bands(
         F.col(id_col), l2_normalize(F.col(vec_col)).alias("_v")
     )
     return keys.join(n, on=id_col)
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_occ: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication report per document (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better").
+
+    The suffix-array formulation finds every substring of >= k tokens
+    that occurs more than once in the corpus; the Spark-native
+    re-expression is positional k-gram hashing: a token span is
+    duplicated iff every word k-gram inside it is duplicated, so the
+    union of duplicated-k-gram extents IS the duplicated-substring
+    coverage. Per doc this returns the merged maximal spans — count,
+    covered token total, and covered fraction — the signal used to
+    drop boilerplate-heavy documents or cut the repeated passages.
+
+    Shuffle shape at 100 TB: (1) posexplode k-grams — linear, no
+    shuffle; (2) gram occurrence groupBy — map-side combined, key
+    space is the gram vocabulary; (3) LEFT SEMI join positions against
+    the >=min_occ grams on the gram key — the inverted-index shape,
+    position rows never multiply (semi, not inner); (4) per-doc
+    windows + span groupBy — linear, partitioned by doc. Nothing
+    quadratic; a white-hot gram (site boilerplate in millions of docs)
+    costs one combined count row, and the semi-join keeps each
+    position exactly once.
+
+    Span-merge rule: grams at positions p < q overlap-or-touch iff
+    q - p <= k (gram p covers tokens [p, p+k-1]), so a gap > k starts
+    a new island; within an island coverage is contiguous, making
+    max(pos) - min(pos) + k the exact union size.
+    """
+    if k < 2:
+        raise ValueError(f"duplicate_spans needs k >= 2, got {k}")
+    if min_occ < 2:
+        raise ValueError("min_occ < 2 would mark every gram duplicated")
+    base = docs.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+        word_shingles(F.col(text_col), k).alias("_grams"),
+    )
+    grams = base.select(id_col, F.posexplode("_grams").alias("pos", "gram"))
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") >= min_occ)
+        .select("gram")
+    )
+    dup_pos = grams.join(dup_grams, on="gram", how="left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = dup_pos.withColumn(
+        "_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > k),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "_isl",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy(id_col, "_isl").agg(
+        F.min("pos").alias("_s"), F.max("pos").alias("_e")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dup_spans"),
+        F.sum(F.col("_e") - F.col("_s") + k).cast("bigint").alias("dup_tokens"),
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("dup_spans"), F.lit(0)).cast("bigint").alias(
+                "dup_spans"
+            ),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias(
+                "dup_tokens"
+            ),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.coalesce(F.col("dup_tokens"), F.lit(0))
+                    / F.col("n_tokens").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -2121,6 +2121,78 @@ GROUP BY source
 """
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication spans (Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better") — the suffix-array
+    dedup modality, re-expressed as positional word-8-gram hashing: a
+    token span is duplicated iff every 8-gram inside it occurs >= 2
+    times corpus-wide, so merged duplicated-gram extents are exactly
+    the duplicated-substring coverage. Distinct from the whole-doc
+    near-dup family (MinHash/SimHash/semantic): this finds the
+    repeated PASSAGES inside otherwise-unique documents — boilerplate,
+    license headers, quoted blocks — the thing one cuts rather than
+    whole docs one drops.
+
+    Plan shape (see operators/dedup.duplicate_spans for the 100 TB
+    argument): posexplode (no shuffle) -> gram-count groupBy (map-side
+    combined) -> LEFT SEMI inverted-index join -> per-doc windows.
+    Linear end-to-end; no pair enumeration anywhere."""
+    from converttovectordb_spark.operators.dedup import duplicate_spans
+
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
+    return duplicate_spans(docs, k=8, min_occ=2)
+
+
+ORACLE_SUBSTRING_DEDUP = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS t
+  FROM documents
+),
+base AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+pos AS (
+  SELECT doc_id, unnest(range(0, len(t) - 8 + 1)) AS pos, t
+  FROM toks WHERE len(t) >= 8
+),
+g2 AS (
+  SELECT doc_id, pos, array_to_string(t[pos+1:pos+8], ' ') AS gram FROM pos
+),
+dup AS (
+  SELECT doc_id, pos FROM g2
+  WHERE gram IN (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2)
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS new_isl
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) AS e
+  FROM isl GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+         CAST(sum(e - s + 8) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       coalesce(p.dup_spans, 0) AS dup_spans,
+       coalesce(p.dup_tokens, 0) AS dup_tokens,
+       round(CASE WHEN b.n_tokens > 0
+                  THEN coalesce(p.dup_tokens, 0) / CAST(b.n_tokens AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_frac
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mined-pair-graph reuse: the three Jaccard near-dup queries
     (pairs / clusters / survivor corpus) run the SAME mining pass, so
@@ -7458,6 +7530,7 @@ QUERIES = {
     "simhash_neardup": q_simhash_neardup,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "substring_dedup": q_substring_dedup,
     "dedup_corpus": q_dedup_corpus,
     # -- text analysis ------------------------------------------------
     "quality_report": q_quality_report,
@@ -7582,6 +7655,7 @@ ORACLES = {
     "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "embedding_neardup_lsh": _oracle_embedding_lsh(),
+    "substring_dedup": ORACLE_SUBSTRING_DEDUP,
     "quality_report": ORACLE_QUALITY_REPORT,
     "normalize_text": ORACLE_NORMALIZE_TEXT,
     "chunk_explode": ORACLE_CHUNK_EXPLODE,

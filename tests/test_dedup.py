@@ -712,3 +712,62 @@ def test_ingest_semantic_dedup_rejects_replace_combo(spark, tmp_path):
     eng.ingest(str(repo))
     with pytest.raises(ValueError, match="replace"):
         eng.ingest(str(repo), replace=True, semantic_dedup=0.9)
+
+
+def test_duplicate_spans_merges_overlapping_grams(spark):
+    from converttovectordb_spark.operators.dedup import duplicate_spans
+
+    # 10 shared tokens -> duplicated 8-grams at pos 0,1,2 in doc 1 and
+    # pos 2,3,4 in doc 2: one merged island each, covering exactly the
+    # 10 shared tokens (pos overlap-merge, not naive per-gram sums).
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d1 = shared + " uniqueone uniquetwo uniquethree"
+    d2 = "prefixa prefixb " + shared
+    d3 = "totally unrelated words " * 3
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_spans(docs, k=8).collect()
+    }
+    assert out[1]["dup_spans"] == 1
+    assert out[1]["dup_tokens"] == 10
+    assert out[1]["n_tokens"] == 13
+    assert out[1]["dup_frac"] == pytest.approx(10 / 13, abs=1e-6)
+    assert out[2]["dup_spans"] == 1
+    assert out[2]["dup_tokens"] == 10
+    assert out[3]["dup_spans"] == 0
+    assert out[3]["dup_tokens"] == 0
+    assert out[3]["dup_frac"] == 0.0
+
+
+def test_duplicate_spans_gap_starts_new_island(spark):
+    from converttovectordb_spark.operators.dedup import duplicate_spans
+
+    # Two shared 8-token passages separated by >8 unique tokens in the
+    # probe doc -> two spans of 8 tokens each, never merged.
+    p1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    p2 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    gap = " ".join(f"g{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{p1} {gap} {p2}"),
+            (2, p1),
+            (3, p2),
+        ],
+        ["doc_id", "text"],
+    )
+    row = {r["doc_id"]: r for r in duplicate_spans(docs, k=8).collect()}[1]
+    assert row["dup_spans"] == 2
+    assert row["dup_tokens"] == 16
+
+    # short docs (< k tokens) are reported with zero coverage, and the
+    # parameter guards are loud
+    assert {r["doc_id"]: r["dup_spans"] for r in duplicate_spans(
+        spark.createDataFrame([(9, "too short")], ["doc_id", "text"]), k=8
+    ).collect()} == {9: 0}
+    with pytest.raises(ValueError, match="k >= 2"):
+        duplicate_spans(docs, k=1)
+    with pytest.raises(ValueError, match="min_occ"):
+        duplicate_spans(docs, min_occ=1)
