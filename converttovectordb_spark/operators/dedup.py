@@ -813,3 +813,107 @@ def duplicate_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def cut_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_occ: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove EXCESS duplicated passages, keeping the corpus-first copy
+    (Lee et al. 2021 cut semantics: every duplicated >=k-token
+    substring survives exactly once).
+
+    An occurrence of a duplicated k-gram is *excess* unless it is the
+    lexicographically-first (doc_id, pos) occurrence of that gram
+    string. Excess extents merge under the same gap>k island rule as
+    `duplicate_spans`; covered tokens are dropped and the survivors
+    re-joined with single spaces (output is whitespace-normalized —
+    the tokenizer already collapses runs).
+
+    Shuffle shape at 100 TB: the keeper is found by a map-side
+    combinable min(struct(doc_id, pos)) aggregation per gram — NOT a
+    per-gram window — so a boilerplate gram occurring in millions of
+    docs costs one combined row, never a single-task sort. The rebuild
+    avoids a range join: per-doc islands collect into a (small)
+    interval array, equi-joined back on doc_id, and tokens filter
+    through an exists() over that array JVM-side.
+    """
+    if k < 2:
+        raise ValueError(f"cut_duplicate_spans needs k >= 2, got {k}")
+    if min_occ < 2:
+        raise ValueError("min_occ < 2 would mark every gram duplicated")
+    base = docs.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("_toks"),
+        word_shingles(F.col(text_col), k).alias("_grams"),
+    )
+    grams = base.select(id_col, F.posexplode("_grams").alias("pos", "gram"))
+    keepers = (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("_occ"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+        )
+        .filter(F.col("_occ") >= min_occ)
+        .select("gram", "_first")
+    )
+    excess = grams.join(keepers, on="gram").filter(
+        (F.col(id_col) != F.col(f"_first.{id_col}"))
+        | (F.col("pos") != F.col("_first.pos"))
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = excess.withColumn(
+        "_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > k),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_isl", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    intervals = (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").cast("bigint").alias("_s"),
+            (F.max("pos") + k - 1).cast("bigint").alias("_e"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_s"), F.col("_e")))
+            ).alias("_cuts")
+        )
+    )
+    joined = base.join(intervals, on=id_col, how="left").withColumn(
+        "_cuts",
+        F.coalesce(
+            F.col("_cuts"),
+            F.array().cast("array<struct<_s:bigint,_e:bigint>>"),
+        ),
+    )
+    kept = joined.select(
+        id_col,
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.filter(
+            F.transform(
+                "_toks", lambda t, i: F.struct(i.alias("i"), t.alias("t"))
+            ),
+            lambda s: ~F.exists(
+                "_cuts",
+                lambda iv: (s["i"] >= iv["_s"]) & (s["i"] <= iv["_e"]),
+            ),
+        ).alias("_kept"),
+    )
+    return kept.select(
+        id_col,
+        "n_tokens",
+        F.size("_kept").cast("bigint").alias("n_kept"),
+        (F.col("n_tokens") - F.size("_kept")).cast("bigint").alias("n_cut"),
+        F.array_join(
+            F.transform("_kept", lambda s: s["t"]), " "
+        ).alias("text_clean"),
+    )

@@ -2193,6 +2193,80 @@ FROM base b LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def q_substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT side of exact-substring dedup: rebuild each document
+    with excess duplicated passages removed, keeping the corpus-first
+    (lowest doc_id, pos) copy of every duplicated >=8-token substring
+    — Lee et al. 2021's actual transformation, not just the report.
+    The keeper is a map-side-combinable min(struct) per gram (no
+    per-gram window: a boilerplate gram in millions of docs must not
+    become one sorted task), and the rebuild equi-joins the per-doc
+    interval list back on doc_id — no range join anywhere."""
+    from converttovectordb_spark.operators.dedup import cut_duplicate_spans
+
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
+    return cut_duplicate_spans(docs, k=8, min_occ=2)
+
+
+ORACLE_SUBSTRING_DEDUP_CUT = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(range(0, len(t) - 8 + 1)) AS pos, t
+  FROM toks WHERE len(t) >= 8
+),
+g2 AS (
+  SELECT doc_id, pos, array_to_string(t[pos+1:pos+8], ' ') AS gram FROM pos
+),
+dupg AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY gram) AS occ
+  FROM g2
+),
+excess AS (SELECT doc_id, pos FROM dupg WHERE occ >= 2 AND rn > 1),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS new_isl
+  FROM excess WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+cuts AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+  FROM isl GROUP BY doc_id, island
+),
+tokpos AS (
+  SELECT doc_id, unnest(range(0, len(t))) AS i, t FROM toks
+),
+tp2 AS (SELECT doc_id, i, t[i+1] AS tok FROM tokpos),
+keep AS (
+  SELECT tp2.doc_id, i, tok FROM tp2
+  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                    WHERE c.doc_id = tp2.doc_id AND tp2.i BETWEEN c.s AND c.e)
+),
+rebuilt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY i) AS text_clean
+  FROM keep GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.t) AS BIGINT) AS n_tokens,
+       coalesce(r.n_kept, 0) AS n_kept,
+       CAST(len(b.t) - coalesce(r.n_kept, 0) AS BIGINT) AS n_cut,
+       coalesce(r.text_clean, '') AS text_clean
+FROM toks b LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mined-pair-graph reuse: the three Jaccard near-dup queries
     (pairs / clusters / survivor corpus) run the SAME mining pass, so
@@ -7531,6 +7605,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "substring_dedup": q_substring_dedup,
+    "substring_dedup_cut": q_substring_dedup_cut,
     "dedup_corpus": q_dedup_corpus,
     # -- text analysis ------------------------------------------------
     "quality_report": q_quality_report,
@@ -7656,6 +7731,7 @@ ORACLES = {
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "embedding_neardup_lsh": _oracle_embedding_lsh(),
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,
+    "substring_dedup_cut": ORACLE_SUBSTRING_DEDUP_CUT,
     "quality_report": ORACLE_QUALITY_REPORT,
     "normalize_text": ORACLE_NORMALIZE_TEXT,
     "chunk_explode": ORACLE_CHUNK_EXPLODE,

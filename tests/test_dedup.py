@@ -771,3 +771,44 @@ def test_duplicate_spans_gap_starts_new_island(spark):
         duplicate_spans(docs, k=1)
     with pytest.raises(ValueError, match="min_occ"):
         duplicate_spans(docs, min_occ=1)
+
+
+def test_cut_duplicate_spans_keeps_first_copy(spark):
+    from converttovectordb_spark.operators.dedup import cut_duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2"),
+            (2, "head1 head2 " + shared),
+            (3, "no duplicated passages in here at all friends"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in cut_duplicate_spans(docs, k=8).collect()}
+    # doc 1 holds the corpus-first copy: nothing cut
+    assert out[1]["n_cut"] == 0
+    assert out[1]["text_clean"] == shared + " tail1 tail2"
+    # doc 2's copy is excess: the 8 shared tokens go, the head survives
+    assert out[2]["n_cut"] == 8
+    assert out[2]["text_clean"] == "head1 head2"
+    assert out[2]["n_kept"] == 2
+    # untouched doc passes through whitespace-normalized but intact
+    assert out[3]["n_cut"] == 0
+    assert out[3]["text_clean"] == "no duplicated passages in here at all friends"
+
+
+def test_cut_duplicate_spans_cuts_within_doc_repeat(spark):
+    from converttovectordb_spark.operators.dedup import cut_duplicate_spans
+
+    p = "r1 r2 r3 r4 r5 r6 r7 r8"
+    docs = spark.createDataFrame(
+        [(1, f"{p} mid1 mid2 mid3 mid4 mid5 mid6 mid7 mid8 mid9 {p}")],
+        ["doc_id", "text"],
+    )
+    row = cut_duplicate_spans(docs, k=8).collect()[0]
+    # the first in-doc occurrence is the keeper, the second is cut
+    assert row["n_tokens"] == 25
+    assert row["n_cut"] == 8
+    assert row["text_clean"].startswith(p + " mid1")
+    assert row["text_clean"].endswith("mid9")
