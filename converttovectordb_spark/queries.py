@@ -7512,6 +7512,84 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality ranking for data pruning (Sorscher et al. 2022,
+    "Beyond neural scaling laws": prune the most PROTOTYPICAL examples
+    in abundant clusters — easy/redundant points near their cluster
+    center teach a large model least). Per embedding: cosine to its
+    TRAINED k-means centroid (the persisted IVF artifact doing triple
+    duty — ANN index, SemDeDup bucketer, now pruning scorer) and the
+    dense rank of that score inside its cluster, rank 1 = most
+    prototypical = first pruned under the abundant-cluster policy.
+
+    Scale shape: 16 centroids broadcast; ONE corpus pass scores every
+    row map-side; the only shuffle is the per-cluster rank window
+    (linear, partitioned on cluster_id). Rank is over ROUND-6 scores
+    with vec_id tie-break so the permutation is engine-stable."""
+    export = _kmeans_ivf_export(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    assign = spark.read.parquet(f"{export}/assign").drop("corpus_fp")
+    cents = spark.read.parquet(f"{export}/centroids").drop("corpus_fp")
+    scored = (
+        emb.join(assign, on="vec_id")
+        .join(F.broadcast(cents), on="cluster_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            _round6(
+                cosine_similarity(F.col("embedding"), F.col("centroid"))
+            ).alias("proto"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("proto").desc(), F.col("vec_id").asc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return scored.select(
+        "vec_id",
+        "cluster_id",
+        "proto",
+        F.row_number().over(w).cast("bigint").alias("rank_in_cluster"),
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("n_cluster"),
+    )
+
+
+ORACLE_PROTOTYPICALITY = f"""
+WITH assign AS (
+  SELECT vec_id, cluster_id
+  FROM read_parquet('{IVF_KMEANS_EXPORT_GLOB}/assign/*.parquet')
+  WHERE corpus_fp = {_ORACLE_CORPUS_FP} || '|{_KMEANS_PARAMS}'
+),
+cent AS (
+  SELECT cluster_id, centroid::DOUBLE[] AS c
+  FROM read_parquet('{IVF_KMEANS_EXPORT_GLOB}/centroids/*.parquet')
+  WHERE corpus_fp = {_ORACLE_CORPUS_FP} || '|{_KMEANS_PARAMS}'
+),
+docs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT vec_id, cluster_id,
+         CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (na * nb) END AS score
+  FROM (
+    SELECT d.vec_id, a.cluster_id,
+           list_sum(list_transform(list_zip(d.v, c.c), x -> x[1] * x[2])) AS dot,
+           sqrt(list_sum(list_transform(d.v, x -> x * x))) AS na,
+           sqrt(list_sum(list_transform(c.c, x -> x * x))) AS nb
+    FROM docs d
+    JOIN assign a USING (vec_id)
+    JOIN cent c USING (cluster_id)
+  )
+)
+SELECT vec_id, cluster_id,
+       round(CAST(score AS DOUBLE), 6) AS proto,
+       CAST(row_number() OVER (
+           PARTITION BY cluster_id
+           ORDER BY round(CAST(score AS DOUBLE), 6) DESC, vec_id
+       ) AS BIGINT) AS rank_in_cluster,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_cluster
+FROM scored
+"""
+
+
 ORACLE_SEMANTIC_DEDUP = f"""
 WITH assign AS (
   SELECT vec_id, cluster_id
@@ -7583,6 +7661,7 @@ QUERIES = {
     "vector_ivf_knn_indexed": q_vector_ivf_knn_indexed,
     "vector_ivf_knn_filtered": q_vector_ivf_knn_filtered,
     "index_drift": q_index_drift,
+    "prototypicality": q_prototypicality,
     "ivf_recall": q_ivf_recall,
     "ivf_recall_kmeans": q_ivf_recall_kmeans,
     "pq_recall": q_pq_recall,
@@ -7712,6 +7791,7 @@ ORACLES = {
     "vector_ivf_knn_indexed": ORACLE_VECTOR_IVF_KNN,
     "vector_ivf_knn_filtered": ORACLE_VECTOR_IVF_KNN_FILTERED,
     "index_drift": ORACLE_INDEX_DRIFT,
+    "prototypicality": ORACLE_PROTOTYPICALITY,
     "ivf_recall": ORACLE_IVF_RECALL,
     "ivf_recall_kmeans": ORACLE_IVF_RECALL_KMEANS,
     "pq_recall": ORACLE_PQ_RECALL,
