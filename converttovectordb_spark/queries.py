@@ -5625,6 +5625,77 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per language (the mBERT /
+    XLM-R multilingual balancing recipe, Conneau & Lample 2019):
+    q_l ∝ p_l^(1/T) where p_l is the language's raw token share —
+    up-weights tail languages, down-weights the head. T = 2 here, and
+    deliberately so: x^(1/2) is the one non-trivial exponent with a
+    correctly-rounded IEEE primitive (sqrt) in every engine, so the
+    weight is cross-engine hash-exact; arbitrary T needs pow(), which
+    libms round differently. The normalizer uses the DSIR decimal
+    trick — each sqrt rounded to 6dp, summed as DECIMAL(18,6)
+    (order-independent, exact), ONE final double division — so a
+    float reduction order can never flip the 6th decimal.
+
+    Scale shape: token counting is map-side; the groupBy key is
+    language (low cardinality, map-side combined); the normalizer is a
+    1-row broadcast. One corpus scan, nothing data-sized shuffles."""
+    from converttovectordb_spark.functions.text import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    per = per.withColumn(
+        "_s",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")), 6).cast(
+            "decimal(18,6)"
+        ),
+    )
+    total = per.agg(
+        F.sum("n_tokens").alias("_total"), F.sum("_s").alias("_denom")
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            _round6(
+                F.col("n_tokens") / F.col("_total").cast("double")
+            ).alias("raw_share"),
+            _round6(
+                F.col("_s").cast("double") / F.col("_denom").cast("double")
+            ).alias("temp_weight"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_TEMPERATURE_SAMPLING = """
+WITH per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(
+             string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> ''
+         ))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+s AS (
+  SELECT lang, n_docs, n_tokens,
+         CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS sv
+  FROM per
+),
+tot AS (SELECT sum(n_tokens) AS total, sum(sv) AS denom FROM s)
+SELECT lang, n_docs, n_tokens,
+       round(n_tokens / CAST(total AS DOUBLE), 6) AS raw_share,
+       round(CAST(sv AS DOUBLE) / CAST(denom AS DOUBLE), 6) AS temp_weight
+FROM s CROSS JOIN tot
+ORDER BY lang
+"""
+
+
 ORACLE_SOURCE_MIXTURE = f"""
 WITH per AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -7773,6 +7844,7 @@ QUERIES = {
     "price_quantity_corr": q_price_quantity_corr,
     "domain_cap_sample": q_domain_cap_sample,
     "source_mixture": q_source_mixture,
+    "temperature_sampling": q_temperature_sampling,
 }
 
 #: Sketch-based queries have NO oracle entry on purpose: Spark's
@@ -7857,6 +7929,7 @@ ORACLES = {
     "price_quantity_corr": ORACLE_PRICE_QUANTITY_CORR,
     "domain_cap_sample": ORACLE_DOMAIN_CAP_SAMPLE,
     "source_mixture": ORACLE_SOURCE_MIXTURE,
+    "temperature_sampling": ORACLE_TEMPERATURE_SAMPLING,
     "cust_with_returns": ORACLE_CUST_WITH_RETURNS,
     "cust_year_sets": ORACLE_CUST_YEAR_SETS,
     "price_band_join": ORACLE_PRICE_BAND_JOIN,

@@ -92,11 +92,21 @@ def main() -> int:
             F.sum(val).alias("rev"), F.count(F.lit(1)).alias("n")
         )
 
+    def op_substring_spans(d):
+        from converttovectordb_spark.operators.dedup import duplicate_spans
+
+        # NOTE: replication makes every cross-replica gram duplicated,
+        # so mults >= 4 measure the WORST-case dup density (~100% of
+        # positions flow through the window stage); the 4x->16x slope
+        # is the self-similar one that carries the linearity claim.
+        return duplicate_spans(d, k=8)
+
     doc_ops = {
         "exact_dedup": op_exact_dedup,
         "token_stats_agg": op_token_stats,
         "bm25_postings": op_bm25,
         "shingle_inverted_index": op_shingle_index,
+        "substring_dedup_spans": op_substring_spans,
     }
 
     results: dict[str, dict[int, float]] = {}
