@@ -49,13 +49,14 @@ def distinct_token_count(text: Column) -> Column:
     return F.size(F.array_distinct(tokens(text))).cast("bigint")
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as 'w1 w2 ... wn' strings (distinct not applied).
-
-    Built from tokens via transform-over-index so it stays JVM-side:
-    positions 0..len-n, each joined with single spaces.
-    """
-    toks = tokens(text)
+def word_shingles_of(toks: Column, n: int) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token array
+    column. Callers that shingle long texts must project ``tokens()``
+    into a column FIRST and pass it here: codegen does not CSE inside
+    higher-order-function lambdas, so referencing the tokenize
+    expression directly re-runs the regex split once per shingle
+    position — a measured ~5x wall-clock blowup on the substring-dedup
+    path (same pitfall `_exploded_shingles` documents)."""
     # Guard: F.sequence(0, negative) would generate a DESCENDING range,
     # so short texts must short-circuit to an empty array.
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
@@ -66,6 +67,18 @@ def word_shingles(text: Column, n: int = 3) -> Column:
             ),
         )
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as 'w1 w2 ... wn' strings (distinct not applied).
+
+    Built from tokens via transform-over-index so it stays JVM-side:
+    positions 0..len-n, each joined with single spaces. NOTE the
+    embedded ``tokens()`` re-evaluates per position inside the lambda —
+    fine for one-shot short-text use; hot paths should materialize the
+    token array and use `word_shingles_of`.
+    """
+    return word_shingles_of(tokens(text), n)
 
 
 def char_ngrams(text: Column, n: int = 8) -> Column:

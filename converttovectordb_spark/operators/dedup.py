@@ -179,6 +179,105 @@ def _minhash_sig(shingle_col, seed: int):
     return F.min(F.md5(F.concat(F.lit(f"s{seed}|"), shingle_col)))
 
 
+def _band_key_array(num_hashes: int, bands: int):
+    """Per-band md5 keys as ONE array column over h0..h{n-1} — a
+    per-band union would re-execute the whole signature pipeline once
+    per band per join side."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{i}")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def _minhash_signature_agg(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_words: int,
+    num_hashes: int,
+    _shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Per-doc h0..h{n-1} MinHash components. Documents with fewer than
+    ``shingle_words`` tokens produce NO row (no shingles → no
+    signature → never a candidate) — the minhash family's documented
+    blind spot for very short texts."""
+    sh = (
+        _shingles
+        if _shingles is not None
+        else _exploded_shingles(docs, id_col, text_col, shingle_words)
+    )
+    return sh.groupBy(id_col).agg(
+        *[
+            _minhash_sig(F.col("shingle"), i).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_band_keys(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    _shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(id, band_id, band_key) rows — the LSH candidate surface: two
+    docs are candidates iff they share a (band_id, band_key) pair.
+    `bands` tiny md5-string rows per doc; the only shuffle is the
+    per-doc signature groupBy, linear in the corpus."""
+    sig = _minhash_signature_agg(
+        docs, id_col, text_col, shingle_words, num_hashes, _shingles
+    )
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(_band_key_array(num_hashes, bands)).alias(
+            "band_id", "band_key"
+        ),
+    )
+
+
+def minhash_signature_rows(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, sig, band_id, band_key) rows — the PERSISTABLE signature
+    surface for dedup-on-arrival: band keys drive the candidate join
+    and the full component array ``sig`` lets a consumer decide on the
+    ESTIMATED Jaccard (matching components / num_hashes) without ever
+    touching the source text again. The sig array repeats per band row
+    (storage is `bands` × ~0.5 KB per doc — corpus-linear but tiny
+    next to the corpus itself)."""
+    sig = _minhash_signature_agg(
+        docs, id_col, text_col, shingle_words, num_hashes
+    )
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+        F.posexplode(_band_key_array(num_hashes, bands)).alias(
+            "band_id", "band_key"
+        ),
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     *,
@@ -198,37 +297,14 @@ def minhash_lsh_candidates(
     ``_shingles`` lets a caller pass an already-materialized shingle
     DataFrame so the explode isn't recomputed.
     """
-    rows_per_band = num_hashes // bands
-    sh = (
-        _shingles
-        if _shingles is not None
-        else _exploded_shingles(docs, id_col, text_col, shingle_words)
-    )
-    sig = sh.groupBy(id_col).agg(
-        *[
-            _minhash_sig(F.col("shingle"), i).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    # All band keys in ONE pass (posexplode over an array of per-band
-    # hashes) — a per-band union would re-execute the whole signature
-    # pipeline once per band per join side.
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"h{i}")
-                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                    ],
-                )
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(
-        F.col(id_col), F.posexplode(band_keys).alias("band_id", "band_key")
+    banded = minhash_band_keys(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_words=shingle_words,
+        num_hashes=num_hashes,
+        bands=bands,
+        _shingles=_shingles,
     )
     left = banded.select(
         F.col(id_col).alias("a"), "band_id", "band_key"
@@ -283,6 +359,52 @@ def minhash_verify_jaccard(
             "jaccard",
             F.col("n_common")
             / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def jaccard_verify_cross(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    cands: DataFrame,
+    *,
+    text_col: str = "text",
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of CROSS-corpus candidate pairs:
+    ``cands`` is (a, b) where ``a`` keys ``docs_a`` (column ``a``) and
+    ``b`` keys ``docs_b`` (column ``b``) — the two-sided twin of
+    `minhash_verify_jaccard` for batch-vs-committed-corpus checks.
+    Shingles are computed only for rows that appear in a candidate
+    pair, so the cost is candidate-sized on both sides."""
+    a_ids = cands.select("a").distinct()
+    b_ids = cands.select("b").distinct()
+    sh_a = _exploded_shingles(
+        docs_a.join(a_ids, "a", "left_semi"), "a", text_col, shingle_words
+    )
+    sh_b = _exploded_shingles(
+        docs_b.join(b_ids, "b", "left_semi"), "b", text_col, shingle_words
+    )
+    size_a = sh_a.groupBy("a").agg(F.count(F.lit(1)).alias("n_a"))
+    size_b = sh_b.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
+    common = (
+        cands.join(sh_a, "a")
+        .join(sh_b, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(size_a, "a")
+        .join(size_b, "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                "double"
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
@@ -754,16 +876,32 @@ def duplicate_spans(
     a new island; within an island coverage is contiguous, making
     max(pos) - min(pos) + k the exact union size.
     """
+    from converttovectordb_spark.functions.text import word_shingles_of
+
     if k < 2:
         raise ValueError(f"duplicate_spans needs k >= 2, got {k}")
     if min_occ < 2:
         raise ValueError("min_occ < 2 would mark every gram duplicated")
+    # tokens materialized FIRST — shingling through the raw text
+    # expression re-runs the regex split per position (no CSE inside
+    # HOF lambdas; measured ~5x on this path)
     base = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(id_col),
-        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
-        word_shingles(F.col(text_col), k).alias("_grams"),
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        word_shingles_of(F.col("_toks"), k).alias("_grams"),
     )
-    grams = base.select(id_col, F.posexplode("_grams").alias("pos", "gram"))
+    # posexplode_OUTER, then drop the null row: plain posexplode makes
+    # Catalyst infer a `size(_grams) > 0` filter and push it below the
+    # spread exchange with the WHOLE tokenize+shingle expression
+    # substituted in — the heavy compute then runs inside the (few-
+    # split at test SF, and always pre-spread) scan stage. Measured
+    # 46 s → 4 s on the sf0.1 corpus. The null filter references the
+    # generated column, so it cannot sink below the Generate.
+    grams = base.select(
+        id_col, F.posexplode_outer("_grams").alias("pos", "gram")
+    ).filter(F.col("gram").isNotNull())
     dup_grams = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("_occ"))
@@ -841,16 +979,25 @@ def cut_duplicate_spans(
     interval array, equi-joined back on doc_id, and tokens filter
     through an exists() over that array JVM-side.
     """
+    from converttovectordb_spark.functions.text import word_shingles_of
+
     if k < 2:
         raise ValueError(f"cut_duplicate_spans needs k >= 2, got {k}")
     if min_occ < 2:
         raise ValueError("min_occ < 2 would mark every gram duplicated")
+    # tokens materialized first — see duplicate_spans
     base = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(id_col),
-        tokens(F.col(text_col)).alias("_toks"),
-        word_shingles(F.col(text_col), k).alias("_grams"),
+        F.col("_toks"),
+        word_shingles_of(F.col("_toks"), k).alias("_grams"),
     )
-    grams = base.select(id_col, F.posexplode("_grams").alias("pos", "gram"))
+    # posexplode_outer + null filter — see duplicate_spans (inferred
+    # size()>0 filter would push the shingle compute into the scan)
+    grams = base.select(
+        id_col, F.posexplode_outer("_grams").alias("pos", "gram")
+    ).filter(F.col("gram").isNotNull())
     keepers = (
         grams.groupBy("gram")
         .agg(
