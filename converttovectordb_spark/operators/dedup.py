@@ -67,9 +67,13 @@ def _exploded_shingles(
             ),
         )
     )
+    # explode_OUTER + null filter: plain explode makes Catalyst infer a
+    # size() > 0 filter and push the WHOLE shingle expression into the
+    # scan stage (see duplicate_spans; measured 7.8 s -> ~1 s at sf0.1)
     return toked.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
-    )
+        F.col(id_col),
+        F.explode_outer(F.array_distinct(shingles)).alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
 
 
 def exact_dedup(
