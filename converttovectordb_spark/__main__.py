@@ -70,6 +70,13 @@ def _build_parser() -> argparse.ArgumentParser:
         help="also collapse near-dups INSIDE the arriving batch "
         "(keep-lowest (path, chunk_index) rule)",
     )
+    sp.add_argument(
+        "--lexical-dedup", type=float, default=None, metavar="J",
+        help="drop arriving chunks whose estimated MinHash Jaccard "
+        "against any committed chunk reaches J; the corpus side is a "
+        "persisted signature artifact, so steady-state cost is "
+        "O(batch) — composable with --semantic-dedup",
+    )
     common(sp)
 
     sp = sub.add_parser("search", help="top-k similarity search")
@@ -207,6 +214,7 @@ def main(argv: list[str] | None = None) -> int:
                 semantic_dedup=args.semantic_dedup,
                 semantic_dedup_nprobe=args.semantic_dedup_nprobe,
                 semantic_dedup_within_batch=args.within_batch_dedup,
+                lexical_dedup=args.lexical_dedup,
             )
         except ValueError as e:
             # e.g. --replace on a non-transactional store: the clean

@@ -49,6 +49,15 @@ from converttovectordb_spark.sources.store import (
 )
 
 
+#: lexical dedup-on-arrival signature config: r = 32/8 = 4 rows per
+#: band like the 16/4 query family, but 8 bands lift candidate recall
+#: to ~0.985 at true Jaccard 0.8 (vs 0.88 at 4 bands) and halve the
+#: estimate granularity to 1/32 — the artifact is tiny either way.
+#: Must stay in lockstep with sigstore.SIG_PARAMS.
+LEX_NUM_HASHES = 32
+LEX_BANDS = 8
+
+
 def _row_id():
     """The engine-wide row identity: path#chunk_index. ONE definition —
     joins across the store, the IVF index, and the dedup paths all key
@@ -86,6 +95,7 @@ class VectorEngine:
         semantic_dedup: float | None = None,
         semantic_dedup_nprobe: int = 2,
         semantic_dedup_within_batch: bool = False,
+        lexical_dedup: float | None = None,
     ) -> DataFrame:
         """scan → chunk → embed → append. Returns the written batch.
 
@@ -135,6 +145,31 @@ class VectorEngine:
         contract (the batch is the SMALL side by construction), never
         corpus-sized.
 
+        ``lexical_dedup=j`` is the MinHash twin: drop batch rows whose
+        estimated Jaccard against ANY committed chunk reaches ``j``.
+        The corpus side lives entirely in a persisted signature
+        artifact (`sources/sigstore.py`: band keys for the candidate
+        join + the full 32-component signature for the decision), so a
+        steady-state flagged ingest costs O(batch): batch signatures
+        broadcast against the artifact's band keys, estimate =
+        matching components / 32 on the candidate pairs — the corpus
+        TEXT is never re-read. The estimate is the same statistic
+        `minhash_accuracy` measures (granularity 1/32; candidate
+        recall at the 32/8 ingest config ≈ 0.985 at true Jaccard 0.8,
+        ≈ 0.999 at 0.9 — re-crawl near-dups are high-j, which is where
+        the curve is; see LEX_NUM_HASHES/LEX_BANDS).
+        The artifact heals like the IVF index: absent → one corpus
+        build pass; stale by token → `_row_id` delta append; store
+        dropped rows → rebuild (a signature for a vanished row could
+        wrongly drop an arriving one). Shares the blind spots of the
+        family: chunks under 3 words have no signature (never dropped,
+        never dropping), and a blind re-append that CHANGES a chunk's
+        content under an existing path#chunk_index keeps the old
+        signature until a rebuild (same `_row_id`-delta semantics as
+        `append_to_index`). Composable with ``semantic_dedup`` (the
+        drop sets union); mutually exclusive with ``replace=True``
+        for the same reason semantic is.
+
         A9 pipeline metrics (reference repo_to_vector.py:58-64,452-467)
         ride the single write job as `df.observe` metrics plus an
         embed-time accumulator — see ``last_ingest_metrics``. Divergence
@@ -178,6 +213,18 @@ class VectorEngine:
                 "semantic_dedup_within_batch requires semantic_dedup=t "
                 "(the cosine threshold the collapse tests against)"
             )
+        if lexical_dedup is not None:
+            if not 0.0 < lexical_dedup <= 1.0:
+                raise ValueError(
+                    f"lexical_dedup must be in (0, 1], got {lexical_dedup}"
+                )
+            if replace:
+                raise ValueError(
+                    "lexical_dedup cannot be combined with replace=True "
+                    "for the same reason semantic_dedup cannot: upsert "
+                    "tombstones EVERY old chunk of a touched path while "
+                    "dedup drops the unchanged chunks from the batch"
+                )
         t0 = time.time()
         if repo_url:
             clone_repository(repo_url, repo_path)
@@ -207,14 +254,13 @@ class VectorEngine:
         # batch — a long-lived engine retrying failed ingests would
         # otherwise accumulate orphaned cached embedding batches for
         # the SparkSession lifetime
+        had_store = self.store.exists()
+        need_sem = semantic_dedup is not None and (
+            had_store or semantic_dedup_within_batch
+        )
+        need_lex = lexical_dedup is not None and had_store
         try:
-            if semantic_dedup is not None and (
-                self.store.exists() or semantic_dedup_within_batch
-            ):
-                from converttovectordb_spark.functions.vector import (
-                    l2_normalize,
-                )
-
+            if need_sem or need_lex:
                 # Materialize the batch ONCE: it appears on both sides
                 # of the dedup decision (broadcast probe + anti-join
                 # left), so an uncached lineage would run the embed UDF
@@ -222,6 +268,12 @@ class VectorEngine:
                 # accumulator.
                 batch = batch.persist()
                 self._batch_to_unpersist = batch
+            dup_ids = None
+            if need_sem:
+                from converttovectordb_spark.functions.vector import (
+                    l2_normalize,
+                )
+
                 probes = batch.select(
                     _row_id().alias("_bid"),
                     F.col("path"),
@@ -234,8 +286,7 @@ class VectorEngine:
                 # re-collecting it would add a Spark job plus a
                 # duplicate O(B×d) transfer per ingest
                 batch_rows = probes.collect()
-                dup_ids = None
-                if self.store.exists():
+                if had_store:
                     threshold = float(semantic_dedup)
                     index = self._fresh_index_for_dedup()
                     if index is not None:
@@ -261,6 +312,15 @@ class VectorEngine:
                         wb if dup_ids is None
                         else dup_ids.unionByName(wb).distinct()
                     )
+            if need_lex:
+                lex_ids = self._dup_ids_lexical(
+                    batch, float(lexical_dedup)
+                )
+                dup_ids = (
+                    lex_ids if dup_ids is None
+                    else dup_ids.unionByName(lex_ids).distinct()
+                )
+            if dup_ids is not None:
                 batch = batch.join(
                     dup_ids, on=_row_id() == F.col("_bid"), how="left_anti"
                 )
@@ -289,6 +349,10 @@ class VectorEngine:
                 "embedding_time": float(embed_acc.value),
                 "total_time": time.time() - t0,
             }
+            if lexical_dedup is not None:
+                self._append_sigs_after_ingest(
+                    batch, store_existed_before=had_store
+                )
         finally:
             cached = getattr(self, "_batch_to_unpersist", None)
             if cached is not None:
@@ -558,6 +622,164 @@ class VectorEngine:
         return spark.createDataFrame(
             [(b,) for b in dropped], "_bid string"
         )
+
+    # -- ingest lexical-dedup internals ------------------------------------
+    def _sig_store(self):
+        from converttovectordb_spark.sources.sigstore import (
+            MinHashSignatureStore,
+        )
+
+        return MinHashSignatureStore(
+            self.spark, self.store.path.rstrip("/") + "_minhash_sigs"
+        )
+
+    def _corpus_for_sigs(self) -> DataFrame:
+        """The serving corpus keyed for the signature artifact: newest
+        copy per _row_id (same `_dedup_row_ids` rule every corpus-facing
+        dedup path uses)."""
+        return self._dedup_row_ids(
+            self.store.load().withColumn("_row_id", _row_id())
+        ).select(F.col("_row_id").alias("rid"), "content")
+
+    def _fresh_sigs_for_dedup(self) -> DataFrame:
+        """The lexical signature artifact, provably covering the
+        committed store — build / heal / rebuild as needed, then load.
+
+        Same freshness contract as `_fresh_index_for_dedup`: absent (or
+        params-mismatched) → one full build pass over the store; stale
+        by token → `_row_id` delta append (O(store delta)); artifact
+        rows whose rid vanished from the store → full rebuild (a
+        signature for a removed chunk could WRONGLY drop an arriving
+        row, so orphans are a correctness hazard, not garbage). Unlike
+        the IVF index there is no degrade-to-brute: the artifact build
+        IS the brute pass, done once and persisted."""
+        from converttovectordb_spark.operators.dedup import (
+            minhash_signature_rows,
+        )
+        from converttovectordb_spark.sources.sigstore import token_digest
+
+        sig = self._sig_store()
+        digest = token_digest(self.store.state_token())
+
+        def full_sigs() -> DataFrame:
+            return minhash_signature_rows(
+                self._corpus_for_sigs(),
+                id_col="rid",
+                text_col="content",
+                num_hashes=LEX_NUM_HASHES,
+                bands=LEX_BANDS,
+            )
+
+        tok = sig.token()
+        if tok is None:
+            sig.rebuild(full_sigs(), digest)
+            return sig.load()
+        if tok == digest:
+            return sig.load()
+        have = sig.load().select("rid").distinct()
+        corpus_ids = self._corpus_for_sigs().select("rid")
+        if have.join(corpus_ids, "rid", "left_anti").limit(1).count():
+            sig.rebuild(full_sigs(), digest)
+            return sig.load()
+        delta = self._corpus_for_sigs().join(have, "rid", "left_anti")
+        sig.append(
+            minhash_signature_rows(
+                delta,
+                id_col="rid",
+                text_col="content",
+                num_hashes=LEX_NUM_HASHES,
+                bands=LEX_BANDS,
+            ),
+            digest,
+        )
+        return sig.load()
+
+    def _dup_ids_lexical(self, batch: DataFrame, threshold: float) -> DataFrame:
+        """Batch ids whose ESTIMATED Jaccard — matching MinHash
+        components / 16, the statistic `minhash_accuracy` measures —
+        against any committed chunk reaches the threshold.
+
+        The corpus side is ONLY the persisted signature artifact:
+        batch signatures (bounded) broadcast into the (band_id,
+        band_key) equi-join, so a steady-state flagged ingest is
+        O(batch) — the committed corpus TEXT is never re-read, which is
+        what makes lexical dedup-on-arrival hold at 100 TB. Chunks with
+        fewer than 3 words have no signature: never dropped, never
+        dropping (the family's documented short-text blind spot)."""
+        from converttovectordb_spark.operators.dedup import (
+            minhash_signature_rows,
+        )
+
+        sigs = self._fresh_sigs_for_dedup()
+        bb = minhash_signature_rows(
+            batch.select(_row_id().alias("_bid"), "content"),
+            id_col="_bid",
+            text_col="content",
+            num_hashes=LEX_NUM_HASHES,
+            bands=LEX_BANDS,
+        ).select(
+            F.col("_bid"), F.col("sig").alias("_bsig"), "band_id", "band_key"
+        )
+        pairs = sigs.join(
+            F.broadcast(bb), on=["band_id", "band_key"]
+        ).dropDuplicates(["_bid", "rid"])
+        matches = F.size(
+            F.filter(
+                F.zip_with("_bsig", "sig", lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        return (
+            pairs.withColumn(
+                "_est", matches / F.size("_bsig").cast("double")
+            )
+            .filter(F.col("_est") >= threshold)
+            .select("_bid")
+            .distinct()
+        )
+
+    def _append_sigs_after_ingest(
+        self, written: DataFrame, *, store_existed_before: bool
+    ) -> None:
+        """Advance the signature artifact to the post-commit store
+        state: survivors' signatures appended, token rewritten. When
+        the store did NOT exist before this ingest, the written batch
+        IS the store — rebuild wholesale (this also invalidates any
+        artifact orphaned by a store clear(), whose old token would
+        otherwise look committed). Crash-safe: a miss here just leaves
+        the artifact stale; the next flagged ingest heals by delta."""
+        from converttovectordb_spark.operators.dedup import (
+            minhash_signature_rows,
+        )
+        from converttovectordb_spark.sources.sigstore import token_digest
+
+        sig = self._sig_store()
+        digest = token_digest(self.store.state_token())
+        bands = minhash_signature_rows(
+            written.select(_row_id().alias("rid"), "content"),
+            id_col="rid",
+            text_col="content",
+            num_hashes=LEX_NUM_HASHES,
+            bands=LEX_BANDS,
+        )
+        if not store_existed_before:
+            sig.rebuild(bands, digest)
+        elif sig.token() is None:
+            # artifact vanished or params changed mid-ingest (external
+            # interference) — a batch-only rebuild would silently lose
+            # corpus coverage; rebuild from the committed store instead
+            sig.rebuild(
+                minhash_signature_rows(
+                    self._corpus_for_sigs(),
+                    id_col="rid",
+                    text_col="content",
+                    num_hashes=LEX_NUM_HASHES,
+                    bands=LEX_BANDS,
+                ),
+                digest,
+            )
+        else:
+            sig.append(bands, digest)
 
     @staticmethod
     def _dedup_row_ids(docs: DataFrame) -> DataFrame:
@@ -1227,3 +1449,9 @@ class VectorEngine:
 
     def clear(self, *, backup: bool = True) -> None:
         self.store.clear(backup=backup)
+        # the lexical signature artifact describes the cleared corpus —
+        # dropping it here (not just relying on the rebuild guards)
+        # keeps a later unflagged store rebuild from racing a stale one
+        import shutil
+
+        shutil.rmtree(self._sig_store().path, ignore_errors=True)

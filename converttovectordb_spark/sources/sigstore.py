@@ -1,0 +1,142 @@
+"""Persisted MinHash signature artifact for lexical dedup-on-arrival.
+
+The scale lesson the semantic ingest dedup already learned applies
+verbatim to the lexical one: comparing an arriving batch against the
+committed corpus must not re-derive corpus-side state per batch.
+For MinHash that state is the banded signature table — `bands` tiny
+(band_id, band_key md5) rows per committed chunk, keyed by the
+engine-wide `_row_id` (path#chunk_index). This artifact persists it
+next to the document store and keeps it fresh the same way the IVF
+index does: a state-token file earned only after the signatures
+provably cover the committed store, healed by `_row_id` delta when
+stale, rebuilt when the store dropped rows.
+
+Layout::
+
+    <store>_minhash_sigs/
+        data/<uuid>/          one parquet dir per append (atomic: the
+                              writer stages to tmp-<uuid> and renames)
+        _TOKEN                json {digest, params}; written LAST via
+                              tmp+rename — the commit marker
+
+Crash windows are safe by construction: data without a refreshed
+_TOKEN just means "stale" → the next flagged ingest heals by delta
+(an id anti-join makes the replayed rows a no-op) and rewrites the
+token. A params change (hash count, bands, shingle width) invalidates
+the artifact wholesale — the loader reports it as absent and the
+caller rebuilds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: signature recipe — part of the token file; changing any component
+#: must bump the trailing version so stale artifacts self-invalidate
+SIG_PARAMS = "nh=32|bands=8|sw=3|v1"
+
+
+def token_digest(token) -> str | None:
+    """Stable cross-process digest of a store state token. The plain
+    store's token embeds a frozenset whose repr order is hash-salted,
+    so it is canonicalized (sorted) before hashing — same rule as the
+    index heal txn id (engine.py append_to_index)."""
+    if token is None:
+        return None
+    basis = token
+    if (
+        isinstance(token, tuple)
+        and len(token) == 2
+        and isinstance(token[1], frozenset)
+    ):
+        basis = (token[0], tuple(sorted(token[1])))
+    return hashlib.sha256(repr(basis).encode()).hexdigest()
+
+
+class MinHashSignatureStore:
+    """Parquet-backed (rid, band_id, band_key) table with a token-file
+    freshness contract. All methods are driver-cheap except the actual
+    signature computation, which the CALLER provides as a DataFrame —
+    this class only stages, commits, and loads."""
+
+    TOKEN_FILE = "_TOKEN"
+    DATA_DIR = "data"
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- state ---------------------------------------------------------
+    def exists(self) -> bool:
+        return os.path.exists(self._data_path())
+
+    def token(self) -> str | None:
+        """The committed store-token digest, or None when the artifact
+        is absent, unreadable, or was built under different params."""
+        try:
+            with open(os.path.join(self.path, self.TOKEN_FILE)) as fh:
+                meta = json.load(fh)
+        except (OSError, ValueError):
+            return None
+        if meta.get("params") != SIG_PARAMS:
+            return None
+        return meta.get("digest")
+
+    # -- io --------------------------------------------------------------
+    def load(self) -> DataFrame:
+        """All committed signature rows: (rid, band_id, band_key).
+        One parquet dataset per append — recursive lookup, no partition
+        inference (the subdirs are commit batches, not partitions)."""
+        return (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .parquet(self._data_path())
+        )
+
+    def append(self, sigs: DataFrame, digest: str) -> None:
+        """Stage one parquet dir atomically, then commit the token."""
+        self._write_batch(sigs)
+        self._write_token(digest)
+
+    def rebuild(self, sigs: DataFrame, digest: str) -> None:
+        """Replace the artifact wholesale (store dropped rows, params
+        change, first build). The old data dir is removed only after
+        the replacement is fully staged."""
+        staged = self._stage(sigs)
+        data = self._data_path()
+        old = None
+        if os.path.exists(data):
+            old = data + ".old." + uuid.uuid4().hex
+            os.rename(data, old)
+        os.makedirs(data, exist_ok=True)
+        os.rename(staged, os.path.join(data, os.path.basename(staged)[4:]))
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
+        self._write_token(digest)
+
+    # -- internals -----------------------------------------------------
+    def _data_path(self) -> str:
+        return os.path.join(self.path, self.DATA_DIR)
+
+    def _stage(self, sigs: DataFrame) -> str:
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(self.path, "tmp-" + uuid.uuid4().hex)
+        sigs.write.mode("overwrite").parquet(staged)
+        return staged
+
+    def _write_batch(self, sigs: DataFrame) -> None:
+        staged = self._stage(sigs)
+        data = self._data_path()
+        os.makedirs(data, exist_ok=True)
+        os.rename(staged, os.path.join(data, os.path.basename(staged)[4:]))
+
+    def _write_token(self, digest: str) -> None:
+        tmp = os.path.join(self.path, f".token.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump({"digest": digest, "params": SIG_PARAMS}, fh)
+        os.replace(tmp, os.path.join(self.path, self.TOKEN_FILE))

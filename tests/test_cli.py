@@ -58,6 +58,19 @@ def test_cli_ingest_search_stats_clear(tmp_path):
     )
     assert wb["rows_written"] == 1  # m.txt survives, n.txt collapsed
 
+    # lexical (MinHash) dedup-on-arrival flag wiring: re-crawling the
+    # same batch under new paths writes nothing (estimated Jaccard 1.0
+    # against the committed copies)
+    repo3 = tmp_path / "repo3"
+    repo3.mkdir()
+    (repo3 / "m_copy.txt").write_text(
+        "within batch duplicate content here " * 10
+    )
+    lx = _run(
+        "ingest", "--repo", str(repo3), "--lexical-dedup", "0.8", *common
+    )
+    assert lx["rows_written"] == 0
+
     hy = _run("hybrid", "--query", "return 42", "--top-k", "2", *common)
     assert isinstance(hy["results"], list) and len(hy["results"]) <= 2
 

@@ -812,3 +812,122 @@ def test_cut_duplicate_spans_cuts_within_doc_repeat(spark):
     assert row["n_cut"] == 8
     assert row["text_clean"].startswith(p + " mid1")
     assert row["text_clean"].endswith("mid9")
+
+
+LEX_BASE = " ".join(f"tok{i}" for i in range(60))
+
+
+def test_ingest_lexical_dedup_drops_near_dup_keeps_fresh(spark, tmp_path):
+    """MinHash dedup-on-arrival: a high-Jaccard re-crawl (same text
+    plus two trailing words, under ANOTHER path) is dropped before the
+    write; unrelated content lands; an exact re-crawl is fully
+    deduped. The corpus side is the persisted signature artifact —
+    asserted present after the first flagged ingest."""
+    import os
+
+    from converttovectordb_spark.engine import VectorEngine
+
+    r1 = _crawl(tmp_path, "lex_r1", {
+        "a.txt": LEX_BASE,
+        "b.txt": "totally different content about cooking recipes today",
+    })
+    r2 = _crawl(tmp_path, "lex_r2", {
+        "c.txt": LEX_BASE + " extra ending",
+        "d.txt": "unrelated astronomy telescope galaxies observation notes",
+    })
+    store = str(tmp_path / "lex_store")
+    eng = VectorEngine(spark, store, dim=16)
+    eng.ingest(r1, lexical_dedup=0.7)
+    assert os.path.exists(store + "_minhash_sigs")
+    eng.ingest(r2, lexical_dedup=0.7)
+    paths = {r.path for r in eng.store.load().select("path").collect()}
+    assert not any("c.txt" in p for p in paths)
+    assert any("d.txt" in p for p in paths)
+    # exact re-crawl: every chunk already committed → zero survivors
+    out = eng.ingest(r1, lexical_dedup=0.7)
+    assert out.count() == 0
+
+    # flag validation
+    with pytest.raises(ValueError, match="lexical_dedup"):
+        eng.ingest(r1, lexical_dedup=1.5)
+    eng_t = VectorEngine(spark, str(tmp_path / "lex_t"), dim=16,
+                         transactional=True)
+    eng_t.ingest(r1)
+    with pytest.raises(ValueError, match="replace"):
+        eng_t.ingest(r1, lexical_dedup=0.7, replace=True)
+
+
+def test_ingest_lexical_dedup_heals_stale_artifact(spark, tmp_path):
+    """An UNFLAGGED ingest between two flagged ones leaves the artifact
+    stale; the next flagged ingest must heal it by _row_id delta so the
+    interim rows also dedupe arrivals."""
+    from converttovectordb_spark.engine import VectorEngine
+
+    interim = "interim corpus text about streaming watermark semantics " * 3
+    r1 = _crawl(tmp_path, "heal_r1", {"a.txt": LEX_BASE})
+    r2 = _crawl(tmp_path, "heal_r2", {"mid.txt": interim})
+    r3 = _crawl(tmp_path, "heal_r3", {
+        "mid_copy.txt": interim,   # dup of the UNFLAGGED interim ingest
+        "fresh.txt": "genuinely new words about bucketed co-located joins",
+    })
+    store = str(tmp_path / "heal_store")
+    eng = VectorEngine(spark, store, dim=16)
+    eng.ingest(r1, lexical_dedup=0.8)        # builds the artifact
+    eng.ingest(r2)                            # unflagged → artifact stale
+    eng.ingest(r3, lexical_dedup=0.8)         # must heal, then dedup
+    paths = {r.path for r in eng.store.load().select("path").collect()}
+    assert not any("mid_copy.txt" in p for p in paths)
+    assert any("fresh.txt" in p for p in paths)
+
+
+def test_ingest_lexical_dedup_rebuilds_after_clear(spark, tmp_path):
+    """clear() drops the artifact with the store: a post-clear ingest
+    must NOT drop arrivals against the vanished corpus."""
+    import os
+
+    from converttovectordb_spark.engine import VectorEngine
+
+    r1 = _crawl(tmp_path, "clr_r1", {"a.txt": LEX_BASE})
+    store = str(tmp_path / "clr_store")
+    eng = VectorEngine(spark, store, dim=16)
+    eng.ingest(r1, lexical_dedup=0.8)
+    eng.clear(backup=False)
+    assert not os.path.exists(store + "_minhash_sigs")
+    out = eng.ingest(r1, lexical_dedup=0.8)   # same content, empty store
+    assert out.count() == 1                   # lands — nothing to dedup against
+    assert eng.store.load().count() == 1
+
+
+def test_ingest_lexical_and_semantic_compose(spark, tmp_path):
+    """Both flags together: the drop sets union — a lexical-only dup
+    (same words, hash-embedder sees same bytes → also semantic) and a
+    semantic-only dup are both dropped, fresh content lands."""
+    from converttovectordb_spark.engine import VectorEngine
+
+    r1 = _crawl(tmp_path, "both_r1", {"a.txt": LEX_BASE})
+    r2 = _crawl(tmp_path, "both_r2", {
+        "copy.txt": LEX_BASE,       # exact dup: both paths would drop it
+        "fresh.txt": "new material on adaptive query execution behavior",
+    })
+    store = str(tmp_path / "both_store")
+    eng = VectorEngine(spark, store, dim=16)
+    eng.ingest(r1, lexical_dedup=0.8, semantic_dedup=0.999)
+    eng.ingest(r2, lexical_dedup=0.8, semantic_dedup=0.999)
+    paths = {r.path for r in eng.store.load().select("path").collect()}
+    assert not any("copy.txt" in p for p in paths)
+    assert any("fresh.txt" in p for p in paths)
+
+
+def test_lexical_short_text_blind_spot_is_harmless(spark, tmp_path):
+    """Chunks under 3 words have no MinHash signature: they are never
+    dropped and never drop others — the documented blind spot must not
+    crash the pipeline or produce empty-signature candidates."""
+    from converttovectordb_spark.engine import VectorEngine
+
+    r1 = _crawl(tmp_path, "short_r1", {"a.txt": "hi there"})
+    r2 = _crawl(tmp_path, "short_r2", {"b.txt": "hi there"})
+    store = str(tmp_path / "short_store")
+    eng = VectorEngine(spark, store, dim=16)
+    eng.ingest(r1, lexical_dedup=0.5)
+    eng.ingest(r2, lexical_dedup=0.5)
+    assert eng.store.load().count() == 2  # both land: no signatures
