@@ -74,8 +74,9 @@ def _build_parser() -> argparse.ArgumentParser:
         "--lexical-dedup", type=float, default=None, metavar="J",
         help="drop arriving chunks whose estimated MinHash Jaccard "
         "against any committed chunk reaches J; the corpus side is a "
-        "persisted signature artifact, so steady-state cost is "
-        "O(batch) — composable with --semantic-dedup",
+        "persisted signature artifact (one shuffle-free map-side scan "
+        "per batch, corpus text never re-read) — composable with "
+        "--semantic-dedup",
     )
     common(sp)
 

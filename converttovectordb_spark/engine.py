@@ -149,11 +149,13 @@ class VectorEngine:
         estimated Jaccard against ANY committed chunk reaches ``j``.
         The corpus side lives entirely in a persisted signature
         artifact (`sources/sigstore.py`: band keys for the candidate
-        join + the full 32-component signature for the decision), so a
-        steady-state flagged ingest costs O(batch): batch signatures
-        broadcast against the artifact's band keys, estimate =
-        matching components / 32 on the candidate pairs — the corpus
-        TEXT is never re-read. The estimate is the same statistic
+        join + the full 32-component signature for the decision): a
+        steady-state flagged ingest costs O(batch) signature work plus
+        ONE map-side scan of the compact artifact (~bands × 50 B per
+        committed chunk — three orders smaller than the corpus text,
+        and the broadcast batch side means no shuffle anywhere);
+        estimate = matching components / 32 on the candidate pairs —
+        the corpus TEXT is never re-read. The estimate is the same statistic
         `minhash_accuracy` measures (granularity 1/32; candidate
         recall at the 32/8 ingest config ≈ 0.985 at true Jaccard 0.8,
         ≈ 0.999 at 0.9 — re-crawl near-dups are high-j, which is where
@@ -701,9 +703,10 @@ class VectorEngine:
 
         The corpus side is ONLY the persisted signature artifact:
         batch signatures (bounded) broadcast into the (band_id,
-        band_key) equi-join, so a steady-state flagged ingest is
-        O(batch) — the committed corpus TEXT is never re-read, which is
-        what makes lexical dedup-on-arrival hold at 100 TB. Chunks with
+        band_key) equi-join — one shuffle-free map-side scan of the
+        compact artifact per batch; the committed corpus TEXT is never
+        re-read, which is what makes lexical dedup-on-arrival hold at
+        100 TB. Chunks with
         fewer than 3 words have no signature: never dropped, never
         dropping (the family's documented short-text blind spot)."""
         from converttovectordb_spark.operators.dedup import (

@@ -931,3 +931,27 @@ def test_lexical_short_text_blind_spot_is_harmless(spark, tmp_path):
     eng.ingest(r1, lexical_dedup=0.5)
     eng.ingest(r2, lexical_dedup=0.5)
     assert eng.store.load().count() == 2  # both land: no signatures
+
+
+def test_jaccard_verify_cross_two_sided(spark):
+    """Cross-corpus exact-Jaccard verify: only candidate pairs are
+    scored, Jaccard is computed over distinct 3-shingles of the two
+    SIDES' own texts, threshold applies."""
+    from converttovectordb_spark.operators.dedup import jaccard_verify_cross
+
+    docs_a = spark.createDataFrame(
+        [("x", DOC), ("y", OTHER)], ["a", "text"]
+    )
+    docs_b = spark.createDataFrame(
+        [("p", DOC), ("q", NEAR), ("r", OTHER)], ["b", "text"]
+    )
+    cands = spark.createDataFrame(
+        [("x", "p"), ("x", "q"), ("x", "r"), ("y", "r")], ["a", "b"]
+    )
+    out = {(r["a"], r["b"]): r["jaccard"]
+           for r in jaccard_verify_cross(
+               docs_a, docs_b, cands, threshold=0.5).collect()}
+    assert out[("x", "p")] == pytest.approx(1.0)          # identical text
+    assert ("x", "r") not in out                           # unrelated
+    assert out[("y", "r")] == pytest.approx(1.0)
+    assert 0.5 <= out[("x", "q")] < 1.0                    # near-dup
