@@ -6162,6 +6162,148 @@ LEFT JOIN hourly h ON h.hour = g.hour AND h.event_type = g.event_type
 """
 
 
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly screen over the gap-filled hourly event
+    series: per (event_type, hour), the z-score of the hour's count
+    against the previous 24 hours, flagged at |z| >= 3 — the standard
+    ops-telemetry / data-freshness alarm shape, and the downstream
+    consumer `events_gapfill` exists to feed (missing buckets COUNT as
+    zero, which is exactly what an outage looks like).
+
+    Determinism: the window stats are exact BIGINT sums (sx, sxx, cnt);
+    variance is derived as (cnt·sxx − sx²)/cnt² in ONE double
+    expression from those integers, so both engines evaluate the
+    identical IEEE expression tree — no float accumulation order
+    anywhere. Warm-up rows (fewer than 24 trailing hours) report z=0,
+    never flagged.
+
+    Scale shape: one shuffle to the hourly rollup (map-side combined),
+    the grid is |types| × hours (tiny), one linear window partitioned
+    by event_type. Raw events never shuffle twice."""
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    bounds = ev.agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("lo"),
+        F.max(F.date_trunc("hour", F.col("ts"))).alias("hi"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    series = grid.join(
+        F.broadcast(hourly), on=["hour", "event_type"], how="left"
+    ).select(
+        "hour",
+        "event_type",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_events"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    stats = series.select(
+        "hour",
+        "event_type",
+        "n_events",
+        F.sum("n_events").over(w).cast("bigint").alias("_sx"),
+        F.sum(F.col("n_events") * F.col("n_events"))
+        .over(w)
+        .cast("bigint")
+        .alias("_sxx"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("_cnt"),
+    )
+    var = (
+        (F.col("_cnt") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        .cast("double")
+        / (F.col("_cnt") * F.col("_cnt")).cast("double")
+    )
+    z = (
+        F.col("n_events").cast("double")
+        - F.col("_sx").cast("double") / F.col("_cnt").cast("double")
+    ) / F.sqrt(var)
+    z_ok = (F.col("_cnt") == 24) & (var > 0)
+    return stats.select(
+        "hour",
+        "event_type",
+        "n_events",
+        _round6(
+            F.when(
+                F.col("_cnt") > 0,
+                F.col("_sx").cast("double") / F.col("_cnt").cast("double"),
+            ).otherwise(F.lit(0.0))
+        ).alias("baseline_mean"),
+        _round6(F.when(z_ok, z).otherwise(F.lit(0.0))).alias("z_score"),
+        F.when(z_ok, F.abs(z) >= 3.0).otherwise(F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+ORACLE_EVENTS_ANOMALY = """
+WITH ev AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type
+  FROM events
+),
+hourly AS (
+  SELECT hour, event_type, count(*) AS n FROM ev GROUP BY hour, event_type
+),
+bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM ev),
+grid AS (
+  SELECT t.event_type, g.hour
+  FROM (SELECT DISTINCT event_type FROM ev) t
+  CROSS JOIN (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+    FROM bounds
+  ) g
+),
+series AS (
+  SELECT g.hour, g.event_type, CAST(coalesce(h.n, 0) AS BIGINT) AS n_events
+  FROM grid g
+  LEFT JOIN hourly h ON h.hour = g.hour AND h.event_type = g.event_type
+),
+stats AS (
+  SELECT hour, event_type, n_events,
+         CAST(sum(n_events) OVER w AS BIGINT) AS sx,
+         CAST(sum(n_events * n_events) OVER w AS BIGINT) AS sxx,
+         CAST(count(*) OVER w AS BIGINT) AS cnt
+  FROM series
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT hour, event_type, n_events,
+       round(CASE WHEN cnt > 0
+                  THEN CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE)
+                  ELSE 0.0 END, 6) AS baseline_mean,
+       round(CASE WHEN cnt = 24
+                   AND CAST(cnt * sxx - sx * sx AS DOUBLE)
+                       / CAST(cnt * cnt AS DOUBLE) > 0
+                  THEN (CAST(n_events AS DOUBLE)
+                        - CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE))
+                       / sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE)
+                              / CAST(cnt * cnt AS DOUBLE))
+                  ELSE 0.0 END, 6) AS z_score,
+       CASE WHEN cnt = 24
+             AND CAST(cnt * sxx - sx * sx AS DOUBLE)
+                 / CAST(cnt * cnt AS DOUBLE) > 0
+            THEN abs((CAST(n_events AS DOUBLE)
+                      - CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE))
+                     / sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE)
+                            / CAST(cnt * cnt AS DOUBLE))) >= 3.0
+            ELSE FALSE END AS is_anomaly
+FROM stats
+"""
+
+
 ORACLE_EVENTS_HOURLY = """
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
@@ -7787,6 +7929,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_json": q_events_json,
     "events_gapfill": q_events_gapfill,
+    "events_anomaly": q_events_anomaly,
     "asof_purchase_click": q_asof_purchase_click,
     "sessionize": q_sessionize,
     "user_hourly_rolling": q_user_hourly_rolling,
@@ -7941,6 +8084,7 @@ ORACLES = {
     "stream_quality_gate": ORACLE_STREAM_QUALITY_GATE,
     "events_json": ORACLE_EVENTS_JSON,
     "events_gapfill": ORACLE_EVENTS_GAPFILL,
+    "events_anomaly": ORACLE_EVENTS_ANOMALY,
     "asof_purchase_click": ORACLE_ASOF_PURCHASE_CLICK,
     "vector_lsh_knn": ORACLE_VECTOR_LSH_KNN,
     "lsh_recall": ORACLE_LSH_RECALL,
