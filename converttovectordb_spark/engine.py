@@ -161,16 +161,19 @@ class VectorEngine:
         ≈ 0.999 at 0.9 — re-crawl near-dups are high-j, which is where
         the curve is; see LEX_NUM_HASHES/LEX_BANDS).
         The artifact heals like the IVF index: absent → one corpus
-        build pass; stale by token → `_row_id` delta append; store
-        dropped rows → rebuild (a signature for a vanished row could
-        wrongly drop an arriving one). Shares the blind spots of the
-        family: chunks under 3 words have no signature (never dropped,
-        never dropping), and a blind re-append that CHANGES a chunk's
-        content under an existing path#chunk_index keeps the old
-        signature until a rebuild (same `_row_id`-delta semantics as
-        `append_to_index`). Composable with ``semantic_dedup`` (the
-        drop sets union); mutually exclusive with ``replace=True``
-        for the same reason semantic is.
+        build pass; stale by token → keyed on ``(rid, chash)`` (chash
+        = xxhash64 of the chunk content), so a heal distinguishes
+        brand-new rids (delta append) from rids whose CONTENT changed
+        under an existing path#chunk_index or vanished from the store
+        (compaction: the superseded signature rows are dropped in the
+        same atomic swap that lands the recomputed ones — a stale
+        signature could wrongly drop a future non-duplicate arrival,
+        and blind re-appends would otherwise grow duplicate-rid rows
+        without bound). Shares the blind spot of the family: chunks
+        under 3 words have no signature (never dropped, never
+        dropping). Composable with ``semantic_dedup`` (the drop sets
+        union); mutually exclusive with ``replace=True`` for the same
+        reason semantic is.
 
         A9 pipeline metrics (reference repo_to_vector.py:58-64,452-467)
         ride the single write job as `df.observe` metrics plus an
@@ -262,12 +265,16 @@ class VectorEngine:
         )
         need_lex = lexical_dedup is not None and had_store
         try:
-            if need_sem or need_lex:
+            if need_sem or lexical_dedup is not None:
                 # Materialize the batch ONCE: it appears on both sides
                 # of the dedup decision (broadcast probe + anti-join
                 # left), so an uncached lineage would run the embed UDF
                 # twice and double-fire the metrics observations/
-                # accumulator.
+                # accumulator. Lexical ingests persist even on a FIRST
+                # ingest (no prior store → nothing to dedup against):
+                # `_append_sigs_after_ingest` still reads the batch to
+                # build the artifact AFTER the write, which would
+                # otherwise re-execute the scan→chunk→embed lineage.
                 batch = batch.persist()
                 self._batch_to_unpersist = batch
             dup_ids = None
@@ -643,63 +650,89 @@ class VectorEngine:
             self.store.load().withColumn("_row_id", _row_id())
         ).select(F.col("_row_id").alias("rid"), "content")
 
-    def _fresh_sigs_for_dedup(self) -> DataFrame:
-        """The lexical signature artifact, provably covering the
-        committed store — build / heal / rebuild as needed, then load.
-
-        Same freshness contract as `_fresh_index_for_dedup`: absent (or
-        params-mismatched) → one full build pass over the store; stale
-        by token → `_row_id` delta append (O(store delta)); artifact
-        rows whose rid vanished from the store → full rebuild (a
-        signature for a removed chunk could WRONGLY drop an arriving
-        row, so orphans are a correctness hazard, not garbage). Unlike
-        the IVF index there is no degrade-to-brute: the artifact build
-        IS the brute pass, done once and persisted."""
+    def _sig_rows(self, docs: DataFrame) -> DataFrame:
+        """Signature rows for the persisted artifact from (rid,
+        content) input: the banded MinHash surface plus ``chash``
+        (xxhash64 of the content) — the column that lets the heal
+        detect a content CHANGE under an existing rid, which a
+        rid-only delta is blind to. The chash join is on rid: batch
+        inputs broadcast; the full-corpus build shuffles only the
+        compact banded rows (bands × ~50 B per chunk), never text."""
         from converttovectordb_spark.operators.dedup import (
             minhash_signature_rows,
         )
+
+        bands = minhash_signature_rows(
+            docs,
+            id_col="rid",
+            text_col="content",
+            num_hashes=LEX_NUM_HASHES,
+            bands=LEX_BANDS,
+        )
+        keys = docs.select("rid", F.xxhash64("content").alias("chash"))
+        return bands.join(keys, "rid")
+
+    def _fresh_sigs_for_dedup(self) -> DataFrame:
+        """The lexical signature artifact, provably covering the
+        committed store — build / heal / compact as needed, then load.
+
+        Same freshness contract as `_fresh_index_for_dedup`: absent (or
+        params-mismatched) → one full build pass over the store; stale
+        by token → heal keyed on ``(rid, chash)``. Artifact pairs no
+        longer in the live corpus (rid vanished, or content CHANGED
+        under an existing path#chunk_index — a stale signature could
+        WRONGLY drop an arriving non-duplicate, so both are correctness
+        hazards, not garbage) trigger a compaction: surviving rows are
+        kept as-is, only changed/new rids are re-signed, and the swap
+        is atomic. Otherwise the heal is the cheap `_row_id` delta
+        append (O(store delta) signature work). The chash comparison
+        costs one map-side pass over the corpus content column per
+        heal — heals only fire when an unflagged write interleaved,
+        and the pass is hash-only: no shingling, no shuffle of text.
+        Unlike the IVF index there is no degrade-to-brute: the
+        artifact build IS the brute pass, done once and persisted."""
         from converttovectordb_spark.sources.sigstore import token_digest
 
         sig = self._sig_store()
         digest = token_digest(self.store.state_token())
-
-        def full_sigs() -> DataFrame:
-            return minhash_signature_rows(
-                self._corpus_for_sigs(),
-                id_col="rid",
-                text_col="content",
-                num_hashes=LEX_NUM_HASHES,
-                bands=LEX_BANDS,
-            )
-
         tok = sig.token()
         if tok is None:
-            sig.rebuild(full_sigs(), digest)
+            sig.rebuild(self._sig_rows(self._corpus_for_sigs()), digest)
             return sig.load()
         if tok == digest:
             return sig.load()
-        have = sig.load().select("rid").distinct()
-        corpus_ids = self._corpus_for_sigs().select("rid")
-        if have.join(corpus_ids, "rid", "left_anti").limit(1).count():
-            sig.rebuild(full_sigs(), digest)
-            return sig.load()
-        delta = self._corpus_for_sigs().join(have, "rid", "left_anti")
-        sig.append(
-            minhash_signature_rows(
-                delta,
-                id_col="rid",
-                text_col="content",
-                num_hashes=LEX_NUM_HASHES,
-                bands=LEX_BANDS,
-            ),
-            digest,
+        corpus = self._corpus_for_sigs()
+        corpus_keys = corpus.select(
+            "rid", F.xxhash64("content").alias("chash")
         )
+        art_keys = sig.load().select("rid", "chash").distinct()
+        stale_rids = (
+            art_keys.join(corpus_keys, ["rid", "chash"], "left_anti")
+            .select("rid")
+            .distinct()
+        )
+        # rids needing (re-)signing: brand new, or content changed
+        delta_docs = corpus.join(
+            corpus_keys.join(art_keys, ["rid", "chash"], "left_anti")
+            .select("rid")
+            .distinct(),
+            "rid",
+            "left_semi",
+        )
+        if stale_rids.limit(1).count():
+            kept = sig.load().join(stale_rids, "rid", "left_anti")
+            sig.rebuild(
+                kept.unionByName(self._sig_rows(delta_docs)), digest
+            )
+        else:
+            sig.append(self._sig_rows(delta_docs), digest)
         return sig.load()
 
     def _dup_ids_lexical(self, batch: DataFrame, threshold: float) -> DataFrame:
         """Batch ids whose ESTIMATED Jaccard — matching MinHash
-        components / 16, the statistic `minhash_accuracy` measures —
-        against any committed chunk reaches the threshold.
+        components / LEX_NUM_HASHES (32), the statistic
+        `minhash_accuracy` measures — against any committed chunk
+        reaches the threshold.
 
         The corpus side is ONLY the persisted signature artifact:
         batch signatures (bounded) broadcast into the (band_id,
@@ -749,38 +782,44 @@ class VectorEngine:
         the store did NOT exist before this ingest, the written batch
         IS the store — rebuild wholesale (this also invalidates any
         artifact orphaned by a store clear(), whose old token would
-        otherwise look committed). Crash-safe: a miss here just leaves
-        the artifact stale; the next flagged ingest heals by delta."""
-        from converttovectordb_spark.operators.dedup import (
-            minhash_signature_rows,
-        )
+        otherwise look committed). A survivor whose rid ALREADY has
+        artifact rows is a re-crawl that changed content under an
+        existing path#chunk_index (an unchanged copy would have been
+        dropped as a duplicate): blind-appending would leave BOTH the
+        old and new signatures live — the stale one free to wrongly
+        drop a future non-duplicate arrival — and duplicate-rid rows
+        would grow without bound across re-ingests. So the append path
+        probes the artifact for incoming rids (one map-side scan of
+        the compact artifact, broadcast batch side — the same cost
+        shape as the dedup decision itself) and compacts on overlap:
+        old rows for the incoming rids are dropped in the same atomic
+        swap that lands the new ones. Crash-safe: a miss here just
+        leaves the artifact stale; the next flagged ingest heals by
+        (rid, chash) delta."""
         from converttovectordb_spark.sources.sigstore import token_digest
 
         sig = self._sig_store()
         digest = token_digest(self.store.state_token())
-        bands = minhash_signature_rows(
-            written.select(_row_id().alias("rid"), "content"),
-            id_col="rid",
-            text_col="content",
-            num_hashes=LEX_NUM_HASHES,
-            bands=LEX_BANDS,
-        )
+        docs = written.select(_row_id().alias("rid"), "content")
+        bands = self._sig_rows(docs)
         if not store_existed_before:
             sig.rebuild(bands, digest)
-        elif sig.token() is None:
+            return
+        if sig.token() is None:
             # artifact vanished or params changed mid-ingest (external
             # interference) — a batch-only rebuild would silently lose
             # corpus coverage; rebuild from the committed store instead
-            sig.rebuild(
-                minhash_signature_rows(
-                    self._corpus_for_sigs(),
-                    id_col="rid",
-                    text_col="content",
-                    num_hashes=LEX_NUM_HASHES,
-                    bands=LEX_BANDS,
-                ),
-                digest,
+            sig.rebuild(self._sig_rows(self._corpus_for_sigs()), digest)
+            return
+        incoming = docs.select("rid").distinct()
+        superseded = sig.load().join(
+            F.broadcast(incoming), "rid", "left_semi"
+        )
+        if superseded.limit(1).count():
+            kept = sig.load().join(
+                F.broadcast(incoming), "rid", "left_anti"
             )
+            sig.rebuild(kept.unionByName(bands), digest)
         else:
             sig.append(bands, digest)
 

@@ -3,13 +3,21 @@
 The scale lesson the semantic ingest dedup already learned applies
 verbatim to the lexical one: comparing an arriving batch against the
 committed corpus must not re-derive corpus-side state per batch.
-For MinHash that state is the banded signature table — `bands` tiny
-(band_id, band_key md5) rows per committed chunk, keyed by the
-engine-wide `_row_id` (path#chunk_index). This artifact persists it
-next to the document store and keeps it fresh the same way the IVF
-index does: a state-token file earned only after the signatures
-provably cover the committed store, healed by `_row_id` delta when
-stale, rebuilt when the store dropped rows.
+For MinHash that state is the banded signature table — `bands` rows
+per committed chunk, each carrying (rid, sig, band_id, band_key,
+chash): the (band_id, band_key) pair drives the candidate equi-join,
+the full `sig` component array lets the consumer score the ESTIMATED
+Jaccard without re-reading the source text, and `chash` (xxhash64 of
+the chunk content) keys the freshness heal — a rid-only delta cannot
+see a content CHANGE under an existing path#chunk_index, and the
+stale signature it would leave behind could wrongly drop a future
+non-duplicate arrival. The rid is the engine-wide `_row_id`
+(path#chunk_index). This artifact persists the table next to the
+document store and keeps it fresh the same way the IVF index does: a
+state-token file earned only after the signatures provably cover the
+committed store, healed by (rid, chash) delta when stale, compacted
+(superseded rows dropped in the same atomic swap that lands the
+recomputed ones) when the store dropped or rewrote rows.
 
 Layout::
 
@@ -38,8 +46,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 #: signature recipe — part of the token file; changing any component
-#: must bump the trailing version so stale artifacts self-invalidate
-SIG_PARAMS = "nh=32|bands=8|sw=3|v1"
+#: (or the row schema) must bump the trailing version so stale
+#: artifacts self-invalidate. v2: rows carry `chash` (xxhash64 of the
+#: content) so heals detect content changes under an existing rid.
+SIG_PARAMS = "nh=32|bands=8|sw=3|v2"
 
 
 def token_digest(token) -> str | None:
@@ -60,10 +70,10 @@ def token_digest(token) -> str | None:
 
 
 class MinHashSignatureStore:
-    """Parquet-backed (rid, band_id, band_key) table with a token-file
-    freshness contract. All methods are driver-cheap except the actual
-    signature computation, which the CALLER provides as a DataFrame —
-    this class only stages, commits, and loads."""
+    """Parquet-backed (rid, sig, band_id, band_key, chash) table with
+    a token-file freshness contract. All methods are driver-cheap
+    except the actual signature computation, which the CALLER provides
+    as a DataFrame — this class only stages, commits, and loads."""
 
     TOKEN_FILE = "_TOKEN"
     DATA_DIR = "data"
@@ -90,9 +100,13 @@ class MinHashSignatureStore:
 
     # -- io --------------------------------------------------------------
     def load(self) -> DataFrame:
-        """All committed signature rows: (rid, band_id, band_key).
-        One parquet dataset per append — recursive lookup, no partition
-        inference (the subdirs are commit batches, not partitions)."""
+        """All committed signature rows: (rid, sig, band_id, band_key,
+        chash) — `sig` is the full LEX_NUM_HASHES-component MinHash
+        array the dedup decision scores against (the band columns only
+        nominate candidates), `chash` the content hash the heal keys
+        on. One parquet dataset per append — recursive lookup, no
+        partition inference (the subdirs are commit batches, not
+        partitions)."""
         return (
             self.spark.read.option("recursiveFileLookup", "true")
             .parquet(self._data_path())

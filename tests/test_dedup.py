@@ -918,6 +918,65 @@ def test_ingest_lexical_and_semantic_compose(spark, tmp_path):
     assert any("fresh.txt" in p for p in paths)
 
 
+LEX_ALT = " ".join(f"word{i}" for i in range(60))
+
+
+def test_ingest_lexical_recrawl_changed_content_supersedes_sig(
+    spark, tmp_path
+):
+    """A re-crawl that CHANGES content under an existing
+    path#chunk_index must supersede the old signature, not sit beside
+    it: the live corpus (newest copy per rid) no longer contains the
+    old text, so a later arrival of the OLD text is NOT a duplicate
+    and must land — a stale signature would wrongly drop it. The NEW
+    text's copies must still be dropped, and duplicate-rid rows must
+    not accumulate across re-ingests."""
+    from converttovectordb_spark.engine import VectorEngine, LEX_BANDS
+
+    repo = tmp_path / "recrawl"
+    repo.mkdir()
+    (repo / "a.txt").write_text(LEX_BASE)
+    store = str(tmp_path / "recrawl_store")
+    eng = VectorEngine(spark, store, dim=16)
+    eng.ingest(str(repo), lexical_dedup=0.7)
+    # same path, different content → same rid, survives the threshold
+    (repo / "a.txt").write_text(LEX_ALT)
+    eng.ingest(str(repo), lexical_dedup=0.7)
+    # the artifact must hold exactly ONE signature set for the rid
+    sigs = eng._sig_store().load()
+    per_rid = sigs.groupBy("rid").count().collect()
+    assert per_rid and all(r["count"] <= LEX_BANDS for r in per_rid)
+    # old text at a NEW path: not in the live corpus → must land
+    r_old = _crawl(tmp_path, "recrawl_old", {"old_copy.txt": LEX_BASE})
+    assert eng.ingest(r_old, lexical_dedup=0.7).count() == 1
+    # new text at a NEW path: live duplicate → must be dropped
+    r_new = _crawl(tmp_path, "recrawl_new", {"new_copy.txt": LEX_ALT})
+    assert eng.ingest(r_new, lexical_dedup=0.7).count() == 0
+
+
+def test_ingest_lexical_heal_detects_content_change(spark, tmp_path):
+    """An UNFLAGGED re-crawl that rewrites a chunk's content leaves
+    the artifact stale in a way a rid-only delta cannot see (the rid
+    set is unchanged). The next flagged ingest must heal by
+    (rid, chash): the old text is no longer live → its copy lands;
+    the new text is live → its copy is dropped."""
+    from converttovectordb_spark.engine import VectorEngine
+
+    repo = tmp_path / "healc"
+    repo.mkdir()
+    (repo / "a.txt").write_text(LEX_BASE)
+    store = str(tmp_path / "healc_store")
+    eng = VectorEngine(spark, store, dim=16)
+    eng.ingest(str(repo), lexical_dedup=0.7)   # builds the artifact
+    (repo / "a.txt").write_text(LEX_ALT)
+    eng.ingest(str(repo))                      # UNFLAGGED content change
+    r_old = _crawl(tmp_path, "healc_old", {"old_copy.txt": LEX_BASE})
+    out = eng.ingest(r_old, lexical_dedup=0.7)  # heal, then decide
+    assert out.count() == 1                     # old text not live → lands
+    r_new = _crawl(tmp_path, "healc_new", {"new_copy.txt": LEX_ALT})
+    assert eng.ingest(r_new, lexical_dedup=0.7).count() == 0
+
+
 def test_lexical_short_text_blind_spot_is_harmless(spark, tmp_path):
     """Chunks under 3 words have no MinHash signature: they are never
     dropped and never drop others — the documented blind spot must not
