@@ -5924,6 +5924,222 @@ LIMIT 30
 """
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-proxy quality scores (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score each document by its per-token negative
+    log-likelihood under an add-1-smoothed corpus UNIGRAM LM — the
+    in-container stand-in for CCNet's KenLM 5-gram with the same
+    selection semantics (typical/fluent docs score LOW; CCNet keeps the
+    low-perplexity head of the distribution, which is what the top-30
+    ascending head below is).
+
+    Shape (linear, two data shuffles): tokenize → per-token corpus
+    count via a count window PARTITIONed BY the token — one exchange on
+    `tok` that replaces the groupBy + vocab join (at 100 TB the count
+    table is vocab-sized: too big to broadcast, and joining it back
+    would be a second shuffle of the full token stream) → per-token
+    nll = ln(N+V) − ln(c+1) (a log DIFFERENCE of integer-valued
+    doubles — no division, bit-identical cross-engine) → per-doc sum
+    of DECIMAL(18,6)-rounded contributions (the `dsir_weights` trick:
+    float Σ over a shuffle is partition-order-dependent in the last
+    ulp, decimals are not). The totals row (N tokens, V vocab) is one
+    tiny broadcast."""
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(word_shingles(F.col("text"), 1)).alias("tok"),
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.countDistinct("tok").alias("v"),
+    )
+    scored = (
+        toks.withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+        )
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "nll",
+            F.log(F.col("n_all") + F.col("v")) - F.log(F.col("c") + 1),
+        )
+        .withColumn(
+            "contrib", F.round(F.col("nll"), 6).cast("decimal(18,6)")
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("contrib").alias("s"),
+            F.count(F.lit(1)).alias("n_toks"),
+        )
+        .withColumn(
+            "avg_nll", F.col("s").cast("double") / F.col("n_toks")
+        )
+    )
+    return (
+        scored.orderBy(F.col("avg_nll").asc(), F.col("doc_id").asc())
+        .limit(30)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_toks").cast("bigint").alias("n_toks"),
+            _round6(F.col("s").cast("double")).alias("sum_nll"),
+            _round6(F.col("avg_nll")).alias("avg_nll"),
+        )
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+totals AS (
+  SELECT count(*) AS N, count(DISTINCT tok) AS V FROM toks
+),
+c AS (
+  SELECT doc_id, lang, count(*) OVER (PARTITION BY tok) AS c
+  FROM toks
+),
+scored AS (
+  SELECT c.doc_id, c.lang,
+         sum(CAST(round(ln(totals.N + totals.V) - ln(c.c + 1), 6)
+                  AS DECIMAL(18,6))) AS s,
+         count(*) AS n_toks
+  FROM c CROSS JOIN totals
+  GROUP BY c.doc_id, c.lang
+)
+SELECT doc_id, lang,
+       CAST(n_toks AS BIGINT) AS n_toks,
+       round(CAST(s AS DOUBLE), 6) AS sum_nll,
+       round(CAST(s AS DOUBLE) / n_toks, 6) AS avg_nll
+FROM scored
+ORDER BY CAST(s AS DOUBLE) / n_toks ASC, doc_id
+LIMIT 30
+"""
+
+
+def q_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised kNN label propagation — the curation move behind
+    classifier-filtered corpora (FineWeb-Edu-style quality labels,
+    domain taggers) when only a small human-labeled seed set exists:
+    every unlabeled vector takes the MAJORITY label of its k=5 nearest
+    seeds by cosine; output is the per-class confusion summary
+    (n, n_correct, accuracy) against the held-back true labels.
+
+    Seeds are vec_id % 25 == 0 — small BY CONSTRUCTION (a human
+    annotation budget), which is what makes the broadcast the right
+    plan at 100 TB: the corpus never shuffles, each partition scores
+    its rows against the in-memory seed set map-side, and the only
+    exchanges move k rows per vector (the rank window — Spark 4's
+    WindowGroupLimit keeps the partial top-k before the exchange) and
+    the tiny vote table. Both sides are l2-normalized ONCE (O(rows))
+    so the per-pair fold is a single dot, not dot+two norms — the
+    oracle mirrors the normalize-then-dot fold (`vector_knn_batch`
+    precedent), and per-pair HOF folds are the interpreted hot loop
+    here, so thirds matter. For corpus×corpus label spreading (no
+    small side) the scale path is `ivf_knn_join_shuffled`, not this
+    plan. Ties are deterministic twice over: neighbor rank breaks
+    (score DESC, seed_id ASC), votes break (count DESC, label ASC)."""
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("label").alias("seed_label"),
+        l2_normalize(F.col("embedding")).alias("seed_u"),
+    )
+    # _spread: the scoring stage is compute-dense (960k interpreted
+    # folds at sf0.1) but the embeddings scan is one split — without
+    # the spread the whole cross-score runs in a single task.
+    unl = _spread(
+        spark, emb.filter(F.col("vec_id") % 25 != 0)
+    ).select("vec_id", "label", l2_normalize(F.col("embedding")).alias("u"))
+    pairs = unl.crossJoin(F.broadcast(seeds)).withColumn(
+        "score", dot_product(F.col("u"), F.col("seed_u"))
+    )
+    wk = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("seed_id").asc()
+    )
+    top = pairs.withColumn("rnk", F.row_number().over(wk)).filter(
+        F.col("rnk") <= 5
+    )
+    votes = top.groupBy("vec_id", "label", "seed_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("votes").desc(), F.col("seed_label").asc()
+    )
+    pred = votes.withColumn("vr", F.row_number().over(wv)).filter(
+        F.col("vr") == 1
+    )
+    return (
+        pred.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("seed_label") == F.col("label"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_correct").cast("bigint").alias("n_correct"),
+            _round6(F.col("n_correct") / F.col("n")).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_KNN_LABEL_PROP = """
+WITH norm AS (
+  SELECT vec_id, label,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS n,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+unit AS (
+  SELECT vec_id, label,
+         CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS u
+  FROM norm
+),
+pairs AS (
+  SELECT q.vec_id, q.label, s.vec_id AS seed_id, s.label AS seed_label,
+         list_sum(list_transform(list_zip(q.u, s.u),
+                                 x -> x[1] * x[2])) AS score
+  FROM unit q CROSS JOIN unit s
+  WHERE q.vec_id % 25 <> 0 AND s.vec_id % 25 = 0
+),
+topk AS (
+  SELECT vec_id, label, seed_label FROM (
+    SELECT vec_id, label, seed_label,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, seed_id) AS rnk
+    FROM pairs
+  ) WHERE rnk <= 5
+),
+votes AS (
+  SELECT vec_id, label, seed_label, count(*) AS votes
+  FROM topk GROUP BY vec_id, label, seed_label
+),
+pred AS (
+  SELECT vec_id, label, seed_label FROM (
+    SELECT vec_id, label, seed_label,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY votes DESC, seed_label) AS vr
+    FROM votes
+  ) WHERE vr = 1
+)
+SELECT CAST(label AS INT) AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN seed_label = label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       round(CAST(sum(CASE WHEN seed_label = label THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS accuracy
+FROM pred GROUP BY label ORDER BY label
+"""
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test assignment + stratified
     counts — the dataset-curation primitive every training pipeline
@@ -7920,6 +8136,8 @@ QUERIES = {
     "dataset_split": q_dataset_split,
     "export_shards": q_export_shards,
     "dsir_weights": q_dsir_weights,
+    "unigram_logprob": q_unigram_logprob,
+    "knn_label_prop": q_knn_label_prop,
     "context_packing": q_context_packing,
     "contamination_screen": q_contamination_screen,
     # -- multimodal ---------------------------------------------------
@@ -8103,6 +8321,8 @@ ORACLES = {
     "dataset_split": ORACLE_DATASET_SPLIT,
     "export_shards": ORACLE_EXPORT_SHARDS,
     "dsir_weights": ORACLE_DSIR_WEIGHTS,
+    "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
+    "knn_label_prop": ORACLE_KNN_LABEL_PROP,
     "context_packing": ORACLE_CONTEXT_PACKING,
     "contamination_screen": ORACLE_CONTAMINATION_SCREEN,
     "value_percentiles": ORACLE_VALUE_PERCENTILES,
