@@ -5934,17 +5934,19 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-perplexity head of the distribution, which is what the top-30
     ascending head below is).
 
-    Shape (linear, two data shuffles): tokenize → per-token corpus
-    count via a count window PARTITIONed BY the token — one exchange on
-    `tok` that replaces the groupBy + vocab join (at 100 TB the count
+    Shape (linear): tokenize → per-token corpus count via a count
+    window PARTITIONed BY the token — the ONLY full-token-stream
+    exchange, replacing the groupBy + vocab join (at 100 TB the count
     table is vocab-sized: too big to broadcast, and joining it back
-    would be a second shuffle of the full token stream) → per-token
+    would shuffle the full token stream a second time) → per-token
     nll = ln(N+V) − ln(c+1) (a log DIFFERENCE of integer-valued
     doubles — no division, bit-identical cross-engine) → per-doc sum
     of DECIMAL(18,6)-rounded contributions (the `dsir_weights` trick:
     float Σ over a shuffle is partition-order-dependent in the last
     ulp, decimals are not). The totals row (N tokens, V vocab) is one
-    tiny broadcast."""
+    tiny broadcast; its countDistinct exchange moves only map-side-
+    condensed distinct tokens (vocab-sized per partition), never the
+    stream."""
     docs = _spread(spark, load(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",

@@ -294,3 +294,43 @@ def test_semantic_dedup_pair_join_is_bucketed_not_cross(spark):
     plan = physical_plan(q_semantic_dedup(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unigram_logprob_token_stream_shuffles_once(spark):
+    """The per-token corpus count must ride a count window PARTITIONed
+    BY tok, never a groupBy + join back onto the stream — the count
+    table is vocab-sized at 100 TB and a join would shuffle the full
+    token stream a second time. Exactly two tok-keyed exchanges are
+    allowed: the window's (the one full-stream move, fed directly by
+    the explode) and the totals countDistinct's, which must be fed by
+    a map-side partial aggregate (per-partition distinct tokens —
+    vocab-sized, never the stream)."""
+    from converttovectordb_spark.queries import q_unigram_logprob
+
+    plan = physical_plan(q_unigram_logprob(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan
+    lines = plan.splitlines()
+    idxs = [i for i, l in enumerate(lines) if "hashpartitioning(tok" in l]
+    assert len(idxs) == 2, plan
+    children = [lines[i + 1] for i in idxs]
+    assert any("Generate explode" in c for c in children), plan
+    assert any("HashAggregate(keys=[tok" in c for c in children), plan
+
+
+def test_knn_label_prop_broadcasts_seeds_corpus_never_shuffles(spark):
+    """The seed side (small by annotation-budget construction) must be
+    the broadcast build side; the corpus reaches the rank window
+    having moved only through the partial WindowGroupLimit (k rows per
+    vector per partition), never a sort-merge or cartesian path."""
+    from converttovectordb_spark.queries import q_knn_label_prop
+
+    plan = physical_plan(q_knn_label_prop(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    # Spark 4's rank-limit pushdown keeps the per-partition top-k
+    # ahead of the exchange — the property that bounds shuffled bytes
+    # to k rows per vector
+    assert "WindowGroupLimit" in plan
