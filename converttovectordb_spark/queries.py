@@ -28,7 +28,9 @@ from pyspark.sql import functions as F
 from converttovectordb_spark.functions.text import (
     distinct_token_count,
     token_count,
+    tokens,
     word_shingles,
+    word_shingles_of,
 )
 from converttovectordb_spark.operators.joins import asof_join, band_join
 from converttovectordb_spark.operators.multimodal import (
@@ -4492,8 +4494,15 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode → count → rank window. The groupBy pre-aggregates before the
     per-language rank, so the window input is unique-ngram-sized."""
     docs = _spread(spark, load(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "lang", F.explode(word_shingles(F.col("text"), 3)).alias("shingle")
+    sh = (
+        docs.select("lang", tokens(F.col("text")).alias("_t"))
+        .select(
+            "lang",
+            F.explode_outer(word_shingles_of(F.col("_t"), 3)).alias(
+                "shingle"
+            ),
+        )
+        .filter(F.col("shingle").isNotNull())
     )
     counts = sh.groupBy("lang", "shingle").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("lang").orderBy(
@@ -4750,12 +4759,22 @@ def _gopher_quality_frame(docs: DataFrame) -> DataFrame:
     SQL oracle checks both)."""
     from converttovectordb_spark.functions.text import tokens
 
+    # two-stage select: the trigram transform references the token
+    # array many times (size + element_at per position), which blocks
+    # CollapseProject — so tokens() runs ONCE per row instead of once
+    # per shingle position (codegen does not CSE inside HOF lambdas;
+    # same recipe as _exploded_shingles, ~5x measured there)
     base = docs.select(
         "doc_id",
         "text",
         tokens(F.col("text")).alias("_t"),
         F.filter(F.split(F.col("text"), "\n"), lambda x: x != "").alias("_ls"),
-        word_shingles(F.col("text"), 3).alias("_tg"),
+    ).select(
+        "doc_id",
+        "text",
+        "_t",
+        "_ls",
+        word_shingles_of(F.col("_t"), 3).alias("_tg"),
     )
     toks, lines, tri = F.col("_t"), F.col("_ls"), F.col("_tg")
     counts = base.select(
@@ -4991,9 +5010,17 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).cast("bigint").alias("_lchars"),
     )
+    # shingle from the MATERIALIZED token column (word_shingles_of),
+    # never word_shingles(text, n): codegen does not CSE inside HOF
+    # lambdas, so the embedded tokens() would re-run the regex split
+    # once per shingle position (~5x measured on the substring-dedup
+    # path). explode_outer + isNotNull keeps Catalyst's inferred
+    # size()>0 filter from sinking the shingle expression into the
+    # scan stage (the duplicate_spans finding).
     bi = base.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("g")
-    )
+        "doc_id",
+        F.explode_outer(word_shingles_of(F.col("_t"), 2)).alias("g"),
+    ).filter(F.col("g").isNotNull())
     cnt2 = bi.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("_c"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("_c").desc(), F.col("g").asc()
@@ -5008,8 +5035,9 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tri = base.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("g")
-    )
+        "doc_id",
+        F.explode_outer(word_shingles_of(F.col("_t"), 3)).alias("g"),
+    ).filter(F.col("g").isNotNull())
     dup3 = (
         tri.groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -5298,8 +5326,15 @@ def q_bigram_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, same key partitioning reusable from (1), (3) per-doc
     re-agg. Three linear shuffles, no quadratic step."""
     docs = _spread(spark, load(spark, sf_dir, "documents"))
-    bg = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bigram")
+    bg = (
+        docs.select("doc_id", tokens(F.col("text")).alias("_t"))
+        .select(
+            "doc_id",
+            F.explode_outer(word_shingles_of(F.col("_t"), 2)).alias(
+                "bigram"
+            ),
+        )
+        .filter(F.col("bigram").isNotNull())
     )
     counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("support"))
     per_doc = (
@@ -5822,8 +5857,13 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: top-30 docs by per-token average (length-debiased), the
     selection head a DSIR resampler would draw from."""
     docs = _spread(spark, load(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", "lang", F.explode(word_shingles(F.col("text"), 1)).alias("tok")
+    # 1-shingles ARE the tokens: explode the materialized token array
+    # directly (explode_outer + isNotNull keeps the inferred size()>0
+    # filter from sinking tokens() into the scan stage)
+    toks = (
+        docs.select("doc_id", "lang", tokens(F.col("text")).alias("_t"))
+        .select("doc_id", "lang", F.explode_outer("_t").alias("tok"))
+        .filter(F.col("tok").isNotNull())
     )
     b = toks.withColumn(
         "bucket",
@@ -5948,10 +5988,13 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     condensed distinct tokens (vocab-sized per partition), never the
     stream."""
     docs = _spread(spark, load(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(word_shingles(F.col("text"), 1)).alias("tok"),
+    # 1-shingles ARE the tokens: explode the materialized token array
+    # directly (explode_outer + isNotNull keeps the inferred size()>0
+    # filter from sinking tokens() into the scan stage)
+    toks = (
+        docs.select("doc_id", "lang", tokens(F.col("text")).alias("_t"))
+        .select("doc_id", "lang", F.explode_outer("_t").alias("tok"))
+        .filter(F.col("tok").isNotNull())
     )
     totals = toks.agg(
         F.count(F.lit(1)).alias("n_all"),
@@ -6248,14 +6291,21 @@ def q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach the tiny groupBy. At 100 TB this is the standard eval-leak
     pass before training; the corpus is never shuffled on text."""
     docs = _spread(spark, load(spark, sf_dir, "documents"))
-    grams = F.array_distinct(word_shingles(F.col("text"), 5))
+    # materialize tokens first (multi-reference blocks CollapseProject,
+    # so tokens() runs once per row, not once per shingle position)
+    grams = F.array_distinct(word_shingles_of(F.col("_t"), 5))
     bench = (
         docs.filter(F.col("doc_id") % 97 == 0)
-        .select(F.explode(grams).alias("sh"))
+        .select(tokens(F.col("text")).alias("_t"))
+        .select(F.explode_outer(grams).alias("sh"))
+        .filter(F.col("sh").isNotNull())
         .distinct()
     )
-    train = docs.filter(F.col("doc_id") % 97 != 0).select(
-        "doc_id", F.explode(grams).alias("sh")
+    train = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", tokens(F.col("text")).alias("_t"))
+        .select("doc_id", F.explode_outer(grams).alias("sh"))
+        .filter(F.col("sh").isNotNull())
     )
     return (
         train.join(F.broadcast(bench), on="sh")

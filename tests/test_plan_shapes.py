@@ -314,9 +314,15 @@ def test_unigram_logprob_token_stream_shuffles_once(spark):
     lines = plan.splitlines()
     idxs = [i for i, l in enumerate(lines) if "hashpartitioning(tok" in l]
     assert len(idxs) == 2, plan
-    children = [lines[i + 1] for i in idxs]
-    assert any("Generate explode" in c for c in children), plan
-    assert any("HashAggregate(keys=[tok" in c for c in children), plan
+    # classify each exchange by its feeding subtree (a Filter may sit
+    # between): full-stream = fed by the explode within 2 lines;
+    # condensed = fed by a map-side partial aggregate keyed on tok
+    subtrees = ["".join(lines[i + 1 : i + 3]) for i in idxs]
+    assert any(
+        "Generate explode" in s and "HashAggregate(keys=[tok" not in s
+        for s in subtrees
+    ), plan
+    assert any("HashAggregate(keys=[tok" in s for s in subtrees), plan
 
 
 def test_knn_label_prop_broadcasts_seeds_corpus_never_shuffles(spark):
