@@ -29,7 +29,6 @@ from converttovectordb_spark.functions.text import (
     distinct_token_count,
     token_count,
     tokens,
-    word_shingles,
     word_shingles_of,
 )
 from converttovectordb_spark.operators.joins import asof_join, band_join
