@@ -277,6 +277,17 @@ class VectorEngine:
                 # otherwise re-execute the scan→chunk→embed lineage.
                 batch = batch.persist()
                 self._batch_to_unpersist = batch
+                # Materialize the cache with a DIRECT action on the
+                # observed plan before any dedup job consumes it: an
+                # Observation binds to the FIRST action touching its
+                # CollectMetrics node, and a dedup decision plan can
+                # legally skip the batch subtree entirely (AQE
+                # propagates an empty artifact/signature side through
+                # the join), which would consume the observation with
+                # EMPTY metrics and break A9 ingest metrics. The scan
+                # fills the cache every later job reads — not an extra
+                # pass over the data.
+                batch.count()
             dup_ids = None
             if need_sem:
                 from converttovectordb_spark.functions.vector import (
@@ -655,9 +666,13 @@ class VectorEngine:
         content) input: the banded MinHash surface plus ``chash``
         (xxhash64 of the content) — the column that lets the heal
         detect a content CHANGE under an existing rid, which a
-        rid-only delta is blind to. The chash join is on rid: batch
-        inputs broadcast; the full-corpus build shuffles only the
-        compact banded rows (bands × ~50 B per chunk), never text."""
+        rid-only delta is blind to. The chash join shuffles only the
+        compact banded rows (bands × ~50 B per chunk) and the 16-byte
+        key pairs, never text. NOTE the bands and keys subtrees
+        consume ``docs`` independently: heal/append callers pass a
+        PERSISTED input (delta rows, the ingest batch) so the source
+        is read once; the full build's second content pass is a small
+        constant next to its dominant shingle+minhash aggregation."""
         from converttovectordb_spark.operators.dedup import (
             minhash_signature_rows,
         )
@@ -684,13 +699,21 @@ class VectorEngine:
         WRONGLY drop an arriving non-duplicate, so both are correctness
         hazards, not garbage) trigger a compaction: surviving rows are
         kept as-is, only changed/new rids are re-signed, and the swap
-        is atomic. Otherwise the heal is the cheap `_row_id` delta
-        append (O(store delta) signature work). The chash comparison
-        costs one map-side pass over the corpus content column per
-        heal — heals only fire when an unflagged write interleaved,
-        and the pass is hash-only: no shingling, no shuffle of text.
-        Unlike the IVF index there is no degrade-to-brute: the
-        artifact build IS the brute pass, done once and persisted."""
+        is atomic. Otherwise the heal is the cheap delta append
+        (O(store delta) signature work).
+
+        Heal cost accounting, honestly: TWO map-side corpus passes —
+        one to hash (rid, chash, timestamp) into the persisted compact
+        key table (the newest-per-rid window runs on that 24-byte
+        projection, so NO text is ever shuffled), one to fetch the
+        changed/new rids' content (semi-join on rid, persisted before
+        the two signature subtrees consume it) — plus streaming
+        artifact scans: one for the key diff always, two more (kept
+        rows + staging) only on the rare compaction branch. No shingle
+        recompute for unchanged rows.
+        Heals only fire when an unflagged write interleaved. Unlike
+        the IVF index there is no degrade-to-brute: the artifact build
+        IS the brute pass, done once and persisted."""
         from converttovectordb_spark.sources.sigstore import token_digest
 
         sig = self._sig_store()
@@ -701,31 +724,53 @@ class VectorEngine:
             return sig.load()
         if tok == digest:
             return sig.load()
-        corpus = self._corpus_for_sigs()
-        corpus_keys = corpus.select(
-            "rid", F.xxhash64("content").alias("chash")
-        )
-        art_keys = sig.load().select("rid", "chash").distinct()
-        stale_rids = (
-            art_keys.join(corpus_keys, ["rid", "chash"], "left_anti")
-            .select("rid")
-            .distinct()
-        )
-        # rids needing (re-)signing: brand new, or content changed
-        delta_docs = corpus.join(
-            corpus_keys.join(art_keys, ["rid", "chash"], "left_anti")
-            .select("rid")
-            .distinct(),
-            "rid",
-            "left_semi",
-        )
-        if stale_rids.limit(1).count():
-            kept = sig.load().join(stale_rids, "rid", "left_anti")
-            sig.rebuild(
-                kept.unionByName(self._sig_rows(delta_docs)), digest
+        raw = self.store.load().withColumn("_rid", _row_id())
+        # newest chash per rid WITHOUT shuffling text: project to the
+        # compact (rid, chash, timestamp) triple BEFORE the
+        # newest-per-rid window (same rule as _dedup_row_ids)
+        w = Window.partitionBy("rid").orderBy(F.col("timestamp").desc())
+        corpus_keys = (
+            raw.select(
+                F.col("_rid").alias("rid"),
+                F.xxhash64("content").alias("chash"),
+                "timestamp",
             )
-        else:
-            sig.append(self._sig_rows(delta_docs), digest)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("rid", "chash")
+            .persist()
+        )
+        art = sig.load()
+        try:
+            art_keys = art.select("rid", "chash").distinct()
+            stale_rids = (
+                art_keys.join(corpus_keys, ["rid", "chash"], "left_anti")
+                .select("rid")
+                .distinct()
+            )
+            # rids needing (re-)signing: brand new, or content changed.
+            # Filter the store to those rids FIRST, then resolve
+            # newest-per-rid on the (small) filtered rows — the text
+            # window runs over the delta only, never the corpus.
+            missing_rids = (
+                corpus_keys.join(art_keys, ["rid", "chash"], "left_anti")
+                .select("rid")
+                .distinct()
+            )
+            delta_docs = self._dedup_row_ids(
+                raw.join(missing_rids, F.col("_rid") == F.col("rid"), "left_semi")
+                .withColumn("_row_id", F.col("_rid"))
+            ).select(F.col("_rid").alias("rid"), "content").persist()
+            if stale_rids.limit(1).count():
+                kept = art.join(stale_rids, "rid", "left_anti")
+                sig.rebuild(
+                    kept.unionByName(self._sig_rows(delta_docs)), digest
+                )
+            else:
+                sig.append(self._sig_rows(delta_docs), digest)
+            delta_docs.unpersist()
+        finally:
+            corpus_keys.unpersist()
         return sig.load()
 
     def _dup_ids_lexical(self, batch: DataFrame, threshold: float) -> DataFrame:
@@ -736,16 +781,28 @@ class VectorEngine:
 
         The corpus side is ONLY the persisted signature artifact:
         batch signatures (bounded) broadcast into the (band_id,
-        band_key) equi-join — one shuffle-free map-side scan of the
-        compact artifact per batch; the committed corpus TEXT is never
-        re-read, which is what makes lexical dedup-on-arrival hold at
-        100 TB. Chunks with
-        fewer than 3 words have no signature: never dropped, never
-        dropping (the family's documented short-text blind spot)."""
+        band_key) equi-join — one STREAMING map-side scan of the
+        compact artifact per batch (deliberately not Spark-cached: the
+        sig arrays make artifact rows ~1 KB, and materializing them
+        into executor memory to save the post-write supersede probe's
+        second scan measured 2.3× SLOWER at 32× corpus than just
+        scanning twice — tools/lexical_dedup_scale_probe.py); the
+        committed corpus TEXT is never re-read, which is what makes
+        lexical dedup-on-arrival hold at 100 TB. Chunks with fewer
+        than 3 words have no signature: never dropped, never dropping
+        (the family's documented short-text blind spot).
+
+        The drop set is MATERIALIZED driver-side (bounded by the
+        ingest-batch contract, same as the semantic paths' collected
+        probe rows): a lazy plan pinning the artifact's parquet files
+        would crash — or with ignoreMissingFiles, silently un-dedup —
+        any later evaluation of the returned batch after a compaction
+        swaps those files out (`_append_sigs_after_ingest`)."""
         from converttovectordb_spark.operators.dedup import (
             minhash_signature_rows,
         )
 
+        spark = batch.sparkSession
         sigs = self._fresh_sigs_for_dedup()
         bb = minhash_signature_rows(
             batch.select(_row_id().alias("_bid"), "content"),
@@ -765,13 +822,17 @@ class VectorEngine:
                 lambda v: v,
             )
         )
-        return (
+        dropped = (
             pairs.withColumn(
                 "_est", matches / F.size("_bsig").cast("double")
             )
             .filter(F.col("_est") >= threshold)
             .select("_bid")
             .distinct()
+            .collect()
+        )
+        return spark.createDataFrame(
+            [(r["_bid"],) for r in dropped], "_bid string"
         )
 
     def _append_sigs_after_ingest(
@@ -789,13 +850,15 @@ class VectorEngine:
         old and new signatures live — the stale one free to wrongly
         drop a future non-duplicate arrival — and duplicate-rid rows
         would grow without bound across re-ingests. So the append path
-        probes the artifact for incoming rids (one map-side scan of
-        the compact artifact, broadcast batch side — the same cost
-        shape as the dedup decision itself) and compacts on overlap:
+        probes the artifact for incoming rids and compacts on overlap:
         old rows for the incoming rids are dropped in the same atomic
-        swap that lands the new ones. Crash-safe: a miss here just
-        leaves the artifact stale; the next flagged ingest heals by
-        (rid, chash) delta."""
+        swap that lands the new ones. The probe is a second streaming
+        map-side scan of the compact artifact (broadcast batch side);
+        Spark-caching the artifact to share the decision's scan
+        measured strictly slower — the ~1 KB sig rows cost more to
+        materialize than to re-stream (see `_dup_ids_lexical`).
+        Crash-safe: a miss here just leaves the artifact stale; the
+        next flagged ingest heals by (rid, chash) delta."""
         from converttovectordb_spark.sources.sigstore import token_digest
 
         sig = self._sig_store()
@@ -811,14 +874,11 @@ class VectorEngine:
             # corpus coverage; rebuild from the committed store instead
             sig.rebuild(self._sig_rows(self._corpus_for_sigs()), digest)
             return
+        art = sig.load()
         incoming = docs.select("rid").distinct()
-        superseded = sig.load().join(
-            F.broadcast(incoming), "rid", "left_semi"
-        )
+        superseded = art.join(F.broadcast(incoming), "rid", "left_semi")
         if superseded.limit(1).count():
-            kept = sig.load().join(
-                F.broadcast(incoming), "rid", "left_anti"
-            )
+            kept = art.join(F.broadcast(incoming), "rid", "left_anti")
             sig.rebuild(kept.unionByName(bands), digest)
         else:
             sig.append(bands, digest)

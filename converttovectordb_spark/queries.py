@@ -4756,8 +4756,6 @@ def _gopher_quality_frame(docs: DataFrame) -> DataFrame:
     (`q_stream_quality_gate`): every signal is a column expression, so
     the identical code path serves both execution modes (and the same
     SQL oracle checks both)."""
-    from converttovectordb_spark.functions.text import tokens
-
     # two-stage select: the trigram transform references the token
     # array many times (size + element_at per position), which blocks
     # CollapseProject — so tokens() runs ONCE per row instead of once
@@ -4988,8 +4986,6 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     The legs re-join the per-doc char totals on doc_id. No N² step
     anywhere; every aggregate is map-side-combined before its exchange.
     """
-    from converttovectordb_spark.functions.text import tokens
-
     docs = _spread(spark, load(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id",
@@ -5163,8 +5159,6 @@ def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     powers of two differs across engines. Plan: map-side projection →
     one tiny (≤ ~20 key) partial+final aggregate; the corpus total
     rides a broadcast single-row join, never a second scan."""
-    from converttovectordb_spark.functions.text import tokens
-
     docs = _spread(spark, load(spark, sf_dir, "documents"))
     n = F.size(tokens(F.col("text")))
     # shiftleft() only takes a literal bit count from the Python API;
@@ -5396,8 +5390,6 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3) df broadcast back onto the tf pairs (vocab ≪ corpus, and only
     terms present in docs travel); (4) per-doc rank window partitioned
     by doc_id — linear, no global sort. Nothing quadratic."""
-    from converttovectordb_spark.functions.text import tokens
-
     docs = _spread(spark, load(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -5973,19 +5965,22 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-perplexity head of the distribution, which is what the top-30
     ascending head below is).
 
-    Shape (linear): tokenize → per-token corpus count via a count
-    window PARTITIONed BY the token — the ONLY full-token-stream
-    exchange, replacing the groupBy + vocab join (at 100 TB the count
-    table is vocab-sized: too big to broadcast, and joining it back
-    would shuffle the full token stream a second time) → per-token
+    Shape (linear, heavy-hitter-proof): tokenize → per-(doc, token)
+    multiplicities m (the FIRST aggregation the raw stream meets, so
+    map-side combine condenses every partition before any exchange —
+    the hottest token, 'the' at 3-5% of a natural corpus, is one row
+    per containing doc after it, never an unsplittable pile-up; a
+    count window PARTITIONed BY tok would instead buffer EVERY
+    occurrence of the hottest token in a single task at 100 TB) →
+    vocab counts c = Σm (map-side partial sums) → m ⋈ c on tok (both
+    sides condensed; a residual hot key here is one row per doc and
+    AQE skew-join-splittable, which no window operator is) → per-token
     nll = ln(N+V) − ln(c+1) (a log DIFFERENCE of integer-valued
-    doubles — no division, bit-identical cross-engine) → per-doc sum
-    of DECIMAL(18,6)-rounded contributions (the `dsir_weights` trick:
-    float Σ over a shuffle is partition-order-dependent in the last
-    ulp, decimals are not). The totals row (N tokens, V vocab) is one
-    tiny broadcast; its countDistinct exchange moves only map-side-
-    condensed distinct tokens (vocab-sized per partition), never the
-    stream."""
+    doubles — no division, bit-identical cross-engine) → per-doc
+    Σ m·round(nll, 6)::DECIMAL — exact integer × 6dp-decimal products,
+    so the sum is order-independent and hash-exact (the `dsir_weights`
+    trick). Totals (N tokens, V vocab) fall out of the vocab table for
+    free: no second pass over the corpus."""
     docs = _spread(spark, load(spark, sf_dir, "documents"))
     # 1-shingles ARE the tokens: explode the materialized token array
     # directly (explode_outer + isNotNull keeps the inferred size()>0
@@ -5995,26 +5990,28 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.explode_outer("_t").alias("tok"))
         .filter(F.col("tok").isNotNull())
     )
-    totals = toks.agg(
-        F.count(F.lit(1)).alias("n_all"),
-        F.countDistinct("tok").alias("v"),
+    m = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    counts = m.groupBy("tok").agg(F.sum("m").alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n_all"), F.count(F.lit(1)).alias("v")
     )
     scored = (
-        toks.withColumn(
-            "c", F.count(F.lit(1)).over(Window.partitionBy("tok"))
-        )
+        m.join(counts, "tok")
         .crossJoin(F.broadcast(totals))
         .withColumn(
             "nll",
             F.log(F.col("n_all") + F.col("v")) - F.log(F.col("c") + 1),
         )
         .withColumn(
-            "contrib", F.round(F.col("nll"), 6).cast("decimal(18,6)")
+            "contrib",
+            F.col("m") * F.round(F.col("nll"), 6).cast("decimal(18,6)"),
         )
         .groupBy("doc_id", "lang")
         .agg(
             F.sum("contrib").alias("s"),
-            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("m").alias("n_toks"),
         )
         .withColumn(
             "avg_nll", F.col("s").cast("double") / F.col("n_toks")
@@ -6040,20 +6037,23 @@ WITH toks AS (
                             x -> x <> '')) AS tok
   FROM documents
 ),
-totals AS (
-  SELECT count(*) AS N, count(DISTINCT tok) AS V FROM toks
+m AS (
+  SELECT doc_id, lang, tok, count(*) AS m
+  FROM toks GROUP BY doc_id, lang, tok
 ),
-c AS (
-  SELECT doc_id, lang, count(*) OVER (PARTITION BY tok) AS c
-  FROM toks
+counts AS (
+  SELECT tok, sum(m) AS c FROM m GROUP BY tok
+),
+totals AS (
+  SELECT sum(c) AS N, count(*) AS V FROM counts
 ),
 scored AS (
-  SELECT c.doc_id, c.lang,
-         sum(CAST(round(ln(totals.N + totals.V) - ln(c.c + 1), 6)
-                  AS DECIMAL(18,6))) AS s,
-         count(*) AS n_toks
-  FROM c CROSS JOIN totals
-  GROUP BY c.doc_id, c.lang
+  SELECT m.doc_id, m.lang,
+         sum(m.m * CAST(round(ln(totals.N + totals.V) - ln(counts.c + 1), 6)
+                        AS DECIMAL(18,6))) AS s,
+         sum(m.m) AS n_toks
+  FROM m JOIN counts ON counts.tok = m.tok CROSS JOIN totals
+  GROUP BY m.doc_id, m.lang
 )
 SELECT doc_id, lang,
        CAST(n_toks AS BIGINT) AS n_toks,

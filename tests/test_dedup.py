@@ -941,7 +941,11 @@ def test_ingest_lexical_recrawl_changed_content_supersedes_sig(
     eng.ingest(str(repo), lexical_dedup=0.7)
     # same path, different content → same rid, survives the threshold
     (repo / "a.txt").write_text(LEX_ALT)
-    eng.ingest(str(repo), lexical_dedup=0.7)
+    out = eng.ingest(str(repo), lexical_dedup=0.7)
+    # evaluating the RETURNED batch after the compaction swapped the
+    # artifact files must work: the drop set is materialized driver-
+    # side, so no caller-held plan pins the deleted parquet files
+    assert out.count() == 1
     # the artifact must hold exactly ONE signature set for the rid
     sigs = eng._sig_store().load()
     per_rid = sigs.groupBy("rid").count().collect()
