@@ -981,6 +981,40 @@ def test_ingest_lexical_heal_detects_content_change(spark, tmp_path):
     assert eng.ingest(r_new, lexical_dedup=0.7).count() == 0
 
 
+def test_ingest_lexical_stale_params_artifact_self_invalidates(
+    spark, tmp_path
+):
+    """An artifact committed under different SIG_PARAMS (e.g. the v1
+    schema without chash) must read as absent — the next flagged
+    ingest rebuilds wholesale instead of trusting rows whose recipe
+    (hash count, bands, schema) no longer matches the decision
+    code's."""
+    import json
+    import os
+
+    from converttovectordb_spark.engine import VectorEngine
+    from converttovectordb_spark.sources.sigstore import (
+        MinHashSignatureStore,
+    )
+
+    r1 = _crawl(tmp_path, "v1_r1", {"a.txt": LEX_BASE})
+    r2 = _crawl(tmp_path, "v1_r2", {"copy.txt": LEX_BASE})
+    store = str(tmp_path / "v1_store")
+    eng = VectorEngine(spark, store, dim=16)
+    eng.ingest(r1, lexical_dedup=0.7)
+    # forge an old-params token over the committed artifact
+    sig = MinHashSignatureStore(spark, store + "_minhash_sigs")
+    tok_path = os.path.join(sig.path, sig.TOKEN_FILE)
+    meta = json.load(open(tok_path))
+    meta["params"] = "nh=32|bands=8|sw=3|v1"
+    json.dump(meta, open(tok_path, "w"))
+    assert sig.token() is None  # params mismatch reads as absent
+    # flagged ingest must rebuild and still dedup correctly
+    out = eng.ingest(r2, lexical_dedup=0.7)
+    assert out.count() == 0
+    assert sig.token() is not None  # rebuilt under current params
+
+
 def test_lexical_short_text_blind_spot_is_harmless(spark, tmp_path):
     """Chunks under 3 words have no MinHash signature: they are never
     dropped and never drop others — the documented blind spot must not
