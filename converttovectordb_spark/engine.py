@@ -188,48 +188,28 @@ class VectorEngine:
         parallel write there is no meaningful per-row wall order."""
         from pyspark.sql import Observation
 
-        if semantic_dedup is not None:
-            if not 0.0 < semantic_dedup <= 1.0:
-                # precondition: before the clone side effect
-                raise ValueError(
-                    f"semantic_dedup must be in (0, 1], got {semantic_dedup}"
-                )
-            if semantic_dedup_nprobe < 1:
-                # nprobe=0 would silently disable the indexed dedup
-                # (empty probe set → empty dup set) and a negative one
-                # would slice from the tail — both loud errors, not
-                # silently-no-dedup ingests
-                raise ValueError(
-                    "semantic_dedup_nprobe must be >= 1, got "
-                    f"{semantic_dedup_nprobe}"
-                )
-            if replace:
-                raise ValueError(
-                    "semantic_dedup cannot be combined with replace=True: "
-                    "upsert tombstones EVERY old chunk of a path while "
-                    "dedup drops the unchanged chunks from the batch — "
-                    "the surviving old chunks would never be rewritten "
-                    "and silently vanish from the live snapshot"
-                )
-        elif semantic_dedup_within_batch:
-            # the flag is meaningless without a threshold — refusing
-            # beats silently writing every within-batch duplicate
+        # precondition: before the clone side effect
+        self._validate_dedup_flags(
+            semantic_dedup,
+            semantic_dedup_nprobe,
+            semantic_dedup_within_batch,
+            lexical_dedup,
+        )
+        if replace and semantic_dedup is not None:
             raise ValueError(
-                "semantic_dedup_within_batch requires semantic_dedup=t "
-                "(the cosine threshold the collapse tests against)"
+                "semantic_dedup cannot be combined with replace=True: "
+                "upsert tombstones EVERY old chunk of a path while "
+                "dedup drops the unchanged chunks from the batch — "
+                "the surviving old chunks would never be rewritten "
+                "and silently vanish from the live snapshot"
             )
-        if lexical_dedup is not None:
-            if not 0.0 < lexical_dedup <= 1.0:
-                raise ValueError(
-                    f"lexical_dedup must be in (0, 1], got {lexical_dedup}"
-                )
-            if replace:
-                raise ValueError(
-                    "lexical_dedup cannot be combined with replace=True "
-                    "for the same reason semantic_dedup cannot: upsert "
-                    "tombstones EVERY old chunk of a touched path while "
-                    "dedup drops the unchanged chunks from the batch"
-                )
+        if replace and lexical_dedup is not None:
+            raise ValueError(
+                "lexical_dedup cannot be combined with replace=True "
+                "for the same reason semantic_dedup cannot: upsert "
+                "tombstones EVERY old chunk of a touched path while "
+                "dedup drops the unchanged chunks from the batch"
+            )
         t0 = time.time()
         if repo_url:
             clone_repository(repo_url, repo_path)
@@ -288,58 +268,14 @@ class VectorEngine:
                 # fills the cache every later job reads — not an extra
                 # pass over the data.
                 batch.count()
-            dup_ids = None
-            if need_sem:
-                from converttovectordb_spark.functions.vector import (
-                    l2_normalize,
-                )
-
-                probes = batch.select(
-                    _row_id().alias("_bid"),
-                    F.col("path"),
-                    F.col("chunk_index"),
-                    l2_normalize(F.col("embedding")).alias("_bq"),
-                )
-                # ONE driver collect serves every decision path below
-                # (ids, keys, prenormalized vectors) — the batch is the
-                # bounded side by the ingest contract, and each helper
-                # re-collecting it would add a Spark job plus a
-                # duplicate O(B×d) transfer per ingest
-                batch_rows = probes.collect()
-                if had_store:
-                    threshold = float(semantic_dedup)
-                    index = self._fresh_index_for_dedup()
-                    if index is not None:
-                        dup_ids = self._dup_ids_pruned(
-                            probes,
-                            index,
-                            threshold,
-                            semantic_dedup_nprobe,
-                            rows=batch_rows,
-                        )
-                    else:
-                        dup_ids = self._dup_ids_brute(
-                            probes,
-                            self.store.load(),
-                            threshold,
-                            rows=batch_rows,
-                        )
-                if semantic_dedup_within_batch:
-                    wb = self._dup_ids_within_batch(
-                        batch, float(semantic_dedup), rows=batch_rows
-                    )
-                    dup_ids = (
-                        wb if dup_ids is None
-                        else dup_ids.unionByName(wb).distinct()
-                    )
-            if need_lex:
-                lex_ids = self._dup_ids_lexical(
-                    batch, float(lexical_dedup)
-                )
-                dup_ids = (
-                    lex_ids if dup_ids is None
-                    else dup_ids.unionByName(lex_ids).distinct()
-                )
+            dup_ids = self._dedup_drop_ids(
+                batch,
+                semantic_dedup=semantic_dedup,
+                semantic_dedup_nprobe=semantic_dedup_nprobe,
+                semantic_dedup_within_batch=semantic_dedup_within_batch,
+                lexical_dedup=lexical_dedup,
+                had_store=had_store,
+            )
             if dup_ids is not None:
                 batch = batch.join(
                     dup_ids, on=_row_id() == F.col("_bid"), how="left_anti"
@@ -380,7 +316,180 @@ class VectorEngine:
                 self._batch_to_unpersist = None
         return batch
 
+    def append_documents(
+        self,
+        docs: DataFrame,
+        *,
+        semantic_dedup: float | None = None,
+        semantic_dedup_nprobe: int = 2,
+        semantic_dedup_within_batch: bool = False,
+        lexical_dedup: float | None = None,
+    ) -> int:
+        """Append a PRE-BUILT document batch (DOCUMENTS_SCHEMA rows —
+        the REST /add_documents door's shape) with the same
+        dedup-on-arrival flags `ingest()` offers for repo crawls, so
+        push-style producers get the identical drop semantics:
+        ``semantic_dedup=t`` drops rows whose nearest committed
+        neighbor has cosine ≥ t (IVF-pruned when a fresh index covers
+        the store, brute fallback otherwise), ``lexical_dedup=j``
+        drops rows whose estimated Jaccard against any committed chunk
+        reaches j (persisted signature artifact, corpus text never
+        re-read), ``semantic_dedup_within_batch`` collapses same-batch
+        near-dups deterministically. Returns the number of rows
+        actually written. The batch is persisted for the decision's
+        lifetime (it sits on both sides of the anti-join) and the
+        signature artifact is advanced after the write exactly as a
+        flagged ingest would."""
+        self._validate_dedup_flags(
+            semantic_dedup,
+            semantic_dedup_nprobe,
+            semantic_dedup_within_batch,
+            lexical_dedup,
+        )
+        had_store = self.store.exists()
+        need_sem = semantic_dedup is not None and (
+            had_store or semantic_dedup_within_batch
+        )
+        batch = docs
+        try:
+            if need_sem or lexical_dedup is not None:
+                batch = batch.persist()
+                self._batch_to_unpersist = batch
+                batch.count()
+            dup_ids = self._dedup_drop_ids(
+                batch,
+                semantic_dedup=semantic_dedup,
+                semantic_dedup_nprobe=semantic_dedup_nprobe,
+                semantic_dedup_within_batch=semantic_dedup_within_batch,
+                lexical_dedup=lexical_dedup,
+                had_store=had_store,
+            )
+            if dup_ids is not None:
+                batch = batch.join(
+                    dup_ids, on=_row_id() == F.col("_bid"), how="left_anti"
+                )
+            written = self.store.append(batch)
+            if lexical_dedup is not None:
+                self._append_sigs_after_ingest(
+                    batch, store_existed_before=had_store
+                )
+            return written
+        finally:
+            cached = getattr(self, "_batch_to_unpersist", None)
+            if cached is not None:
+                cached.unpersist()
+                self._batch_to_unpersist = None
+
     # -- ingest semantic-dedup internals ----------------------------------
+    @staticmethod
+    def _validate_dedup_flags(
+        semantic_dedup,
+        semantic_dedup_nprobe,
+        semantic_dedup_within_batch,
+        lexical_dedup,
+    ) -> None:
+        """Shared flag validation for the two dedup-on-arrival doors
+        (`ingest` and `append_documents`); replace-interaction checks
+        stay in `ingest`, the only caller that upserts."""
+        if semantic_dedup is not None:
+            if not 0.0 < semantic_dedup <= 1.0:
+                raise ValueError(
+                    f"semantic_dedup must be in (0, 1], got {semantic_dedup}"
+                )
+            if semantic_dedup_nprobe < 1:
+                # nprobe=0 would silently disable the indexed dedup
+                # (empty probe set → empty dup set) and a negative one
+                # would slice from the tail — both loud errors, not
+                # silently-no-dedup ingests
+                raise ValueError(
+                    "semantic_dedup_nprobe must be >= 1, got "
+                    f"{semantic_dedup_nprobe}"
+                )
+        elif semantic_dedup_within_batch:
+            # the flag is meaningless without a threshold — refusing
+            # beats silently writing every within-batch duplicate
+            raise ValueError(
+                "semantic_dedup_within_batch requires semantic_dedup=t "
+                "(the cosine threshold the collapse tests against)"
+            )
+        if lexical_dedup is not None and not 0.0 < lexical_dedup <= 1.0:
+            raise ValueError(
+                f"lexical_dedup must be in (0, 1], got {lexical_dedup}"
+            )
+
+    def _dedup_drop_ids(
+        self,
+        batch: DataFrame,
+        *,
+        semantic_dedup,
+        semantic_dedup_nprobe,
+        semantic_dedup_within_batch,
+        lexical_dedup,
+        had_store: bool,
+    ) -> DataFrame | None:
+        """The dedup-on-arrival decision shared by both doors: the
+        union of semantic (corpus + optional within-batch) and lexical
+        drop id sets for a PERSISTED batch, or None when no flag
+        applies. Caller persists the batch first — it appears on both
+        sides of every decision below."""
+        need_sem = semantic_dedup is not None and (
+            had_store or semantic_dedup_within_batch
+        )
+        need_lex = lexical_dedup is not None and had_store
+        dup_ids = None
+        if need_sem:
+            from converttovectordb_spark.functions.vector import (
+                l2_normalize,
+            )
+
+            probes = batch.select(
+                _row_id().alias("_bid"),
+                F.col("path"),
+                F.col("chunk_index"),
+                l2_normalize(F.col("embedding")).alias("_bq"),
+            )
+            # ONE driver collect serves every decision path below
+            # (ids, keys, prenormalized vectors) — the batch is the
+            # bounded side by the ingest contract, and each helper
+            # re-collecting it would add a Spark job plus a
+            # duplicate O(B×d) transfer per ingest
+            batch_rows = probes.collect()
+            if had_store:
+                threshold = float(semantic_dedup)
+                index = self._fresh_index_for_dedup()
+                if index is not None:
+                    dup_ids = self._dup_ids_pruned(
+                        probes,
+                        index,
+                        threshold,
+                        semantic_dedup_nprobe,
+                        rows=batch_rows,
+                    )
+                else:
+                    dup_ids = self._dup_ids_brute(
+                        probes,
+                        self.store.load(),
+                        threshold,
+                        rows=batch_rows,
+                    )
+            if semantic_dedup_within_batch:
+                wb = self._dup_ids_within_batch(
+                    batch, float(semantic_dedup), rows=batch_rows
+                )
+                dup_ids = (
+                    wb if dup_ids is None
+                    else dup_ids.unionByName(wb).distinct()
+                )
+        if need_lex:
+            lex_ids = self._dup_ids_lexical(
+                batch, float(lexical_dedup)
+            )
+            dup_ids = (
+                lex_ids if dup_ids is None
+                else dup_ids.unionByName(lex_ids).distinct()
+            )
+        return dup_ids
+
     def _fresh_index_for_dedup(self):
         """Best-effort FRESH index for the ingest-dedup pruned scan;
         None → the caller uses the brute full-scan fallback.

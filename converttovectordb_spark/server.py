@@ -213,7 +213,33 @@ class VectorDBApi:
 
         eng = self.engine
         df = eng.spark.createDataFrame(valid, schema=DOCUMENTS_SCHEMA)
-        written = eng.store.append(df)
+        # Optional dedup-on-arrival — the same flags the repo-ingest
+        # door offers, so push-style producers get identical drop
+        # semantics (an API extension; absent keys keep the
+        # reference-parity plain append)
+        sem = body.get("semantic_dedup")
+        lex = body.get("lexical_dedup")
+        wb = bool(body.get("within_batch_dedup", False))
+        nprobe = int(body.get("dedup_nprobe", 2))
+        skipped_dup = 0
+        if sem is not None or lex is not None or wb:
+            try:
+                written = eng.append_documents(
+                    df,
+                    semantic_dedup=(
+                        float(sem) if sem is not None else None
+                    ),
+                    semantic_dedup_nprobe=nprobe,
+                    semantic_dedup_within_batch=wb,
+                    lexical_dedup=(
+                        float(lex) if lex is not None else None
+                    ),
+                )
+            except ValueError as exc:
+                raise _ApiError(400, str(exc))
+            skipped_dup = len(valid) - written
+        else:
+            written = eng.store.append(df)
         self._invalidate_corpus()
         total = eng.store.load(require_embedding=False).count() if eng.store.exists() else 0
         return {
@@ -222,6 +248,7 @@ class VectorDBApi:
             "total_documents": total,
             "skipped_invalid": invalid + dim_mismatch,
             "skipped_dim_mismatch": dim_mismatch,
+            "skipped_duplicates": skipped_dup,
             "processing_time": time.time() - start,
         }
 

@@ -473,3 +473,47 @@ def test_diverse_endpoint(server):
 
     status, err = _call(server, "POST", "/diverse", {})
     assert status == 400
+
+
+def test_add_documents_dedup_on_arrival(server):
+    """The /add_documents door's dedup extension: a re-push whose
+    embedding matches a committed row at cosine >= t is dropped
+    (semantic), an exact-text re-push under another path is dropped
+    (lexical), fresh rows land, and the response counts the drops.
+    Plain calls (no dedup keys) keep the reference-parity append."""
+    text = " ".join(f"word{i}" for i in range(40))
+    first = {
+        "path": "a.py", "content": text, "embedding": _unit(0),
+        "chunk_index": 0, "total_chunks": 1,
+    }
+    status, out = _call(
+        server, "POST", "/add_documents", {"documents": [first]}
+    )
+    assert status == 200 and out["total_documents"] == 1
+
+    # semantic: same embedding, different path -> dropped
+    dup_sem = dict(first, path="b.py", content="changed words here")
+    # lexical: same text, different path, orthogonal embedding
+    dup_lex = dict(first, path="c.py", embedding=_unit(1))
+    fresh = {
+        "path": "d.py",
+        "content": "completely different content about galaxies",
+        "embedding": _unit(2), "chunk_index": 0, "total_chunks": 1,
+    }
+    status, out = _call(
+        server, "POST", "/add_documents",
+        {
+            "documents": [dup_sem, dup_lex, fresh],
+            "semantic_dedup": 0.99,
+            "lexical_dedup": 0.8,
+        },
+    )
+    assert status == 200, out
+    assert out["skipped_duplicates"] == 2, out
+    assert out["total_documents"] == 2
+    # bad flag -> loud 400, nothing written
+    status, out = _call(
+        server, "POST", "/add_documents",
+        {"documents": [fresh], "lexical_dedup": 1.5},
+    )
+    assert status == 400 and "lexical_dedup" in out["error"]
