@@ -1052,3 +1052,52 @@ def test_jaccard_verify_cross_two_sided(spark):
     assert ("x", "r") not in out                           # unrelated
     assert out[("y", "r")] == pytest.approx(1.0)
     assert 0.5 <= out[("x", "q")] < 1.0                    # near-dup
+
+
+def test_append_documents_dedup_transactional(spark, tmp_path):
+    """engine.append_documents (the push door) applies the same drop
+    semantics as flagged ingest on a TRANSACTIONAL store: an exact
+    text re-push is dropped lexically, a same-embedding paraphrase is
+    dropped semantically, fresh rows land, and the signature artifact
+    advances so a LATER push still dedups."""
+    import os
+
+    from converttovectordb_spark.engine import VectorEngine
+    from converttovectordb_spark.schema import DOCUMENTS_SCHEMA
+
+    def row(path, content, axis):
+        emb = [0.0] * 16
+        emb[axis] = 1.0
+        return (path, ".txt", 0, 1, content, emb, 1.0)
+
+    store = str(tmp_path / "push_store")
+    eng = VectorEngine(spark, store, dim=16, transactional=True)
+    first = spark.createDataFrame(
+        [row("a.txt", LEX_BASE, 0)], DOCUMENTS_SCHEMA
+    )
+    assert eng.append_documents(
+        first, lexical_dedup=0.8, semantic_dedup=0.99
+    ) == 1
+    assert os.path.exists(store + "_minhash_sigs")
+
+    batch = spark.createDataFrame(
+        [
+            row("copy.txt", LEX_BASE, 1),              # lexical dup
+            row("para.txt", "unrelated words here", 0),  # semantic dup
+            row("fresh.txt", "genuinely new content", 2),
+        ],
+        DOCUMENTS_SCHEMA,
+    )
+    assert eng.append_documents(
+        batch, lexical_dedup=0.8, semantic_dedup=0.99
+    ) == 1
+    paths = {r.path for r in eng.store.load().select("path").collect()}
+    assert paths == {"a.txt", "fresh.txt"}
+    # artifact advanced: a later exact re-push of the fresh row drops
+    later = spark.createDataFrame(
+        [row("fresh2.txt", "genuinely new content", 3)], DOCUMENTS_SCHEMA
+    )
+    assert eng.append_documents(later, lexical_dedup=0.8) == 0
+    # flag validation is shared with ingest
+    with pytest.raises(ValueError, match="within_batch"):
+        eng.append_documents(later, semantic_dedup_within_batch=True)
