@@ -14,6 +14,7 @@ stages.
 
 from __future__ import annotations
 
+import threading
 import time
 from typing import Callable
 
@@ -84,6 +85,12 @@ class VectorEngine:
         self.dim = dim
         self.chunk_size = chunk_size
         self.overlap = overlap
+        # serializes dedup-flagged writes: the decision + store append
+        # + signature/index artifact swap must be atomic per engine —
+        # the REST door serves from ThreadingHTTPServer threads, and
+        # two interleaved compaction swaps could drop one batch's
+        # signature coverage (single-writer is the artifact contract)
+        self._write_lock = threading.RLock()
 
     # -- ingest ----------------------------------------------------------
     def ingest(
@@ -240,10 +247,11 @@ class VectorEngine:
         # otherwise accumulate orphaned cached embedding batches for
         # the SparkSession lifetime
         had_store = self.store.exists()
+        # persist condition mirrors _dedup_drop_ids' need_sem plus the
+        # lexical artifact-build read after the write
         need_sem = semantic_dedup is not None and (
             had_store or semantic_dedup_within_batch
         )
-        need_lex = lexical_dedup is not None and had_store
         try:
             if need_sem or lexical_dedup is not None:
                 # Materialize the batch ONCE: it appears on both sides
@@ -339,46 +347,84 @@ class VectorEngine:
         actually written. The batch is persisted for the decision's
         lifetime (it sits on both sides of the anti-join) and the
         signature artifact is advanced after the write exactly as a
-        flagged ingest would."""
+        flagged ingest would.
+
+        Thread-safe: the decision + append + artifact advance run
+        under the engine's write lock (the REST door serves from
+        ThreadingHTTPServer threads; artifact swaps are single-writer
+        by contract) and the persist handle is method-local, never
+        shared state. Two guards the repo-ingest door doesn't need:
+        duplicate (path, chunk_index) identities within a dedup-
+        flagged batch are refused loudly — the anti-join keys on that
+        identity, so a colliding non-duplicate would be silently
+        dragged down with its twin (and colliding pushes shadow each
+        other in the store's newest-per-rid reads regardless); and a
+        fully-deduplicated batch skips the store write entirely — an
+        empty commit would churn the state token and invalidate every
+        warm serving cache for a no-op."""
         self._validate_dedup_flags(
             semantic_dedup,
             semantic_dedup_nprobe,
             semantic_dedup_within_batch,
             lexical_dedup,
         )
-        had_store = self.store.exists()
-        need_sem = semantic_dedup is not None and (
-            had_store or semantic_dedup_within_batch
+        dedup_requested = (
+            semantic_dedup is not None or lexical_dedup is not None
         )
-        batch = docs
-        try:
-            if need_sem or lexical_dedup is not None:
-                batch = batch.persist()
-                self._batch_to_unpersist = batch
-                batch.count()
-            dup_ids = self._dedup_drop_ids(
-                batch,
-                semantic_dedup=semantic_dedup,
-                semantic_dedup_nprobe=semantic_dedup_nprobe,
-                semantic_dedup_within_batch=semantic_dedup_within_batch,
-                lexical_dedup=lexical_dedup,
-                had_store=had_store,
+        with self._write_lock:
+            had_store = self.store.exists()
+            need_sem = semantic_dedup is not None and (
+                had_store or semantic_dedup_within_batch
             )
-            if dup_ids is not None:
-                batch = batch.join(
-                    dup_ids, on=_row_id() == F.col("_bid"), how="left_anti"
+            batch = docs
+            persisted = None
+            try:
+                if need_sem or lexical_dedup is not None:
+                    batch = batch.persist()
+                    persisted = batch
+                    n_in = batch.count()
+                    if dedup_requested:
+                        n_ids = batch.select(_row_id()).distinct().count()
+                        if n_ids != n_in:
+                            raise ValueError(
+                                "append_documents with dedup flags "
+                                "requires unique (path, chunk_index) "
+                                f"identities per batch: got {n_in} rows "
+                                f"but {n_ids} distinct identities — the "
+                                "drop decision keys on that identity, so "
+                                "a colliding non-duplicate would be "
+                                "silently dropped with its twin"
+                            )
+                dup_ids = self._dedup_drop_ids(
+                    batch,
+                    semantic_dedup=semantic_dedup,
+                    semantic_dedup_nprobe=semantic_dedup_nprobe,
+                    semantic_dedup_within_batch=semantic_dedup_within_batch,
+                    lexical_dedup=lexical_dedup,
+                    had_store=had_store,
                 )
-            written = self.store.append(batch)
-            if lexical_dedup is not None:
-                self._append_sigs_after_ingest(
-                    batch, store_existed_before=had_store
-                )
-            return written
-        finally:
-            cached = getattr(self, "_batch_to_unpersist", None)
-            if cached is not None:
-                cached.unpersist()
-                self._batch_to_unpersist = None
+                if dup_ids is not None:
+                    n_dropped = dup_ids.count()  # driver-local sets
+                    if n_dropped >= n_in:
+                        # every row is a duplicate: skip the write (an
+                        # empty commit churns the state token and every
+                        # warm cache) — the artifact is still fresh
+                        # because the store did not change
+                        return 0
+                    batch = batch.join(
+                        dup_ids,
+                        on=_row_id() == F.col("_bid"),
+                        how="left_anti",
+                    )
+                written = self.store.append(batch)
+                if lexical_dedup is not None:
+                    self._append_sigs_after_ingest(
+                        batch, store_existed_before=had_store
+                    )
+                return written
+            finally:
+                if persisted is not None:
+                    persisted.unpersist()
 
     # -- ingest semantic-dedup internals ----------------------------------
     @staticmethod

@@ -220,7 +220,6 @@ class VectorDBApi:
         sem = body.get("semantic_dedup")
         lex = body.get("lexical_dedup")
         wb = bool(body.get("within_batch_dedup", False))
-        nprobe = int(body.get("dedup_nprobe", 2))
         skipped_dup = 0
         if sem is not None or lex is not None or wb:
             try:
@@ -229,14 +228,26 @@ class VectorDBApi:
                     semantic_dedup=(
                         float(sem) if sem is not None else None
                     ),
-                    semantic_dedup_nprobe=nprobe,
+                    semantic_dedup_nprobe=int(
+                        body.get("dedup_nprobe", 2)
+                    ),
                     semantic_dedup_within_batch=wb,
                     lexical_dedup=(
                         float(lex) if lex is not None else None
                     ),
                 )
-            except ValueError as exc:
-                raise _ApiError(400, str(exc))
+            except (TypeError, ValueError) as exc:
+                # translate engine kwarg names to the wire keys the
+                # client actually sent
+                msg = (
+                    str(exc)
+                    .replace("semantic_dedup_nprobe", "dedup_nprobe")
+                    .replace(
+                        "semantic_dedup_within_batch",
+                        "within_batch_dedup",
+                    )
+                )
+                raise _ApiError(400, msg)
             skipped_dup = len(valid) - written
         else:
             written = eng.store.append(df)

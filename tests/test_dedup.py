@@ -1101,3 +1101,68 @@ def test_append_documents_dedup_transactional(spark, tmp_path):
     # flag validation is shared with ingest
     with pytest.raises(ValueError, match="within_batch"):
         eng.append_documents(later, semantic_dedup_within_batch=True)
+
+
+def test_append_documents_concurrent_pushes_serialized(spark, tmp_path):
+    """Two dedup-flagged pushes racing from threads (the REST door's
+    ThreadingHTTPServer reality) must serialize under the engine write
+    lock: both land (or dedup) correctly, the signature artifact
+    covers both batches, and a follow-up duplicate of EITHER batch is
+    dropped."""
+    import threading
+
+    from converttovectordb_spark.engine import VectorEngine
+    from converttovectordb_spark.schema import DOCUMENTS_SCHEMA
+
+    t1 = " ".join(f"alpha{i}" for i in range(40))
+    t2 = " ".join(f"beta{i}" for i in range(40))
+
+    def row(path, content, axis):
+        emb = [0.0] * 16
+        emb[axis] = 1.0
+        return (path, ".txt", 0, 1, content, emb, 1.0)
+
+    store = str(tmp_path / "race_store")
+    eng = VectorEngine(spark, store, dim=16)
+    eng.append_documents(
+        spark.createDataFrame(
+            [row("seed.txt", "seed content words", 0)], DOCUMENTS_SCHEMA
+        ),
+        lexical_dedup=0.8,
+    )
+
+    results, errors = {}, []
+
+    def push(name, content, axis):
+        try:
+            df = spark.createDataFrame(
+                [row(f"{name}.txt", content, axis)], DOCUMENTS_SCHEMA
+            )
+            results[name] = eng.append_documents(df, lexical_dedup=0.8)
+        except Exception as exc:  # pragma: no cover - diagnostic
+            errors.append((name, exc))
+
+    threads = [
+        threading.Thread(target=push, args=("a", t1, 1)),
+        threading.Thread(target=push, args=("b", t2, 2)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert results == {"a": 1, "b": 1}
+    assert eng.store.load().count() == 3
+    # the artifact covers both racing batches: copies of each drop
+    assert eng.append_documents(
+        spark.createDataFrame(
+            [row("a_copy.txt", t1, 3)], DOCUMENTS_SCHEMA
+        ),
+        lexical_dedup=0.8,
+    ) == 0
+    assert eng.append_documents(
+        spark.createDataFrame(
+            [row("b_copy.txt", t2, 4)], DOCUMENTS_SCHEMA
+        ),
+        lexical_dedup=0.8,
+    ) == 0

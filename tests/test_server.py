@@ -517,3 +517,56 @@ def test_add_documents_dedup_on_arrival(server):
         {"documents": [fresh], "lexical_dedup": 1.5},
     )
     assert status == 400 and "lexical_dedup" in out["error"]
+
+
+def test_add_documents_dedup_guards(server):
+    """The push door's dedup guards: colliding (path, chunk_index)
+    identities are refused with a 400 naming the wire contract, a
+    malformed dedup_nprobe is a 400 (not a 500), and a fully-
+    deduplicated push reports its drops without committing an empty
+    write (total_documents unchanged)."""
+    text = " ".join(f"guard{i}" for i in range(40))
+    base = {
+        "path": "g.py", "content": text, "embedding": _unit(3),
+        "chunk_index": 0, "total_chunks": 1,
+    }
+    status, out = _call(
+        server, "POST", "/add_documents", {"documents": [base]}
+    )
+    assert status == 200 and out["total_documents"] == 1
+
+    # colliding identities (both default to path "" + chunk 0)
+    status, out = _call(
+        server, "POST", "/add_documents",
+        {
+            "documents": [
+                {"content": "one thing", "embedding": _unit(4)},
+                {"content": "another thing", "embedding": _unit(5)},
+            ],
+            "lexical_dedup": 0.8,
+        },
+    )
+    assert status == 400 and "chunk_index" in out["error"]
+
+    # malformed nprobe: 400, not 500
+    status, out = _call(
+        server, "POST", "/add_documents",
+        {
+            "documents": [base],
+            "semantic_dedup": 0.9,
+            "dedup_nprobe": "two",
+        },
+    )
+    assert status == 400
+
+    # fully-deduplicated push: no empty commit, caches stay warm
+    status, out = _call(
+        server, "POST", "/add_documents",
+        {
+            "documents": [dict(base, path="g_copy.py")],
+            "lexical_dedup": 0.8,
+        },
+    )
+    assert status == 200, out
+    assert out["skipped_duplicates"] == 1
+    assert out["total_documents"] == 1
