@@ -252,6 +252,10 @@ class VectorEngine:
         need_sem = semantic_dedup is not None and (
             had_store or semantic_dedup_within_batch
         )
+        # same single-writer contract as append_documents: the dedup
+        # decision, store write, and artifact advance are atomic per
+        # engine (RLock — harmless when the caller is single-threaded)
+        self._write_lock.acquire()
         try:
             if need_sem or lexical_dedup is not None:
                 # Materialize the batch ONCE: it appears on both sides
@@ -322,6 +326,7 @@ class VectorEngine:
             if cached is not None:
                 cached.unpersist()
                 self._batch_to_unpersist = None
+            self._write_lock.release()
         return batch
 
     def append_documents(
