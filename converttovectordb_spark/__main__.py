@@ -80,6 +80,38 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     common(sp)
 
+    sp = sub.add_parser(
+        "push",
+        help="append pre-built document rows from a JSONL file — the "
+        "CLI twin of REST /add_documents; rows without an 'embedding' "
+        "are embedded with the store's embedder",
+    )
+    sp.add_argument(
+        "--file", required=True,
+        help="JSONL path: one document per line, at least {'content'}; "
+        "optional path/extension/chunk_index/total_chunks/embedding/"
+        "timestamp",
+    )
+    sp.add_argument(
+        "--semantic-dedup", type=float, default=None, metavar="T",
+        help="drop rows whose nearest committed neighbor has "
+        "cosine >= T (same semantics as ingest)",
+    )
+    sp.add_argument(
+        "--semantic-dedup-nprobe", type=int, default=2, metavar="N",
+        help="clusters probed per row on the indexed dedup path",
+    )
+    sp.add_argument(
+        "--within-batch-dedup", action="store_true",
+        help="also collapse near-dups INSIDE the pushed batch",
+    )
+    sp.add_argument(
+        "--lexical-dedup", type=float, default=None, metavar="J",
+        help="drop rows whose estimated MinHash Jaccard against any "
+        "committed chunk reaches J",
+    )
+    common(sp)
+
     sp = sub.add_parser("search", help="top-k similarity search")
     sp.add_argument("--query", required=True)
     sp.add_argument("--top-k", type=int, default=5)
@@ -202,6 +234,91 @@ def _engine(args):
     )
 
 
+def _push_file(eng, args) -> dict:
+    """Read a JSONL document batch, fill missing embeddings with the
+    store's embedder, and append through `engine.append_documents`
+    (dedup-on-arrival included). Validation is loud and line-numbered:
+    a malformed producer file should fail before any Spark job."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from converttovectordb_spark.embeddings import embed_column
+    from converttovectordb_spark.schema import DOCUMENTS_SCHEMA
+
+    rows = []
+    with open(args.file) as fh:
+        for ln, line in enumerate(fh, 1):
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                doc = json.loads(line)
+            except ValueError as e:
+                raise ValueError(f"line {ln}: invalid JSON ({e})")
+            if not isinstance(doc, dict) or "content" not in doc:
+                raise ValueError(
+                    f"line {ln}: each row needs at least a 'content' key"
+                )
+            rows.append((ln, doc))
+    if not rows:
+        raise ValueError("no documents in file")
+
+    now = _time.time()
+    tuples = []
+    for ln, doc in rows:
+        path = str(doc.get("path", ""))
+        ext = doc.get("extension")
+        if ext is None:
+            ext = os.path.splitext(os.path.basename(path))[1] or None
+        emb = doc.get("embedding")
+        if emb is not None:
+            try:
+                emb = [float(x) for x in emb]
+            except (TypeError, ValueError):
+                raise ValueError(f"line {ln}: embedding must be numeric")
+            if eng.dim is not None and len(emb) != eng.dim:
+                raise ValueError(
+                    f"line {ln}: embedding dimension {len(emb)} != "
+                    f"store dimension {eng.dim}"
+                )
+        tuples.append(
+            (
+                path,
+                ext,
+                int(doc.get("chunk_index", 0)),
+                int(doc.get("total_chunks", 1)),
+                str(doc["content"]),
+                emb,
+                float(doc.get("timestamp", now)),
+            )
+        )
+
+    df = eng.spark.createDataFrame(tuples, DOCUMENTS_SCHEMA)
+    if any(t[5] is None for t in tuples):
+        missing = df.filter(F.col("embedding").isNull()).drop("embedding")
+        embedded = embed_column(
+            missing, "content", "embedding", eng.embedder, eng.dim
+        ).select(*DOCUMENTS_SCHEMA.fieldNames())
+        df = (
+            df.filter(F.col("embedding").isNotNull())
+            .unionByName(embedded)
+        )
+    written = eng.append_documents(
+        df,
+        semantic_dedup=args.semantic_dedup,
+        semantic_dedup_nprobe=args.semantic_dedup_nprobe,
+        semantic_dedup_within_batch=args.within_batch_dedup,
+        lexical_dedup=args.lexical_dedup,
+    )
+    return {
+        "rows_in": len(tuples),
+        "rows_written": written,
+        "skipped_duplicates": len(tuples) - written,
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     eng = _engine(args)
@@ -224,6 +341,13 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"command": "ingest", "error": str(e)}))
             return 1
         print(json.dumps({"command": "ingest", **eng.last_ingest_metrics}))
+    elif args.command == "push":
+        try:
+            out = _push_file(eng, args)
+        except ValueError as e:
+            print(json.dumps({"command": "push", "error": str(e)}))
+            return 1
+        print(json.dumps({"command": "push", **out}))
     elif args.command == "search":
         try:
             res = eng.search(

@@ -152,3 +152,51 @@ def test_cli_diverse_bad_lambda_fails_clean(tmp_path):
     )
     assert rc == 1 and out["command"] == "diverse"
     assert "lambda" in out["error"]
+
+
+def test_cli_push_jsonl_with_dedup(tmp_path):
+    """`push` appends a JSONL batch: rows without embeddings are
+    hash-embedded, dedup flags drop a re-push, malformed files fail
+    clean with a line number."""
+    store = str(tmp_path / "push_store")
+    common = ["--store", store, "--dim", "16", "--master", "local[2]"]
+    text = " ".join(f"cli{i}" for i in range(40))
+
+    f1 = tmp_path / "batch1.jsonl"
+    f1.write_text(
+        json.dumps({"path": "a.txt", "content": text}) + "\n"
+        + json.dumps({"path": "b.txt", "content": "other words entirely"})
+        + "\n"
+    )
+    out = _run("push", "--file", str(f1), *common)
+    assert out["rows_written"] == 2
+
+    # re-push: one exact copy (dropped), one fresh row
+    f2 = tmp_path / "batch2.jsonl"
+    f2.write_text(
+        json.dumps({"path": "a_copy.txt", "content": text}) + "\n"
+        + json.dumps({"path": "c.txt", "content": "fresh content here now"})
+        + "\n"
+    )
+    out = _run("push", "--file", str(f2), "--lexical-dedup", "0.8", *common)
+    assert out == {
+        "command": "push",
+        "rows_in": 2,
+        "rows_written": 1,
+        "skipped_duplicates": 1,
+    }
+
+    st = _run("stats", *common)
+    assert st["total_documents"] == 3
+
+    # malformed line fails clean, naming the line
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"path": "x"}\n')
+    proc = subprocess.run(
+        [sys.executable, "-m", "converttovectordb_spark", "push",
+         "--file", str(bad), *common],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 1
+    err = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert "line 1" in err["error"]
