@@ -177,6 +177,82 @@ def stream_ingest_transactional(
     return writer.start()
 
 
+def stream_ingest_dedup(
+    engine,
+    drop_dir: str,
+    checkpoint_dir: str,
+    *,
+    semantic_dedup: float | None = None,
+    semantic_dedup_nprobe: int = 2,
+    semantic_dedup_within_batch: bool = False,
+    lexical_dedup: float | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous ingest WITH dedup-on-arrival: each micro-batch runs
+    the engine's chunk→embed lineage and lands through
+    `VectorEngine.append_documents`, so the stream gets the same drop
+    semantics as the repo-ingest and push doors (semantic threshold
+    against the committed corpus, IVF-pruned when a fresh index
+    covers the store; lexical MinHash against the persisted signature
+    artifact; optional within-batch collapse) — and the same
+    single-writer guarantee: the engine write lock serializes stream
+    epochs against any concurrent REST/CLI pushes into the same
+    store.
+
+    Delivery semantics, honestly: this is EFFECTIVELY-once, not
+    exactly-once. A replayed epoch (sink succeeded, checkpoint write
+    crashed) re-runs the dedup decision against the now-committed
+    rows — its own copies score cosine 1.0 / Jaccard 1.0 and are
+    dropped — EXCEPT chunks under 3 words when only ``lexical_dedup``
+    is set (no signature: the family's blind spot), which would land
+    twice. Producers needing the strict guarantee for signature-less
+    rows should use `stream_ingest_transactional` (manifest txn ids)
+    and run dedup as a separate concern."""
+    spark = engine.spark
+    raw = (
+        spark.readStream.schema(RAW_FILES_SCHEMA)
+        .json(drop_dir)
+        .filter(F.col("content").isNotNull())
+    )
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        chunks = explode_chunks(
+            batch_df,
+            chunk_size=engine.chunk_size,
+            overlap=engine.overlap,
+        )
+        docs = (
+            embed_column(
+                chunks, "content", "embedding", engine.embedder, engine.dim
+            )
+            .withColumn("timestamp", F.lit(float(epoch_id)))
+            .select(
+                "path",
+                "extension",
+                "chunk_index",
+                "total_chunks",
+                "content",
+                "embedding",
+                "timestamp",
+            )
+        )
+        engine.append_documents(
+            docs,
+            semantic_dedup=semantic_dedup,
+            semantic_dedup_nprobe=semantic_dedup_nprobe,
+            semantic_dedup_within_batch=semantic_dedup_within_batch,
+            lexical_dedup=lexical_dedup,
+        )
+
+    writer = (
+        raw.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_events_hourly(
     spark: SparkSession,
     source_dir: str,

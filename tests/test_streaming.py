@@ -208,3 +208,51 @@ def test_stream_quality_gate_matches_batch_filter(spark):
     streamed = q_stream_quality_gate(spark, sf).collect()[0]
     batch_kept = q_gopher_quality(spark, sf).filter(F.col("keep")).count()
     assert streamed["n_kept"] == batch_kept
+
+
+def test_stream_ingest_dedup_on_arrival(spark, tmp_path):
+    """Streaming dedup-on-arrival: epoch 1 lands and builds the
+    signature artifact; epoch 2's exact re-crawl of the same text
+    under another path is dropped while fresh content lands — the
+    stream gets the same drop semantics as the batch doors."""
+    from converttovectordb_spark.engine import VectorEngine
+    from converttovectordb_spark.streaming.jobs import stream_ingest_dedup
+
+    text = " ".join(f"stream{i}" for i in range(60))
+    drop = tmp_path / "drop_dedup"
+    drop.mkdir()
+    (drop / "e1.json").write_text(
+        json.dumps({"path": "a.txt", "content": text, "extension": ".txt"})
+    )
+    eng = VectorEngine(
+        spark, str(tmp_path / "dedup_store"), dim=16, chunk_size=500,
+        overlap=100,
+    )
+    ckpt = str(tmp_path / "dedup_ckpt")
+    q = stream_ingest_dedup(eng, str(drop), ckpt, lexical_dedup=0.8)
+    q.awaitTermination(60)
+    n1 = eng.store.load().count()
+    assert n1 >= 1
+    assert {r.path for r in eng.store.load().select("path").collect()} == {
+        "a.txt"
+    }
+
+    (drop / "e2.json").write_text(
+        json.dumps(
+            {"path": "copy.txt", "content": text, "extension": ".txt"}
+        )
+        + "\n"
+        + json.dumps(
+            {
+                "path": "fresh.txt",
+                "content": "genuinely different streaming content",
+                "extension": ".txt",
+            }
+        )
+    )
+    q2 = stream_ingest_dedup(eng, str(drop), ckpt, lexical_dedup=0.8)
+    q2.awaitTermination(60)
+    paths = {r.path for r in eng.store.load().select("path").collect()}
+    assert paths == {"a.txt", "fresh.txt"}
+    # every copy.txt chunk dropped; fresh.txt is one short chunk
+    assert eng.store.load().count() == n1 + 1
