@@ -90,7 +90,8 @@ def _build_parser() -> argparse.ArgumentParser:
         "--file", required=True,
         help="JSONL path: one document per line, at least {'content'}; "
         "optional path/extension/chunk_index/total_chunks/embedding/"
-        "timestamp",
+        "timestamp. Rows with neither path nor chunk_index get "
+        "chunk_index = line number (unique identity)",
     )
     sp.add_argument(
         "--semantic-dedup", type=float, default=None, metavar="T",
@@ -237,18 +238,30 @@ def _engine(args):
 def _push_file(eng, args) -> dict:
     """Read a JSONL document batch, fill missing embeddings with the
     store's embedder, and append through `engine.append_documents`
-    (dedup-on-arrival included). Validation is loud and line-numbered:
-    a malformed producer file should fail before any Spark job."""
-    import os
+    (dedup-on-arrival included). Validation is loud and line-numbered
+    (shared row rule: `schema.normalize_push_row` — the same one the
+    REST door applies): a malformed producer file should fail before
+    any Spark job. Rows with NEITHER a path NOR a chunk_index get
+    chunk_index = their line number, so content-only batches keep
+    unique (path, chunk_index) identities instead of collapsing onto
+    ("", 0) — which the dedup anti-join would refuse and the store's
+    newest-per-identity reads would silently shadow."""
     import time as _time
 
     from pyspark.sql import functions as F
 
     from converttovectordb_spark.embeddings import embed_column
-    from converttovectordb_spark.schema import DOCUMENTS_SCHEMA
+    from converttovectordb_spark.schema import (
+        DOCUMENTS_SCHEMA,
+        normalize_push_row,
+    )
 
     rows = []
-    with open(args.file) as fh:
+    try:
+        fh = open(args.file)
+    except OSError as e:
+        raise ValueError(f"cannot read --file: {e}")
+    with fh:
         for ln, line in enumerate(fh, 1):
             line = line.strip()
             if not line:
@@ -268,32 +281,17 @@ def _push_file(eng, args) -> dict:
     now = _time.time()
     tuples = []
     for ln, doc in rows:
-        path = str(doc.get("path", ""))
-        ext = doc.get("extension")
-        if ext is None:
-            ext = os.path.splitext(os.path.basename(path))[1] or None
-        emb = doc.get("embedding")
-        if emb is not None:
-            try:
-                emb = [float(x) for x in emb]
-            except (TypeError, ValueError):
-                raise ValueError(f"line {ln}: embedding must be numeric")
-            if eng.dim is not None and len(emb) != eng.dim:
-                raise ValueError(
-                    f"line {ln}: embedding dimension {len(emb)} != "
-                    f"store dimension {eng.dim}"
-                )
-        tuples.append(
-            (
-                path,
-                ext,
-                int(doc.get("chunk_index", 0)),
-                int(doc.get("total_chunks", 1)),
-                str(doc["content"]),
-                emb,
-                float(doc.get("timestamp", now)),
-            )
+        default_ci = (
+            ln if ("path" not in doc and "chunk_index" not in doc) else 0
         )
+        try:
+            tuples.append(
+                normalize_push_row(
+                    doc, dim=eng.dim, now=now, default_chunk_index=default_ci
+                )
+            )
+        except ValueError as e:
+            raise ValueError(f"line {ln}: {e}")
 
     df = eng.spark.createDataFrame(tuples, DOCUMENTS_SCHEMA)
     if any(t[5] is None for t in tuples):

@@ -75,3 +75,62 @@ DEFAULT_ALLOWED_EXTENSIONS = frozenset(
         ".sh", ".sql",
     }
 )
+
+
+class DimensionMismatch(ValueError):
+    """A pushed embedding's length differs from the store dimension —
+    separated from plain ValueError so the REST door can count it as
+    its own rejection class (the reference fails loudly on shape
+    mismatch; silently-accepted wrong-dim rows would score NULL at
+    query time and vanish from results)."""
+
+
+def normalize_push_row(
+    doc: dict,
+    *,
+    dim: int | None,
+    now: float,
+    default_chunk_index: int = 0,
+) -> tuple:
+    """One pushed document dict → a DOCUMENTS_SCHEMA tuple. The single
+    normalization rule shared by the REST /add_documents door and the
+    CLI `push` verb (extension derived via os.path.splitext like the
+    repo scan; embedding float-cast and dimension-guarded; content
+    must be a real string — `null` is a producer bug, not the text
+    "None"). Raises ValueError (or DimensionMismatch) with a short
+    reason; the callers wrap it in their own policy (the REST door
+    counts rejects per class, the CLI fails loudly with a line
+    number)."""
+    import os as _os
+
+    if not isinstance(doc, dict):
+        raise ValueError("each row must be a JSON object")
+    content = doc.get("content")
+    if not isinstance(content, str):
+        raise ValueError("'content' must be a string")
+    path = doc.get("path") or doc.get("file_path") or ""
+    if not isinstance(path, str):
+        raise ValueError("'path' must be a string")
+    ext = doc.get("extension")
+    if ext is None:
+        ext = _os.path.splitext(_os.path.basename(path))[1] or None
+    emb = doc.get("embedding")
+    if emb is not None:
+        try:
+            emb = [float(x) for x in emb]
+        except (TypeError, ValueError):
+            raise ValueError("'embedding' must be a numeric array")
+        if dim is not None and len(emb) != dim:
+            raise DimensionMismatch(
+                f"embedding dimension {len(emb)} != store dimension {dim}"
+            )
+    try:
+        chunk_index = int(doc.get("chunk_index", default_chunk_index))
+        total_chunks = int(doc.get("total_chunks", 1))
+    except (TypeError, ValueError):
+        raise ValueError("'chunk_index'/'total_chunks' must be integers")
+    try:
+        ts = float(doc.get("timestamp", now))
+    except (TypeError, ValueError):
+        raise ValueError("'timestamp' must be a number")
+    return (path, ext, chunk_index, total_chunks, content, emb, ts)

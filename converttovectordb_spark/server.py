@@ -46,7 +46,11 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import functions as F
 
-from converttovectordb_spark.schema import DOCUMENTS_SCHEMA
+from converttovectordb_spark.schema import (
+    DOCUMENTS_SCHEMA,
+    DimensionMismatch,
+    normalize_push_row,
+)
 
 
 class _ApiError(Exception):
@@ -162,43 +166,28 @@ class VectorDBApi:
         if not new_docs:
             raise _ApiError(400, "No documents provided")
 
+        # Row rule shared with the CLI push door (schema.
+        # normalize_push_row): extension via os.path.splitext like the
+        # repo scan, embedding float-cast + dimension guard (the
+        # reference fails loudly on shape mismatch; silently-accepted
+        # wrong-dim rows would score NULL at query time and vanish
+        # from results), content must be a real string. This door
+        # additionally REQUIRES the embedding (reference API parity —
+        # clients push pre-embedded rows).
         valid, invalid, dim_mismatch = [], 0, 0
         now = time.time()
         for doc in new_docs:
-            if not isinstance(doc, dict) or "content" not in doc or "embedding" not in doc:
+            if not isinstance(doc, dict) or doc.get("embedding") is None:
                 invalid += 1
                 continue
-            path = doc.get("path") or doc.get("file_path") or ""
-            ext = doc.get("extension")
-            if ext is None:
-                # os.path.splitext is the convention both repo_scan and
-                # the reference client follow: keeps the leading dot
-                # (".py"), and yields "" for dotfiles (".gitignore") and
-                # extension-less names — those land in the same
-                # 'unknown' bucket as a missing extension.
-                ext = os.path.splitext(os.path.basename(path))[1] or None
             try:
-                emb = [float(x) for x in doc["embedding"]]
-            except (TypeError, ValueError):
-                invalid += 1
-                continue
-            # Keep the store dimension-homogeneous: the reference fails
-            # loudly on shape mismatch; silently-accepted wrong-dim rows
-            # would score NULL at query time and vanish from results.
-            if self.engine.dim is not None and len(emb) != self.engine.dim:
-                dim_mismatch += 1
-                continue
-            valid.append(
-                (
-                    path,
-                    ext,
-                    int(doc.get("chunk_index", 0)),
-                    int(doc.get("total_chunks", 1)),
-                    str(doc["content"]),
-                    emb,
-                    float(doc.get("timestamp", now)),
+                valid.append(
+                    normalize_push_row(doc, dim=self.engine.dim, now=now)
                 )
-            )
+            except DimensionMismatch:
+                dim_mismatch += 1
+            except ValueError:
+                invalid += 1
         if not valid:
             # Make an all-rejected batch diagnosable: a well-formed batch
             # of the wrong dimension should say what dimension was

@@ -20,9 +20,10 @@ a catch-up batch.
 
 from __future__ import annotations
 
+import time
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import (
@@ -194,10 +195,26 @@ def stream_ingest_dedup(
     semantics as the repo-ingest and push doors (semantic threshold
     against the committed corpus, IVF-pruned when a fresh index
     covers the store; lexical MinHash against the persisted signature
-    artifact; optional within-batch collapse) — and the same
-    single-writer guarantee: the engine write lock serializes stream
-    epochs against any concurrent REST/CLI pushes into the same
-    store.
+    artifact; optional within-batch collapse). The engine write lock
+    serializes stream epochs against other writers SHARING THIS
+    ENGINE OBJECT (e.g. the REST server's request threads when it
+    serves the same instance); a separate-process CLI push is NOT
+    serialized — cross-process the artifact falls back to its
+    crash-safe staleness contract (a concurrent rebuild fails loudly
+    on the directory swap; a concurrent append leaves the token
+    stale, and the next flagged write heals by (rid, chash)).
+
+    A micro-batch may legally contain the SAME path twice — a crawl
+    and its re-crawl both pending when the trigger fires land in one
+    epoch under availableNow — so the sink collapses to the newest
+    file version per path first (by the file source's
+    `_metadata.file_modification_time`, content as the deterministic
+    tiebreak for same-mtime drops); without this, duplicate
+    (path, chunk_index) identities would trip `append_documents`'
+    collision guard and kill the stream. Rows are stamped with the
+    epoch's wall-clock time, so streamed re-crawls correctly WIN the
+    newest-per-identity race against earlier REST/CLI pushes of the
+    same path (an epoch-id stamp would always lose it).
 
     Delivery semantics, honestly: this is EFFECTIVELY-once, not
     exactly-once. A replayed epoch (sink succeeded, checkpoint write
@@ -212,12 +229,24 @@ def stream_ingest_dedup(
     raw = (
         spark.readStream.schema(RAW_FILES_SCHEMA)
         .json(drop_dir)
+        .select(
+            "*",
+            F.col("_metadata.file_modification_time").alias("_mtime"),
+        )
         .filter(F.col("content").isNotNull())
     )
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        w = Window.partitionBy("path").orderBy(
+            F.col("_mtime").desc(), F.col("content").asc()
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_mtime")
+        )
         chunks = explode_chunks(
-            batch_df,
+            latest,
             chunk_size=engine.chunk_size,
             overlap=engine.overlap,
         )
@@ -225,7 +254,7 @@ def stream_ingest_dedup(
             embed_column(
                 chunks, "content", "embedding", engine.embedder, engine.dim
             )
-            .withColumn("timestamp", F.lit(float(epoch_id)))
+            .withColumn("timestamp", F.lit(time.time()))
             .select(
                 "path",
                 "extension",

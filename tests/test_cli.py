@@ -200,3 +200,54 @@ def test_cli_push_jsonl_with_dedup(tmp_path):
     assert proc.returncode == 1
     err = json.loads(proc.stdout.strip().splitlines()[-1])
     assert "line 1" in err["error"]
+
+
+def test_cli_push_content_only_rows_get_unique_identities(tmp_path):
+    """Rows with neither path nor chunk_index get chunk_index = line
+    number: dedup-flagged content-only batches work instead of
+    tripping the identity-collision guard, and nulls fail clean with
+    a line number."""
+    store = str(tmp_path / "co_store")
+    common = ["--store", store, "--dim", "16", "--master", "local[2]"]
+
+    f = tmp_path / "content_only.jsonl"
+    f.write_text(
+        json.dumps({"content": " ".join(f"left{i}" for i in range(40))})
+        + "\n"
+        + json.dumps({"content": "totally different right side words"})
+        + "\n"
+    )
+    out = _run("push", "--file", str(f), "--lexical-dedup", "0.8", *common)
+    assert out["rows_written"] == 2
+
+    bad = tmp_path / "nulls.jsonl"
+    bad.write_text('{"content": null}\n')
+    proc = subprocess.run(
+        [sys.executable, "-m", "converttovectordb_spark", "push",
+         "--file", str(bad), *common],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 1
+    err = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert "line 1" in err["error"] and "content" in err["error"]
+
+    bad2 = tmp_path / "badint.jsonl"
+    bad2.write_text('{"content": "x words here", "chunk_index": null}\n')
+    proc = subprocess.run(
+        [sys.executable, "-m", "converttovectordb_spark", "push",
+         "--file", str(bad2), *common],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 1
+    err = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert "line 1" in err["error"]
+
+    # missing file: clean JSON error, not a traceback
+    proc = subprocess.run(
+        [sys.executable, "-m", "converttovectordb_spark", "push",
+         "--file", str(tmp_path / "nope.jsonl"), *common],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 1
+    err = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert "cannot read" in err["error"]

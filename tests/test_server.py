@@ -570,3 +570,20 @@ def test_add_documents_dedup_guards(server):
     assert status == 200, out
     assert out["skipped_duplicates"] == 1
     assert out["total_documents"] == 1
+
+
+def test_add_documents_null_content_is_invalid(server):
+    """content: null (a failed extraction) must be COUNTED invalid,
+    never ingested as the literal text 'None'."""
+    status, out = _call(
+        server, "POST", "/add_documents",
+        {"documents": [
+            {"path": "n.py", "content": None, "embedding": _unit(0)},
+            {"path": "ok.py", "content": "real words", "embedding": _unit(1)},
+        ]},
+    )
+    assert status == 200
+    assert out["skipped_invalid"] == 1
+    status, st = _call(server, "GET", "/stats")
+    # the null-content row never landed
+    assert st["total_documents"] == 1

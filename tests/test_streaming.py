@@ -256,3 +256,52 @@ def test_stream_ingest_dedup_on_arrival(spark, tmp_path):
     assert paths == {"a.txt", "fresh.txt"}
     # every copy.txt chunk dropped; fresh.txt is one short chunk
     assert eng.store.load().count() == n1 + 1
+
+
+def test_stream_ingest_dedup_same_path_recrawl_one_epoch(spark, tmp_path):
+    """A crawl and its re-crawl of the SAME path pending in one
+    availableNow epoch must not kill the stream on the identity
+    guard: the sink collapses to the newest file version per path
+    (file modification time), and the streamed row's wall-clock stamp
+    wins the newest-per-identity race against an earlier push."""
+    import time as _time
+
+    from converttovectordb_spark.engine import VectorEngine
+    from converttovectordb_spark.schema import DOCUMENTS_SCHEMA
+    from converttovectordb_spark.streaming.jobs import stream_ingest_dedup
+
+    eng = VectorEngine(spark, str(tmp_path / "rc_store"), dim=16)
+    # earlier push of a.txt (old content, wall-clock stamp)
+    emb = [0.0] * 16
+    emb[0] = 1.0
+    eng.append_documents(
+        spark.createDataFrame(
+            [("a.txt", ".txt", 0, 1, "old pushed words here", emb,
+              _time.time())],
+            DOCUMENTS_SCHEMA,
+        )
+    )
+
+    drop = tmp_path / "rc_drop"
+    drop.mkdir()
+    (drop / "crawl.json").write_text(
+        json.dumps({"path": "a.txt",
+                    "content": "first crawl version content",
+                    "extension": ".txt"})
+    )
+    _time.sleep(1.1)  # distinct mtime for the re-crawl file
+    (drop / "recrawl.json").write_text(
+        json.dumps({"path": "a.txt",
+                    "content": "second crawl version content",
+                    "extension": ".txt"})
+    )
+    q = stream_ingest_dedup(
+        eng, str(drop), str(tmp_path / "rc_ckpt"), lexical_dedup=0.8
+    )
+    q.awaitTermination(60)
+
+    rows = eng.store.load().filter("path = 'a.txt'").collect()
+    # push copy + ONE collapsed stream copy
+    assert len(rows) == 2
+    newest = max(rows, key=lambda r: r.timestamp)
+    assert newest.content == "second crawl version content"

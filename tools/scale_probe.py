@@ -64,7 +64,25 @@ def main() -> int:
     docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     li0 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     orders0 = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    emb0 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     n_docs0, n_li0 = docs0.count(), li0.count()
+    # fixed 200-seed labeled side for the label-prop slope (prenormed
+    # once; the broadcast side must NOT grow with the corpus)
+    from pyspark.sql import Window
+
+    from converttovectordb_spark.functions.vector import (
+        dot_product,
+        l2_normalize,
+    )
+
+    seeds_fixed = (
+        emb0.filter(F.col("vec_id") % 25 == 0)
+        .select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("label").alias("seed_label"),
+            l2_normalize(F.col("embedding")).alias("seed_u"),
+        )
+    )
 
     def op_exact_dedup(d):
         return exact_dedup(d, text_col="text", id_col="doc_id")
@@ -101,12 +119,45 @@ def main() -> int:
         # is the self-similar one that carries the linearity claim.
         return duplicate_spans(d, k=8)
 
+    def op_unigram_nll(d):
+        # the r9 heavy-hitter-proof unigram-LM scoring pipeline:
+        # per-(doc, token) multiplicities first (map-side combined),
+        # vocab counts as partial sums, m x count join, per-doc sum.
+        # Replication keeps vocab constant while counts scale - the
+        # worst case for the count join's hot keys.
+        toks = (
+            d.select("doc_id", "lang", tokens(F.col("text")).alias("_t"))
+            .select("doc_id", "lang", F.explode_outer("_t").alias("tok"))
+            .filter(F.col("tok").isNotNull())
+        )
+        m = toks.groupBy("doc_id", "lang", "tok").agg(
+            F.count(F.lit(1)).alias("m")
+        )
+        counts = m.groupBy("tok").agg(F.sum("m").alias("c"))
+        totals = counts.agg(
+            F.sum("c").alias("n_all"), F.count(F.lit(1)).alias("v")
+        )
+        return (
+            m.join(counts, "tok")
+            .crossJoin(F.broadcast(totals))
+            .withColumn(
+                "nll",
+                F.log(F.col("n_all") + F.col("v")) - F.log(F.col("c") + 1),
+            )
+            .groupBy("doc_id", "lang")
+            .agg(
+                F.sum(F.col("m") * F.col("nll")).alias("s"),
+                F.sum("m").alias("n"),
+            )
+        )
+
     doc_ops = {
         "exact_dedup": op_exact_dedup,
         "token_stats_agg": op_token_stats,
         "bm25_postings": op_bm25,
         "shingle_inverted_index": op_shingle_index,
         "substring_dedup_spans": op_substring_spans,
+        "unigram_nll_pipeline": op_unigram_nll,
     }
 
     results: dict[str, dict[int, float]] = {}
@@ -151,6 +202,41 @@ def main() -> int:
         dt = _time(joined_fact)
         results.setdefault("orders_lineitem_join_agg", {})[mult] = dt
         print(f"fact-join x{mult}: {dt:.2f}s", file=sys.stderr)
+        # kNN label propagation at a FIXED seed budget (the real-world
+        # condition: the human-labeled side does not grow with the
+        # corpus) - the claim is linear in corpus rows at constant
+        # seeds, per-pair cost paid map-side against the broadcast.
+        # Mirrors q_knn_label_prop's unlabeled filter: N=500 is
+        # divisible by 25, so the shifted replica ids of seed rows are
+        # themselves % 25 == 0 and the same predicate excludes them.
+        emb_m = _replicate(emb0, mult, "vec_id")
+        unl = emb_m.filter(F.col("vec_id") % 25 != 0).select(
+            "vec_id", "label", l2_normalize(F.col("embedding")).alias("u")
+        )
+        pairs = unl.crossJoin(F.broadcast(seeds_fixed)).withColumn(
+            "score", dot_product(F.col("u"), F.col("seed_u"))
+        )
+        wk = Window.partitionBy("vec_id").orderBy(
+            F.col("score").desc(), F.col("seed_id").asc()
+        )
+        top = pairs.withColumn("rnk", F.row_number().over(wk)).filter(
+            F.col("rnk") <= 5
+        )
+        votes = top.groupBy("vec_id", "label", "seed_label").agg(
+            F.count(F.lit(1)).alias("votes")
+        )
+        wv = Window.partitionBy("vec_id").orderBy(
+            F.col("votes").desc(), F.col("seed_label").asc()
+        )
+        pred = (
+            votes.withColumn("vr", F.row_number().over(wv))
+            .filter(F.col("vr") == 1)
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        dt = _time(pred)
+        results.setdefault("knn_label_prop_fixed_seeds", {})[mult] = dt
+        print(f"label-prop x{mult}: {dt:.2f}s", file=sys.stderr)
 
     # --- skew experiment: exact distinct-count under a Zipf-hot key ---
     # Partial aggregation absorbs SUM-style skew for free, so the case
