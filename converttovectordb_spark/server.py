@@ -39,7 +39,6 @@ via the transactional manifest; appends go through the manifest commit).
 from __future__ import annotations
 
 import json
-import os.path
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
