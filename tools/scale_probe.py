@@ -329,6 +329,16 @@ def main() -> int:
         )
     lines += [
         "",
+        "r9 rows: `unigram_nll_pipeline` is the heavy-hitter-proof",
+        "CCNet-proxy scoring shape (per-(doc, token) multiplicities",
+        "map-side combined before every exchange — replication keeps",
+        "vocab constant while counts scale, the worst case for the",
+        "count join's hot keys); `knn_label_prop_fixed_seeds` scores a",
+        "growing corpus against a FIXED 200-seed broadcast (the",
+        "human-annotation-budget condition the operator is designed",
+        "for — per-pair fold cost paid map-side, only k rows per",
+        "vector cross the rank exchange).",
+        "",
         "## Skew: exact distinct under a hot key — measured, not assumed",
         "",
         f"{n_rows:,} rows, {int(hot_frac * 100)}% of them on ONE key,",
