@@ -281,8 +281,17 @@ def _push_file(eng, args) -> dict:
     now = _time.time()
     tuples = []
     for ln, doc in rows:
+        # 'file_path' is an accepted alias for 'path' (see
+        # normalize_push_row): a row keyed either way must default to
+        # chunk_index 0, or the same document pushed from a different
+        # line would mint a new path#line identity and break rid-keyed
+        # shadowing/dedup
         default_ci = (
-            ln if ("path" not in doc and "chunk_index" not in doc) else 0
+            ln
+            if not any(
+                k in doc for k in ("path", "file_path", "chunk_index")
+            )
+            else 0
         )
         try:
             tuples.append(

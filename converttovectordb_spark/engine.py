@@ -246,17 +246,20 @@ class VectorEngine:
         # batch — a long-lived engine retrying failed ingests would
         # otherwise accumulate orphaned cached embedding batches for
         # the SparkSession lifetime
-        had_store = self.store.exists()
-        # persist condition mirrors _dedup_drop_ids' need_sem plus the
-        # lexical artifact-build read after the write
-        need_sem = semantic_dedup is not None and (
-            had_store or semantic_dedup_within_batch
-        )
         # same single-writer contract as append_documents: the dedup
         # decision, store write, and artifact advance are atomic per
-        # engine (RLock — harmless when the caller is single-threaded)
+        # engine (RLock — harmless when the caller is single-threaded).
+        # had_store is read INSIDE the lock: read before it, a racing
+        # writer committing first would make a first-ingest rebuild
+        # wipe that writer's signature coverage (TOCTOU).
         self._write_lock.acquire()
         try:
+            had_store = self.store.exists()
+            # persist condition mirrors _dedup_drop_ids' need_sem plus
+            # the lexical artifact-build read after the write
+            need_sem = semantic_dedup is not None and (
+                had_store or semantic_dedup_within_batch
+            )
             if need_sem or lexical_dedup is not None:
                 # Materialize the batch ONCE: it appears on both sides
                 # of the dedup decision (broadcast probe + anti-join
@@ -322,11 +325,16 @@ class VectorEngine:
                     batch, store_existed_before=had_store
                 )
         finally:
-            cached = getattr(self, "_batch_to_unpersist", None)
-            if cached is not None:
-                cached.unpersist()
-                self._batch_to_unpersist = None
-            self._write_lock.release()
+            # release the lock even if unpersist itself raises (a
+            # dying Py4J session) — a leaked lock deadlocks every
+            # later write on this engine
+            try:
+                cached = getattr(self, "_batch_to_unpersist", None)
+                if cached is not None:
+                    cached.unpersist()
+                    self._batch_to_unpersist = None
+            finally:
+                self._write_lock.release()
         return batch
 
     def append_documents(
@@ -381,7 +389,15 @@ class VectorEngine:
             need_sem = semantic_dedup is not None and (
                 had_store or semantic_dedup_within_batch
             )
-            batch = docs
+            # apply the store's row validation BEFORE the decision and
+            # the signature advance: store.append drops null
+            # content/embedding rows, and signing a never-written row
+            # would leave a signature free to wrongly drop a future
+            # non-duplicate arrival of the same text
+            batch = docs.filter(
+                F.col("content").isNotNull()
+                & F.col("embedding").isNotNull()
+            )
             persisted = None
             try:
                 if need_sem or lexical_dedup is not None:
@@ -539,7 +555,20 @@ class VectorEngine:
                 lex_ids if dup_ids is None
                 else dup_ids.unionByName(lex_ids).distinct()
             )
-        return dup_ids
+        if dup_ids is None:
+            return None
+        # Materialize the union DRIVER-SIDE (bounded by the ingest-
+        # batch contract): the semantic drop sets are lazy plans over
+        # the pruned IVF scan / corpus, so a lazy return would (a)
+        # re-run that scan once for the caller's count and again in
+        # the write's anti-join, and (b) hand callers plans pinning
+        # index parquet files that a later rebuild/compaction swaps
+        # out — the same stale-file hazard the lexical path documents,
+        # closed centrally here for every decision path.
+        rows = dup_ids.collect()
+        return batch.sparkSession.createDataFrame(
+            [(r["_bid"],) for r in rows], "_bid string"
+        )
 
     def _fresh_index_for_dedup(self):
         """Best-effort FRESH index for the ingest-dedup pruned scan;
@@ -901,6 +930,7 @@ class VectorEngine:
             .persist()
         )
         art = sig.load()
+        delta_docs = None
         try:
             art_keys = art.select("rid", "chash").distinct()
             stale_rids = (
@@ -928,8 +958,13 @@ class VectorEngine:
                 )
             else:
                 sig.append(self._sig_rows(delta_docs), digest)
-            delta_docs.unpersist()
         finally:
+            # unpersist delta_docs here too: a rebuild/append that
+            # throws mid-heal must not leak the cached delta batch for
+            # the SparkSession lifetime (same leak class ingest's
+            # finally-unpersist guards against)
+            if delta_docs is not None:
+                delta_docs.unpersist()
             corpus_keys.unpersist()
         return sig.load()
 

@@ -114,6 +114,11 @@ def normalize_push_row(
     ext = doc.get("extension")
     if ext is None:
         ext = _os.path.splitext(_os.path.basename(path))[1] or None
+    elif not isinstance(ext, str):
+        # a non-string would pass per-row normalization and then blow
+        # up in createDataFrame OUTSIDE the caller's per-doc error
+        # handling, failing the whole batch instead of this one row
+        raise ValueError("'extension' must be a string")
     emb = doc.get("embedding")
     if emb is not None:
         try:

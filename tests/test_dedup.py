@@ -1166,3 +1166,42 @@ def test_append_documents_concurrent_pushes_serialized(spark, tmp_path):
         ),
         lexical_dedup=0.8,
     ) == 0
+
+
+def test_append_documents_never_signs_unwritten_rows(spark, tmp_path):
+    """store.append drops null-content/embedding rows; the signature
+    advance must see the SAME filtered batch, or a signature for a
+    never-written row would wrongly drop a future non-duplicate
+    arrival of that text (review finding: signing the pre-validation
+    batch)."""
+    from converttovectordb_spark.engine import VectorEngine
+    from converttovectordb_spark.schema import DOCUMENTS_SCHEMA
+
+    phantom = " ".join(f"ghost{i}" for i in range(60))
+
+    def row(path, content, axis, emb_ok=True):
+        emb = None
+        if emb_ok:
+            emb = [0.0] * 16
+            emb[axis] = 1.0
+        return (path, ".txt", 0, 1, content, emb, 1.0)
+
+    eng = VectorEngine(spark, str(tmp_path / "store"), dim=16)
+    batch = spark.createDataFrame(
+        [
+            row("a.txt", LEX_BASE, 0),
+            row("ghost.txt", phantom, 1, emb_ok=False),  # never written
+        ],
+        DOCUMENTS_SCHEMA,
+    )
+    # reported count excludes the invalid row too
+    assert eng.append_documents(batch, lexical_dedup=0.8) == 1
+    assert eng.store.load().count() == 1
+    # the phantom text arriving later WITH a valid embedding is not a
+    # duplicate of anything in the store — it must land
+    retry = spark.createDataFrame(
+        [row("real.txt", phantom, 2)], DOCUMENTS_SCHEMA
+    )
+    assert eng.append_documents(retry, lexical_dedup=0.8) == 1
+    paths = {r.path for r in eng.store.load().select("path").collect()}
+    assert paths == {"a.txt", "real.txt"}

@@ -244,3 +244,44 @@ def test_sentence_transformer_embedder_contract(spark, tmp_path):
     )
     eng.ingest(str(repo))
     assert eng.search("return one", top_k=2).count() >= 0
+
+
+def test_push_file_path_alias_defaults_chunk_index_zero(spark, tmp_path):
+    """A JSONL row keyed by the 'file_path' alias must get the same
+    chunk_index default (0) as a 'path'-keyed row — NOT its line
+    number — or the same logical document pushed from a different
+    line would mint a new path#line identity and break the store's
+    newest-per-rid shadowing and dedup compaction."""
+    import json
+    from types import SimpleNamespace
+
+    from converttovectordb_spark.__main__ import _push_file
+
+    f = tmp_path / "batch.jsonl"
+    f.write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"content": "anon row one"},  # line 1: no path → ci=1
+                {"file_path": "a.txt", "content": "aliased row"},
+                {"path": "b.txt", "content": "plain row"},
+            ]
+        )
+    )
+    eng = VectorEngine(spark, str(tmp_path / "store"), dim=16)
+    args = SimpleNamespace(
+        file=str(f),
+        semantic_dedup=None,
+        semantic_dedup_nprobe=None,
+        within_batch_dedup=False,
+        lexical_dedup=None,
+    )
+    out = _push_file(eng, args)
+    assert out["rows_written"] == 3
+    got = {
+        r["path"]: r["chunk_index"]
+        for r in eng.store.load().select("path", "chunk_index").collect()
+    }
+    assert got["a.txt"] == 0  # alias-keyed: NOT line number 2
+    assert got["b.txt"] == 0
+    assert got[""] == 1  # content-only keeps its line-number identity

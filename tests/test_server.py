@@ -587,3 +587,29 @@ def test_add_documents_null_content_is_invalid(server):
     status, st = _call(server, "GET", "/stats")
     # the null-content row never landed
     assert st["total_documents"] == 1
+
+
+def test_add_documents_non_string_extension_counts_one_skip(server):
+    """A non-string 'extension' must be rejected in per-row
+    normalization (one skipped_invalid), not explode later in
+    createDataFrame and 500 the whole batch — the door's contract is
+    per-row accounting."""
+    status, out = _call(
+        server,
+        "POST",
+        "/add_documents",
+        {
+            "documents": [
+                {"path": "a.py", "content": "ok", "embedding": _unit(0)},
+                {
+                    "path": "b.py",
+                    "content": "bad ext",
+                    "embedding": _unit(1),
+                    "extension": 5,
+                },
+            ]
+        },
+    )
+    assert status == 200
+    assert out["total_documents"] == 1
+    assert out["skipped_invalid"] == 1
