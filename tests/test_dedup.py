@@ -1205,3 +1205,70 @@ def test_append_documents_never_signs_unwritten_rows(spark, tmp_path):
     assert eng.append_documents(retry, lexical_dedup=0.8) == 1
     paths = {r.path for r in eng.store.load().select("path").collect()}
     assert paths == {"a.txt", "real.txt"}
+
+
+def test_ingest_racing_push_keeps_both_writers_sig_coverage(spark, tmp_path):
+    """Race a flagged ingest() against a flagged append_documents() on
+    an initially EMPTY store (the TOCTOU shape: had_store must be read
+    under the write lock — read before it, a first-ingest artifact
+    rebuild could wipe the racing push's signature coverage). After
+    both land, a duplicate of EITHER writer's content must drop."""
+    import threading
+
+    from converttovectordb_spark.engine import VectorEngine
+    from converttovectordb_spark.schema import DOCUMENTS_SCHEMA
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    ingest_text = " ".join(f"gamma{i}" for i in range(60))
+    (repo / "doc.txt").write_text(ingest_text)
+    push_text = " ".join(f"delta{i}" for i in range(60))
+
+    def row(path, content, axis):
+        emb = [0.0] * 16
+        emb[axis] = 1.0
+        return (path, ".txt", 0, 1, content, emb, 1.0)
+
+    eng = VectorEngine(spark, str(tmp_path / "store"), dim=16)
+    errors = []
+
+    def do_ingest():
+        try:
+            eng.ingest(str(repo), lexical_dedup=0.8)
+        except Exception as exc:  # pragma: no cover - diagnostic
+            errors.append(("ingest", exc))
+
+    def do_push():
+        try:
+            eng.append_documents(
+                spark.createDataFrame(
+                    [row("pushed.txt", push_text, 1)], DOCUMENTS_SCHEMA
+                ),
+                lexical_dedup=0.8,
+            )
+        except Exception as exc:  # pragma: no cover - diagnostic
+            errors.append(("push", exc))
+
+    threads = [
+        threading.Thread(target=do_ingest),
+        threading.Thread(target=do_push),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert eng.store.load().count() == 2
+    # BOTH writers are signature-covered regardless of commit order
+    assert eng.append_documents(
+        spark.createDataFrame(
+            [row("copy_i.txt", ingest_text, 2)], DOCUMENTS_SCHEMA
+        ),
+        lexical_dedup=0.8,
+    ) == 0
+    assert eng.append_documents(
+        spark.createDataFrame(
+            [row("copy_p.txt", push_text, 3)], DOCUMENTS_SCHEMA
+        ),
+        lexical_dedup=0.8,
+    ) == 0
