@@ -285,14 +285,12 @@ def _push_file(eng, args) -> dict:
         # normalize_push_row): a row keyed either way must default to
         # chunk_index 0, or the same document pushed from a different
         # line would mint a new path#line identity and break rid-keyed
-        # shadowing/dedup
-        default_ci = (
-            ln
-            if not any(
-                k in doc for k in ("path", "file_path", "chunk_index")
-            )
-            else 0
-        )
+        # shadowing/dedup. Test the RESOLVED path (same or-chain as
+        # normalize_push_row), not key presence: a null/empty value
+        # normalizes to path "" and must keep a unique line-number
+        # identity like a pathless row, never collapse onto ("", 0)
+        has_path = bool(doc.get("path") or doc.get("file_path"))
+        default_ci = 0 if (has_path or "chunk_index" in doc) else ln
         try:
             tuples.append(
                 normalize_push_row(

@@ -252,6 +252,7 @@ class VectorEngine:
         # had_store is read INSIDE the lock: read before it, a racing
         # writer committing first would make a first-ingest rebuild
         # wipe that writer's signature coverage (TOCTOU).
+        persisted = None
         self._write_lock.acquire()
         try:
             had_store = self.store.exists()
@@ -271,7 +272,7 @@ class VectorEngine:
                 # build the artifact AFTER the write, which would
                 # otherwise re-execute the scan→chunk→embed lineage.
                 batch = batch.persist()
-                self._batch_to_unpersist = batch
+                persisted = batch
                 # Materialize the cache with a DIRECT action on the
                 # observed plan before any dedup job consumes it: an
                 # Observation binds to the FIRST action touching its
@@ -329,10 +330,8 @@ class VectorEngine:
             # dying Py4J session) — a leaked lock deadlocks every
             # later write on this engine
             try:
-                cached = getattr(self, "_batch_to_unpersist", None)
-                if cached is not None:
-                    cached.unpersist()
-                    self._batch_to_unpersist = None
+                if persisted is not None:
+                    persisted.unpersist()
             finally:
                 self._write_lock.release()
         return batch
@@ -987,17 +986,17 @@ class VectorEngine:
         than 3 words have no signature: never dropped, never dropping
         (the family's documented short-text blind spot).
 
-        The drop set is MATERIALIZED driver-side (bounded by the
-        ingest-batch contract, same as the semantic paths' collected
-        probe rows): a lazy plan pinning the artifact's parquet files
-        would crash — or with ignoreMissingFiles, silently un-dedup —
-        any later evaluation of the returned batch after a compaction
-        swaps those files out (`_append_sigs_after_ingest`)."""
+        Returns the LAZY drop-set plan; `_dedup_drop_ids` materializes
+        the union of all decision paths driver-side (bounded by the
+        ingest-batch contract) — a lazy plan pinning the artifact's
+        parquet files would crash — or with ignoreMissingFiles,
+        silently un-dedup — any later evaluation of the returned batch
+        after a compaction swaps those files out
+        (`_append_sigs_after_ingest`)."""
         from converttovectordb_spark.operators.dedup import (
             minhash_signature_rows,
         )
 
-        spark = batch.sparkSession
         sigs = self._fresh_sigs_for_dedup()
         bb = minhash_signature_rows(
             batch.select(_row_id().alias("_bid"), "content"),
@@ -1017,17 +1016,13 @@ class VectorEngine:
                 lambda v: v,
             )
         )
-        dropped = (
+        return (
             pairs.withColumn(
                 "_est", matches / F.size("_bsig").cast("double")
             )
             .filter(F.col("_est") >= threshold)
             .select("_bid")
             .distinct()
-            .collect()
-        )
-        return spark.createDataFrame(
-            [(r["_bid"],) for r in dropped], "_bid string"
         )
 
     def _append_sigs_after_ingest(

@@ -265,6 +265,9 @@ def test_push_file_path_alias_defaults_chunk_index_zero(spark, tmp_path):
                 {"content": "anon row one"},  # line 1: no path → ci=1
                 {"file_path": "a.txt", "content": "aliased row"},
                 {"path": "b.txt", "content": "plain row"},
+                # null-valued alias resolves to path "": must keep a
+                # line-number identity, not collapse onto ("", 0)
+                {"file_path": None, "content": "anon row two"},
             ]
         )
     )
@@ -277,11 +280,14 @@ def test_push_file_path_alias_defaults_chunk_index_zero(spark, tmp_path):
         lexical_dedup=None,
     )
     out = _push_file(eng, args)
-    assert out["rows_written"] == 3
+    assert out["rows_written"] == 4
     got = {
-        r["path"]: r["chunk_index"]
+        (r["path"], r["chunk_index"])
         for r in eng.store.load().select("path", "chunk_index").collect()
     }
-    assert got["a.txt"] == 0  # alias-keyed: NOT line number 2
-    assert got["b.txt"] == 0
-    assert got[""] == 1  # content-only keeps its line-number identity
+    assert got == {
+        ("a.txt", 0),  # alias-keyed: NOT line number 2
+        ("b.txt", 0),
+        ("", 1),  # content-only keeps its line-number identity
+        ("", 4),  # null alias too — distinct from line 1's row
+    }
