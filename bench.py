@@ -149,10 +149,17 @@ def main() -> int:
     # Serving caches carry the precomputed corpus norm (with_query_norms)
     # so each probe is a single dot-aggregate per row — the same
     # cache-fill step the REST server performs.
+    from converttovectordb_spark.operators.serving import (
+        point_query_mode,
+        serving_scan_partitions,
+    )
+
+    emb_raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vecs = emb_raw.count()  # footer-pushed; sizes the serving cache
     emb = with_query_norms(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb_raw.repartition(serving_scan_partitions(n_vecs, int(cpus)))
     ).cache()
-    n_vecs = emb.count()
+    emb.count()
     probe = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     probe = [float(x) for x in probe]
 
@@ -164,12 +171,16 @@ def main() -> int:
         ).collect()
 
     def knn_min3(df, pr) -> float:
-        knn_once(df, pr)  # warm
-        best = 1e9
-        for _ in range(3):  # min-of-3: serving-path number, noise-robust
-            t0 = time.time()
-            knn_once(df, pr)
-            best = min(best, round(time.time() - t0, 4))
+        # point_query_mode is the REST door's own serving config (AQE
+        # off for the shuffle-free single-probe plan) — the bench
+        # measures the door's condition, not a bench-only tweak.
+        with point_query_mode(spark):
+            knn_once(df, pr)  # warm
+            best = 1e9
+            for _ in range(3):  # min-of-3: serving-path, noise-robust
+                t0 = time.time()
+                knn_once(df, pr)
+                best = min(best, round(time.time() - t0, 4))
         return best
 
     knn_warm = knn_min3(emb, probe)
@@ -200,7 +211,9 @@ def main() -> int:
                 "embedding",
             )
             .limit(13515)  # cap at the reference's exact N
-            .repartition(int(cpus))
+            # compute-sized serving partitions (~1k rows/task), the
+            # same sizing the REST door's cache fill applies
+            .repartition(serving_scan_partitions(13515, int(cpus)))
         )
         .cache()
     )

@@ -28,6 +28,7 @@ threshold AFTER limit (Q4), and the Q5 dimension-mismatch message.
 from __future__ import annotations
 
 import math
+from contextlib import contextmanager
 
 import numpy as np
 
@@ -43,6 +44,54 @@ DEFAULT_MAX_CELLS = 200_000_000
 #: BM25 arm only materializes up to this many docs; past it the server
 #: serves /hybrid from the Spark path even while /query stays matrix.
 DEFAULT_HYBRID_MAX_DOCS = 100_000
+
+
+#: Target rows per task for the distributed serving scan. ~1k rows of
+#: dot-product work (≈0.4M fused multiply-adds at d=384) costs a few ms
+#: per task — comfortably above the ~1 ms task-launch overhead, so the
+#: scan stays parallel without paying 32 task launches to score 13k
+#: rows. Large corpora never hit this path's repartition: the helper
+#: caps at the core count and file-based partitioning takes over.
+SERVING_SCAN_TARGET_ROWS = 1_000
+
+
+def serving_scan_partitions(n_rows: int, cpus: int) -> int:
+    """Partition count for a cached distributed-tier serving corpus.
+
+    Serving-latency partition sizing is COMPUTE-based, not byte-based:
+    ``spark.sql.files.maxPartitionBytes`` would put a 13.5k×384 corpus
+    (≈40 MB as float64) in a single partition, serializing the scan,
+    while a blanket ``repartition(cpus)`` schedules 32 tasks of ~400
+    rows whose launch overhead exceeds their compute (measured: 16
+    partitions beats 32 by ~10 ms/query and 1 by ~300 ms at N=13,515,
+    d=384 on local[32]). Aim for :data:`SERVING_SCAN_TARGET_ROWS` rows
+    per task, clamped to [1, cpus]."""
+    return max(1, min(int(cpus), round(n_rows / SERVING_SCAN_TARGET_ROWS)))
+
+
+@contextmanager
+def point_query_mode(spark):
+    """Run shuffle-free point-serving queries with AQE disabled.
+
+    A single-probe serving plan is scan → project(score) →
+    TakeOrderedAndProject: no exchange, nothing for adaptive execution
+    to re-plan. AQE still wraps it in an AdaptiveSparkPlan whose query-
+    stage materialization adds a measured ~10–40 ms per query — pure
+    overhead at serving latency (the reference's matched condition is
+    0.11 s total). Analytics and ingest jobs keep AQE; only the serving
+    door's point queries run inside this context.
+
+    The flag is session-global, so a concurrent analytics job that
+    PLANS while a point query executes would also skip AQE for that one
+    run — a transient optimization loss, never a correctness issue.
+    The previous value is always restored."""
+    conf = spark.conf
+    prev = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev)
 
 
 class DriverMatrixIndex:

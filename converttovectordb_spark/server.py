@@ -138,10 +138,20 @@ class VectorDBApi:
                 self._matrix = idx
                 self._corpus_token = token
                 return ("matrix", idx)
-            # Distributed tier: cache-fill pays the float→double cast
-            # and the corpus norm ONCE; every /query then runs a single
-            # dot-aggregate per row (knn_topk auto-detects _emb_norm).
-            cached = with_query_norms(df).cache()
+            # Distributed tier: cache-fill pays the float→double cast,
+            # the corpus norm, and a compute-sized repartition ONCE;
+            # every /query then runs a single dot-aggregate per row
+            # (knn_topk auto-detects _emb_norm). The sizing count is a
+            # footer-pushed parquet aggregate — fill-time only.
+            from converttovectordb_spark.operators.serving import (
+                serving_scan_partitions,
+            )
+
+            n_rows = df.count()
+            parts = serving_scan_partitions(
+                n_rows, self.engine.spark.sparkContext.defaultParallelism
+            )
+            cached = with_query_norms(df).repartition(parts).cache()
             cached.count()  # materialize while holding the lock — once
             self._corpus = cached
             self._corpus_token = token
@@ -323,6 +333,10 @@ class VectorDBApi:
 
         from converttovectordb_spark.operators.search import knn_topk
 
+        from converttovectordb_spark.operators.serving import (
+            point_query_mode,
+        )
+
         obs = Observation()
         hits = knn_topk(
             docs.observe(obs, F.count(F.lit(1)).alias("n_docs")),
@@ -331,7 +345,8 @@ class VectorDBApi:
             id_cols=["path", "chunk_index"],
             expected_dim=eng.dim,
         )
-        rows = _rows_to_json(hits.collect())
+        with point_query_mode(eng.spark):
+            rows = _rows_to_json(hits.collect())
         return {
             "results": rows,
             "query_time": time.time() - start,
@@ -378,7 +393,13 @@ class VectorDBApi:
         # so the fallback does NOT re-load the store cold per query.
         corpus = handle[1] if handle is not None else None
         hits = self.engine.search(query, top_k, corpus=corpus)
-        return {"results": _rows_to_json(hits.collect()),
+        from converttovectordb_spark.operators.serving import (
+            point_query_mode,
+        )
+
+        with point_query_mode(self.engine.spark):
+            rows = _rows_to_json(hits.collect())
+        return {"results": rows,
                 "query_time": time.time() - start}
 
     def hybrid(self, body: dict) -> dict:

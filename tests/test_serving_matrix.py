@@ -204,3 +204,38 @@ def test_hybrid_query_matches_engine_on_varied_corpus(spark, tmp_path):
         assert r["sem_rank"] == w["sem_rank"], r["path"]
         assert r["lex_rank"] == w["lex_rank"], r["path"]
         assert abs(r["rrf"] - w["rrf"]) < 1e-9
+
+
+def test_serving_scan_partitions_bounds():
+    from converttovectordb_spark.operators.serving import (
+        SERVING_SCAN_TARGET_ROWS,
+        serving_scan_partitions,
+    )
+
+    assert serving_scan_partitions(0, 32) == 1  # empty corpus: 1 task
+    assert serving_scan_partitions(100, 32) == 1  # sub-target: 1 task
+    assert (
+        serving_scan_partitions(13_515, 32)
+        == round(13_515 / SERVING_SCAN_TARGET_ROWS)
+    )
+    # huge corpora clamp at the core count — file partitioning governs
+    assert serving_scan_partitions(10_000_000, 32) == 32
+    assert serving_scan_partitions(10_000_000, 8) == 8
+
+
+def test_point_query_mode_restores_aqe(spark):
+    from converttovectordb_spark.operators.serving import point_query_mode
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    with point_query_mode(spark):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        # queries still run (and the plan is non-adaptive) inside
+        assert spark.range(10).count() == 10
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev
+    # restores even when the body raises
+    try:
+        with point_query_mode(spark):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev
