@@ -2013,6 +2013,79 @@ FROM e GROUP BY label
 """
 
 
+def q_quantize_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-CHANNEL (per-dimension) affine int8 calibration table:
+    min/max/mean plus the (scale, zero_point) pair a per-channel
+    asymmetric quantizer needs — the calibration pass that precedes
+    quantized serving (complements ``q_embedding_quantize``'s
+    per-VECTOR symmetric quality report).
+
+    zero_point uses ``floor(x + 0.5)`` (not ``round``) so the Spark and
+    DuckDB sides share one half-way rule, computed from the UNROUNDED
+    scale — min/max are order-independent exact doubles, so the whole
+    zero_point pipeline is bit-deterministic across engines; clamped to
+    the uint8 range.
+
+    Plan shape at 100 TB: posexplode is map-side; the groupBy(dim)
+    aggregate partial-combines per task, so the exchange carries only
+    dims × tasks rows — never O(rows × dims)."""
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    per = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        )
+    )
+    rng = F.max("x") - F.min("x")
+    scale_raw = rng / F.lit(255.0)
+    zp = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(255.0),
+            F.floor(-F.min("x") / scale_raw + F.lit(0.5)).cast("double"),
+        ),
+    )
+    return (
+        per.groupBy(F.col("dim").cast("bigint").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vals"),
+            _round6(F.min("x")).alias("vmin"),
+            _round6(F.max("x")).alias("vmax"),
+            _round6(F.avg("x")).alias("mean_val"),
+            _round6(scale_raw).alias("scale"),
+            F.when(rng == 0.0, F.lit(0.0))
+            .otherwise(zp)
+            .cast("bigint")
+            .alias("zero_point"),
+        )
+        .orderBy("dim")
+    )
+
+
+#: Static 64-dim bound matches the testdata embeddings table (DuckDB
+#: lacks lateral array-length bounds for generate_series; the Spark
+#: side is dimension-agnostic).
+ORACLE_QUANTIZE_CALIBRATION = """
+WITH per AS (
+  SELECT CAST(gs - 1 AS BIGINT) AS dim, embedding[gs]::DOUBLE AS x
+  FROM embeddings, generate_series(1, 64) AS t(gs)
+  WHERE embedding IS NOT NULL
+)
+SELECT dim,
+       CAST(count(*) AS BIGINT) AS n_vals,
+       round(min(x), 6) AS vmin,
+       round(max(x), 6) AS vmax,
+       round(CAST(avg(x) AS DOUBLE), 6) AS mean_val,
+       round((max(x) - min(x)) / 255.0, 6) AS scale,
+       CAST(CASE WHEN max(x) - min(x) = 0 THEN 0.0
+                 ELSE greatest(0.0, least(255.0,
+                   floor(-min(x) / ((max(x) - min(x)) / 255.0) + 0.5)))
+            END AS BIGINT) AS zero_point
+FROM per GROUP BY dim ORDER BY dim
+"""
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster embedding profile: count + mean L2 norm + mean of the
     first coordinate — exercises array math natively per row."""
@@ -5781,6 +5854,57 @@ FROM documents
 """
 
 
+def q_pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII incidence per source — the compliance dashboard cut of the
+    ``pii_redact`` pass: which corpora leak identifiers, and how hard.
+    Same Java∩RE2 pattern subset (oracle runs them verbatim); the rate
+    is an exact integer ratio so the 6dp round is engine-stable.
+
+    Plan shape at 100 TB: the regexp battery is map-side JVM codegen;
+    the groupBy(source) exchange carries sources × tasks partial rows."""
+    docs = load(spark, sf_dir, "documents")
+    ne = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), F.lit(0))
+    )
+    ni = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_PII_IPV4), F.lit(0))
+    )
+    per = docs.select("source", ne.alias("_e"), ni.alias("_i"))
+    hit = F.when(F.col("_e") + F.col("_i") > 0, 1).otherwise(0)
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(hit).cast("bigint").alias("n_docs_with_pii"),
+            F.sum("_e").cast("bigint").alias("n_emails"),
+            F.sum("_i").cast("bigint").alias("n_ips"),
+            _round6(
+                F.sum(hit).cast("double") / F.count(F.lit(1))
+            ).alias("pii_doc_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_PII_RATE_BY_SOURCE = f"""
+WITH per AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS e,
+         len(regexp_extract_all(text, '{_PII_IPV4}')) AS i
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN e + i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_with_pii,
+       CAST(sum(e) AS BIGINT) AS n_emails,
+       CAST(sum(i) AS BIGINT) AS n_ips,
+       round(CAST(sum(CASE WHEN e + i > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS pii_doc_rate
+FROM per GROUP BY source ORDER BY source
+"""
+
+
 def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-data shard export plan: every document is
     assigned to one of 16 shards by the first hex digit of
@@ -8151,6 +8275,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "hybrid_rrf": q_hybrid_rrf,
     "embedding_quantize": q_embedding_quantize,
+    "quantize_calibration": q_quantize_calibration,
     # -- corpus stats -------------------------------------------------
     "doc_stats": q_doc_stats,
     "docs_by_lang": q_docs_by_lang,
@@ -8184,6 +8309,7 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "stratified_sample": q_stratified_sample,
     "pii_redact": q_pii_redact,
+    "pii_rate_by_source": q_pii_rate_by_source,
     "dataset_split": q_dataset_split,
     "export_shards": q_export_shards,
     "dsir_weights": q_dsir_weights,
@@ -8282,6 +8408,7 @@ ORACLES = {
     "ivfadc_knn": ORACLE_IVFADC_KNN,
     "search_display": ORACLE_SEARCH_DISPLAY,
     "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
+    "quantize_calibration": ORACLE_QUANTIZE_CALIBRATION,
     "embedding_stats": ORACLE_EMBEDDING_STATS,
     "doc_stats": ORACLE_DOC_STATS,
     "docs_by_lang": ORACLE_DOCS_BY_LANG,
@@ -8369,6 +8496,7 @@ ORACLES = {
     "label_centroids": ORACLE_LABEL_CENTROIDS,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "pii_redact": ORACLE_PII_REDACT,
+    "pii_rate_by_source": ORACLE_PII_RATE_BY_SOURCE,
     "dataset_split": ORACLE_DATASET_SPLIT,
     "export_shards": ORACLE_EXPORT_SHARDS,
     "dsir_weights": ORACLE_DSIR_WEIGHTS,
