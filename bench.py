@@ -156,8 +156,9 @@ def main() -> int:
 
     emb_raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n_vecs = emb_raw.count()  # footer-pushed; sizes the serving cache
+    _p = serving_scan_partitions(n_vecs, int(cpus))
     emb = with_query_norms(
-        emb_raw.repartition(serving_scan_partitions(n_vecs, int(cpus)))
+        emb_raw.repartition(_p) if _p is not None else emb_raw
     ).cache()
     emb.count()
     probe = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -188,33 +189,17 @@ def main() -> int:
 
     # Matched-N warm KNN: the reference's largest logged corpus is
     # N=13,515 chunks at d=384 (vector_db_api.log:736-738, 0.11 s).
-    # The native embeddings table is only 2,000×64, so build a corpus of
-    # the SAME SHAPE the reference serves — document chunks, hash-
-    # embedded at d=384 — sized ≥13,515, cache it, and probe top-5.
-    from converttovectordb_spark.embeddings import embed_column
-    from converttovectordb_spark.sources.chunker import explode_chunks
+    # The native embeddings table is only 2,000×64, so build a corpus
+    # of the SAME SHAPE the reference serves — ONE recipe shared with
+    # tools/serving_latency_probe.py (tools/matched_corpus.py), so the
+    # probe's floor decomposition always explains THIS headline.
+    from tools.matched_corpus import MATCHED_N, matched_reference_corpus
 
-    docs_for_knn = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .selectExpr("cast(doc_id as string) AS path", "text AS content")
-        .repartition(int(cpus))
-    )
     matched = (
-        with_query_norms(
-            embed_column(
-                explode_chunks(docs_for_knn, chunk_size=100, overlap=30),
-                "content", "embedding", None, 384,
-            )
-            .select(
-                F.monotonically_increasing_id().alias("vec_id"),
-                "content",
-                "embedding",
-            )
-            .limit(13515)  # cap at the reference's exact N
-            # compute-sized serving partitions (~1k rows/task), the
-            # same sizing the REST door's cache fill applies
-            .repartition(serving_scan_partitions(13515, int(cpus)))
-        )
+        matched_reference_corpus(spark, sf_dir, int(cpus))
+        # compute-sized serving partitions (~1k rows/task), the same
+        # sizing the REST door's cache fill applies
+        .repartition(serving_scan_partitions(MATCHED_N, int(cpus)))
         .cache()
     )
     n_matched = matched.count()
@@ -300,6 +285,9 @@ def main() -> int:
     matched.unpersist()
 
     import tempfile
+
+    from converttovectordb_spark.embeddings import embed_column
+    from converttovectordb_spark.sources.chunker import explode_chunks
 
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")

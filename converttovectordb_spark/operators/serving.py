@@ -28,6 +28,7 @@ threshold AFTER limit (Q4), and the Q5 dimension-mismatch message.
 from __future__ import annotations
 
 import math
+import threading
 from contextlib import contextmanager
 
 import numpy as np
@@ -55,8 +56,9 @@ DEFAULT_HYBRID_MAX_DOCS = 100_000
 SERVING_SCAN_TARGET_ROWS = 1_000
 
 
-def serving_scan_partitions(n_rows: int, cpus: int) -> int:
-    """Partition count for a cached distributed-tier serving corpus.
+def serving_scan_partitions(n_rows: int, cpus: int) -> int | None:
+    """Partition count for a cached distributed-tier serving corpus,
+    or ``None`` when the corpus should keep its source partitioning.
 
     Serving-latency partition sizing is COMPUTE-based, not byte-based:
     ``spark.sql.files.maxPartitionBytes`` would put a 13.5k×384 corpus
@@ -65,8 +67,25 @@ def serving_scan_partitions(n_rows: int, cpus: int) -> int:
     rows whose launch overhead exceeds their compute (measured: 16
     partitions beats 32 by ~10 ms/query and 1 by ~300 ms at N=13,515,
     d=384 on local[32]). Aim for :data:`SERVING_SCAN_TARGET_ROWS` rows
-    per task, clamped to [1, cpus]."""
+    per task, clamped to [1, cpus].
+
+    The sizing only applies in the SMALL-corpus regime (fewer than
+    cpus × target rows, where task launch dominates compute): past it,
+    returns ``None`` — collapsing a multi-GB corpus into ≤cpus cached
+    partitions would build giant blocks for no latency gain, and the
+    source (file-based) partitioning is already the right shape."""
+    if n_rows > int(cpus) * SERVING_SCAN_TARGET_ROWS:
+        return None
     return max(1, min(int(cpus), round(n_rows / SERVING_SCAN_TARGET_ROWS)))
+
+
+#: Guards the session-global AQE flag across overlapping point queries
+#: (the REST server is threaded): first entrant saves the outside
+#: value, last exiter restores it. A naive per-entry save/restore would
+#: interleave under concurrency and could restore "false" permanently.
+_POINT_QUERY_LOCK = threading.Lock()
+_point_query_depth = 0
+_point_query_prev: str | None = None
 
 
 @contextmanager
@@ -81,17 +100,32 @@ def point_query_mode(spark):
     0.11 s total). Analytics and ingest jobs keep AQE; only the serving
     door's point queries run inside this context.
 
-    The flag is session-global, so a concurrent analytics job that
-    PLANS while a point query executes would also skip AQE for that one
-    run — a transient optimization loss, never a correctness issue.
-    The previous value is always restored."""
+    The flag is session-global: concurrent point queries share one
+    save/restore via a depth counter (threaded REST server), and an
+    analytics job that PLANS while a point query executes skips AQE for
+    that one run — a transient optimization loss, never a correctness
+    issue. The value from OUTSIDE the outermost entry is always
+    restored."""
+    global _point_query_depth, _point_query_prev
     conf = spark.conf
-    prev = conf.get("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.adaptive.enabled", "false")
+    with _POINT_QUERY_LOCK:
+        _point_query_depth += 1
+        if _point_query_depth == 1:
+            _point_query_prev = conf.get(
+                "spark.sql.adaptive.enabled", "true"
+            )
+            conf.set("spark.sql.adaptive.enabled", "false")
     try:
         yield
     finally:
-        conf.set("spark.sql.adaptive.enabled", prev)
+        with _POINT_QUERY_LOCK:
+            _point_query_depth -= 1
+            if _point_query_depth == 0:
+                conf.set(
+                    "spark.sql.adaptive.enabled",
+                    _point_query_prev or "true",
+                )
+                _point_query_prev = None
 
 
 class DriverMatrixIndex:

@@ -138,21 +138,31 @@ class VectorDBApi:
                 self._matrix = idx
                 self._corpus_token = token
                 return ("matrix", idx)
-            # Distributed tier: cache-fill pays the float→double cast,
-            # the corpus norm, and a compute-sized repartition ONCE;
-            # every /query then runs a single dot-aggregate per row
-            # (knn_topk auto-detects _emb_norm). The sizing count is a
-            # footer-pushed parquet aggregate — fill-time only.
+            # Distributed tier: cache-fill pays the float→double cast
+            # and the corpus norm ONCE; every /query then runs a single
+            # dot-aggregate per row (knn_topk auto-detects _emb_norm).
+            # The materializing count doubles as the sizing count: when
+            # the corpus is in the small regime where task launch
+            # dominates per-query compute, re-cache compute-sized (the
+            # re-read comes from the just-filled cache, not the store);
+            # large corpora keep their source partitioning untouched.
             from converttovectordb_spark.operators.serving import (
                 serving_scan_partitions,
             )
 
-            n_rows = df.count()
+            cached = with_query_norms(df).cache()
+            n_rows = cached.count()  # materialize under the lock — once
             parts = serving_scan_partitions(
                 n_rows, self.engine.spark.sparkContext.defaultParallelism
             )
-            cached = with_query_norms(df).repartition(parts).cache()
-            cached.count()  # materialize while holding the lock — once
+            if (
+                parts is not None
+                and cached.rdd.getNumPartitions() != parts
+            ):
+                resized = cached.repartition(parts).cache()
+                resized.count()  # fill from the old cache
+                cached.unpersist()
+                cached = resized
             self._corpus = cached
             self._corpus_token = token
             return ("df", cached)

@@ -218,9 +218,14 @@ def test_serving_scan_partitions_bounds():
         serving_scan_partitions(13_515, 32)
         == round(13_515 / SERVING_SCAN_TARGET_ROWS)
     )
-    # huge corpora clamp at the core count — file partitioning governs
-    assert serving_scan_partitions(10_000_000, 32) == 32
-    assert serving_scan_partitions(10_000_000, 8) == 8
+    # boundary of the small regime: exactly cpus x target still sizes
+    assert (
+        serving_scan_partitions(32 * SERVING_SCAN_TARGET_ROWS, 32) == 32
+    )
+    # past it: keep the source (file-based) partitioning — collapsing a
+    # big corpus into <=cpus cached partitions builds giant blocks
+    assert serving_scan_partitions(10_000_000, 32) is None
+    assert serving_scan_partitions(10_000_000, 8) is None
 
 
 def test_point_query_mode_restores_aqe(spark):
@@ -238,4 +243,24 @@ def test_point_query_mode_restores_aqe(spark):
             raise RuntimeError("boom")
     except RuntimeError:
         pass
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev
+
+
+def test_point_query_mode_concurrent_interleave(spark):
+    """Interleaved entries (the threaded REST server) must restore the
+    OUTSIDE value, not whatever a mid-flight entrant observed: a naive
+    per-entry save/restore would leave AQE off session-wide after the
+    A-enter/B-enter/A-exit/B-exit ordering."""
+    from converttovectordb_spark.operators.serving import point_query_mode
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    a = point_query_mode(spark)
+    b = point_query_mode(spark)
+    a.__enter__()
+    b.__enter__()  # nested entrant sees AQE already off
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    a.__exit__(None, None, None)
+    # B still active: stays off
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    b.__exit__(None, None, None)
     assert spark.conf.get("spark.sql.adaptive.enabled") == prev

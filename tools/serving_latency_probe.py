@@ -33,36 +33,17 @@ def main() -> int:
 
     from pyspark.sql import functions as F
 
-    from converttovectordb_spark.embeddings import embed_column
-    from converttovectordb_spark.functions.vector import (
-        NORM_COL,
-        with_query_norms,
-    )
+    from converttovectordb_spark.functions.vector import NORM_COL
     from converttovectordb_spark.operators.search import knn_topk
     from converttovectordb_spark.session import get_spark
-    from converttovectordb_spark.sources.chunker import explode_chunks
+    from tools.matched_corpus import matched_reference_corpus
 
     spark = get_spark("serving-latency-probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm
 
-    docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .selectExpr("cast(doc_id as string) AS path", "text AS content")
-        .repartition(int(cpus))
-    )
-    base = with_query_norms(
-        embed_column(
-            explode_chunks(docs, chunk_size=100, overlap=30),
-            "content", "embedding", None, 384,
-        )
-        .select(
-            F.monotonically_increasing_id().alias("vec_id"),
-            "content",
-            "embedding",
-        )
-        .limit(13515)
-    )
+    # the SAME corpus recipe bench.py's knn_matched_* numbers use
+    base = matched_reference_corpus(spark, sf_dir, int(cpus))
     cached = {}
     for p in PARTITION_SWEEP:
         m = base.repartition(p).cache()
@@ -91,9 +72,9 @@ def main() -> int:
     variants: dict[str, tuple] = {
         "count (job floor)": (lambda: df16.count(), "false"),
         "trivial-score topk": (lambda: trivial(df16), "false"),
-        "knn AQE=off p16": (lambda: knn(df16), "false"),
         "knn AQE=on  p16": (lambda: knn(df16), "true"),
     }
+    # the p16 sweep entry below is the AQE=off twin of the line above
     for p in PARTITION_SWEEP:
         variants[f"knn AQE=off p{p}"] = (
             (lambda d=cached[p]: knn(d)),
