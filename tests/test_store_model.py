@@ -1,0 +1,161 @@
+"""Model-based randomized test of TransactionalDocumentStore.
+
+A pure-Python commit-log model (a list of commits, each with rows,
+optional tombstone keys, and a `replaces` set) replays the SAME
+semantics the store documents — merge-on-read tombstones with the
+`_sv >= _tv` own-commit-survives rule, compaction superseding prior
+versions, vacuum deleting only non-live dirs — and every operation in
+a seeded random sequence is checked against the real store's
+`load()` / `load(at_version=...)` / `compact()` / `vacuum()` results.
+
+The model is ~40 lines and trusts nothing from the implementation
+(no shared code), so divergence in file handling, manifest logic, the
+tombstone join, or snapshot reconstruction surfaces as a mismatch.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from converttovectordb_spark.sources.store import (
+    TransactionalDocumentStore,
+)
+
+KEY_POOL = ["a.txt", "b.txt", "c.txt", "d.txt"]
+
+
+class ModelStore:
+    """Commit log: [(version, rows, tombstone_keys_or_None, replaces)].
+    rows = [(key, payload)] — duplicates allowed (append never dedupes).
+    """
+
+    def __init__(self):
+        self.commits: list[tuple[int, list, set | None, set]] = []
+        self.vacuumed: set[int] = set()
+
+    def _next_version(self) -> int:
+        return self.commits[-1][0] + 1 if self.commits else 0
+
+    def append(self, rows):
+        self.commits.append((self._next_version(), list(rows), None, set()))
+
+    def upsert(self, rows):
+        keys = {k for k, _ in rows}
+        self.commits.append((self._next_version(), list(rows), keys, set()))
+
+    def _live_versions(self, at=None):
+        vs = [c for c in self.commits if at is None or c[0] <= at]
+        replaced = set()
+        for _, _, _, reps in vs:
+            replaced.update(reps)
+        return [c for c in vs if c[0] not in replaced]
+
+    def snapshot(self, at=None):
+        live = self._live_versions(at)
+        tomb_max: dict[str, int] = {}
+        for v, _, keys, _ in live:
+            for k in keys or ():
+                tomb_max[k] = max(tomb_max.get(k, -1), v)
+        out = []
+        for v, rows, _, _ in live:
+            for k, payload in rows:
+                if k not in tomb_max or v >= tomb_max[k]:
+                    out.append((k, payload))
+        return sorted(out)
+
+    def compact(self):
+        snap = self.snapshot()
+        replaced = {c[0] for c in self.commits}
+        self.commits.append((self._next_version(), list(snap), None, replaced))
+        return len(snap)
+
+    def vacuum(self):
+        live = {c[0] for c in self._live_versions()}
+        n = 0
+        for v, _, keys, _ in self.commits:
+            if v in live or v in self.vacuumed:
+                continue
+            self.vacuumed.add(v)
+            n += 1 + (1 if keys is not None else 0)  # batch dir + keys dir
+        return n
+
+    def travel_versions(self):
+        """Versions still safely time-travelable (no vacuumed dir is
+        reachable from them)."""
+        ok = []
+        for v, _, _, _ in self.commits:
+            reach = {c[0] for c in self._live_versions(at=v)}
+            if not (reach & self.vacuumed):
+                ok.append(v)
+        return ok
+
+
+def _mk_batch(spark, rows):
+    return spark.createDataFrame(
+        [(k, 0, p, [1.0, 2.0]) for k, p in rows],
+        "path string, chunk_index int, content string, "
+        "embedding array<float>",
+    )
+
+
+def _store_rows(store, at=None):
+    df = store.load(require_embedding=False, at_version=at)
+    return sorted(
+        (r["path"], r["content"])
+        for r in df.select("path", "content").collect()
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_store_matches_model_over_random_ops(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    store = TransactionalDocumentStore(spark, str(tmp_path / "store"))
+    model = ModelStore()
+    payload_n = 0
+
+    def fresh_rows(n):
+        nonlocal payload_n
+        out = []
+        for _ in range(n):
+            payload_n += 1
+            out.append((rng.choice(KEY_POOL), f"p{payload_n}"))
+        return out
+
+    # first op must be an append/upsert so the store exists
+    ops = ["append"] + [
+        rng.choice(["append", "upsert", "append", "upsert",
+                    "compact", "vacuum", "travel"])
+        for _ in range(13)
+    ]
+    for op in ops:
+        if op == "append":
+            rows = fresh_rows(rng.randint(1, 3))
+            store.append(_mk_batch(spark, rows))
+            model.append(rows)
+        elif op == "upsert":
+            rows = fresh_rows(rng.randint(1, 2))
+            store.upsert(_mk_batch(spark, rows), key_cols=("path",))
+            model.upsert(rows)
+        elif op == "compact":
+            got = store.compact()
+            want = model.compact()
+            assert got == want, f"compact rows {got} != model {want}"
+        elif op == "vacuum":
+            got = store.vacuum()
+            want = model.vacuum()
+            assert got == want, f"vacuum dirs {got} != model {want}"
+        elif op == "travel":
+            travelable = model.travel_versions()
+            if travelable:
+                v = rng.choice(travelable)
+                assert _store_rows(store, at=v) == model.snapshot(at=v), (
+                    f"time travel to v{v} diverged (ops so far: {ops})"
+                )
+            continue
+        # after every mutating op: current snapshot + version agree
+        assert _store_rows(store) == model.snapshot(), (
+            f"snapshot diverged after {op} (seed {seed})"
+        )
+        assert store.version() == model.commits[-1][0]
