@@ -335,6 +335,79 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training
+    (DPR/SimCSE-style curation): for each probe, the top-3 most
+    cosine-similar corpus vectors with a DIFFERENT label —
+    semantically close but wrong-class, the negatives that actually
+    move a contrastive loss (random negatives are trivially easy).
+
+    Scale shape: identical to the batch KNN join (broadcast probe
+    side, corpus never shuffles, per-query top-k window over the small
+    joined result); the different-label disqualifier is a pre-window
+    filter fused into the join stage, so disqualified pairs never
+    reach the exchange."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("_qlabel"),
+        l2_normalize(F.col("embedding")).alias("_q"),
+    )
+    docs = emb.select(
+        "vec_id", "label", l2_normalize(F.col("embedding")).alias("_d")
+    )
+    pairs = (
+        F.broadcast(probes)
+        .crossJoin(docs)
+        .filter(F.col("label") != F.col("_qlabel"))
+        .withColumn("score", dot_product(F.col("_q"), F.col("_d")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            _round6(F.col("score")).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+ORACLE_HARD_NEGATIVES = """
+WITH norm AS (
+  SELECT vec_id, label,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS n,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+unit AS (
+  SELECT vec_id, label,
+         CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS u
+  FROM norm
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS vec_id, d.label AS label,
+         list_sum(list_transform(list_zip(q.u, d.u), x -> x[1] * x[2])) AS score
+  FROM unit q CROSS JOIN unit d
+  WHERE q.vec_id < 8 AND d.label <> q.label
+),
+ranked AS (
+  SELECT query_id, vec_id, label, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, label, round(CAST(score AS DOUBLE), 6) AS score,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_vector_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned approximate KNN (nprobe=2 of 10 clusters): the 100 TB
     search path — each query touches ~20% of the corpus; cluster id is
@@ -8260,6 +8333,7 @@ QUERIES = {
     # -- vector / ANN / retrieval ------------------------------------
     "vector_topk": q_vector_topk,
     "vector_knn_batch": q_vector_knn_batch,
+    "hard_negatives": q_hard_negatives,
     "vector_knn_selfjoin_ivf": q_vector_knn_selfjoin_ivf,
     "mmr_rerank": q_mmr_rerank,
     "vector_ivf_knn_indexed": q_vector_ivf_knn_indexed,
@@ -8393,6 +8467,7 @@ QUERIES = {
 ORACLES = {
     "vector_topk": ORACLE_VECTOR_TOPK,
     "vector_knn_batch": ORACLE_VECTOR_KNN_BATCH,
+    "hard_negatives": ORACLE_HARD_NEGATIVES,
     "vector_knn_selfjoin_ivf": ORACLE_VECTOR_KNN_SELFJOIN_IVF,
     "mmr_rerank": ORACLE_MMR_RERANK,
     "vector_ivf_knn": ORACLE_VECTOR_IVF_KNN,
