@@ -195,13 +195,14 @@ def main() -> int:
     # probe's floor decomposition always explains THIS headline.
     from tools.matched_corpus import MATCHED_N, matched_reference_corpus
 
-    matched = (
-        matched_reference_corpus(spark, sf_dir, int(cpus))
-        # compute-sized serving partitions (~1k rows/task), the same
-        # sizing the REST door's cache fill applies
-        .repartition(serving_scan_partitions(MATCHED_N, int(cpus)))
-        .cache()
-    )
+    matched = matched_reference_corpus(spark, sf_dir, int(cpus))
+    # compute-sized serving partitions (~1k rows/task), the same sizing
+    # the REST door's cache fill applies; None (small-regime miss, e.g.
+    # cpus <= 13 at this N) keeps the source partitioning
+    _mp = serving_scan_partitions(MATCHED_N, int(cpus))
+    if _mp is not None:
+        matched = matched.repartition(_mp)
+    matched = matched.cache()
     n_matched = matched.count()
     probe384 = [float(x) for x in matched.select("embedding").first()[0]]
     # Distributed tier: the prenormed cached-DataFrame scan — the plan

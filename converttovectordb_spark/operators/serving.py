@@ -80,12 +80,14 @@ def serving_scan_partitions(n_rows: int, cpus: int) -> int | None:
 
 
 #: Guards the session-global AQE flag across overlapping point queries
-#: (the REST server is threaded): first entrant saves the outside
-#: value, last exiter restores it. A naive per-entry save/restore would
-#: interleave under concurrency and could restore "false" permanently.
+#: (the REST server is threaded): per SESSION, the first entrant saves
+#: the outside value and the last exiter restores it. A naive per-entry
+#: save/restore would interleave under concurrency and could restore
+#: "false" permanently; a process-global counter would cross-corrupt
+#: two SparkSessions sharing the process. State: {session: [depth,
+#: saved_prev]}, entries removed at depth 0 so nothing leaks.
 _POINT_QUERY_LOCK = threading.Lock()
-_point_query_depth = 0
-_point_query_prev: str | None = None
+_point_query_state: dict = {}
 
 
 @contextmanager
@@ -100,32 +102,38 @@ def point_query_mode(spark):
     0.11 s total). Analytics and ingest jobs keep AQE; only the serving
     door's point queries run inside this context.
 
-    The flag is session-global: concurrent point queries share one
-    save/restore via a depth counter (threaded REST server), and an
-    analytics job that PLANS while a point query executes skips AQE for
-    that one run — a transient optimization loss, never a correctness
-    issue. The value from OUTSIDE the outermost entry is always
-    restored."""
-    global _point_query_depth, _point_query_prev
+    The flag is session-global: concurrent point queries on the SAME
+    session share one save/restore via a per-session depth counter
+    (threaded REST server), and an analytics job that PLANS while a
+    point query executes skips AQE for that one run — a transient
+    optimization loss, never a correctness issue. The value from
+    OUTSIDE the outermost entry is always restored; a failure while
+    entering (e.g. a stopped session) mutates no state, so the
+    mechanism never wedges."""
     conf = spark.conf
-    with _POINT_QUERY_LOCK:
-        _point_query_depth += 1
-        if _point_query_depth == 1:
-            _point_query_prev = conf.get(
-                "spark.sql.adaptive.enabled", "true"
-            )
-            conf.set("spark.sql.adaptive.enabled", "false")
+    entered = False
     try:
+        with _POINT_QUERY_LOCK:
+            st = _point_query_state.get(spark)
+            if st is None:
+                # get/set may raise (stopped session) — nothing is
+                # recorded until both succeed, so depth never skews
+                prev = conf.get("spark.sql.adaptive.enabled", "true")
+                conf.set("spark.sql.adaptive.enabled", "false")
+                st = _point_query_state[spark] = [0, prev]
+            st[0] += 1
+            entered = True
         yield
     finally:
-        with _POINT_QUERY_LOCK:
-            _point_query_depth -= 1
-            if _point_query_depth == 0:
-                conf.set(
-                    "spark.sql.adaptive.enabled",
-                    _point_query_prev or "true",
-                )
-                _point_query_prev = None
+        if entered:
+            with _POINT_QUERY_LOCK:
+                st = _point_query_state[spark]
+                st[0] -= 1
+                if st[0] == 0:
+                    del _point_query_state[spark]
+                    conf.set(
+                        "spark.sql.adaptive.enabled", st[1] or "true"
+                    )
 
 
 class DriverMatrixIndex:

@@ -256,11 +256,58 @@ def test_point_query_mode_concurrent_interleave(spark):
     prev = spark.conf.get("spark.sql.adaptive.enabled")
     a = point_query_mode(spark)
     b = point_query_mode(spark)
-    a.__enter__()
-    b.__enter__()  # nested entrant sees AQE already off
-    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
-    a.__exit__(None, None, None)
-    # B still active: stays off
-    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
-    b.__exit__(None, None, None)
+    a_active = b_active = False
+    try:
+        a.__enter__()
+        a_active = True
+        b.__enter__()  # nested entrant sees AQE already off
+        b_active = True
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        a.__exit__(None, None, None)
+        a_active = False
+        # B still active: stays off
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        b.__exit__(None, None, None)
+        b_active = False
+    finally:
+        # an assertion failure must not leak depth into later tests
+        if a_active:
+            a.__exit__(None, None, None)
+        if b_active:
+            b.__exit__(None, None, None)
     assert spark.conf.get("spark.sql.adaptive.enabled") == prev
+
+
+def test_point_query_mode_sessions_are_isolated(spark):
+    """Depth/saved-value state is PER SESSION: an exit on session A
+    must restore A (and only A) even while session B is mid-flight —
+    a process-global counter would skip A's restore and then clobber
+    B's conf with A's saved value."""
+    from converttovectordb_spark.operators.serving import point_query_mode
+
+    s2 = spark.newSession()
+    prev1 = spark.conf.get("spark.sql.adaptive.enabled")
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    a = point_query_mode(spark)
+    b = point_query_mode(s2)
+    a_active = b_active = False
+    try:
+        a.__enter__()
+        a_active = True
+        b.__enter__()
+        b_active = True
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert s2.conf.get("spark.sql.adaptive.enabled") == "false"
+        a.__exit__(None, None, None)
+        a_active = False
+        # A restored immediately; B untouched and still off
+        assert spark.conf.get("spark.sql.adaptive.enabled") == prev1
+        assert s2.conf.get("spark.sql.adaptive.enabled") == "false"
+        b.__exit__(None, None, None)
+        b_active = False
+        assert s2.conf.get("spark.sql.adaptive.enabled") == "true"
+    finally:
+        if a_active:
+            a.__exit__(None, None, None)
+        if b_active:
+            b.__exit__(None, None, None)
