@@ -145,19 +145,40 @@ def main() -> int:
             else:
                 matrix_s = "— (over budget)"
 
+            # the REST door's own fill + query config: compute-sized
+            # partitions in the small regime, AQE off per point query
+            from converttovectordb_spark.operators.serving import (
+                point_query_mode,
+                serving_scan_partitions,
+            )
+
             cached = with_query_norms(flat).cache()
-            cached.count()
+            n_cached = cached.count()
+            parts = serving_scan_partitions(n_cached, 32)
+            if (
+                parts is not None
+                and cached.rdd.getNumPartitions() != parts
+            ):
+                resized = cached.repartition(parts).cache()
+                resized.count()
+                cached.unpersist()
+                cached = resized
 
             def cached_once():
                 knn_topk(
                     cached, probe, 5, id_cols=["vec_id"], expected_dim=384
                 ).collect()
 
-            cached_once()
-            cached_t = min(
-                (lambda t0=time.time(): (cached_once(), time.time() - t0)[1])()
-                for _ in range(3)
-            )
+            with point_query_mode(spark):
+                cached_once()
+                cached_t = min(
+                    (
+                        lambda t0=time.time(): (
+                            cached_once(), time.time() - t0,
+                        )[1]
+                    )()
+                    for _ in range(3)
+                )
             cached.unpersist()
         print(
             f"| {n} | {brute:.3f} | {ivf:.3f} | {matrix_s} | "
