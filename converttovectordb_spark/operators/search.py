@@ -351,10 +351,19 @@ def ivf_knn_join_shuffled(
     centroids: DataFrame | None = None,
     salt_buckets: int = 1,
     exclude_self: bool = False,
+    query_label_col: str | None = None,
 ) -> DataFrame:
     """IVF KNN join for CORPUS-SCALE query sets (self-join dedup,
-    corpus-to-corpus linking, embedding-space audits) — the variant of
-    `ivf_knn_join` where the query side is too big to broadcast.
+    corpus-to-corpus linking, embedding-space audits, hard-negative
+    mining) — the variant of `ivf_knn_join` where the query side is
+    too big to broadcast.
+
+    ``query_label_col`` (hard-negative mining): a query-side column —
+    named differently from ``cluster_col`` — compared against the doc
+    side's ``cluster_col``; equal pairs are disqualified BEFORE the
+    partial top-k, so every query still receives up to ``top_k``
+    different-label results (a post-hoc filter would return fewer).
+    Implies ``exclude_self`` (a row's label equals its own).
 
     The reference has no batch path at all (mock_vector_db_api.py:274-279
     scans per single query); `knn_join`/`ivf_knn_join` broadcast the
@@ -399,6 +408,11 @@ def ivf_knn_join_shuffled(
     top_k = validate_top_k(top_k)
     if salt_buckets < 1:
         raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
+    if query_label_col is not None and query_label_col == cluster_col:
+        raise ValueError(
+            "query_label_col must be named differently from cluster_col "
+            f"(both {cluster_col!r}) — alias the query side's label"
+        )
     if centroids is None:
         from converttovectordb_spark.plans.ivf_index import mean_centroids
 
@@ -415,10 +429,15 @@ def ivf_knn_join_shuffled(
             ).alias("_cents")
         )
     )
-    q = queries.select(
+    qcols = [
         F.col(query_id_col),
         l2_normalize(F.col(query_vec_col)).alias("_qvec"),
-    ).crossJoin(packed)  # broadcast 1-row side: map-side annotate, no shuffle
+    ]
+    if query_label_col is not None:
+        qcols.append(F.col(query_label_col))
+    q = queries.select(*qcols).crossJoin(
+        packed
+    )  # broadcast 1-row side: map-side annotate, no shuffle
 
     def _neg_csim(cent):
         # −cosine so an ASCENDING struct sort yields csim desc, cid asc
@@ -426,9 +445,11 @@ def ivf_knn_join_shuffled(
         # zero-norm→0.0 guard cannot perturb the tie-break).
         return -cosine_similarity(F.col("_qvec"), cent)
 
+    carry = [F.col(query_id_col), F.col("_qvec")]
+    if query_label_col is not None:
+        carry.append(F.col(query_label_col))
     probe = q.select(
-        F.col(query_id_col),
-        F.col("_qvec"),
+        *carry,
         F.explode(
             F.slice(
                 F.array_sort(
@@ -444,9 +465,7 @@ def ivf_knn_join_shuffled(
                 nprobe,
             )
         ).alias("_p"),
-    ).select(
-        F.col(query_id_col), F.col("_qvec"), F.col("_p.cid").alias(cluster_col)
-    )
+    ).select(*carry, F.col("_p.cid").alias(cluster_col))
     join_keys = [cluster_col]
     docs_side = docs.select(
         F.col(cluster_col),
@@ -476,6 +495,10 @@ def ivf_knn_join_shuffled(
     cand = probe.join(docs_side, on=join_keys, how="inner")
     if exclude_self:
         cand = cand.filter(F.col(query_id_col) != F.col(doc_id_col))
+    if query_label_col is not None:
+        # pre-top-k disqualifier: the joined row's doc cluster/label is
+        # the join key column, the query's own label rode the probe
+        cand = cand.filter(F.col(query_label_col) != F.col(cluster_col))
     scored = cand.withColumn(
         "score", dot_product(F.col("_qvec"), F.col("_dvec"))
     )

@@ -585,6 +585,110 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_hard_negatives_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-SCALE hard-negative mining: EVERY vector is a query and
+    receives its top-2 nearest DIFFERENT-label neighbors — the batch
+    shape a contrastive-training data pipeline actually runs (the
+    8-probe `hard_negatives` is the serving-sized sibling).
+
+    Rides the shuffled IVF join (`vector_knn_selfjoin_ivf`'s plan:
+    zero-shuffle HOF centroid probe, one (cluster, salt) equi-join,
+    exchange-free partial top-k), with the same-label disqualifier
+    applied BEFORE the per-query top-k — a post-hoc filter would
+    return fewer than k negatives per query. With label==cluster, a
+    query's own probed cluster contributes nothing and its negatives
+    come from the nearest FOREIGN clusters — exactly the near-boundary
+    negatives that move a contrastive loss. Centroids come from the
+    materialized index artifact (offline build, as in production)."""
+    from converttovectordb_spark.operators.search import (
+        ivf_knn_join_shuffled,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("query_vec"),
+    )
+    cents = (
+        _ivf_index_cached(spark, sf_dir)
+        .centroids()
+        .withColumnRenamed("cluster_id", "label")
+    )
+    out = ivf_knn_join_shuffled(
+        probes,
+        emb,
+        top_k=2,
+        nprobe=2,
+        salt_buckets=4,
+        centroids=cents,
+        query_label_col="qlabel",
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        _round6(F.col("score")).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+ORACLE_HARD_NEGATIVES_CORPUS = """
+WITH docs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+unit AS (
+  SELECT vec_id, label,
+         CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS u
+  FROM (
+    SELECT vec_id, label, v,
+           sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+    FROM docs
+  )
+),
+probes AS (SELECT vec_id AS query_id, label AS qlabel, u AS q FROM unit),
+pos AS (
+  SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM docs
+),
+cpos AS (SELECT label, pos, avg(val) AS cval FROM pos GROUP BY label, pos),
+cent AS (SELECT label, list(cval ORDER BY pos) AS c FROM cpos GROUP BY label),
+qc AS (
+  SELECT query_id, qlabel, q, label,
+         CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS csim
+  FROM (
+    SELECT p.query_id, p.qlabel, p.q, ct.label,
+           list_sum(list_transform(list_zip(p.q, ct.c), x -> x[1] * x[2])) AS dot,
+           sqrt(list_sum(list_transform(p.q, x -> x * x))) AS nq,
+           sqrt(list_sum(list_transform(ct.c, x -> x * x))) AS nc
+    FROM probes p CROSS JOIN cent ct
+  )
+),
+probe AS (
+  SELECT query_id, qlabel, q, label
+  FROM (
+    SELECT query_id, qlabel, q, label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY csim DESC, label) AS crank
+    FROM qc
+  ) WHERE crank <= 2
+),
+scored AS (
+  SELECT p.query_id, d.vec_id,
+         list_sum(list_transform(list_zip(p.q, d.u), x -> x[1] * x[2])) AS score
+  FROM probe p JOIN unit d ON d.label = p.label
+  WHERE d.label <> p.qlabel
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(CAST(score AS DOUBLE), 6) AS score,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 2
+"""
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity rerank (λ=0.5, k=5) over each query's top-20
     first-stage candidates — the two-stage serving pattern: the corpus
@@ -8334,6 +8438,7 @@ QUERIES = {
     "vector_topk": q_vector_topk,
     "vector_knn_batch": q_vector_knn_batch,
     "hard_negatives": q_hard_negatives,
+    "hard_negatives_corpus": q_hard_negatives_corpus,
     "vector_knn_selfjoin_ivf": q_vector_knn_selfjoin_ivf,
     "mmr_rerank": q_mmr_rerank,
     "vector_ivf_knn_indexed": q_vector_ivf_knn_indexed,
@@ -8468,6 +8573,7 @@ ORACLES = {
     "vector_topk": ORACLE_VECTOR_TOPK,
     "vector_knn_batch": ORACLE_VECTOR_KNN_BATCH,
     "hard_negatives": ORACLE_HARD_NEGATIVES,
+    "hard_negatives_corpus": ORACLE_HARD_NEGATIVES_CORPUS,
     "vector_knn_selfjoin_ivf": ORACLE_VECTOR_KNN_SELFJOIN_IVF,
     "mmr_rerank": ORACLE_MMR_RERANK,
     "vector_ivf_knn": ORACLE_VECTOR_IVF_KNN,

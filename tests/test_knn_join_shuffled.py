@@ -118,3 +118,41 @@ def test_composes_with_materialized_index(spark, emb, probes, tmp_path):
         )
     )
     assert got == ref
+
+
+def test_query_label_disqualifier(emb):
+    """query_label_col drops same-label pairs BEFORE the top-k, so
+    every returned neighbor has a different label than its query and
+    queries still receive up to k results (a post-filter would not)."""
+    labeled = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = ivf_knn_join_shuffled(
+        labeled, emb, top_k=2, nprobe=2, query_label_col="qlabel"
+    )
+    got = out.join(
+        emb.select("vec_id", "label"), on="vec_id"
+    ).join(
+        emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+        ),
+        on="query_id",
+    )
+    assert got.filter(F.col("label") == F.col("qlabel")).count() == 0
+    # every query with a reachable foreign cluster got a full k
+    per_q = got.groupBy("query_id").count()
+    assert per_q.filter(F.col("count") < 2).count() == 0
+    # implied exclude_self: a row can never be its own negative
+    assert out.filter(F.col("query_id") == F.col("vec_id")).count() == 0
+
+
+def test_query_label_name_collision_rejected(emb, probes):
+    with pytest.raises(ValueError, match="named differently"):
+        ivf_knn_join_shuffled(
+            probes.withColumn("label", F.lit(0)),
+            emb,
+            query_label_col="label",
+        )
