@@ -408,11 +408,21 @@ def ivf_knn_join_shuffled(
     top_k = validate_top_k(top_k)
     if salt_buckets < 1:
         raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
-    if query_label_col is not None and query_label_col == cluster_col:
-        raise ValueError(
-            "query_label_col must be named differently from cluster_col "
-            f"(both {cluster_col!r}) — alias the query side's label"
-        )
+    if query_label_col is not None:
+        # reserved names: cluster_col would make the disqualifier
+        # self-compare, doc_id_col/query_id_col go ambiguous after the
+        # join, and the internals (_qvec/_dvec/_salt) silently
+        # overwrite the carried label (worst: _salt with salting on)
+        reserved = {
+            cluster_col, doc_id_col, query_id_col,
+            "_qvec", "_dvec", "_salt",
+        }
+        if query_label_col in reserved:
+            raise ValueError(
+                f"query_label_col {query_label_col!r} collides with a "
+                "join column or operator-internal name — alias the "
+                "query side's label to something else"
+            )
     if centroids is None:
         from converttovectordb_spark.plans.ivf_index import mean_centroids
 

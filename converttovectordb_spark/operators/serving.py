@@ -90,6 +90,25 @@ _POINT_QUERY_LOCK = threading.Lock()
 _point_query_state: dict = {}
 
 
+def fill_serving_cache(df: DataFrame, cpus: int):
+    """The distributed serving tier's cache fill, in one place (REST
+    door and probes share it so benchmarks cannot desynchronize from
+    production): cache → materializing count (which doubles as the
+    sizing count — no separate scan) → compute-sized re-cache in the
+    small regime, where the re-read comes from the just-filled cache,
+    not the store. Returns ``(cached_df, n_rows)``; the caller owns
+    unpersisting."""
+    cached = df.cache()
+    n_rows = cached.count()
+    parts = serving_scan_partitions(n_rows, cpus)
+    if parts is not None and cached.rdd.getNumPartitions() != parts:
+        resized = cached.repartition(parts).cache()
+        resized.count()
+        cached.unpersist()
+        cached = resized
+    return cached, n_rows
+
+
 @contextmanager
 def point_query_mode(spark):
     """Run shuffle-free point-serving queries with AQE disabled.

@@ -600,10 +600,6 @@ def q_hard_negatives_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from the nearest FOREIGN clusters — exactly the near-boundary
     negatives that move a contrastive loss. Centroids come from the
     materialized index artifact (offline build, as in production)."""
-    from converttovectordb_spark.operators.search import (
-        ivf_knn_join_shuffled,
-    )
-
     emb = load(spark, sf_dir, "embeddings")
     probes = emb.select(
         F.col("vec_id").alias("query_id"),

@@ -141,28 +141,17 @@ class VectorDBApi:
             # Distributed tier: cache-fill pays the float→double cast
             # and the corpus norm ONCE; every /query then runs a single
             # dot-aggregate per row (knn_topk auto-detects _emb_norm).
-            # The materializing count doubles as the sizing count: when
-            # the corpus is in the small regime where task launch
-            # dominates per-query compute, re-cache compute-sized (the
-            # re-read comes from the just-filled cache, not the store);
-            # large corpora keep their source partitioning untouched.
+            # fill_serving_cache materializes under the lock, sizes
+            # from the same count, and compute-resizes only in the
+            # small regime — shared with the probes/bench.
             from converttovectordb_spark.operators.serving import (
-                serving_scan_partitions,
+                fill_serving_cache,
             )
 
-            cached = with_query_norms(df).cache()
-            n_rows = cached.count()  # materialize under the lock — once
-            parts = serving_scan_partitions(
-                n_rows, self.engine.spark.sparkContext.defaultParallelism
+            cached, _ = fill_serving_cache(
+                with_query_norms(df),
+                self.engine.spark.sparkContext.defaultParallelism,
             )
-            if (
-                parts is not None
-                and cached.rdd.getNumPartitions() != parts
-            ):
-                resized = cached.repartition(parts).cache()
-                resized.count()  # fill from the old cache
-                cached.unpersist()
-                cached = resized
             self._corpus = cached
             self._corpus_token = token
             return ("df", cached)

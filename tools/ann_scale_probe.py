@@ -145,24 +145,18 @@ def main() -> int:
             else:
                 matrix_s = "— (over budget)"
 
-            # the REST door's own fill + query config: compute-sized
-            # partitions in the small regime, AQE off per point query
+            # the REST door's own fill + query config, via the SAME
+            # helper the server uses (fill_serving_cache) so the probe
+            # cannot desynchronize from production
             from converttovectordb_spark.operators.serving import (
+                fill_serving_cache,
                 point_query_mode,
-                serving_scan_partitions,
             )
 
-            cached = with_query_norms(flat).cache()
-            n_cached = cached.count()
-            parts = serving_scan_partitions(n_cached, 32)
-            if (
-                parts is not None
-                and cached.rdd.getNumPartitions() != parts
-            ):
-                resized = cached.repartition(parts).cache()
-                resized.count()
-                cached.unpersist()
-                cached = resized
+            cached, _ = fill_serving_cache(
+                with_query_norms(flat),
+                spark.sparkContext.defaultParallelism,
+            )
 
             def cached_once():
                 knn_topk(
