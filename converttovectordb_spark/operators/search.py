@@ -154,18 +154,26 @@ def bm25_scores(
     df/idf table back → score. At 100 TB the postings shuffle is
     proportional to documents CONTAINING a query term — an
     inverted-index probe, not a corpus sort."""
-    from converttovectordb_spark.functions.text import token_count, tokens
+    from converttovectordb_spark.functions.text import tokens
 
     text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     terms = [t.lower() for t in terms] if lowercase else list(terms)
-    tok = docs.select(
+    # Tokenize ONCE per row per scan: `tokens()` is a regexp split, and
+    # codegen does not CSE it — referencing it from dl AND the explode
+    # would run the split twice per row, and a plain explode() infers a
+    # `size(...) > 0` filter whose pushdown re-inlines the split a third
+    # time into the scan stage. Materialize the array in its own
+    # projection, derive dl via size(), and explode_outer (no inferred
+    # filter; the null row from an empty doc dies at the isin below).
+    toked = docs.select(F.col(id_col), tokens(text).alias("_toks"))
+    tok = toked.select(
         id_col,
-        token_count(text).alias("dl"),
-        F.explode(tokens(text)).alias("tok"),
+        F.size("_toks").cast("bigint").alias("dl"),
+        F.explode_outer("_toks").alias("tok"),
     )
-    stats = docs.agg(
+    stats = toked.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg(token_count(text)).alias("avgdl"),
+        F.avg(F.size("_toks")).alias("avgdl"),
     )
     tf = (
         tok.filter(F.col("tok").isin(terms))

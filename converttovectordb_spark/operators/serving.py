@@ -40,6 +40,23 @@ from pyspark.sql import DataFrame
 #: Above this the server falls back to the distributed scan tier.
 DEFAULT_MAX_CELLS = 200_000_000
 
+#: Default driver-memory budget for the NON-embedding payload the
+#: matrix tier materializes alongside the matrix (content strings,
+#: paths, binary media columns). The cell budget alone is not a safe
+#: admission gate: a 100k-doc corpus at d=384 is only 38M cells, but
+#: with ~1 MB contents it is ~100 GB of driver payload. Measured as
+#: serialized variable-width bytes (octet_length of string/binary
+#: columns) plus a small fixed per-row term; Python dict/str overhead
+#: inflates that by a few ×, so 256 MB raw keeps the resident payload
+#: around a GB. The reference's matched condition (13.5k docs × ~1 KB,
+#: vector_db_api.log:736-738) is ~14 MB — comfortably matrix-tier.
+DEFAULT_MAX_PAYLOAD_BYTES = 256 * 1024 * 1024
+
+#: Estimated serialized bytes per row for the fixed-width payload
+#: columns (ints, doubles, timestamps) — generous so the estimate errs
+#: toward the distributed tier.
+_FIXED_WIDTH_ROW_BYTES = 16
+
 #: Separate (smaller) budget for the hybrid lexical cache: per-doc
 #: token Counters cost far more per row than embedding cells, so the
 #: BM25 arm only materializes up to this many docs; past it the server
@@ -159,7 +176,8 @@ class DriverMatrixIndex:
     """An immutable, query-many snapshot of a corpus DataFrame.
 
     Build with :meth:`from_dataframe` (returns ``None`` when the corpus
-    exceeds the cell budget — callers then use the distributed tier).
+    exceeds the cell budget OR the payload-bytes budget — callers then
+    use the distributed tier).
     """
 
     def __init__(
@@ -186,21 +204,50 @@ class DriverMatrixIndex:
         *,
         embedding_col: str = "embedding",
         max_cells: int = DEFAULT_MAX_CELLS,
+        max_payload_bytes: int = DEFAULT_MAX_PAYLOAD_BYTES,
     ) -> "DriverMatrixIndex | None":
-        """Materialize ``df`` if it fits the budget, else ``None``.
+        """Materialize ``df`` if it fits BOTH budgets, else ``None``.
 
-        One count + one Arrow collect — both at cache-fill time, never
-        on the query path. Rows whose embedding length disagrees with
-        the first row's are a corrupt store; they raise here (the
-        distributed path raises the same Q5-shaped error lazily).
+        Admission is two-termed: embedding cells (``n × dim``) AND
+        payload bytes (everything else the tier keeps driver-side).
+        The payload term is estimated with a Spark aggregate BEFORE any
+        collect — the Arrow transfer itself is the OOM, so a post-hoc
+        ``tbl.nbytes`` check would arrive too late. One combined
+        count+bytes aggregate + one Arrow collect — both at cache-fill
+        time, never on the query path. Rows whose embedding length
+        disagrees with the first row's are a corrupt store; they raise
+        here (the distributed path raises the same Q5-shaped error
+        lazily).
         """
-        n = df.count()
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        var_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.name != embedding_col
+            and isinstance(f.dataType, (T.StringType, T.BinaryType))
+        ]
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for c in var_cols:
+            aggs.append(
+                F.sum(F.coalesce(F.octet_length(F.col(c)), F.lit(0))).alias(
+                    f"_b_{c}"
+                )
+            )
+        sizes = df.agg(*aggs).first()
+        n = sizes["n"]
         if n == 0:
             return cls(np.zeros((0, 0)), np.zeros(0), [], 0)
         first_dim = len(
             df.select(embedding_col).first()[0]
         )
         if n * first_dim > max_cells:
+            return None
+        payload_bytes = n * _FIXED_WIDTH_ROW_BYTES + sum(
+            int(sizes[f"_b_{c}"] or 0) for c in var_cols
+        )
+        if payload_bytes > max_payload_bytes:
             return None
         try:
             # Arrow path: one batched transfer, vectors land as a flat

@@ -73,7 +73,13 @@ class VectorDBApi:
     """The endpoint logic, separated from HTTP plumbing so tests can
     call it directly and alternative transports can reuse it."""
 
-    def __init__(self, engine, *, matrix_max_cells: int | None = None):
+    def __init__(
+        self,
+        engine,
+        *,
+        matrix_max_cells: int | None = None,
+        matrix_max_payload_bytes: int | None = None,
+    ):
         self.engine = engine
         # Warm serving path: /query hits a TIERED corpus cache — a
         # driver-resident matrix (operators/serving.py) while the
@@ -87,10 +93,16 @@ class VectorDBApi:
         # picked up on the next query instead of served stale.
         from converttovectordb_spark.operators.serving import (
             DEFAULT_MAX_CELLS,
+            DEFAULT_MAX_PAYLOAD_BYTES,
         )
 
         self._matrix_max_cells = (
             DEFAULT_MAX_CELLS if matrix_max_cells is None else matrix_max_cells
+        )
+        self._matrix_max_payload_bytes = (
+            DEFAULT_MAX_PAYLOAD_BYTES
+            if matrix_max_payload_bytes is None
+            else matrix_max_payload_bytes
         )
         self._corpus = None  # distributed tier: cached DataFrame
         self._matrix = None  # matrix tier: DriverMatrixIndex
@@ -132,7 +144,9 @@ class VectorDBApi:
 
             df = self.engine.store.load()
             idx = DriverMatrixIndex.from_dataframe(
-                df, max_cells=self._matrix_max_cells
+                df,
+                max_cells=self._matrix_max_cells,
+                max_payload_bytes=self._matrix_max_payload_bytes,
             )
             if idx is not None:
                 self._matrix = idx
@@ -596,8 +610,13 @@ class VectorDBServer:
         port: int = 5000,
         *,
         matrix_max_cells: int | None = None,
+        matrix_max_payload_bytes: int | None = None,
     ):
-        self.api = VectorDBApi(engine, matrix_max_cells=matrix_max_cells)
+        self.api = VectorDBApi(
+            engine,
+            matrix_max_cells=matrix_max_cells,
+            matrix_max_payload_bytes=matrix_max_payload_bytes,
+        )
         self._httpd = ThreadingHTTPServer((host, port), _make_handler(self.api))
         self._thread: threading.Thread | None = None
 

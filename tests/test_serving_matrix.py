@@ -89,6 +89,62 @@ def test_budget_fallback_returns_none(spark):
     assert DriverMatrixIndex.from_dataframe(df, max_cells=10) is None
 
 
+def test_payload_budget_fallback(spark):
+    """VERDICT r9 #1: the admission gate must count PAYLOAD bytes, not
+    just embedding cells — a small-N corpus with huge content strings
+    passes the cell budget yet would OOM the driver at materialize
+    time, so it must fall back to the distributed tier (None)."""
+    big = "x" * 50_000
+    df = spark.createDataFrame(
+        [(f"p{i}", big, [float(i), 1.0]) for i in range(100)],
+        "path string, content string, embedding array<double>",
+    )
+    # 200 cells — far inside the cell budget; ~5 MB of content against
+    # a 1 MB payload budget → distributed tier.
+    assert (
+        DriverMatrixIndex.from_dataframe(df, max_payload_bytes=1_000_000)
+        is None
+    )
+    # Same corpus under the default budget is admitted and serves.
+    idx = DriverMatrixIndex.from_dataframe(df)
+    assert idx is not None and idx.n == 100
+    got = idx.query([0.0, 1.0], 3, id_cols=["path"])
+    assert len(got) == 3 and all(len(r["content"]) == 50_000 for r in got)
+
+
+def test_server_payload_budget_serves_distributed(spark, tmp_path):
+    """The REST door under a tight payload budget must serve the same
+    results through the distributed (cached DataFrame) tier."""
+    from converttovectordb_spark.embeddings import hash_embedder
+    from converttovectordb_spark.engine import VectorEngine
+    from converttovectordb_spark.server import VectorDBApi
+
+    docs = spark.createDataFrame(
+        [
+            (f"d{i}.txt", ".txt", 0, 1, "y" * 10_000, [float(i), 1.0], 0.0)
+            for i in range(20)
+        ],
+        "path string, extension string, chunk_index int, total_chunks int, "
+        "content string, embedding array<float>, timestamp double",
+    )
+    store = str(tmp_path / "store")
+    eng = VectorEngine(spark, store, embedder=hash_embedder(2), dim=2)
+    eng.store.append(docs)
+
+    tight = VectorDBApi(eng, matrix_max_payload_bytes=1_000)
+    roomy = VectorDBApi(eng)
+    body = {"query_embedding": [1.0, 1.0], "top_k": 4}
+    got = tight.query(dict(body))
+    want = roomy.query(dict(body))
+    assert tight._matrix is None and tight._corpus is not None
+    assert roomy._matrix is not None
+    assert [r["path"] for r in got["results"]] == [
+        r["path"] for r in want["results"]
+    ]
+    for g, w in zip(got["results"], want["results"]):
+        assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+
+
 def test_empty_corpus(spark):
     df = _corpus(spark).filter(F.lit(False))
     idx = DriverMatrixIndex.from_dataframe(df)
