@@ -345,6 +345,54 @@ def ivf_knn_join(
     )
 
 
+#: Pairwise-dot budget per (cluster, salt) bucket for auto salt sizing.
+#: A codegen'd float64 dot at d=384 costs ~1 µs/pair in the joined
+#: scoring stage (SCALING.md's selfjoin slope), so 1M pairs ≈ 1 s of
+#: compute per task — large enough to amortize task launch, small
+#: enough that one hot cluster cannot serialize the stage.
+DEFAULT_TARGET_PAIRS_PER_TASK = 1_000_000
+
+#: Per-cluster salting ceiling: each probe row landing on a cluster is
+#: replicated S_c ways, so S_c also multiplies that cluster's probe
+#: shuffle volume. 64 bounds the worst replication at ~64× for the hot
+#: cluster ONLY (cold clusters stay at 1 under adaptive sizing).
+DEFAULT_MAX_SALT_BUCKETS = 64
+
+
+def auto_salt_buckets(
+    cluster_size: int,
+    n_docs: int,
+    n_queries: int,
+    nprobe: int,
+    *,
+    target_pairs_per_task: int = DEFAULT_TARGET_PAIRS_PER_TASK,
+    max_buckets: int = DEFAULT_MAX_SALT_BUCKETS,
+) -> int:
+    """Salt-bucket count for ONE doc cluster, from corpus stats.
+
+    Expected probe load on a cluster of size d_c: proportional routing
+    sends ``Q·nprobe·d_c/N`` probes its way, and in the self-join shape
+    every member probes its own cluster, flooring the estimate at
+    ``min(Q, d_c)``. The task bound we want is pairs-per-bucket ≈
+    ``q_c·d_c/S ≤ target``, so ``S = ceil(q_c·d_c/target)``, clamped to
+    ``[1, max_buckets]``. Estimates err high on purpose: an extra salt
+    bucket costs one more probe replica; a missing one costs a
+    stage-serializing hot task."""
+    if cluster_size <= 0 or n_queries <= 0 or n_docs <= 0:
+        return 1
+    est_q = min(
+        n_queries,
+        max(
+            n_queries * nprobe * cluster_size / n_docs,
+            min(n_queries, cluster_size),
+        ),
+    )
+    import math
+
+    s = math.ceil(est_q * cluster_size / max(int(target_pairs_per_task), 1))
+    return max(1, min(s, int(max_buckets)))
+
+
 def ivf_knn_join_shuffled(
     queries: DataFrame,
     docs: DataFrame,
@@ -357,7 +405,8 @@ def ivf_knn_join_shuffled(
     doc_vec_col: str = "embedding",
     cluster_col: str = "label",
     centroids: DataFrame | None = None,
-    salt_buckets: int = 1,
+    salt_buckets: int | str = 1,
+    target_pairs_per_task: int = DEFAULT_TARGET_PAIRS_PER_TASK,
     exclude_self: bool = False,
     query_label_col: str | None = None,
 ) -> DataFrame:
@@ -393,7 +442,14 @@ def ivf_knn_join_shuffled(
          cluster into S deterministic sub-buckets (`pmod(xxhash64(id),
          S)`) and replicates each probe row S ways, bounding any single
          task's pair count when cluster sizes are skewed — results are
-         invariant to S.
+         invariant to S. ``salt_buckets="auto"`` sizes S PER CLUSTER
+         from the corpus's cluster-size histogram (one tiny plan-time
+         agg + a query count): each cluster gets
+         ``auto_salt_buckets(d_c, N, Q, nprobe)`` buckets targeting
+         ``target_pairs_per_task`` pairs per task, broadcast to both
+         sides as a cluster→S_c map. Only hot clusters pay probe
+         replication; uniform-S replicates EVERY probe row S ways,
+         which at 100 TB wastes shuffle volume on the cold tail.
       3. Per-(query, cluster) partial top-k: the join output is already
          hash-partitioned by the join key, which satisfies the window's
          clustering requirement, so this prune costs a local sort and
@@ -414,16 +470,22 @@ def ivf_knn_join_shuffled(
     never coalesces a user-specified partition count.
     """
     top_k = validate_top_k(top_k)
-    if salt_buckets < 1:
+    if isinstance(salt_buckets, str):
+        if salt_buckets != "auto":
+            raise ValueError(
+                f'salt_buckets must be an int >= 1 or "auto", '
+                f"got {salt_buckets!r}"
+            )
+    elif salt_buckets < 1:
         raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
     if query_label_col is not None:
         # reserved names: cluster_col would make the disqualifier
         # self-compare, doc_id_col/query_id_col go ambiguous after the
-        # join, and the internals (_qvec/_dvec/_salt) silently
+        # join, and the internals (_qvec/_dvec/_salt/_nsalt) silently
         # overwrite the carried label (worst: _salt with salting on)
         reserved = {
             cluster_col, doc_id_col, query_id_col,
-            "_qvec", "_dvec", "_salt",
+            "_qvec", "_dvec", "_salt", "_nsalt",
         }
         if query_label_col in reserved:
             raise ValueError(
@@ -490,7 +552,69 @@ def ivf_knn_join_shuffled(
         F.col(doc_id_col),
         l2_normalize(F.col(doc_vec_col)).alias("_dvec"),
     )
-    if salt_buckets > 1:
+    if salt_buckets == "auto":
+        # Per-cluster adaptive salting: size S_c from the cluster-size
+        # histogram. Two tiny plan-time jobs (a grouped count over the
+        # corpus, a query count); the map is one row per NON-TRIVIAL
+        # cluster (S_c > 1), broadcast-joined to both sides — cold
+        # clusters skip replication entirely via coalesce(_nsalt, 1).
+        spark = docs.sparkSession
+        hist = (
+            docs.groupBy(F.col(cluster_col))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        n_docs = sum(r["_n"] for r in hist)
+        n_queries = queries.count()
+        sizes = [
+            (
+                r[cluster_col],
+                auto_salt_buckets(
+                    r["_n"],
+                    n_docs,
+                    n_queries,
+                    nprobe,
+                    target_pairs_per_task=target_pairs_per_task,
+                ),
+            )
+            for r in hist
+        ]
+        hot = [(cid, s) for cid, s in sizes if s > 1]
+        if not hot:
+            salt_buckets = 1
+        else:
+            cluster_type = docs_side.schema[cluster_col].dataType.simpleString()
+            salt_map = F.broadcast(
+                spark.createDataFrame(
+                    hot, f"{cluster_col} {cluster_type}, _nsalt int"
+                )
+            )
+            docs_side = (
+                docs_side.join(salt_map, on=cluster_col, how="left")
+                .withColumn(
+                    "_salt",
+                    F.pmod(
+                        F.xxhash64(F.col(doc_id_col)),
+                        F.coalesce(F.col("_nsalt"), F.lit(1)),
+                    ).cast("int"),
+                )
+                .drop("_nsalt")
+            )
+            probe = (
+                probe.join(salt_map, on=cluster_col, how="left")
+                .withColumn(
+                    "_salt",
+                    F.explode(
+                        F.sequence(
+                            F.lit(0), F.coalesce(F.col("_nsalt"), F.lit(1)) - 1
+                        )
+                    ),
+                )
+                .drop("_nsalt")
+            )
+            join_keys.append("_salt")
+            salt_buckets = None  # handled; skip the uniform branch
+    if isinstance(salt_buckets, int) and salt_buckets > 1:
         docs_side = docs_side.withColumn(
             "_salt",
             F.pmod(F.xxhash64(F.col(doc_id_col)), F.lit(salt_buckets)).cast(

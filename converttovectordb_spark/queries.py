@@ -599,7 +599,13 @@ def q_hard_negatives_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's own probed cluster contributes nothing and its negatives
     come from the nearest FOREIGN clusters — exactly the near-boundary
     negatives that move a contrastive loss. Centroids come from the
-    materialized index artifact (offline build, as in production)."""
+    materialized index artifact (offline build, as in production).
+
+    salt_buckets="auto": S is sized per cluster from the corpus's
+    cluster-size histogram (auto_salt_buckets), not hardcoded — at
+    100 TB a skewed hot cluster bounds the whole join, and the right S
+    is a function of that skew. Results are salt-invariant (the oracle
+    has no salt concept), so the sizing is free to vary with stats."""
     emb = load(spark, sf_dir, "embeddings")
     probes = emb.select(
         F.col("vec_id").alias("query_id"),
@@ -616,7 +622,7 @@ def q_hard_negatives_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         top_k=2,
         nprobe=2,
-        salt_buckets=4,
+        salt_buckets="auto",
         centroids=cents,
         query_label_col="qlabel",
     )

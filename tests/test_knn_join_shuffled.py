@@ -170,7 +170,7 @@ def test_query_label_disqualifier(emb, spark):
 
 
 @pytest.mark.parametrize(
-    "bad", ["label", "vec_id", "query_id", "_qvec", "_dvec", "_salt"]
+    "bad", ["label", "vec_id", "query_id", "_qvec", "_dvec", "_salt", "_nsalt"]
 )
 def test_query_label_reserved_names_rejected(emb, probes, bad):
     with pytest.raises(ValueError, match="collides"):
@@ -179,3 +179,97 @@ def test_query_label_reserved_names_rejected(emb, probes, bad):
             emb,
             query_label_col=bad,
         )
+
+
+def test_auto_salt_buckets_sizing():
+    """Pure arithmetic of the per-cluster salt sizing."""
+    from converttovectordb_spark.operators.search import (
+        DEFAULT_MAX_SALT_BUCKETS,
+        auto_salt_buckets,
+    )
+
+    # cold cluster under the pair budget → 1 (no replication)
+    assert auto_salt_buckets(100, 10_000, 10_000, 2) == 1
+    # self-join hot cluster: q_c ≈ min(Q, Q·nprobe·d/N) pairs > target
+    # 900-row cluster of 1000 docs, 1000 queries, nprobe=2:
+    # est_q = min(1000, 1800) = 1000 → 900k pairs / 10k target = 90 → cap
+    assert (
+        auto_salt_buckets(900, 1000, 1000, 2, target_pairs_per_task=10_000)
+        == DEFAULT_MAX_SALT_BUCKETS
+    )
+    assert (
+        auto_salt_buckets(900, 1000, 1000, 2, target_pairs_per_task=100_000)
+        == 9
+    )
+    # tiny query side bounds est_q at Q even for a huge cluster
+    assert (
+        auto_salt_buckets(
+            1_000_000, 1_000_000, 10, 2, target_pairs_per_task=10_000_000
+        )
+        == 1
+    )
+    # degenerate inputs never salt
+    assert auto_salt_buckets(0, 0, 0, 2) == 1
+
+
+def test_auto_salt_bounds_hot_cluster_and_matches_unsalted(spark):
+    """salt_buckets="auto" on a constructed hot-cluster corpus: the hot
+    cluster gets >1 buckets sized to the pair budget, the max per-
+    (cluster, salt) bucket's pair count is bounded, cold clusters skip
+    replication, and results equal the unsalted run (salt invariance).
+    """
+    import math
+
+    from converttovectordb_spark.operators.search import auto_salt_buckets
+
+    # 3 clusters: one hot (60 rows), two cold (5 rows each); every row
+    # is a query. Distinct angles make scores/tie-breaks deterministic.
+    rows = []
+    vid = 0
+    for label, n in ((0, 60), (1, 5), (2, 5)):
+        for i in range(n):
+            a = 0.1 * i + label * 10.0
+            rows.append((vid, label, [math.cos(a), math.sin(a), 1.0 + label]))
+            vid += 1
+    docs = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    q = docs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    target = 2_000  # hot: est_q=70·2·60/70→120→min(70,…)=70? see below
+    ref = _rows(
+        ivf_knn_join_shuffled(q, docs, top_k=3, nprobe=2, salt_buckets=1)
+    )
+    got = _rows(
+        ivf_knn_join_shuffled(
+            q,
+            docs,
+            top_k=3,
+            nprobe=2,
+            salt_buckets="auto",
+            target_pairs_per_task=target,
+        )
+    )
+    assert got == ref
+
+    # the sizing the operator applied, recomputed from the same stats
+    n_docs, n_q = 70, 70
+    s_hot = auto_salt_buckets(60, n_docs, n_q, 2, target_pairs_per_task=target)
+    s_cold = auto_salt_buckets(5, n_docs, n_q, 2, target_pairs_per_task=target)
+    assert s_hot > 1 and s_cold == 1
+    # bound: worst bucket's pairs ≈ est_q_hot · d_hot / S ≤ target, with
+    # 2× slack for the xxhash split's unevenness at this small n
+    per_bucket_docs = (
+        docs.filter(F.col("label") == 0)
+        .withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(s_hot))
+        )
+        .groupBy("_salt")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    est_q_hot = min(n_q, max(n_q * 2 * 60 / n_docs, min(n_q, 60)))
+    assert est_q_hot * per_bucket_docs <= 2 * target
