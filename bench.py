@@ -281,6 +281,36 @@ def main() -> int:
             http_p50 = round(
                 statistics.median(one_request() for _ in range(20)), 4
             )
+
+            # Batch door at the same condition: 64 distinct probes per
+            # POST (/query_batch, one GEMM on the matrix tier). The
+            # number reported is PER-QUERY — comparable to http_p50;
+            # the reference client can only loop single requests
+            # (query_vector_db.py:133-140).
+            probes64 = [
+                [float(x) for x in r[0]]
+                for r in matched.select("embedding").limit(64).collect()
+            ]
+            bpayload = json.dumps(
+                {"query_embeddings": probes64, "top_k": 5}
+            ).encode()
+
+            def one_batch() -> float:
+                req = urllib.request.Request(
+                    f"http://{host}:{port}/query_batch",
+                    data=bpayload,
+                    method="POST",
+                    headers={"Content-Type": "application/json"},
+                )
+                t0 = time.time()
+                with urllib.request.urlopen(req, timeout=300) as resp:
+                    json.loads(resp.read())
+                return time.time() - t0
+
+            one_batch()  # warm
+            http_batch64_per_query_p50 = round(
+                statistics.median(one_batch() for _ in range(5)) / 64, 6
+            )
         finally:
             srv.stop()
     matched.unpersist()
@@ -487,6 +517,12 @@ def main() -> int:
                     # (reference vector_db_api.log:736-738 is an HTTP
                     # timing too — this is the honest apples-to-apples)
                     "http_query_p50_sec": http_p50,
+                    # batch door: 64 probes/POST, PER-QUERY p50 — the
+                    # GEMM amortization the single-request door can't
+                    # offer (reference client loops single queries)
+                    "http_batch64_per_query_p50_sec": (
+                        http_batch64_per_query_p50
+                    ),
                     # PIPELINE throughput: chunk + dim-64 HASH embedder +
                     # parquet write. NOT comparable to the reference's
                     # ~32-74 chunks/s, which is dominated by real MiniLM

@@ -1650,6 +1650,96 @@ class VectorEngine:
         self._index_token = token
         return added
 
+    def maybe_retrain(
+        self,
+        shift_threshold: float,
+        *,
+        num_clusters: int | None = None,
+        seed: int = 7,
+        pq_m: int | None = None,
+        pq_k: int | None = None,
+    ) -> dict:
+        """The scheduled-retrain verb: measure drift
+        (`index_drift_report`, one linear corpus pass), and if the
+        worst frozen centroid has shifted past ``shift_threshold`` (L2
+        distance to its routed rows' current mean), rebuild the index
+        and publish it — otherwise a no-op. Connects the two halves
+        that already existed: the drift diagnostic and the
+        rebuild-and-swap protocol (`build_index`'s fresh-dir build +
+        atomic CURRENT pointer replace for transactional indexes).
+
+        Self-stabilizing on a schedule: a rebuild re-trains centroids
+        on the current corpus, so the post-rebuild drift is ~0 and an
+        immediate replay is a no-op — idempotence comes from the
+        measurement, not from remembering that a retrain happened.
+        Readers attached to the old index keep serving through the
+        swap; `open_index()` picks up the new one.
+
+        Build parameters default to the live index's own shape:
+        ``num_clusters`` from its centroid count, PQ (m, k) from its
+        codebook table when present — a retrain must not silently
+        change the index family (dropping PQ on a drift rebuild would
+        break every ADC consumer). Returns a report dict; ``retrained``
+        says whether a rebuild+publish happened."""
+        index = getattr(self, "_index", None)
+        if index is None:
+            raise RuntimeError(
+                "no IVF index built or opened; call build_index() or "
+                "open_index() first"
+            )
+        from converttovectordb_spark.plans.ivf_index import (
+            TransactionalIVFIndex,
+            index_drift_report,
+        )
+
+        docs = self._dedup_row_ids(
+            self.store.load().withColumn("_row_id", _row_id())
+        )
+        report = index_drift_report(index, docs).collect()
+        shifts = [r for r in report if r["centroid_shift"] is not None]
+        max_shift = max((r["centroid_shift"] for r in shifts), default=0.0)
+        total = sum(r["n_rows"] for r in report)
+        mean_shift = (
+            sum(r["centroid_shift"] * r["n_rows"] for r in shifts) / total
+            if total
+            else 0.0
+        )
+        out = {
+            "retrained": False,
+            "max_shift": float(max_shift),
+            "mean_shift": float(mean_shift),
+            "starved_clusters": sum(1 for r in report if r["n_rows"] == 0),
+            "clusters": len(report),
+            "shift_threshold": float(shift_threshold),
+        }
+        if max_shift <= shift_threshold:
+            return out
+        if num_clusters is None:
+            num_clusters = len(report)
+        if index.has_pq():
+            cb = (
+                index.pq_codebooks()
+                .agg(
+                    F.countDistinct("sub").alias("m"),
+                    (F.max("code") + 1).alias("k"),
+                )
+                .first()
+            )
+            if pq_m is None:
+                pq_m = int(cb["m"])
+            if pq_k is None:
+                pq_k = int(cb["k"])
+        self.build_index(
+            num_clusters=num_clusters,
+            seed=seed,
+            pq_m=pq_m,
+            pq_k=pq_k if pq_k is not None else 16,
+            transactional=isinstance(index, TransactionalIVFIndex),
+        )
+        out["retrained"] = True
+        out["index_path"] = self._index.path
+        return out
+
     def search_indexed(
         self,
         query_text: str,

@@ -316,8 +316,20 @@ class DriverMatrixIndex:
                 scores = np.where(
                     self.norms == 0.0, 0.0, (self.matrix @ q) / denom
                 )
-        # Top-k with the deterministic tie-break: ALL rows tied with the
-        # k-th score stay candidates, then ascending id_cols break ties.
+        return self._select_topk(scores, top_k, score_threshold, id_cols)
+
+    def _select_topk(
+        self,
+        scores: np.ndarray,
+        top_k: int,
+        score_threshold: float,
+        id_cols: list[str] | None,
+    ) -> list[dict]:
+        """Shared per-query selection (single and batched doors MUST
+        not drift): top-k with the deterministic tie-break — ALL rows
+        tied with the k-th score stay candidates, then ascending
+        id_cols break ties — and the threshold applied AFTER the limit
+        (Q4)."""
         k = min(int(top_k), self.n)
         if k < self.n:
             part = np.argpartition(-scores, k - 1)[:k]
@@ -338,6 +350,52 @@ class DriverMatrixIndex:
             row["score"] = float(scores[i])
             out.append(row)
         return out
+
+    def query_batch(
+        self,
+        query_vectors: list[list[float]],
+        top_k: int,
+        *,
+        score_threshold: float = 0.1,
+        id_cols: list[str] | None = None,
+    ) -> list[list[dict]]:
+        """Batched twin of :meth:`query`: ONE GEMM scores all Q queries
+        against the corpus (``matrix @ Q.T``), then the per-query
+        selection reuses the single-query path exactly. Per-query cost
+        amortizes the matrix traversal — BLAS reuses each corpus row
+        across all Q columns while it is in cache, which a Q-times
+        loop of matrix-vector products cannot."""
+        Q = np.asarray(
+            [[float(x) for x in v] for v in query_vectors], dtype=np.float64
+        )
+        if Q.ndim != 2:
+            raise ValueError(
+                "query embeddings must be equal-length numeric vectors"
+            )
+        if not np.all(np.isfinite(Q)):
+            raise ValueError(
+                "query embedding contains non-finite values (NaN/Infinity)"
+            )
+        if self.n == 0:
+            return [[] for _ in range(Q.shape[0])]
+        if Q.shape[1] != self.dim:
+            raise ValueError(
+                f"query dimension {Q.shape[1]} != stored dimension {self.dim}"
+            )
+        qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))  # (q,)
+        dots = self.matrix @ Q.T  # (n, q) — the one GEMM
+        denom = np.outer(self.norms, qn)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scores = np.where(denom == 0.0, 0.0, dots / denom)
+        return [
+            self._select_topk(
+                np.ascontiguousarray(scores[:, j]),
+                top_k,
+                score_threshold,
+                id_cols,
+            )
+            for j in range(Q.shape[0])
+        ]
 
     def _scores(self, query_vector: list[float]) -> np.ndarray:
         q = np.asarray([float(x) for x in query_vector], dtype=np.float64)

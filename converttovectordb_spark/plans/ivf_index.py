@@ -604,6 +604,27 @@ class TransactionalIVFIndex(IVFIndex):
     CORPUS_BATCHES = "corpus_batches"
     CODES_BATCHES = "codes_batches"
 
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        auto_compact_after: int | None = None,
+    ):
+        """``auto_compact_after=K``: after an append commit, when the
+        live version count reaches K, run `compact()` — the same
+        write-door policy as `TransactionalDocumentStore`, so a
+        streaming maintainer's per-epoch commits cannot grow the
+        manifest and small-file count unbounded. compact() already
+        tolerates concurrent epochs (captured-set contract), so the
+        policy composes with the streaming sink."""
+        super().__init__(spark, path)
+        if auto_compact_after is not None and auto_compact_after < 2:
+            raise ValueError(
+                f"auto_compact_after must be >= 2, got {auto_compact_after}"
+            )
+        self.auto_compact_after = auto_compact_after
+
     # -- manifest machinery (same O_EXCL-create-is-the-commit protocol
     # as TransactionalDocumentStore.append) --------------------------
     def _manifest_path(self) -> str:
@@ -889,7 +910,7 @@ class TransactionalIVFIndex(IVFIndex):
             if assigned is None:
                 return 0
             assigned = assigned.select(*self.corpus().columns)
-            return self._append_assigned(
+            written = self._append_assigned(
                 assigned,
                 vec_col=vec_col,
                 txn_id=txn_id,
@@ -898,6 +919,12 @@ class TransactionalIVFIndex(IVFIndex):
         finally:
             if we_persisted:
                 new_docs.unpersist()
+        # write-door compaction policy (see __init__): after the commit,
+        # so the epoch is durable regardless of the rewrite's fate
+        k = getattr(self, "auto_compact_after", None)
+        if k is not None and len(self._live_versions()) >= k:
+            self.compact()
+        return written
 
     CURRENT_POINTER = "CURRENT"
 
@@ -924,14 +951,25 @@ class TransactionalIVFIndex(IVFIndex):
 
     @classmethod
     def open_current(
-        cls, spark: SparkSession, base_dir: str
+        cls,
+        spark: SparkSession,
+        base_dir: str,
+        *,
+        auto_compact_after: int | None = None,
     ) -> "TransactionalIVFIndex":
         """Attach to whatever CURRENT points at (raises FileNotFoundError
-        when nothing was published)."""
+        when nothing was published). ``auto_compact_after`` arms the
+        write-door compaction policy on the attached handle — an
+        attach-time choice, not index state, so each maintainer decides
+        its own cadence."""
         import os
 
         with open(os.path.join(base_dir, cls.CURRENT_POINTER)) as fh:
-            return cls(spark, fh.read().strip())
+            return cls(
+                spark,
+                fh.read().strip(),
+                auto_compact_after=auto_compact_after,
+            )
 
     def compact(self) -> int:
         """Rewrite the committed snapshot as ONE batch pair and publish

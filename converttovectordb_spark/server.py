@@ -366,6 +366,116 @@ class VectorDBApi:
             "total_documents_searched": int(obs.get["n_docs"]),
         }
 
+    # -- POST /query_batch (API extension: the bulk door) ----------------
+    def query_batch(self, body: dict) -> dict:
+        """Q query vectors per POST — where Spark (and BLAS) win over
+        the reference's one-query-per-request client loop
+        (query_vector_db.py:133-140). Matrix tier: ONE GEMM scores all
+        queries (`DriverMatrixIndex.query_batch`); distributed tier:
+        one broadcast `knn_join` Spark job for the whole batch instead
+        of Q sequential scans. Per-query semantics are IDENTICAL to
+        /query (Q1/Q3/Q4/Q5, threshold after limit); ``results[i]``
+        answers ``query_embeddings[i]``."""
+        start = time.time()
+        embs = body.get("query_embeddings")
+        if not embs or not isinstance(embs, list):
+            raise _ApiError(400, "No query embeddings provided")
+        top_k = body.get("top_k", 5)
+        if not isinstance(top_k, int) or isinstance(top_k, bool) or top_k <= 0:
+            top_k = 5
+        eng = self.engine
+        if not eng.store.exists():
+            return {
+                "results": [[] for _ in embs],
+                "query_time": time.time() - start,
+                "total_documents_searched": 0,
+            }
+        clean = []
+        for i, emb in enumerate(embs):
+            try:
+                vec = [float(x) for x in emb]
+            except (TypeError, ValueError):
+                raise _ApiError(
+                    400, f"Invalid query embedding format at index {i}"
+                )
+            import math
+
+            if not vec or not all(math.isfinite(x) for x in vec):
+                raise _ApiError(
+                    400, f"Invalid query embedding format at index {i}"
+                )
+            if eng.dim is not None and len(vec) != eng.dim:
+                raise _ApiError(
+                    400, f"Query embedding dimension mismatch at index {i}"
+                )
+            clean.append(vec)
+        handle = self._corpus_handle()
+        if handle is None:
+            return {
+                "results": [[] for _ in embs],
+                "query_time": time.time() - start,
+                "total_documents_searched": 0,
+            }
+        kind, corpus = handle
+        if kind == "matrix":
+            try:
+                results = corpus.query_batch(
+                    clean, top_k, id_cols=["path", "chunk_index"]
+                )
+            except ValueError as e:
+                raise _ApiError(400, str(e))
+            return {
+                "results": results,
+                "query_time": time.time() - start,
+                "total_documents_searched": corpus.n,
+            }
+        # Distributed tier: one broadcast join job for the whole batch.
+        # The doc id is a (path, chunk_index) struct so the per-query
+        # tie-break is the same (path asc, chunk_index asc) order the
+        # single-query door uses.
+        from pyspark.sql import Observation
+
+        from converttovectordb_spark.functions.vector import NORM_COL
+        from converttovectordb_spark.operators.search import knn_join
+        from converttovectordb_spark.operators.serving import (
+            point_query_mode,
+        )
+
+        queries_df = eng.spark.createDataFrame(
+            list(enumerate(clean)),
+            "query_index int, query_vec array<double>",
+        )
+        obs = Observation()
+        docs = corpus.observe(
+            obs, F.count(F.lit(1)).alias("n_docs")
+        ).withColumn(
+            "_rid", F.struct(F.col("path"), F.col("chunk_index"))
+        )
+        hits = knn_join(
+            queries_df,
+            docs,
+            top_k,
+            query_id_col="query_index",
+            doc_id_col="_rid",
+            score_threshold=0.1,
+        )
+        payload = docs.drop("embedding")
+        if NORM_COL in payload.columns:
+            payload = payload.drop(NORM_COL)
+        joined = hits.join(payload, on="_rid").drop("_rid")
+        with point_query_mode(eng.spark):
+            rows = joined.collect()
+        results = [[] for _ in embs]
+        for r in sorted(rows, key=lambda r: (r["query_index"], r["rank"])):
+            d = r.asDict(recursive=True)
+            d.pop("query_index"), d.pop("rank")
+            results[r["query_index"]].append(d)
+        return {
+            "results": results,
+            "query_time": time.time() - start,
+            "total_documents_searched": int(obs.get["n_docs"]),
+        }
+
     # -- engine-native verbs --------------------------------------------
     def search_text(self, body: dict) -> dict:
         start = time.time()
@@ -535,6 +645,7 @@ class VectorDBApi:
 _POST_ROUTES = {
     "/add_documents": "add_documents",
     "/query": "query",
+    "/query_batch": "query_batch",
     "/search": "search_text",
     "/hybrid": "hybrid",
     "/diverse": "diverse",

@@ -144,6 +144,31 @@ class TransactionalDocumentStore(DocumentStore):
     MANIFEST_DIR = "_manifest"
     DATA_DIR = "data"
 
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        partition_by: tuple[str, ...] = (),
+        *,
+        auto_compact_after: int | None = None,
+    ):
+        """``auto_compact_after=K`` turns on the write-door compaction
+        policy: when an append commit brings the LIVE version count to
+        K or more, the append runs `compact()` before returning. The
+        push and streaming doors produce one commit per batch — at
+        scale the manifest and small-file count grow unbounded without
+        a policy, and relying on an operator to call compact() is an
+        outage waiting to happen. Amortized cost: one snapshot rewrite
+        per K appends; time travel and txn replay dedup are unaffected
+        (manifests are never deleted, only superseded)."""
+        super().__init__(spark, path, partition_by)
+        if auto_compact_after is not None and auto_compact_after < 2:
+            raise ValueError(
+                f"auto_compact_after must be >= 2 (every-append rewrites "
+                f"are the reference's O(N²) bug), got {auto_compact_after}"
+            )
+        self.auto_compact_after = auto_compact_after
+
     def _manifest_path(self) -> str:
         return os.path.join(self.path, self.MANIFEST_DIR)
 
@@ -230,9 +255,19 @@ class TransactionalDocumentStore(DocumentStore):
                 # lose the race retry with the next version.
                 with open(target, "x") as fh:
                     json.dump(commit, fh)
-                return rows
+                break
             except FileExistsError:
                 version += 1
+        self._maybe_auto_compact()
+        return rows
+
+    def _maybe_auto_compact(self) -> None:
+        """The version-count compaction trigger (see ``__init__``):
+        fires AFTER a successful commit, so the appended batch is
+        already durable whether or not the rewrite succeeds."""
+        k = self.auto_compact_after
+        if k is not None and len(self._live_versions(self._versions())) >= k:
+            self.compact()
 
     def append_dedup(
         self,
@@ -447,7 +482,13 @@ class TransactionalDocumentStore(DocumentStore):
         versions = self._versions()
         if not versions:
             return 0
-        snapshot = self.load(require_embedding=False)
+        # Snapshot is capped at the CAPTURED version set (same contract
+        # as TransactionalIVFIndex.compact): a batch committed while
+        # the rewrite runs is neither in the snapshot nor in
+        # ``replaces`` — it stays live beside the compacted commit. An
+        # uncapped load() here could include that batch's rows in the
+        # snapshot while leaving its version live → duplicates.
+        snapshot = self.load(require_embedding=False, at_version=versions[-1])
         batch_dir = os.path.join(self.path, self.DATA_DIR, uuid.uuid4().hex)
         obs = Observation()
         staged = snapshot.observe(obs, F.count(F.lit(1)).alias("rows"))

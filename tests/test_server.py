@@ -180,6 +180,78 @@ def test_query_error_semantics(server):
     assert status == 400 and out["error"] == "Request must be JSON"
 
 
+def test_query_batch_matches_single_queries_both_tiers(spark, tmp_path):
+    """/query_batch answers Q vectors per POST; results[i] must equal
+    the single /query answer for query i — on the matrix tier (one
+    GEMM) AND the distributed tier (one broadcast join job)."""
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(DIM), dim=DIM
+    )
+    srv = VectorDBServer(eng, port=0).start()
+    # tight payload budget → second server serves the df tier
+    srv_df = VectorDBServer(
+        eng, port=0, matrix_max_payload_bytes=1
+    ).start()
+    try:
+        _seed(srv, n=6)
+        probes = [_unit(0), _unit(3), [0.5] * DIM]
+        for s in (srv, srv_df):
+            status, out = _call(
+                s, "POST", "/query_batch",
+                {"query_embeddings": probes, "top_k": 3},
+            )
+            assert status == 200
+            assert len(out["results"]) == 3
+            assert out["total_documents_searched"] == 6
+            for i, probe in enumerate(probes):
+                st1, single = _call(
+                    s, "POST", "/query",
+                    {"query_embedding": probe, "top_k": 3},
+                )
+                assert st1 == 200
+                got = [
+                    (r["path"], r["chunk_index"], round(r["score"], 9))
+                    for r in out["results"][i]
+                ]
+                want = [
+                    (r["path"], r["chunk_index"], round(r["score"], 9))
+                    for r in single["results"]
+                ]
+                assert got == want, f"batch[{i}] != single (tier {s})"
+        # tier sanity: the two servers really sat on different tiers
+        assert srv.api._matrix is not None
+        assert srv_df.api._matrix is None and srv_df.api._corpus is not None
+    finally:
+        srv.stop()
+        srv_df.stop()
+
+
+def test_query_batch_error_semantics(server):
+    _seed(server, n=3)
+    # empty batch
+    status, out = _call(server, "POST", "/query_batch", {})
+    assert status == 400 and "No query embeddings" in out["error"]
+    # one bad vector poisons nothing silently — indexed 400
+    status, out = _call(
+        server, "POST", "/query_batch",
+        {"query_embeddings": [_unit(0), [1.0] * (DIM + 1)]},
+    )
+    assert status == 400 and "index 1" in out["error"]
+    status, out = _call(
+        server, "POST", "/query_batch",
+        {"query_embeddings": [_unit(0), ["x"] * DIM]},
+    )
+    assert status == 400 and "index 1" in out["error"]
+    # empty store: one empty result list per query, 200
+    status, out = _call(server, "POST", "/clear", None)
+    assert status == 200
+    status, out = _call(
+        server, "POST", "/query_batch",
+        {"query_embeddings": [_unit(0), _unit(1)]},
+    )
+    assert status == 200 and out["results"] == [[], []]
+
+
 def test_stats_health_clear_lifecycle(server):
     status, health = _call(server, "GET", "/health")
     assert status == 200 and health["status"] == "healthy"

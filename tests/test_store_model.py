@@ -108,6 +108,124 @@ def _store_rows(store, at=None):
     )
 
 
+@pytest.mark.parametrize("seed", [11, 47])
+def test_store_matches_model_with_auto_compaction(spark, tmp_path, seed):
+    """VERDICT r9 #4: the write-door compaction policy, checked against
+    the same model — every append/upsert that brings the live version
+    count to K triggers exactly one compaction inside the write, and
+    snapshots/time-travel stay identical to the model's replay."""
+    K = 3
+    rng = random.Random(seed)
+    store = TransactionalDocumentStore(
+        spark, str(tmp_path / "store"), auto_compact_after=K
+    )
+    model = ModelStore()
+    payload_n = 0
+
+    def fresh_rows(n):
+        nonlocal payload_n
+        out = []
+        for _ in range(n):
+            payload_n += 1
+            out.append((rng.choice(KEY_POOL), f"p{payload_n}"))
+        return out
+
+    def model_write(kind, rows):
+        getattr(model, kind)(rows)
+        if len(model._live_versions()) >= K:
+            model.compact()
+
+    ops = ["append"] + [
+        rng.choice(["append", "upsert", "append", "travel"])
+        for _ in range(11)
+    ]
+    for op in ops:
+        if op == "travel":
+            travelable = model.travel_versions()
+            if travelable:
+                v = rng.choice(travelable)
+                assert _store_rows(store, at=v) == model.snapshot(at=v)
+            continue
+        rows = fresh_rows(rng.randint(1, 2))
+        if op == "append":
+            store.append(_mk_batch(spark, rows))
+        else:
+            store.upsert(_mk_batch(spark, rows), key_cols=("path",))
+        model_write(op, rows)
+        assert _store_rows(store) == model.snapshot(), (
+            f"snapshot diverged after {op} (seed {seed})"
+        )
+        assert store.version() == model.commits[-1][0]
+    # the policy actually fired: compaction commits exist, and the live
+    # set stays bounded under K + the in-flight batch
+    compactions = [
+        m for m in store.history() if m.get("replaces")
+    ]
+    assert compactions
+    assert len(store._live_versions(store._versions())) <= K
+
+
+def test_auto_compaction_exactly_once_and_replay_dedup(spark, tmp_path):
+    """K tiny appends → exactly ONE compaction; a txn replay of a
+    superseded (compacted-away) epoch is still a no-op, because
+    manifests are superseded, never deleted."""
+    K = 4
+    store = TransactionalDocumentStore(
+        spark, str(tmp_path / "store"), auto_compact_after=K
+    )
+    for i in range(K):
+        store.append(
+            _mk_batch(spark, [("a.txt", f"p{i}")]), txn_id=f"epoch-{i}"
+        )
+    hist = store.history()
+    compactions = [m for m in hist if m.get("replaces")]
+    assert len(compactions) == 1
+    assert compactions[0]["replaces"] == list(range(K))
+    assert len(hist) == K + 1
+    # replay of a compacted-away epoch: still deduped
+    assert (
+        store.append(
+            _mk_batch(spark, [("a.txt", "dup")]), txn_id="epoch-1"
+        )
+        == 0
+    )
+    assert _store_rows(store) == sorted(
+        ("a.txt", f"p{i}") for i in range(K)
+    )
+    # policy validation: a rewrite-every-append cadence is rejected
+    with pytest.raises(ValueError, match="auto_compact_after"):
+        TransactionalDocumentStore(
+            spark, str(tmp_path / "s2"), auto_compact_after=1
+        )
+
+
+def test_index_auto_compaction(spark, tmp_path):
+    """The index twin: K append epochs → one compaction commit, replay
+    dedup intact, corpus identical."""
+    from converttovectordb_spark.plans.ivf_index import (
+        TransactionalIVFIndex,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(120)
+    index = TransactionalIVFIndex.build(
+        emb.filter("vec_id < 40"), str(tmp_path / "tivf"), num_clusters=2
+    )
+    index.auto_compact_after = 3
+    index.append(emb.filter("vec_id >= 40 and vec_id < 80"), txn_id="e1")
+    hist_before = index._manifests()
+    assert not any(m.get("replaces") for m in hist_before.values())
+    index.append(emb.filter("vec_id >= 80"), txn_id="e2")  # live hits 3
+    ms = index._manifests()
+    compactions = [m for m in ms.values() if m.get("replaces")]
+    assert len(compactions) == 1
+    assert index.corpus().count() == emb.count()
+    # replay of a superseded epoch still dedupes
+    assert index.append(emb.limit(5), txn_id="e1") == 0
+    assert index.corpus().count() == emb.count()
+
+
 @pytest.mark.parametrize("seed", [7, 23, 91])
 def test_store_matches_model_over_random_ops(spark, tmp_path, seed):
     rng = random.Random(seed)

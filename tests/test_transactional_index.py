@@ -286,6 +286,110 @@ def test_engine_transactional_index_rebuild_and_swap(spark, tmp_path):
     assert any("new.txt" in r.path for r in got.collect())
 
 
+def test_maybe_retrain_rebuilds_on_drift(spark, tmp_path):
+    """VERDICT r9 #3: the drift→retrain wiring. Below threshold the
+    verb is a no-op; injected drift triggers a rebuild that advances
+    CURRENT atomically (old dir intact); an immediate replay is a
+    no-op again because the rebuild re-trained the geometry —
+    idempotence by measurement, not by memory."""
+    import os
+
+    from converttovectordb_spark.embeddings import hash_embedder
+    from converttovectordb_spark.engine import VectorEngine
+
+    def mkdocs(tag, vecs):
+        return spark.createDataFrame(
+            [
+                (f"{tag}/f{i}.txt", ".txt", 0, 1, f"{tag} doc {i}", v, 0.0)
+                for i, v in enumerate(vecs)
+            ],
+            "path string, extension string, chunk_index int, "
+            "total_chunks int, content string, embedding array<float>, "
+            "timestamp double",
+        )
+
+    base_vecs = [
+        [1.0 + 0.01 * i, 0.01 * i, 0.0, 0.0] for i in range(10)
+    ] + [[0.01 * i, 1.0 + 0.01 * i, 0.0, 0.0] for i in range(10)]
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(4), dim=4
+    )
+    eng.store.append(mkdocs("base", base_vecs))
+    eng.build_index(num_clusters=2, transactional=True)
+    first_dir = eng._index.path
+
+    rep = eng.maybe_retrain(0.5)
+    assert rep["retrained"] is False and rep["max_shift"] <= 0.5
+    assert eng._index.path == first_dir
+
+    # inject drift: a mass of far-away rows pulls one cluster's mean
+    eng.store.append(
+        mkdocs("drift", [[6.0, 6.0, 0.01 * i, 0.0] for i in range(30)])
+    )
+    rep = eng.maybe_retrain(0.5)
+    assert rep["retrained"] is True and rep["max_shift"] > 0.5
+    assert rep["clusters"] == 2
+    new_dir = eng._index.path
+    assert new_dir != first_dir and os.path.isdir(first_dir)
+    cur = open(
+        os.path.join(str(tmp_path / "store") + "_tivf", "CURRENT")
+    ).read()
+    assert cur == new_dir
+    # the rebuild indexed the WHOLE current store
+    assert eng._index.corpus().count() == eng.store.load().count()
+
+    # replay: geometry now fits the corpus → no-op, pointer unchanged
+    rep2 = eng.maybe_retrain(0.5)
+    assert rep2["retrained"] is False and rep2["max_shift"] <= 0.5
+    assert eng._index.path == new_dir
+
+    # the verb refuses to run without an index
+    eng_fresh = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(4), dim=4
+    )
+    with pytest.raises(RuntimeError, match="no IVF index"):
+        eng_fresh.maybe_retrain(0.5)
+
+
+def test_maybe_retrain_preserves_pq_family(spark, tmp_path):
+    """A drift rebuild must carry the index family: PQ (m, k) is
+    inferred from the live codebooks when the caller does not pass it."""
+    from converttovectordb_spark.embeddings import hash_embedder
+    from converttovectordb_spark.engine import VectorEngine
+
+    vecs = [
+        [1.0 + 0.1 * i, 0.1 * (i % 3), 0.2 * (i % 5), 0.3 * (i % 7)]
+        for i in range(24)
+    ]
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(4), dim=4
+    )
+    eng.store.append(
+        spark.createDataFrame(
+            [
+                (f"p/f{i}.txt", ".txt", 0, 1, f"doc {i}", v, 0.0)
+                for i, v in enumerate(vecs)
+            ],
+            "path string, extension string, chunk_index int, "
+            "total_chunks int, content string, embedding array<float>, "
+            "timestamp double",
+        )
+    )
+    eng.build_index(num_clusters=2, transactional=True, pq_m=2, pq_k=4)
+    # force the rebuild branch regardless of converged-kmeans residue
+    rep = eng.maybe_retrain(-1.0)
+    assert rep["retrained"] is True
+    assert eng._index.has_pq()
+    cb = (
+        eng._index.pq_codebooks()
+        .agg(
+            F.countDistinct("sub").alias("m"), (F.max("code") + 1).alias("k")
+        )
+        .first()
+    )
+    assert (cb["m"], cb["k"]) == (2, 4)
+
+
 def test_engine_open_index_without_publish_raises(spark, tmp_path):
     from converttovectordb_spark.engine import VectorEngine
 
