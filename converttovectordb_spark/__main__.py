@@ -194,6 +194,35 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     common(sp)
 
+    sp = sub.add_parser(
+        "build-index",
+        help="train + materialize the IVF ANN index beside the store "
+        "(with --transactional: rebuild-and-swap protocol, atomic "
+        "CURRENT pointer)",
+    )
+    sp.add_argument("--num-clusters", type=int, default=16)
+    sp.add_argument(
+        "--pq-m", type=int, default=None,
+        help="also train product-quantization codes (IVFADC layout)",
+    )
+    sp.add_argument("--pq-k", type=int, default=16)
+    common(sp)
+
+    sp = sub.add_parser(
+        "retrain",
+        help="scheduled-maintenance verb: measure centroid drift on the "
+        "PUBLISHED transactional index; past --shift-threshold, rebuild "
+        "and atomically swap CURRENT (below it: no-op). Idempotent — a "
+        "rebuild zeroes the drift, so replays are no-ops",
+    )
+    sp.add_argument("--shift-threshold", type=float, required=True)
+    sp.add_argument(
+        "--num-clusters", type=int, default=None,
+        help="override the rebuilt cluster count (default: keep the "
+        "live index's)",
+    )
+    common(sp)
+
     sp = sub.add_parser("clear", help="drop the store")
     sp.add_argument("--no-backup", action="store_true")
     common(sp)
@@ -435,6 +464,40 @@ def main(argv: list[str] | None = None) -> int:
         else:
             n = eng.store.vacuum()
             print(json.dumps({"command": "vacuum", "dirs_removed": n}))
+    elif args.command == "build-index":
+        try:
+            idx = eng.build_index(
+                num_clusters=args.num_clusters,
+                pq_m=args.pq_m,
+                pq_k=args.pq_k,
+                transactional=args.transactional,
+            )
+        except Exception as e:
+            print(json.dumps({"command": "build-index", "error": str(e)}))
+            return 1
+        print(
+            json.dumps(
+                {
+                    "command": "build-index",
+                    "index_path": idx.path,
+                    "num_clusters": args.num_clusters,
+                    "pq": args.pq_m is not None,
+                    "transactional": args.transactional,
+                }
+            )
+        )
+    elif args.command == "retrain":
+        try:
+            eng.open_index()  # attach (and heal) the published index
+            rep = eng.maybe_retrain(
+                args.shift_threshold, num_clusters=args.num_clusters
+            )
+        except RuntimeError as e:  # no published transactional index
+            print(json.dumps({"command": "retrain", "error": str(e)}))
+            return 1
+        if rep["retrained"]:
+            rep["index_path"] = eng._index.path
+        print(json.dumps({"command": "retrain", **rep}))
     elif args.command == "clear":
         eng.clear(backup=not args.no_backup)
         print(json.dumps({"command": "clear", "cleared": True}))

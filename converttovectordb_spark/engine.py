@@ -385,9 +385,6 @@ class VectorEngine:
         )
         with self._write_lock:
             had_store = self.store.exists()
-            need_sem = semantic_dedup is not None and (
-                had_store or semantic_dedup_within_batch
-            )
             # apply the store's row validation BEFORE the decision and
             # the signature advance: store.append drops null
             # content/embedding rows, and signing a never-written row
@@ -399,22 +396,27 @@ class VectorEngine:
             )
             persisted = None
             try:
-                if need_sem or lexical_dedup is not None:
+                # keyed on dedup_requested, NOT on whether a drop
+                # decision will actually run: semantic_dedup against an
+                # absent store runs no anti-join, but a first-write
+                # batch with colliding identities must get the same
+                # loud refusal the lexical flag gives (ADVICE r9 —
+                # those rows shadow each other in newest-per-rid reads)
+                if dedup_requested:
                     batch = batch.persist()
                     persisted = batch
                     n_in = batch.count()
-                    if dedup_requested:
-                        n_ids = batch.select(_row_id()).distinct().count()
-                        if n_ids != n_in:
-                            raise ValueError(
-                                "append_documents with dedup flags "
-                                "requires unique (path, chunk_index) "
-                                f"identities per batch: got {n_in} rows "
-                                f"but {n_ids} distinct identities — the "
-                                "drop decision keys on that identity, so "
-                                "a colliding non-duplicate would be "
-                                "silently dropped with its twin"
-                            )
+                    n_ids = batch.select(_row_id()).distinct().count()
+                    if n_ids != n_in:
+                        raise ValueError(
+                            "append_documents with dedup flags "
+                            "requires unique (path, chunk_index) "
+                            f"identities per batch: got {n_in} rows "
+                            f"but {n_ids} distinct identities — the "
+                            "drop decision keys on that identity, so "
+                            "a colliding non-duplicate would be "
+                            "silently dropped with its twin"
+                        )
                 dup_ids = self._dedup_drop_ids(
                     batch,
                     semantic_dedup=semantic_dedup,
@@ -915,8 +917,16 @@ class VectorEngine:
         raw = self.store.load().withColumn("_rid", _row_id())
         # newest chash per rid WITHOUT shuffling text: project to the
         # compact (rid, chash, timestamp) triple BEFORE the
-        # newest-per-rid window (same rule as _dedup_row_ids)
-        w = Window.partitionBy("rid").orderBy(F.col("timestamp").desc())
+        # newest-per-rid window (same rule as _dedup_row_ids). The
+        # chash-asc tiebreak is the DETERMINISM contract shared with
+        # _dedup_row_ids: two same-rid copies with equal timestamps
+        # (one REST batch stamped with a single now) must resolve to
+        # the same copy in BOTH windows, or the artifact could sign a
+        # non-surviving copy's content and wrongly drop a future
+        # non-duplicate arrival until the next heal (ADVICE r9).
+        w = Window.partitionBy("rid").orderBy(
+            F.col("timestamp").desc(), F.col("chash").asc()
+        )
         corpus_keys = (
             raw.select(
                 F.col("_rid").alias("rid"),
@@ -1078,8 +1088,18 @@ class VectorEngine:
         """Deterministic one-copy-per-_row_id: blind re-ingest copies
         differ in `timestamp` (each ingest stamps its batch), so a bare
         dropDuplicates would keep an arbitrary copy and make results
-        run-to-run nondeterministic — keep the NEWEST instead."""
-        w = Window.partitionBy("_row_id").orderBy(F.col("timestamp").desc())
+        run-to-run nondeterministic — keep the NEWEST instead.
+
+        Tiebreak on EQUAL timestamps (one REST batch stamped with a
+        single now): xxhash64(content) asc FIRST — the same key the
+        signature heal's compact (rid, chash) window can see, so both
+        windows always crown the same copy (ADVICE r9) — then content
+        asc to stay deterministic even across a hash collision."""
+        w = Window.partitionBy("_row_id").orderBy(
+            F.col("timestamp").desc(),
+            F.xxhash64("content").asc(),
+            F.col("content").asc(),
+        )
         return (
             docs.withColumn("_rn_dedup", F.row_number().over(w))
             .filter(F.col("_rn_dedup") == 1)

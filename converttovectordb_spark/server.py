@@ -198,13 +198,26 @@ class VectorDBApi:
         # clients push pre-embedded rows).
         valid, invalid, dim_mismatch = [], 0, 0
         now = time.time()
-        for doc in new_docs:
+        for pos, doc in enumerate(new_docs):
             if not isinstance(doc, dict) or doc.get("embedding") is None:
                 invalid += 1
                 continue
+            # Content-only rows (no path, no chunk_index) get their
+            # batch position as identity — the same rule as the CLI
+            # push door's line-number default. Collapsing them all
+            # onto ("", 0) with one shared timestamp would make a
+            # multi-row batch shadow itself, and newest-per-rid reads
+            # would pick a nondeterministic winner (ADVICE r9).
+            has_path = bool(doc.get("path") or doc.get("file_path"))
+            default_ci = 0 if (has_path or "chunk_index" in doc) else pos
             try:
                 valid.append(
-                    normalize_push_row(doc, dim=self.engine.dim, now=now)
+                    normalize_push_row(
+                        doc,
+                        dim=self.engine.dim,
+                        now=now,
+                        default_chunk_index=default_ci,
+                    )
                 )
             except DimensionMismatch:
                 dim_mismatch += 1

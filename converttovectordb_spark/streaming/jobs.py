@@ -224,7 +224,18 @@ def stream_ingest_dedup(
     is set (no signature: the family's blind spot), which would land
     twice. Producers needing the strict guarantee for signature-less
     rows should use `stream_ingest_transactional` (manifest txn ids)
-    and run dedup as a separate concern."""
+    and run dedup as a separate concern.
+
+    SHRINKING-document blind spot (ADVICE r9): a re-crawl that
+    SHORTENS a document appends fewer chunks than the old version,
+    and the old version's higher chunk_index rows stay live under
+    newest-per-identity reads — dedup flags are mutually exclusive
+    with replace semantics on this door, so nothing tombstones the
+    stale tail chunks. Re-crawls that only GROW or edit-in-place
+    resolve correctly (every old identity is shadowed). Producers of
+    shrinking documents should use the replace-capable door
+    (`VectorEngine.ingest(replace=True)` over a transactional store,
+    whose upsert tombstones the whole path) instead of this sink."""
     spark = engine.spark
     raw = (
         spark.readStream.schema(RAW_FILES_SCHEMA)

@@ -117,6 +117,36 @@ def _run_fail(*argv: str) -> tuple[int, dict]:
     return out.returncode, json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def test_cli_build_index_and_retrain(tmp_path):
+    """The scheduled-maintenance loop end-to-end from the CLI:
+    build-index --transactional publishes, retrain below threshold is
+    a no-op, a forced retrain (threshold -1) rebuilds and reports the
+    new index path, and retrain without a published index exits 1."""
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    (repo / "a.py").write_text("def f():\n    return 42\n" * 30)
+    (repo / "b.md").write_text("completely different document text " * 20)
+    store = str(tmp_path / "store")
+    common = [
+        "--store", store, "--dim", "16", "--master", "local[2]",
+        "--transactional",
+    ]
+
+    rc, out = _run_fail("retrain", "--shift-threshold", "0.5", *common)
+    assert rc == 1 and "no published" in out["error"]
+
+    _run("ingest", "--repo", str(repo), *common)
+    bi = _run("build-index", "--num-clusters", "2", *common)
+    assert bi["transactional"] and bi["index_path"]
+
+    noop = _run("retrain", "--shift-threshold", "1000.0", *common)
+    assert noop["retrained"] is False and noop["clusters"] == 2
+
+    forced = _run("retrain", "--shift-threshold", "-1", *common)
+    assert forced["retrained"] is True
+    assert forced["index_path"] != bi["index_path"]
+
+
 def test_cli_transactional_verbs_fail_clean_on_plain_store(tmp_path):
     """--at-version / --replace on a non-transactional store must exit 1
     with the same JSON-error envelope compact/vacuum use — a traceback

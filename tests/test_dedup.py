@@ -1103,6 +1103,78 @@ def test_append_documents_dedup_transactional(spark, tmp_path):
         eng.append_documents(later, semantic_dedup_within_batch=True)
 
 
+def test_append_documents_first_write_collision_guard(spark, tmp_path):
+    """ADVICE r9: semantic_dedup against an ABSENT store runs no drop
+    decision, but a first-write batch with colliding (path,
+    chunk_index) identities must still be refused loudly — colliding
+    pushes shadow each other in newest-per-rid reads."""
+    from converttovectordb_spark.engine import VectorEngine
+    from converttovectordb_spark.schema import DOCUMENTS_SCHEMA
+
+    def row(path, content, axis):
+        emb = [0.0] * 16
+        emb[axis] = 1.0
+        return (path, ".txt", 0, 1, content, emb, 1.0)
+
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), dim=16, transactional=True
+    )
+    colliding = spark.createDataFrame(
+        [row("a.txt", "first copy", 0), row("a.txt", "second copy", 1)],
+        DOCUMENTS_SCHEMA,
+    )
+    with pytest.raises(ValueError, match="distinct identities"):
+        eng.append_documents(colliding, semantic_dedup=0.95)
+    assert not eng.store.exists()  # nothing landed
+    # non-colliding first write under the same flag goes through
+    ok = spark.createDataFrame(
+        [row("a.txt", "first copy", 0), row("b.txt", "second copy", 1)],
+        DOCUMENTS_SCHEMA,
+    )
+    assert eng.append_documents(ok, semantic_dedup=0.95) == 2
+
+
+def test_dedup_row_ids_equal_timestamp_tiebreak_matches_heal(spark):
+    """ADVICE r9: two same-rid copies with EQUAL timestamps must
+    resolve to the same copy in `_dedup_row_ids` (full rows) and the
+    signature heal's compact (rid, chash) window — the artifact must
+    never sign a non-surviving copy's content."""
+    from pyspark.sql import Window
+
+    from converttovectordb_spark.engine import VectorEngine, _row_id
+
+    rows = [
+        ("a.txt", ".txt", 0, 1, c, [1.0, 0.0], 5.0)
+        for c in ("zebra content", "alpha content", "mid content")
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "path string, extension string, chunk_index int, total_chunks int, "
+        "content string, embedding array<double>, timestamp double",
+    ).withColumn("_row_id", _row_id())
+    survivor = VectorEngine._dedup_row_ids(df).collect()
+    assert len(survivor) == 1
+    # the heal window's rule: newest timestamp, then chash asc
+    keys = df.select(
+        F.col("_row_id").alias("rid"),
+        F.xxhash64("content").alias("chash"),
+        "timestamp",
+    )
+    w = Window.partitionBy("rid").orderBy(
+        F.col("timestamp").desc(), F.col("chash").asc()
+    )
+    signed = (
+        keys.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    )
+    assert len(signed) == 1
+    got_hash = df.filter(
+        F.col("content") == survivor[0]["content"]
+    ).select(F.xxhash64("content")).first()[0]
+    assert signed[0]["chash"] == got_hash
+
+
 def test_append_documents_concurrent_pushes_serialized(spark, tmp_path):
     """Two dedup-flagged pushes racing from threads (the REST door's
     ThreadingHTTPServer reality) must serialize under the engine write

@@ -180,6 +180,36 @@ def test_query_error_semantics(server):
     assert status == 400 and out["error"] == "Request must be JSON"
 
 
+def test_add_documents_content_only_rows_get_positional_identity(server):
+    """ADVICE r9: content-only rows (no path, no chunk_index) must not
+    collapse onto the ("", 0) identity and shadow each other — each
+    gets its batch position as chunk_index, like the CLI push door."""
+    docs = [
+        {"content": f"standalone snippet {i}", "embedding": _unit(0)}
+        for i in range(4)
+    ]
+    status, out = _call(server, "POST", "/add_documents", {"documents": docs})
+    assert status == 200 and out["total_documents"] == 4
+    status, out = _call(
+        server, "POST", "/query",
+        {"query_embedding": _unit(0), "top_k": 10},
+    )
+    assert status == 200
+    # all four rows are live and distinguishable
+    assert out["total_documents_searched"] == 4
+    idx = {(r["path"], r["chunk_index"]) for r in out["results"]}
+    assert idx == {("", 0), ("", 1), ("", 2), ("", 3)}
+    # explicit chunk_index / path rows keep their own identity
+    docs2 = [
+        {"content": "explicit", "embedding": _unit(5), "chunk_index": 9},
+        {"content": "pathed", "embedding": _unit(6), "path": "x.py"},
+    ]
+    status, out = _call(
+        server, "POST", "/add_documents", {"documents": docs2}
+    )
+    assert status == 200 and out["total_documents"] == 6
+
+
 def test_query_batch_matches_single_queries_both_tiers(spark, tmp_path):
     """/query_batch answers Q vectors per POST; results[i] must equal
     the single /query answer for query i — on the matrix tier (one
@@ -607,13 +637,17 @@ def test_add_documents_dedup_guards(server):
     )
     assert status == 200 and out["total_documents"] == 1
 
-    # colliding identities (both default to path "" + chunk 0)
+    # genuinely colliding identities (same explicit path + chunk_index;
+    # content-only rows no longer collide — they get positional
+    # chunk_index defaults since the r10 ADVICE fix)
     status, out = _call(
         server, "POST", "/add_documents",
         {
             "documents": [
-                {"content": "one thing", "embedding": _unit(4)},
-                {"content": "another thing", "embedding": _unit(5)},
+                {"path": "h.py", "chunk_index": 0,
+                 "content": "one thing", "embedding": _unit(4)},
+                {"path": "h.py", "chunk_index": 0,
+                 "content": "another thing", "embedding": _unit(5)},
             ],
             "lexical_dedup": 0.8,
         },
