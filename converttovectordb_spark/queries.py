@@ -3189,6 +3189,123 @@ GROUP BY lang
 """
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-pretraining bin layout):
+    concatenate every document's tokens in doc_id order, cut the
+    stream every 1024 tokens, assign each doc to the bin its FIRST
+    token lands in — per-bin doc count, token mass, and first doc.
+
+    The global prefix sum behind the start offsets is the scale story:
+    a naive one-ordering window moves the whole corpus into a single
+    partition (WindowExec's own warning), so `operators/pack.py` runs
+    the classic two-phase distributed scan — range-bucketed partial
+    sums, driver-side prefix over the tiny bucket totals, broadcast
+    base offsets, within-bucket windows partitioned by bucket. The
+    oracle runs the naive single-window formulation; matching it is
+    the proof the decomposition is exact. (`context_packing` is the
+    per-LANGUAGE sibling — its window partitions by lang, which holds
+    only while one language fits a partition; this is the global-order
+    layout that needs the real distributed scan.)"""
+    from converttovectordb_spark.operators.pack import pack_bins
+
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", token_count(F.col("text")).alias("toks")
+    )
+    out = pack_bins(toks, 1024, id_col="doc_id", tokens_col="toks")
+    return out.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("bin_tokens").cast("bigint").alias("bin_tokens"),
+        F.col("first_doc").cast("bigint").alias("first_doc"),
+    )
+
+
+ORACLE_SEQUENCE_PACK = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'),
+                              x -> x <> '')) AS BIGINT) AS toks
+  FROM documents
+),
+o AS (
+  SELECT doc_id, toks,
+         COALESCE(SUM(toks) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS start
+  FROM t
+)
+SELECT CAST(floor(start / 1024) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS bin_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM o GROUP BY 1
+"""
+
+
+def q_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture scheduling: the deterministic interleave order a
+    training loop reads a weighted source mixture in. Each source s
+    gets weight w_s (derived from the source id here; in production
+    the mixture config); its i-th document is scheduled at virtual
+    time i/w_s, so a weight-3 source appears 3× as often as a
+    weight-1 source in any prefix of the schedule — stride scheduling,
+    the deterministic twin of `temperature_sampling`'s probabilistic
+    mixture. Returns the first 100 scheduled docs with their order
+    index.
+
+    Scale shape: the per-source position is a window PARTITIONED BY
+    source (no global exchange); the global cut is
+    TakeOrderedAndProject (top-100 by virtual time, never a full
+    sort); only the 100 survivors see the final rank window — bounded
+    driver-side work, same pattern as every top-k in this suite."""
+    docs = _spread(spark, load(spark, sf_dir, "documents")).select(
+        "doc_id", "source"
+    )
+    wt = (
+        F.lit(1.0)
+        + (F.regexp_extract(F.col("source"), "([0-9]+)", 1).cast("int") % 3)
+    ).cast("double")
+    w = Window.partitionBy("source").orderBy(F.col("doc_id").asc())
+    keyed = docs.withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("sched_key", F.col("rn").cast("double") / wt)
+    top = keyed.orderBy(
+        F.col("sched_key").asc(), F.col("source").asc(), F.col("doc_id").asc()
+    ).limit(100)
+    wo = Window.orderBy(
+        F.col("sched_key").asc(), F.col("source").asc(), F.col("doc_id").asc()
+    )
+    return top.select(
+        F.row_number().over(wo).cast("int").alias("ord"),
+        "doc_id",
+        "source",
+        _round6(F.col("sched_key")).alias("sched_key"),
+    )
+
+
+ORACLE_MIXTURE_SCHEDULE = """
+WITH w AS (
+  SELECT doc_id, source,
+         CAST(1.0 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 3)
+              AS DOUBLE) AS wt,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+k AS (
+  SELECT doc_id, source, CAST(rn AS DOUBLE) / wt AS sched_key FROM w
+),
+top AS (
+  SELECT * FROM k ORDER BY sched_key, source, doc_id LIMIT 100
+)
+SELECT CAST(row_number() OVER (ORDER BY sched_key, source, doc_id) AS INT)
+         AS ord,
+       doc_id, source,
+       round(CAST(sched_key AS DOUBLE), 6) AS sched_key
+FROM top
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (marker-word argmax, priority-ordered tie
     break) × the labeled language — confusion counts."""
@@ -8481,6 +8598,8 @@ QUERIES = {
     "chunk_explode": q_chunk_explode,
     "bpe_tokens": q_bpe_tokens,
     "token_stats": q_token_stats,
+    "sequence_pack": q_sequence_pack,
+    "mixture_schedule": q_mixture_schedule,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "top_ngrams": q_top_ngrams,
@@ -8636,6 +8755,8 @@ ORACLES = {
     "user_hourly_rolling": ORACLE_USER_HOURLY_ROLLING,
     "vector_math": ORACLE_VECTOR_MATH,
     "token_stats": ORACLE_TOKEN_STATS,
+    "sequence_pack": ORACLE_SEQUENCE_PACK,
+    "mixture_schedule": ORACLE_MIXTURE_SCHEDULE,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "pricing_summary": ORACLE_PRICING_SUMMARY,

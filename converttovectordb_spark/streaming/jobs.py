@@ -362,9 +362,13 @@ def stream_ingest_indexed(
 
     Index cost per epoch is O(batch): frozen-centroid assignment +
     frozen-codebook encoding (`TransactionalIVFIndex.append`), no
-    retraining. Periodic `index.compact()` bounds the small-files debt
-    a micro-batch cadence accumulates; periodic offline rebuilds
-    re-train under drift.
+    retraining. Small-files debt from the micro-batch cadence is
+    policy-managed: construct the store/index with
+    ``auto_compact_after=K`` and every Kth epoch compacts inside its
+    own commit (the compaction's captured-set contract tolerates a
+    concurrent epoch; a replayed epoch dedups on its txn id BEFORE the
+    trigger, so replays never compact). Periodic offline rebuilds
+    (`engine.maybe_retrain`) re-train under drift.
 
     Thin wrapper over `stream_ingest_transactional(index=...)` — one
     sink implementation, two entry points.
