@@ -43,6 +43,12 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--chunk-size", type=int, default=1000)
         sp.add_argument("--overlap", type=int, default=200)
         sp.add_argument("--transactional", action="store_true")
+        sp.add_argument(
+            "--auto-compact-after", type=int, default=None, metavar="K",
+            help="with --transactional: when an append brings the live "
+            "version count to K, compact inside the write (bounds the "
+            "manifest/small-file growth of push/stream cadences)",
+        )
         sp.add_argument("--master", default="local[*]")
 
     sp = sub.add_parser("ingest", help="scan+chunk+embed+store a repo")
@@ -253,15 +259,22 @@ def _engine(args):
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
-    return VectorEngine(
-        spark,
-        args.store,
-        embedder=hash_embedder(args.dim),
-        dim=args.dim,
-        chunk_size=args.chunk_size,
-        overlap=args.overlap,
-        transactional=args.transactional,
-    )
+    try:
+        return VectorEngine(
+            spark,
+            args.store,
+            embedder=hash_embedder(args.dim),
+            dim=args.dim,
+            chunk_size=args.chunk_size,
+            overlap=args.overlap,
+            transactional=args.transactional,
+            auto_compact_after=args.auto_compact_after,
+        )
+    except ValueError as e:  # e.g. --auto-compact-after without
+        import json as _json  # --transactional, or K < 2
+
+        print(_json.dumps({"command": args.command, "error": str(e)}))
+        raise SystemExit(1)
 
 
 def _push_file(eng, args) -> dict:

@@ -77,10 +77,25 @@ class VectorEngine:
         chunk_size: int = 1000,
         overlap: int = 200,
         transactional: bool = False,
+        auto_compact_after: int | None = None,
     ):
         self.spark = spark
-        store_cls = TransactionalDocumentStore if transactional else DocumentStore
-        self.store = store_cls(spark, store_path, partition_by=("extension",))
+        if transactional:
+            self.store = TransactionalDocumentStore(
+                spark,
+                store_path,
+                partition_by=("extension",),
+                auto_compact_after=auto_compact_after,
+            )
+        else:
+            if auto_compact_after is not None:
+                raise ValueError(
+                    "auto_compact_after requires transactional=True "
+                    "(plain stores have no commit log to compact)"
+                )
+            self.store = DocumentStore(
+                spark, store_path, partition_by=("extension",)
+            )
         self.embedder = embedder or hash_embedder(dim)
         self.dim = dim
         self.chunk_size = chunk_size

@@ -489,6 +489,26 @@ class VectorDBApi:
             "total_documents_searched": int(obs.get["n_docs"]),
         }
 
+    # -- POST /search_batch (API extension: bulk text door) --------------
+    def search_batch(self, body: dict) -> dict:
+        """Q query TEXTS per POST: ONE embedder call for the whole
+        batch (the embed seam is Arrow/model-batched — Q strings cost
+        barely more than one), then the /query_batch path end to end.
+        ``results[i]`` answers ``queries[i]`` with /query semantics."""
+        queries = body.get("queries")
+        if (
+            not queries
+            or not isinstance(queries, list)
+            or not all(isinstance(q, str) and q for q in queries)
+        ):
+            raise _ApiError(400, "No queries provided")
+        embs = [
+            [float(x) for x in v] for v in self.engine.embedder(queries)
+        ]
+        return self.query_batch(
+            {"query_embeddings": embs, "top_k": body.get("top_k", 5)}
+        )
+
     # -- engine-native verbs --------------------------------------------
     def search_text(self, body: dict) -> dict:
         start = time.time()
@@ -659,6 +679,7 @@ _POST_ROUTES = {
     "/add_documents": "add_documents",
     "/query": "query",
     "/query_batch": "query_batch",
+    "/search_batch": "search_batch",
     "/search": "search_text",
     "/hybrid": "hybrid",
     "/diverse": "diverse",

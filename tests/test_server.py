@@ -256,6 +256,34 @@ def test_query_batch_matches_single_queries_both_tiers(spark, tmp_path):
         srv_df.stop()
 
 
+def test_search_batch_matches_single_search(server):
+    """/search_batch embeds Q texts in one embedder call and rides the
+    /query_batch path; each result list must equal the single /search
+    answer for that text."""
+    _seed(server, n=6)
+    texts = ["document number 2", "document number 5", "nothing alike"]
+    status, out = _call(
+        server, "POST", "/search_batch", {"queries": texts, "top_k": 3}
+    )
+    assert status == 200 and len(out["results"]) == 3
+    for i, q in enumerate(texts):
+        st, single = _call(
+            server, "POST", "/search", {"query": q, "top_k": 3}
+        )
+        assert st == 200
+        got = [
+            (r["path"], round(r["score"], 9)) for r in out["results"][i]
+        ]
+        want = [
+            (r["path"], round(r["score"], 9)) for r in single["results"]
+        ]
+        assert got == want, f"batch[{i}] != single"
+    # validation: empty / non-string entries are a 400
+    for bad in ({}, {"queries": []}, {"queries": ["ok", 7]}):
+        status, out = _call(server, "POST", "/search_batch", bad)
+        assert status == 400
+
+
 def test_query_batch_error_semantics(server):
     _seed(server, n=3)
     # empty batch

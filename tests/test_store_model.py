@@ -199,6 +199,25 @@ def test_auto_compaction_exactly_once_and_replay_dedup(spark, tmp_path):
         )
 
 
+def test_engine_auto_compaction_passthrough(spark, tmp_path):
+    """VectorEngine(transactional=True, auto_compact_after=K) arms the
+    store policy; without transactional it is a loud ValueError."""
+    from converttovectordb_spark.engine import VectorEngine
+
+    eng = VectorEngine(
+        spark,
+        str(tmp_path / "s"),
+        dim=4,
+        transactional=True,
+        auto_compact_after=3,
+    )
+    assert eng.store.auto_compact_after == 3
+    with pytest.raises(ValueError, match="transactional"):
+        VectorEngine(
+            spark, str(tmp_path / "s2"), dim=4, auto_compact_after=3
+        )
+
+
 def test_index_auto_compaction(spark, tmp_path):
     """The index twin: K append epochs → one compaction commit, replay
     dedup intact, corpus identical."""
