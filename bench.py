@@ -309,7 +309,9 @@ def main() -> int:
 
             one_batch()  # warm
             http_batch64_per_query_p50 = round(
-                statistics.median(one_batch() for _ in range(5)) / 64, 6
+                statistics.median(one_batch() for _ in range(5))
+                / len(probes64),
+                6,
             )
         finally:
             srv.stop()

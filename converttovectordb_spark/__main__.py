@@ -287,7 +287,11 @@ def _push_file(eng, args) -> dict:
     chunk_index = their line number, so content-only batches keep
     unique (path, chunk_index) identities instead of collapsing onto
     ("", 0) — which the dedup anti-join would refuse and the store's
-    newest-per-identity reads would silently shadow."""
+    newest-per-identity reads would silently shadow. Line numbers are
+    only unique within ONE file: pushing a second pathless JSONL file
+    reuses ("", ln) and shadows the first under newest-per-identity
+    reads — cross-batch pathless producers must carry their own path
+    or chunk_index."""
     import time as _time
 
     from pyspark.sql import functions as F
@@ -508,8 +512,6 @@ def main(argv: list[str] | None = None) -> int:
         except RuntimeError as e:  # no published transactional index
             print(json.dumps({"command": "retrain", "error": str(e)}))
             return 1
-        if rep["retrained"]:
-            rep["index_path"] = eng._index.path
         print(json.dumps({"command": "retrain", **rep}))
     elif args.command == "clear":
         eng.clear(backup=not args.no_backup)

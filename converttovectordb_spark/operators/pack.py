@@ -108,9 +108,13 @@ def pack_bins(
     offs = pack_offsets(
         docs, id_col=id_col, tokens_col=tokens_col, n_buckets=n_buckets
     )
+    # bin stays BIGINT: at 100 TB (~1e13 tokens) bin ids pass 2^31 at
+    # any realistic ctx, and a 32-bit cast would silently wrap into
+    # colliding/negative ids; callers bound to small scales downcast
+    # at their own edge
     return (
         offs.withColumn(
-            "bin", F.floor(F.col("start") / F.lit(int(ctx))).cast("int")
+            "bin", F.floor(F.col("start") / F.lit(int(ctx))).cast("bigint")
         )
         .groupBy("bin")
         .agg(

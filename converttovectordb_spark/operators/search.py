@@ -239,6 +239,7 @@ def knn_join(
     doc_vec_col: str = "embedding",
     score_threshold: float | None = None,
     exclude_self: bool = False,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Batch top-k similarity join: for every query row, the k most
     cosine-similar doc rows.
@@ -250,15 +251,25 @@ def knn_join(
     dot + two norms (3× less arithmetic than the reference's per-pair
     recomputation at mock_vector_db_api.py:48-49). Per-query top-k is a
     rank-window over the (small) joined result, partitioned by query.
-    """
+
+    ``carry_cols``: doc columns carried THROUGH the scoring into the
+    output — for result assembly (content, path, ...). Carrying beats
+    a join-back on ``doc_id_col``: when the corpus holds duplicate ids
+    (a blind re-push), a join-back fans each hit out across every
+    same-id copy, pairing one copy's score with another's payload and
+    overrunning top_k; carried columns stay attached to the row that
+    actually scored (the survivors are ≤ Q·k rows, so width costs
+    nothing that matters)."""
     top_k = validate_top_k(top_k)
     qn = queries.select(
         F.col(query_id_col),
         l2_normalize(F.col(query_vec_col)).alias("_qvec"),
     )
+    carry = list(carry_cols or [])
     dn = docs.select(
         F.col(doc_id_col),
         l2_normalize(F.col(doc_vec_col)).alias("_dvec"),
+        *[F.col(c) for c in carry],
     )
     pairs = F.broadcast(qn).crossJoin(dn)
     if exclude_self:
@@ -272,7 +283,7 @@ def knn_join(
     out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
-        .select(query_id_col, doc_id_col, "score", "rank")
+        .select(query_id_col, doc_id_col, "score", "rank", *carry)
     )
     if score_threshold is not None:
         out = out.filter(F.col("score") >= score_threshold)

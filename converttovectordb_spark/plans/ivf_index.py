@@ -920,10 +920,24 @@ class TransactionalIVFIndex(IVFIndex):
             if we_persisted:
                 new_docs.unpersist()
         # write-door compaction policy (see __init__): after the commit,
-        # so the epoch is durable regardless of the rewrite's fate
+        # so the epoch is durable regardless of the rewrite's fate — a
+        # rewrite failure is a warning, not the append's failure (the
+        # epoch already landed; surfacing it would make the streaming
+        # sink replay a committed epoch against its txn dedup for
+        # nothing, or a non-txn caller double-write)
         k = getattr(self, "auto_compact_after", None)
         if k is not None and len(self._live_versions()) >= k:
-            self.compact()
+            try:
+                self.compact()
+            except Exception as exc:  # noqa: BLE001
+                import warnings
+
+                warnings.warn(
+                    f"auto-compaction of {self.path} failed (append "
+                    f"already committed; next append retries): {exc}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         return written
 
     CURRENT_POINTER = "CURRENT"

@@ -208,6 +208,12 @@ class VectorDBApi:
             # onto ("", 0) with one shared timestamp would make a
             # multi-row batch shadow itself, and newest-per-rid reads
             # would pick a nondeterministic winner (ADVICE r9).
+            # Positional identity is only unique WITHIN a batch: a
+            # later content-only batch reuses ("", 0..) and shadows
+            # the earlier one under newest-per-identity reads (same
+            # caveat as CLI line numbers across different files).
+            # Producers pushing pathless rows across batches must
+            # supply their own path or chunk_index.
             has_path = bool(doc.get("path") or doc.get("file_path"))
             default_ci = 0 if (has_path or "chunk_index" in doc) else pos
             try:
@@ -422,6 +428,20 @@ class VectorDBApi:
                     400, f"Query embedding dimension mismatch at index {i}"
                 )
             clean.append(vec)
+        version = body.get("version")
+        if version is not None:
+            # time travel, same rules as /query: snapshot read, cache
+            # bypassed (arbitrary historical versions must not evict
+            # the serving corpus)
+            if not isinstance(version, int) or isinstance(version, bool):
+                raise _ApiError(400, "version must be an integer")
+            try:
+                snap = eng.load_corpus(at_version=version)
+            except ValueError as e:
+                raise _ApiError(400, str(e))
+            except FileNotFoundError:
+                raise _ApiError(400, f"no committed version <= {version}")
+            return self._query_batch_distributed(snap, clean, top_k, start)
         handle = self._corpus_handle()
         if handle is None:
             return {
@@ -442,10 +462,22 @@ class VectorDBApi:
                 "query_time": time.time() - start,
                 "total_documents_searched": corpus.n,
             }
-        # Distributed tier: one broadcast join job for the whole batch.
-        # The doc id is a (path, chunk_index) struct so the per-query
-        # tie-break is the same (path asc, chunk_index asc) order the
-        # single-query door uses.
+        return self._query_batch_distributed(corpus, clean, top_k, start)
+
+    def _query_batch_distributed(
+        self, corpus, clean: list, top_k: int, start: float
+    ) -> dict:
+        """One broadcast join job for the whole batch. The doc id is a
+        (path, chunk_index) struct so the per-query tie-break is the
+        same (path asc, chunk_index asc) order the single-query door
+        uses; payload columns are CARRIED through the scoring (see
+        knn_join's carry_cols) — a join-back on the identity would fan
+        out across duplicate-identity copies from a blind re-push,
+        pairing one copy's score with another's content. The rank
+        filter compiles to WindowGroupLimit, so the carried width
+        rides only the ≤ Q·k map-side survivors into the exchange,
+        never the full Q×N pair stream."""
+        eng = self.engine
         from pyspark.sql import Observation
 
         from converttovectordb_spark.functions.vector import NORM_COL
@@ -464,6 +496,11 @@ class VectorDBApi:
         ).withColumn(
             "_rid", F.struct(F.col("path"), F.col("chunk_index"))
         )
+        carry = [
+            c
+            for c in docs.columns
+            if c not in ("_rid", "embedding", NORM_COL)
+        ]
         hits = knn_join(
             queries_df,
             docs,
@@ -471,14 +508,11 @@ class VectorDBApi:
             query_id_col="query_index",
             doc_id_col="_rid",
             score_threshold=0.1,
-        )
-        payload = docs.drop("embedding")
-        if NORM_COL in payload.columns:
-            payload = payload.drop(NORM_COL)
-        joined = hits.join(payload, on="_rid").drop("_rid")
+            carry_cols=carry,
+        ).drop("_rid")
         with point_query_mode(eng.spark):
-            rows = joined.collect()
-        results = [[] for _ in embs]
+            rows = hits.collect()
+        results = [[] for _ in clean]
         for r in sorted(rows, key=lambda r: (r["query_index"], r["rank"])):
             d = r.asDict(recursive=True)
             d.pop("query_index"), d.pop("rank")

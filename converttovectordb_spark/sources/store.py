@@ -264,10 +264,26 @@ class TransactionalDocumentStore(DocumentStore):
     def _maybe_auto_compact(self) -> None:
         """The version-count compaction trigger (see ``__init__``):
         fires AFTER a successful commit, so the appended batch is
-        already durable whether or not the rewrite succeeds."""
+        already durable whether or not the rewrite succeeds — which is
+        why a rewrite failure must NOT propagate as the append's
+        failure: the caller would retry a write that already landed
+        (the REST door has no txn id) and double-write it. A failed
+        compaction is an ops warning, and the next append simply
+        re-triggers it."""
         k = self.auto_compact_after
-        if k is not None and len(self._live_versions(self._versions())) >= k:
+        if k is None or len(self._live_versions(self._versions())) < k:
+            return
+        try:
             self.compact()
+        except Exception as exc:  # noqa: BLE001 — deliberately broad
+            import warnings
+
+            warnings.warn(
+                f"auto-compaction of {self.path} failed (append already "
+                f"committed; next append will retry): {exc}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     def append_dedup(
         self,
@@ -404,10 +420,16 @@ class TransactionalDocumentStore(DocumentStore):
             # merge-on-read: each row carries its commit version; a row
             # is live unless a LATER live commit tombstoned its key
             # (a commit's own rows survive its own tombstone: >=).
+            # A compaction commit's rows carry its SNAPSHOT basis
+            # version ("snapshot_of"), not its own commit version: an
+            # upsert that won the O_EXCL race mid-rewrite tombstones at
+            # a version between the basis and the compacted commit, and
+            # stamping the rewritten (pre-upsert) rows with the commit
+            # version would resurrect them past that tombstone.
             key_cols = tomb[0][2]
             parts = [
                 self.spark.read.parquet(m["batch_dir"]).withColumn(
-                    "_sv", F.lit(v)
+                    "_sv", F.lit(m.get("snapshot_of", v))
                 )
                 for v, m in manifests.items()
             ]
@@ -503,6 +525,12 @@ class TransactionalDocumentStore(DocumentStore):
             "rows": rows,
             "schema": fingerprint,
             "replaces": versions,
+            # tombstone-comparison version for the rewritten rows: the
+            # captured basis, NOT this commit's own version (see
+            # load()'s merge-on-read note — a concurrent upsert's
+            # tombstone must still beat the pre-upsert rows this
+            # snapshot carries)
+            "snapshot_of": versions[-1],
         }
         version = versions[-1] + 1
         while True:

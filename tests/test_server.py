@@ -284,6 +284,84 @@ def test_search_batch_matches_single_search(server):
         assert status == 400
 
 
+def test_query_batch_duplicate_identities_stay_paired(spark, tmp_path):
+    """Code-review r10: a blind re-push leaves duplicate (path,
+    chunk_index) rows in a plain store; the batch door must return one
+    row PER COPY with its OWN content (as /query does), never a join
+    fan-out pairing one copy's score with another's content."""
+    from converttovectordb_spark.engine import VectorEngine
+    from converttovectordb_spark.server import VectorDBApi
+
+    def batch(content, vec):
+        return spark.createDataFrame(
+            [("a.py", ".py", 0, 1, content, vec, 0.0)],
+            "path string, extension string, chunk_index int, "
+            "total_chunks int, content string, embedding array<float>, "
+            "timestamp double",
+        )
+
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(DIM), dim=DIM
+    )
+    eng.store.append(batch("old copy", _unit(0)))
+    eng.store.append(batch("new copy", _unit(1)))  # blind re-push
+
+    # force the distributed tier — the join-back fan-out lived there
+    api = VectorDBApi(eng, matrix_max_payload_bytes=1)
+    out = api.query_batch(
+        {"query_embeddings": [_unit(0), _unit(1)], "top_k": 5}
+    )
+    single0 = api.query({"query_embedding": _unit(0), "top_k": 5})
+    assert api._matrix is None  # really on the df tier
+    for i, res in enumerate(out["results"]):
+        assert len(res) == 2, res  # one row per copy, never 4
+        pairing = {r["content"]: round(r["score"], 6) for r in res}
+        # each copy scored against ITS OWN embedding: the aligned copy
+        # scores 1.0, the other 0 (orthogonal axes)
+        own = "old copy" if i == 0 else "new copy"
+        assert pairing[own] == 1.0, pairing
+    got0 = sorted(
+        (r["content"], round(r["score"], 6)) for r in out["results"][0]
+    )
+    want0 = sorted(
+        (r["content"], round(r["score"], 6)) for r in single0["results"]
+    )
+    assert got0 == want0  # batch == single on the same corpus
+
+
+def test_query_batch_time_travel(spark, tmp_path):
+    """/query_batch honors the same 'version' key as /query (snapshot
+    read, cache bypassed) instead of silently serving CURRENT."""
+    from converttovectordb_spark.engine import VectorEngine
+    from converttovectordb_spark.server import VectorDBApi
+
+    eng = VectorEngine(
+        spark,
+        str(tmp_path / "store"),
+        embedder=hash_embedder(DIM),
+        dim=DIM,
+        transactional=True,
+    )
+    mk = lambda p, v: spark.createDataFrame(  # noqa: E731
+        [(p, ".py", 0, 1, f"doc {p}", v, 0.0)],
+        "path string, extension string, chunk_index int, total_chunks int, "
+        "content string, embedding array<float>, timestamp double",
+    )
+    eng.store.append(mk("a.py", _unit(0)))  # version 0
+    eng.store.append(mk("b.py", _unit(0)))  # version 1
+    api = VectorDBApi(eng)
+    body = {"query_embeddings": [_unit(0)], "top_k": 5}
+    now = api.query_batch(dict(body))
+    assert {r["path"] for r in now["results"][0]} == {"a.py", "b.py"}
+    past = api.query_batch({**body, "version": 0})
+    assert {r["path"] for r in past["results"][0]} == {"a.py"}
+    assert past["total_documents_searched"] == 1
+    from converttovectordb_spark.server import _ApiError
+
+    with pytest.raises(_ApiError, match="version"):
+        api.query_batch({**body, "version": "zero"})
+
+
 def test_query_batch_error_semantics(server):
     _seed(server, n=3)
     # empty batch

@@ -218,6 +218,72 @@ def test_engine_auto_compaction_passthrough(spark, tmp_path):
         )
 
 
+def test_auto_compaction_failure_does_not_fail_the_append(
+    spark, tmp_path, monkeypatch
+):
+    """The append is durable BEFORE the rewrite fires; a compaction
+    failure must surface as a warning, not as the append's failure —
+    a raising append would make the (txn-less) REST caller retry a
+    write that already landed, double-writing it."""
+    import warnings
+
+    store = TransactionalDocumentStore(
+        spark, str(tmp_path / "store"), auto_compact_after=2
+    )
+    store.append(_mk_batch(spark, [("a.txt", "p0")]))
+
+    def boom(self):
+        raise OSError("disk full mid-rewrite")
+
+    monkeypatch.setattr(TransactionalDocumentStore, "compact", boom)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        written = store.append(_mk_batch(spark, [("b.txt", "p1")]))
+    assert written == 1  # the append itself succeeded
+    assert any("auto-compaction" in str(w.message) for w in caught)
+    assert _store_rows(store) == [("a.txt", "p0"), ("b.txt", "p1")]
+    monkeypatch.undo()
+    # next append retries the compaction and succeeds
+    store.append(_mk_batch(spark, [("c.txt", "p2")]))
+    assert any(m.get("replaces") for m in store.history())
+
+
+def test_compaction_concurrent_upsert_not_resurrected(
+    spark, tmp_path, monkeypatch
+):
+    """Code-review r10: an upsert that commits WHILE a compaction
+    rewrite runs must keep winning after the compacted commit lands —
+    the rewritten pre-upsert rows carry the snapshot's basis version
+    (snapshot_of), not the compacted commit's own version, so the
+    interleaved tombstone still beats them."""
+    store = TransactionalDocumentStore(spark, str(tmp_path / "store"))
+    store.upsert(_mk_batch(spark, [("a.txt", "v1")]), key_cols=("path",))
+    store.append(_mk_batch(spark, [("b.txt", "x")]))
+
+    orig_load = TransactionalDocumentStore.load
+    fired = {}
+
+    def racing_load(self, **kw):
+        df = orig_load(self, **kw)
+        if not fired:
+            fired["x"] = True
+            # a second writer wins the next manifest version while the
+            # rewrite is in flight
+            writer = TransactionalDocumentStore(spark, store.path)
+            writer.upsert(
+                _mk_batch(spark, [("a.txt", "v2")]), key_cols=("path",)
+            )
+        return df
+
+    monkeypatch.setattr(TransactionalDocumentStore, "load", racing_load)
+    store.compact()
+    monkeypatch.undo()
+    rows = _store_rows(store)
+    assert ("a.txt", "v2") in rows, rows  # the upsert won
+    assert ("a.txt", "v1") not in rows, rows  # not resurrected
+    assert ("b.txt", "x") in rows
+
+
 def test_index_auto_compaction(spark, tmp_path):
     """The index twin: K append epochs → one compaction commit, replay
     dedup intact, corpus identical."""
