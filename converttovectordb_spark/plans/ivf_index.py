@@ -924,20 +924,29 @@ class TransactionalIVFIndex(IVFIndex):
         # rewrite failure is a warning, not the append's failure (the
         # epoch already landed; surfacing it would make the streaming
         # sink replay a committed epoch against its txn dedup for
-        # nothing, or a non-txn caller double-write)
+        # nothing, or a non-txn caller double-write). TIERED like the
+        # store's policy: only the live TAIL is rewritten, so the head
+        # blob (the last compaction's product — the bulk of the index)
+        # is never re-read by the policy; the index has no tombstones,
+        # so tail compaction is unconditionally sound here.
         k = getattr(self, "auto_compact_after", None)
-        if k is not None and len(self._live_versions()) >= k:
-            try:
-                self.compact()
-            except Exception as exc:  # noqa: BLE001
-                import warnings
+        if k is not None:
+            live = self._live_versions()
+            if len(live) >= k:
+                try:
+                    if len(live) > 2:
+                        self.compact(versions=live[1:])
+                    else:
+                        self.compact()
+                except Exception as exc:  # noqa: BLE001
+                    import warnings
 
-                warnings.warn(
-                    f"auto-compaction of {self.path} failed (append "
-                    f"already committed; next append retries): {exc}",
-                    RuntimeWarning,
-                    stacklevel=2,
-                )
+                    warnings.warn(
+                        f"auto-compaction of {self.path} failed (append "
+                        f"already committed; next append retries): {exc}",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
         return written
 
     CURRENT_POINTER = "CURRENT"
@@ -985,12 +994,15 @@ class TransactionalIVFIndex(IVFIndex):
                 auto_compact_after=auto_compact_after,
             )
 
-    def compact(self) -> int:
+    def compact(self, versions: list[int] | None = None) -> int:
         """Rewrite the committed snapshot as ONE batch pair and publish
         a commit superseding the versions that went INTO it — the
         small-files answer for a streaming-maintained index. Old dirs
         stay on disk (cheap, and a reader holding an old plan keeps
-        working).
+        working). ``versions`` restricts the rewrite to that SUBSET of
+        the live set (the tiered/tail policy — the index has no
+        tombstones, so any live subset is sound: readers union live
+        batch dirs order-independently); default is everything live.
 
         Concurrency contract: the manifest set is captured ONCE at
         entry; the snapshot is built from exactly those dirs and the
@@ -1003,6 +1015,14 @@ class TransactionalIVFIndex(IVFIndex):
         txn-id dedup would eat the replay too.)"""
         ms = self._manifests()
         live = self._live_of(ms)
+        if versions is not None:
+            missing = [v for v in versions if v not in live]
+            if missing:
+                raise ValueError(
+                    f"compact(versions=...) must name live versions; "
+                    f"{missing} are not live"
+                )
+            live = sorted(versions)
         if not live:
             return 0
         corpus_dirs = [ms[v]["corpus_dir"] for v in live if "corpus_dir" in ms[v]]
@@ -1024,7 +1044,10 @@ class TransactionalIVFIndex(IVFIndex):
         commit = {
             "corpus_dir": corpus_dir,
             "rows": rows,
-            "replaces": sorted(ms),
+            # exactly the rewritten set: a full compact also sweeps
+            # already-superseded manifests (harmless, idempotent), a
+            # subset compact must supersede ONLY what it rewrote
+            "replaces": sorted(ms) if versions is None else live,
         }
         if codes_dirs:
             codes_dir = os.path.join(

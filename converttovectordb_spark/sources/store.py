@@ -269,12 +269,32 @@ class TransactionalDocumentStore(DocumentStore):
         failure: the caller would retry a write that already landed
         (the REST door has no txn id) and double-write it. A failed
         compaction is an ops warning, and the next append simply
-        re-triggers it."""
+        re-triggers it.
+
+        TIERED: when the live set is [head, tail...] and the tail
+        carries no tombstone commits, only the TAIL is rewritten
+        (`compact_tail`) — the head blob (typically the product of the
+        last compaction, and the bulk of the store) is never re-read,
+        so the policy's write amplification is bounded by the tail the
+        cadence accumulates between fires, not by store size. A tail
+        containing an upsert falls back to the full merge-materializing
+        `compact()` (superseding a tombstone commit without applying
+        its tombstone would resurrect the rows it replaced)."""
         k = self.auto_compact_after
-        if k is None or len(self._live_versions(self._versions())) < k:
+        if k is None:
             return
+        live = self._live_versions(self._versions())
+        if len(live) < k:
+            return
+        tail = live[1:]
+        tail_has_tombstones = any(
+            "tombstone_keys" in self._read_manifest(v) for v in tail
+        )
         try:
-            self.compact()
+            if len(tail) >= 2 and not tail_has_tombstones:
+                self.compact_tail(tail)
+            else:
+                self.compact()
         except Exception as exc:  # noqa: BLE001 — deliberately broad
             import warnings
 
@@ -284,6 +304,75 @@ class TransactionalDocumentStore(DocumentStore):
                 RuntimeWarning,
                 stacklevel=2,
             )
+
+    def compact_tail(self, versions: list[int]) -> int:
+        """Rewrite ONLY the given tombstone-free SUFFIX of the live
+        version list as one batch dir, superseding exactly those
+        versions — the leveled-compaction step that retires small-file
+        debt without re-reading the (big) head of the store.
+
+        Soundness (see the merge-on-read note in `load`): the rewritten
+        rows are stamped ``snapshot_of = max(versions)``, so a live
+        tombstone at tv < min(versions) still loses to them (their
+        originals all had version ≥ min > tv, and max ≥ min > tv), a
+        tombstone at tv > max still beats them, and no tombstone can
+        sit INSIDE the range (rejected below) — superseding a tombstone
+        commit without materializing its merge would resurrect the
+        rows it replaced. The range must also be a SUFFIX of the live
+        list: rewriting an interior range would reorder nothing today,
+        but only the suffix guarantee keeps "outside the range" ==
+        "strictly older", which the tombstone argument above relies on.
+        """
+        ms = self._manifests_of(versions)
+        live = self._live_versions(self._versions())
+        if versions != live[-len(versions):]:
+            raise ValueError(
+                f"compact_tail requires a suffix of the live versions "
+                f"{live}, got {versions}"
+            )
+        if any("tombstone_keys" in m for m in ms.values()):
+            raise ValueError(
+                "compact_tail cannot supersede tombstone commits — use "
+                "compact() (full merge materialization)"
+            )
+        import json
+        import uuid
+
+        from functools import reduce
+
+        from pyspark.sql import Observation
+
+        parts = [
+            self.spark.read.parquet(ms[v]["batch_dir"]) for v in versions
+        ]
+        snapshot = reduce(lambda x, y: x.unionByName(y), parts)
+        batch_dir = os.path.join(self.path, self.DATA_DIR, uuid.uuid4().hex)
+        obs = Observation()
+        staged = snapshot.observe(obs, F.count(F.lit(1)).alias("rows"))
+        writer = staged.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(batch_dir)
+        rows = int(obs.get["rows"])
+        commit = {
+            "batch_dir": batch_dir,
+            "rows": rows,
+            "schema": self._read_manifest(self._versions()[0])["schema"],
+            "replaces": list(versions),
+            "snapshot_of": versions[-1],
+        }
+        version = (self._versions() or [-1])[-1] + 1
+        while True:
+            target = os.path.join(self._manifest_path(), f"{version}.json")
+            try:
+                with open(target, "x") as fh:
+                    json.dump(commit, fh)
+                return rows
+            except FileExistsError:
+                version += 1
+
+    def _manifests_of(self, versions: list[int]) -> dict[int, dict]:
+        return {v: self._read_manifest(v) for v in versions}
 
     def append_dedup(
         self,

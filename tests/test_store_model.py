@@ -71,6 +71,18 @@ class ModelStore:
         self.commits.append((self._next_version(), list(snap), None, replaced))
         return len(snap)
 
+    def compact_tail(self):
+        """Mirror of the store's tiered policy step: the live TAIL
+        (tombstone-free by precondition) is rewritten verbatim — tail
+        rows are never shadowed by older tombstones, so raw
+        concatenation IS their visible form."""
+        tail = self._live_versions()[1:]
+        rows = [r for _v, rws, _k, _r in tail for r in rws]
+        self.commits.append(
+            (self._next_version(), rows, None, {c[0] for c in tail})
+        )
+        return len(rows)
+
     def vacuum(self):
         live = {c[0] for c in self._live_versions()}
         n = 0
@@ -132,8 +144,13 @@ def test_store_matches_model_with_auto_compaction(spark, tmp_path, seed):
 
     def model_write(kind, rows):
         getattr(model, kind)(rows)
-        if len(model._live_versions()) >= K:
-            model.compact()
+        live = model._live_versions()
+        if len(live) >= K:
+            tail = live[1:]
+            if len(tail) >= 2 and all(c[2] is None for c in tail):
+                model.compact_tail()  # tiered: head blob untouched
+            else:
+                model.compact()  # tombstoned tail → full merge
 
     ops = ["append"] + [
         rng.choice(["append", "upsert", "append", "travel"])
@@ -166,9 +183,12 @@ def test_store_matches_model_with_auto_compaction(spark, tmp_path, seed):
 
 
 def test_auto_compaction_exactly_once_and_replay_dedup(spark, tmp_path):
-    """K tiny appends → exactly ONE compaction; a txn replay of a
-    superseded (compacted-away) epoch is still a no-op, because
-    manifests are superseded, never deleted."""
+    """K tiny appends → exactly ONE compaction, and it is TIERED: the
+    tail [1..K-1] is rewritten, the head batch dir is untouched on
+    disk; a txn replay of a superseded (compacted-away) epoch is still
+    a no-op, because manifests are superseded, never deleted."""
+    import os
+
     K = 4
     store = TransactionalDocumentStore(
         spark, str(tmp_path / "store"), auto_compact_after=K
@@ -180,7 +200,11 @@ def test_auto_compaction_exactly_once_and_replay_dedup(spark, tmp_path):
     hist = store.history()
     compactions = [m for m in hist if m.get("replaces")]
     assert len(compactions) == 1
-    assert compactions[0]["replaces"] == list(range(K))
+    # tiered: only the tail superseded, head blob's dir still live
+    assert compactions[0]["replaces"] == list(range(1, K))
+    assert compactions[0]["snapshot_of"] == K - 1
+    head_dir = store._read_manifest(0)["batch_dir"]
+    assert os.path.isdir(head_dir)
     assert len(hist) == K + 1
     # replay of a compacted-away epoch: still deduped
     assert (
