@@ -55,6 +55,31 @@ def test_bins_semantics(spark):
         pack_bins(df, 0)
 
 
+def test_offsets_property_random_corpora(spark):
+    """Property: for ARBITRARY (sparse, unordered, negative-id) corpora
+    and any bucket count, the two-phase scan equals the transparent
+    pure-Python prefix sum. Hypothesis-style but with explicit seeds —
+    a Spark job per example is too slow for @given's default budget."""
+    import random
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n = rng.randint(1, 60)
+        ids = rng.sample(range(-1000, 1000), n)
+        rows = [(i, rng.randint(0, 99)) for i in ids]
+        df = _docs(spark, rows)
+        want, acc = {}, 0
+        for i, t in sorted(rows):
+            want[i] = acc
+            acc += t
+        for nb in (1, rng.randint(2, 9), 64):
+            got = {
+                r["doc_id"]: r["start"]
+                for r in pack_offsets(df, n_buckets=nb).collect()
+            }
+            assert got == want, (seed, nb)
+
+
 def test_no_global_window_in_plan(spark):
     """The scale contract: every window is partitioned by the range
     bucket — a global (empty-partition) window would collapse 100 TB
