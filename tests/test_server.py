@@ -303,23 +303,29 @@ def test_query_batch_duplicate_identities_stay_paired(spark, tmp_path):
     eng = VectorEngine(
         spark, str(tmp_path / "store"), embedder=hash_embedder(DIM), dim=DIM
     )
-    eng.store.append(batch("old copy", _unit(0)))
-    eng.store.append(batch("new copy", _unit(1)))  # blind re-push
+    # both copies must clear the 0.1 threshold for BOTH probes, or the
+    # post-limit filter (Q4) hides the fan-out this test exists to
+    # catch: old = e0, new = 0.6*e0 + 0.8*e1
+    old_v, new_v = _unit(0), [0.6, 0.8] + [0.0] * (DIM - 2)
+    eng.store.append(batch("old copy", old_v))
+    eng.store.append(batch("new copy", new_v))  # blind re-push
 
     # force the distributed tier — the join-back fan-out lived there
     api = VectorDBApi(eng, matrix_max_payload_bytes=1)
     out = api.query_batch(
-        {"query_embeddings": [_unit(0), _unit(1)], "top_k": 5}
+        {"query_embeddings": [old_v, new_v], "top_k": 5}
     )
-    single0 = api.query({"query_embedding": _unit(0), "top_k": 5})
+    single0 = api.query({"query_embedding": old_v, "top_k": 5})
     assert api._matrix is None  # really on the df tier
     for i, res in enumerate(out["results"]):
         assert len(res) == 2, res  # one row per copy, never 4
         pairing = {r["content"]: round(r["score"], 6) for r in res}
-        # each copy scored against ITS OWN embedding: the aligned copy
-        # scores 1.0, the other 0 (orthogonal axes)
+        # each copy scored against ITS OWN embedding: the probed copy
+        # scores 1.0, the other cos(e0, 0.6e0+0.8e1) = 0.6
         own = "old copy" if i == 0 else "new copy"
+        other = "new copy" if i == 0 else "old copy"
         assert pairing[own] == 1.0, pairing
+        assert pairing[other] == 0.6, pairing
     got0 = sorted(
         (r["content"], round(r["score"], 6)) for r in out["results"][0]
     )
