@@ -1423,6 +1423,9 @@ class VectorEngine:
         top_k: int = 5,
         *,
         score_threshold: float | None = None,
+        use_index: bool = False,
+        nprobe: int = 2,
+        allow_stale: bool = False,
     ) -> DataFrame:
         """Many-queries-at-once search — the join-shaped bulk operator
         SURVEY §7 phase 4 prescribes (bulk paths are where Spark wins;
@@ -1431,7 +1434,16 @@ class VectorEngine:
         and the corpus streams through a single join stage with no
         shuffle (`operators/search.knn_join`). Returns
         (query_index, query_text, path, chunk_index, content, score,
-        rank) — `query_index` is the position in ``query_texts``."""
+        rank) — `query_index` is the position in ``query_texts``.
+
+        ``use_index=True``: the whole batch routes through the IVF
+        index's batch `search` — ONE probe pass and ONE scan of the
+        union of probed cluster partitions serves every query
+        (approximate, same recall contract and staleness guard as
+        `search_indexed`; `score_threshold` still applies after each
+        query's top-k). At 100 TB this is the difference between the
+        brute path's full-corpus stream and reading ~Q·nprobe/C of the
+        files."""
         from converttovectordb_spark.operators.search import knn_join
 
         if not query_texts:
@@ -1456,6 +1468,45 @@ class VectorEngine:
             ],
             "query_index int, query_text string, query_vec array<double>",
         )
+        if use_index:
+            index = getattr(self, "_index", None)
+            if index is None:
+                raise RuntimeError(
+                    "no IVF index built; call build_index() first"
+                )
+            if not allow_stale and self.store.state_token() != getattr(
+                self, "_index_token", None
+            ):
+                raise RuntimeError(
+                    "IVF index is stale: the store changed since "
+                    "build_index(); rebuild the index or pass "
+                    "allow_stale=True to search the old snapshot"
+                )
+            hits = index.search(
+                queries.drop("query_text"),
+                top_k=validate_top_k(top_k),
+                nprobe=nprobe,
+                query_id_col="query_index",
+                doc_id_col="_row_id",
+            )
+            if score_threshold is not None:
+                hits = hits.filter(F.col("score") >= score_threshold)
+            # _row_id uniqueness is enforced at index-write time
+            # (build/heal route through _dedup_row_ids), so this
+            # join-back cannot fan out
+            docs = index.corpus().drop("cluster_id", "embedding")
+            return (
+                hits.join(docs, on="_row_id")
+                .join(
+                    F.broadcast(queries.drop("query_vec")),
+                    on="query_index",
+                )
+                .select(
+                    "query_index", "query_text", "path", "chunk_index",
+                    "content", "score", "rank",
+                )
+                .orderBy(F.col("query_index").asc(), F.col("rank").asc())
+            )
         docs = self.store.load().withColumn(
             "_rid", _row_id()
         )

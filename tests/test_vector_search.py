@@ -217,3 +217,57 @@ def test_engine_search_batch(spark, tmp_path):
             for r in sorted(mine, key=lambda r: r.rank)
         ]
         assert single_ids == batch_ids[: len(single_ids)]
+
+
+def test_engine_search_batch_indexed(spark, tmp_path):
+    """search_batch(use_index=True): the whole batch rides ONE probe
+    pass + one probed-partition scan; with nprobe == num_clusters the
+    probe covers everything, so results equal the brute batch path
+    row for row. Staleness guard matches search_indexed."""
+    import pytest
+
+    from converttovectordb_spark.embeddings import hash_embedder
+    from converttovectordb_spark.engine import VectorEngine
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    (repo / "a.py").write_text("def alpha():\n    return 'first'\n" * 15)
+    (repo / "b.md").write_text("# beta\nsecond topic entirely\n" * 10)
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(32),
+        dim=32, chunk_size=300, overlap=50,
+    )
+    eng.ingest(str(repo))
+    queries = ["alpha function first", "beta second topic"]
+    with pytest.raises(RuntimeError, match="no IVF index"):
+        eng.search_batch(queries, use_index=True)
+    eng.build_index(num_clusters=2)
+
+    brute = eng.search_batch(queries, top_k=3).collect()
+    indexed = eng.search_batch(
+        queries, top_k=3, use_index=True, nprobe=2
+    ).collect()
+    key = lambda r: (r.query_index, r.rank)  # noqa: E731
+    assert [
+        (r.query_index, r.query_text, r.path, r.chunk_index, r.rank)
+        for r in sorted(indexed, key=key)
+    ] == [
+        (r.query_index, r.query_text, r.path, r.chunk_index, r.rank)
+        for r in sorted(brute, key=key)
+    ]
+    for a, b in zip(sorted(indexed, key=key), sorted(brute, key=key)):
+        assert a.score == pytest.approx(b.score, abs=1e-9)
+
+    # staleness: an out-of-band write must trip the guard
+    (repo / "c.txt").write_text("late arriving text " * 20)
+    eng.ingest(str(repo))
+    with pytest.raises(RuntimeError, match="stale"):
+        eng.search_batch(queries, use_index=True)
+    assert (
+        len(
+            eng.search_batch(
+                queries, use_index=True, allow_stale=True
+            ).collect()
+        )
+        > 0
+    )
