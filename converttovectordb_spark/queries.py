@@ -3306,6 +3306,78 @@ FROM top
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (PPSWOR): draw 50 docs
+    with inclusion odds proportional to a per-source weight — the
+    curation primitive behind weighted training-mix subset selection
+    (`temperature_sampling` computes the weights; this DRAWS with
+    them; `mixture_schedule` orders what was drawn).
+
+    Deterministic and engine-exact by construction: each doc gets
+    key = min over j in 1..w of md5(seed # doc_id # j), and the sample
+    is the 50 smallest keys. Min-of-w-uniforms is the integer-exact
+    Efraimidis–Spirakis equivalent (each replica is equally likely to
+    be the global minimum, so successive minima draw docs with
+    probability ∝ w at every step) — no pow/ln/exp whose last-ulp
+    divergence across engines could flip a rank (the
+    `temperature_sampling` sqrt lesson). Keys are hex STRINGS compared
+    lexicographically — identical in Spark and DuckDB.
+
+    Scale shape: the per-row key is a map-side HOF over ≤w_max md5
+    calls; the draw is TakeOrderedAndProject (top-50 by key, never a
+    full sort)."""
+    docs = _spread(spark, load(spark, sf_dir, "documents")).select(
+        "doc_id", "source"
+    )
+    wt = (
+        F.lit(1)
+        + (F.regexp_extract(F.col("source"), "([0-9]+)", 1).cast("int") % 3)
+    )
+    key = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), wt),
+            lambda j: F.md5(
+                F.concat_ws(
+                    "#", F.lit("s7"), F.col("doc_id").cast("string"),
+                    j.cast("string"),
+                )
+            ),
+        )
+    )
+    keyed = docs.withColumn("w", wt).withColumn("skey", key)
+    top = keyed.orderBy(
+        F.col("skey").asc(), F.col("doc_id").asc()
+    ).limit(50)
+    wo = Window.orderBy(F.col("skey").asc(), F.col("doc_id").asc())
+    return top.select(
+        F.row_number().over(wo).cast("int").alias("draw"),
+        "doc_id",
+        "source",
+        F.col("w").cast("int").alias("w"),
+        "skey",
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+WITH w AS (
+  SELECT doc_id, source,
+         1 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 3) AS w
+  FROM documents
+),
+k AS (
+  SELECT doc_id, source, w,
+         list_min(list_transform(generate_series(1, w),
+             j -> md5('s7' || '#' || CAST(doc_id AS VARCHAR) || '#' ||
+                      CAST(j AS VARCHAR)))) AS skey
+  FROM w
+),
+top AS (SELECT * FROM k ORDER BY skey, doc_id LIMIT 50)
+SELECT CAST(row_number() OVER (ORDER BY skey, doc_id) AS INT) AS draw,
+       doc_id, source, CAST(w AS INT) AS w, skey
+FROM top
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (marker-word argmax, priority-ordered tie
     break) × the labeled language — confusion counts."""
@@ -8600,6 +8672,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "sequence_pack": q_sequence_pack,
     "mixture_schedule": q_mixture_schedule,
+    "weighted_sample": q_weighted_sample,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "top_ngrams": q_top_ngrams,
@@ -8757,6 +8830,7 @@ ORACLES = {
     "token_stats": ORACLE_TOKEN_STATS,
     "sequence_pack": ORACLE_SEQUENCE_PACK,
     "mixture_schedule": ORACLE_MIXTURE_SCHEDULE,
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
