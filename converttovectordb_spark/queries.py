@@ -3378,6 +3378,105 @@ FROM top
 """
 
 
+def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture fill: split a global token budget across
+    sources proportionally to their weights (alloc_s = floor(budget ·
+    w_s / Σw) — integer-exact), then greedily take each source's docs
+    in doc_id order until the allocation is spent (a doc straddling
+    the boundary is taken — the concat-and-chunk convention
+    `sequence_pack` documents). The budgeting step every mixture
+    recipe runs before an export: weights (`temperature_sampling`) →
+    draw (`weighted_sample`) → order (`mixture_schedule`) → FILL.
+
+    Scale shape: one tiny per-source weight aggregate broadcast back,
+    per-source cumulative sums as windows PARTITIONED BY source (never
+    a global window), one grouped report row per source."""
+    budget = 10_000
+    docs = _spread(spark, load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("toks"),
+    )
+    wt = (
+        F.lit(1)
+        + (F.regexp_extract(F.col("source"), "([0-9]+)", 1).cast("int") % 3)
+    )
+    docs = docs.withColumn("w", wt)
+    weights = docs.groupBy("source").agg(F.first("w").alias("w"))
+    total_w = weights.agg(F.sum("w").alias("sum_w"))
+    alloc = (
+        weights.crossJoin(F.broadcast(total_w))
+        .withColumn(
+            "alloc",
+            F.floor(F.lit(budget) * F.col("w") / F.col("sum_w")).cast(
+                "bigint"
+            ),
+        )
+        .select("source", "alloc")
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = docs.withColumn(
+        "start", F.coalesce(F.sum("toks").over(win), F.lit(0))
+    )
+    taken = cum.join(F.broadcast(alloc), on="source").filter(
+        F.col("start") < F.col("alloc")
+    )
+    return (
+        taken.groupBy("source")
+        .agg(
+            F.first("w").alias("w"),
+            F.first("alloc").alias("alloc_tokens"),
+            F.count(F.lit(1)).alias("docs_taken"),
+            F.sum("toks").alias("tokens_taken"),
+        )
+        .select(
+            "source",
+            F.col("w").cast("int").alias("w"),
+            F.col("alloc_tokens").cast("bigint").alias("alloc_tokens"),
+            F.col("docs_taken").cast("bigint").alias("docs_taken"),
+            F.col("tokens_taken").cast("bigint").alias("tokens_taken"),
+        )
+    )
+
+
+ORACLE_TOKEN_BUDGET_FILL = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'),
+                              x -> x <> '')) AS BIGINT) AS toks,
+         1 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 3) AS w
+  FROM documents
+),
+alloc AS (
+  SELECT source, any_value(w) AS w,
+         CAST(floor(10000 * any_value(w) /
+              (SELECT sum(w) FROM (SELECT source, any_value(w) AS w
+                                   FROM d GROUP BY source)))
+              AS BIGINT) AS alloc
+  FROM d GROUP BY source
+),
+cum AS (
+  SELECT doc_id, source, toks,
+         COALESCE(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS start
+  FROM d
+)
+SELECT c.source,
+       CAST(a.w AS INT) AS w,
+       a.alloc AS alloc_tokens,
+       CAST(count(*) AS BIGINT) AS docs_taken,
+       CAST(sum(c.toks) AS BIGINT) AS tokens_taken
+FROM cum c JOIN alloc a ON a.source = c.source
+WHERE c.start < a.alloc
+GROUP BY c.source, a.w, a.alloc
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (marker-word argmax, priority-ordered tie
     break) × the labeled language — confusion counts."""
@@ -8673,6 +8772,7 @@ QUERIES = {
     "sequence_pack": q_sequence_pack,
     "mixture_schedule": q_mixture_schedule,
     "weighted_sample": q_weighted_sample,
+    "token_budget_fill": q_token_budget_fill,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "top_ngrams": q_top_ngrams,
@@ -8831,6 +8931,7 @@ ORACLES = {
     "sequence_pack": ORACLE_SEQUENCE_PACK,
     "mixture_schedule": ORACLE_MIXTURE_SCHEDULE,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "token_budget_fill": ORACLE_TOKEN_BUDGET_FILL,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
