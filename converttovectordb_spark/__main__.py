@@ -201,6 +201,19 @@ def _build_parser() -> argparse.ArgumentParser:
     common(sp)
 
     sp = sub.add_parser(
+        "diff",
+        help="row-level diff between two committed store versions "
+        "(added/removed/changed/unchanged identities; requires "
+        "--transactional)",
+    )
+    sp.add_argument("--from-version", type=int, required=True)
+    sp.add_argument(
+        "--to-version", type=int, default=None,
+        help="default: the current version",
+    )
+    common(sp)
+
+    sp = sub.add_parser(
         "build-index",
         help="train + materialize the IVF ANN index beside the store "
         "(with --transactional: rebuild-and-swap protocol, atomic "
@@ -481,6 +494,13 @@ def main(argv: list[str] | None = None) -> int:
         else:
             n = eng.store.vacuum()
             print(json.dumps({"command": "vacuum", "dirs_removed": n}))
+    elif args.command == "diff":
+        try:
+            out = eng.snapshot_diff(args.from_version, args.to_version)
+        except (ValueError, FileNotFoundError) as e:
+            print(json.dumps({"command": "diff", "error": str(e)}))
+            return 1
+        print(json.dumps({"command": "diff", **out}))
     elif args.command == "build-index":
         try:
             idx = eng.build_index(

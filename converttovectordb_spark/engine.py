@@ -1149,6 +1149,72 @@ class VectorEngine:
             )
         return self.store.load(at_version=at_version)
 
+    def snapshot_diff(
+        self, from_version: int, to_version: int | None = None
+    ) -> dict:
+        """Row-level diff between two committed snapshots of a
+        transactional store (``to_version=None`` = current): counts of
+        rows ADDED (identity new in `to`), REMOVED (identity gone),
+        and CHANGED (same (path, chunk_index) identity, different
+        content hash) — the ops verb that tells a curator what a
+        re-crawl/push window actually did, riding the same manifest
+        time travel as ``search(at_version=...)``.
+
+        Scale shape: each side projects to the compact (rid, chash)
+        pair map-side (no content bytes move — the signature heal's
+        projection discipline), newest-per-rid resolved with the
+        shared deterministic tiebreak, then ONE full-outer join on rid
+        and a single counting aggregate."""
+        frm = self._dedup_row_ids(
+            self.load_corpus(at_version=from_version).withColumn(
+                "_row_id", _row_id()
+            )
+        ).select(
+            F.col("_row_id").alias("rid"),
+            F.xxhash64("content").alias("_c_from"),
+        )
+        to = self._dedup_row_ids(
+            self.load_corpus(at_version=to_version).withColumn(
+                "_row_id", _row_id()
+            )
+        ).select(
+            F.col("_row_id").alias("rid"),
+            F.xxhash64("content").alias("_c_to"),
+        )
+        row = (
+            frm.join(to, on="rid", how="full_outer")
+            .agg(
+                F.count(
+                    F.when(F.col("_c_from").isNull(), 1)
+                ).alias("added"),
+                F.count(F.when(F.col("_c_to").isNull(), 1)).alias("removed"),
+                F.count(
+                    F.when(
+                        F.col("_c_from").isNotNull()
+                        & F.col("_c_to").isNotNull()
+                        & (F.col("_c_from") != F.col("_c_to")),
+                        1,
+                    )
+                ).alias("changed"),
+                F.count(
+                    F.when(F.col("_c_from") == F.col("_c_to"), 1)
+                ).alias("unchanged"),
+            )
+            .first()
+        )
+        return {
+            "from_version": int(from_version),
+            "to_version": (
+                int(to_version)
+                if to_version is not None
+                else self.store.version()
+            ),
+            "added": int(row["added"]),
+            "removed": int(row["removed"]),
+            "changed": int(row["changed"]),
+            "unchanged": int(row["unchanged"]),
+        }
+
     def history(self) -> list[dict]:
         """Commit log of the transactional store (empty for the plain
         store — it has no versions to travel to)."""

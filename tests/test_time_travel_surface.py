@@ -114,6 +114,77 @@ def test_rest_query_version_and_history(versioned_engine):
         srv.stop()
 
 
+def test_snapshot_diff(spark, tmp_path):
+    """snapshot_diff: added / removed / changed / unchanged identity
+    counts between two committed versions, and the CLI `diff` verb."""
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(DIM),
+        dim=DIM, transactional=True,
+    )
+
+    def df(rows):
+        return spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+
+    # v0: a + b
+    eng.store.append(
+        df([
+            ("a.py", ".py", 0, 1, "alpha", _unit(0), 1.0),
+            ("b.py", ".py", 0, 1, "beta", _unit(1), 1.0),
+        ])
+    )
+    # v1: upsert replaces a's content (changed), b untouched
+    eng.store.upsert(
+        df([("a.py", ".py", 0, 1, "alpha v2", _unit(2), 2.0)]),
+        key_cols=("path",),
+    )
+    # v2: plain append adds c (added)
+    eng.store.append(df([("c.py", ".py", 0, 1, "gamma", _unit(3), 3.0)]))
+
+    d01 = eng.snapshot_diff(0, 1)
+    assert (d01["added"], d01["removed"], d01["changed"], d01["unchanged"]) \
+        == (0, 0, 1, 1)
+    d02 = eng.snapshot_diff(0)  # to current
+    assert d02["to_version"] == 2
+    assert (d02["added"], d02["removed"], d02["changed"], d02["unchanged"]) \
+        == (1, 0, 1, 1)
+    # reverse direction: c disappears
+    d20 = eng.snapshot_diff(2, 0)
+    assert (d20["added"], d20["removed"], d20["changed"]) == (0, 1, 1)
+    # identical snapshots: all unchanged
+    d22 = eng.snapshot_diff(2, 2)
+    assert (d22["added"], d22["removed"], d22["changed"], d22["unchanged"]) \
+        == (0, 0, 0, 3)
+
+    # plain store: loud error through the CLI envelope
+    from converttovectordb_spark.__main__ import main
+
+    rc = main(
+        ["diff", "--from-version", "0", "--store",
+         str(tmp_path / "plain"), "--dim", str(DIM)]
+    )
+    assert rc == 1
+
+
+def test_cli_diff_verb(spark, tmp_path, capsys):
+    from converttovectordb_spark.__main__ import main
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    (repo / "a.py").write_text("def alpha():\n    return 'one'\n")
+    store = str(tmp_path / "store")
+    base = ["--store", store, "--dim", "16", "--transactional"]
+    assert main(["ingest", "--repo", str(repo)] + base) == 0
+    (repo / "b.py").write_text("def beta():\n    return 'two'\n")
+    assert main(["ingest", "--repo", str(repo)] + base) == 0
+    capsys.readouterr()
+    assert main(["diff", "--from-version", "0"] + base) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # second ingest re-added a.py's identical chunk (same content →
+    # newest-per-rid keeps one, unchanged) and added b.py's
+    assert out["added"] >= 1 and out["removed"] == 0
+    assert out["changed"] == 0
+
+
 def test_cli_search_at_version_and_history(spark, tmp_path, capsys):
     from converttovectordb_spark.__main__ import main
 
