@@ -1165,6 +1165,35 @@ class VectorEngine:
         projection discipline), newest-per-rid resolved with the
         shared deterministic tiebreak, then ONE full-outer join on rid
         and a single counting aggregate."""
+        from converttovectordb_spark.sources.store import (
+            TransactionalDocumentStore,
+        )
+
+        if not isinstance(self.store, TransactionalDocumentStore):
+            raise ValueError(
+                "snapshot_diff requires a transactional store "
+                "(VectorEngine(..., transactional=True))"
+            )
+        # resolve + validate ONCE: an out-of-range version would be
+        # silently clamped by the manifest filter to the full current
+        # snapshot, reporting "nothing changed" for a version that does
+        # not exist; and resolving "current" up front keeps the
+        # reported to_version describing the data actually diffed even
+        # if a writer commits mid-job
+        current = self.store.version()
+        if to_version is None:
+            to_version = current
+        for name, v in (
+            ("from_version", from_version),
+            ("to_version", to_version),
+        ):
+            if not isinstance(v, int) or isinstance(v, bool) or not (
+                0 <= v <= current
+            ):
+                raise ValueError(
+                    f"{name} {v!r} out of range: store is at version "
+                    f"{current}"
+                )
         frm = self._dedup_row_ids(
             self.load_corpus(at_version=from_version).withColumn(
                 "_row_id", _row_id()
@@ -1204,11 +1233,7 @@ class VectorEngine:
         )
         return {
             "from_version": int(from_version),
-            "to_version": (
-                int(to_version)
-                if to_version is not None
-                else self.store.version()
-            ),
+            "to_version": int(to_version),
             "added": int(row["added"]),
             "removed": int(row["removed"]),
             "changed": int(row["changed"]),
@@ -1535,19 +1560,7 @@ class VectorEngine:
             "query_index int, query_text string, query_vec array<double>",
         )
         if use_index:
-            index = getattr(self, "_index", None)
-            if index is None:
-                raise RuntimeError(
-                    "no IVF index built; call build_index() first"
-                )
-            if not allow_stale and self.store.state_token() != getattr(
-                self, "_index_token", None
-            ):
-                raise RuntimeError(
-                    "IVF index is stale: the store changed since "
-                    "build_index(); rebuild the index or pass "
-                    "allow_stale=True to search the old snapshot"
-                )
+            index = self._require_index(allow_stale=allow_stale)
             hits = index.search(
                 queries.drop("query_text"),
                 top_k=validate_top_k(top_k),
@@ -1576,6 +1589,11 @@ class VectorEngine:
         docs = self.store.load().withColumn(
             "_rid", _row_id()
         )
+        # payload CARRIED through the scoring, never joined back on the
+        # identity: a blind re-push's duplicate (path, chunk_index)
+        # copies would fan each hit out across every same-id copy,
+        # pairing one copy's score with another's content (the same
+        # fix the REST batch door carries — see knn_join.carry_cols)
         hits = knn_join(
             queries,
             docs,
@@ -1583,10 +1601,10 @@ class VectorEngine:
             query_id_col="query_index",
             doc_id_col="_rid",
             score_threshold=score_threshold,
+            carry_cols=["path", "chunk_index", "content"],
         )
         return (
             hits.join(F.broadcast(queries.drop("query_vec")), on="query_index")
-            .join(docs.drop("embedding"), on="_rid")
             .select(
                 "query_index", "query_text", "path", "chunk_index",
                 "content", "score", "rank",
@@ -1892,6 +1910,25 @@ class VectorEngine:
         out["index_path"] = self._index.path
         return out
 
+    def _require_index(self, *, allow_stale: bool):
+        """The index-presence + staleness guard shared by every
+        index-serving verb (`search_indexed`, `search_batch
+        (use_index=True)`): one copy, so the two paths cannot drift on
+        what 'stale' means (the open_index sentinel-token subtlety
+        lives behind this check)."""
+        index = getattr(self, "_index", None)
+        if index is None:
+            raise RuntimeError("no IVF index built; call build_index() first")
+        if not allow_stale and self.store.state_token() != getattr(
+            self, "_index_token", None
+        ):
+            raise RuntimeError(
+                "IVF index is stale: the store changed since "
+                "build_index(); rebuild the index or pass "
+                "allow_stale=True to search the old snapshot"
+            )
+        return index
+
     def search_indexed(
         self,
         query_text: str,
@@ -1921,17 +1958,7 @@ class VectorEngine:
         selective filter can leave fewer than k matches inside the
         probed clusters; raise nprobe for more recall under heavy
         filters."""
-        index = getattr(self, "_index", None)
-        if index is None:
-            raise RuntimeError("no IVF index built; call build_index() first")
-        if not allow_stale and self.store.state_token() != getattr(
-            self, "_index_token", None
-        ):
-            raise RuntimeError(
-                "IVF index is stale: the store changed since "
-                "build_index(); rebuild the index or pass "
-                "allow_stale=True to search the old snapshot"
-            )
+        index = self._require_index(allow_stale=allow_stale)
         qv = self.embedder([query_text])
         qv = np.asarray(qv, dtype=np.float64).reshape(-1).tolist()
         probes = self.spark.createDataFrame([(0, qv)], "query_id int, query_vec array<double>")

@@ -924,18 +924,22 @@ class TransactionalIVFIndex(IVFIndex):
         # rewrite failure is a warning, not the append's failure (the
         # epoch already landed; surfacing it would make the streaming
         # sink replay a committed epoch against its txn dedup for
-        # nothing, or a non-txn caller double-write). TIERED like the
-        # store's policy: only the live TAIL is rewritten, so the head
-        # blob (the last compaction's product — the bulk of the index)
-        # is never re-read by the policy; the index has no tombstones,
-        # so tail compaction is unconditionally sound here.
+        # nothing, or a non-txn caller double-write). TWO-LEVEL like
+        # the store's policy: the L0 step folds only the plain epochs
+        # SINCE the last live compaction product (prior blobs are never
+        # re-read), and a blob-saturated live list folds everything —
+        # the index has no tombstones, so any live subset is sound.
         k = getattr(self, "auto_compact_after", None)
         if k is not None:
-            live = self._live_versions()
+            ms = self._manifests()
+            live = self._live_of(ms)
             if len(live) >= k:
+                blobs = [v for v in live if ms[v].get("replaces")]
+                cut = live.index(blobs[-1]) + 1 if blobs else 1
+                fresh = live[cut:]
                 try:
-                    if len(live) > 2:
-                        self.compact(versions=live[1:])
+                    if len(blobs) < k and len(fresh) >= 2:
+                        self.compact(versions=fresh)
                     else:
                         self.compact()
                 except Exception as exc:  # noqa: BLE001

@@ -261,6 +261,21 @@ class TransactionalDocumentStore(DocumentStore):
         self._maybe_auto_compact()
         return rows
 
+    def _manifests(self) -> dict[int, dict]:
+        """One pass over the manifest dir (the index layer's
+        read-once discipline): every committed-read step of an
+        operation works from this dict instead of re-opening each JSON
+        several times — after thousands of micro-batch commits the
+        repeated small-file opens are real I/O."""
+        return {v: self._read_manifest(v) for v in self._versions()}
+
+    @staticmethod
+    def _live_of(manifests: dict[int, dict]) -> list[int]:
+        replaced: set[int] = set()
+        for m in manifests.values():
+            replaced.update(m.get("replaces", []))
+        return [v for v in sorted(manifests) if v not in replaced]
+
     def _maybe_auto_compact(self) -> None:
         """The version-count compaction trigger (see ``__init__``):
         fires AFTER a successful commit, so the appended batch is
@@ -271,28 +286,36 @@ class TransactionalDocumentStore(DocumentStore):
         compaction is an ops warning, and the next append simply
         re-triggers it.
 
-        TIERED: when the live set is [head, tail...] and the tail
-        carries no tombstone commits, only the TAIL is rewritten
-        (`compact_tail`) — the head blob (typically the product of the
-        last compaction, and the bulk of the store) is never re-read,
-        so the policy's write amplification is bounded by the tail the
-        cadence accumulates between fires, not by store size. A tail
-        containing an upsert falls back to the full merge-materializing
-        `compact()` (superseding a tombstone commit without applying
-        its tombstone would resurrect the rows it replaced)."""
+        TWO-LEVEL (leveled compaction, manifest edition): L0 is the
+        run of plain-append commits SINCE the last compaction product
+        in the live list — only those are rewritten (`compact_tail`),
+        so each row is folded into an L1 blob exactly once per level
+        and prior blobs are never re-read by the L0 step. When the
+        live list is mostly blobs (or the fresh run is too short, or
+        it carries an upsert's tombstone — superseding a tombstone
+        commit without applying its merge would resurrect the rows it
+        replaced), the policy folds EVERYTHING with the full
+        merge-materializing `compact()` — the L1→L2 step that also
+        retires tombstone debt."""
         k = self.auto_compact_after
         if k is None:
             return
-        live = self._live_versions(self._versions())
+        ms = self._manifests()
+        live = self._live_of(ms)
         if len(live) < k:
             return
-        tail = live[1:]
-        tail_has_tombstones = any(
-            "tombstone_keys" in self._read_manifest(v) for v in tail
-        )
+        blobs = [v for v in live if ms[v].get("replaces")]
+        # fresh L0 run: strictly after the last live blob; never
+        # include the head batch (it plays the blob role pre-first-fire)
+        cut = live.index(blobs[-1]) + 1 if blobs else 1
+        fresh = live[cut:]
         try:
-            if len(tail) >= 2 and not tail_has_tombstones:
-                self.compact_tail(tail)
+            if (
+                len(blobs) < k
+                and len(fresh) >= 2
+                and not any("tombstone_keys" in ms[v] for v in fresh)
+            ):
+                self.compact_tail(fresh)
             else:
                 self.compact()
         except Exception as exc:  # noqa: BLE001 — deliberately broad
@@ -323,8 +346,9 @@ class TransactionalDocumentStore(DocumentStore):
         but only the suffix guarantee keeps "outside the range" ==
         "strictly older", which the tombstone argument above relies on.
         """
-        ms = self._manifests_of(versions)
-        live = self._live_versions(self._versions())
+        all_ms = self._manifests()
+        live = self._live_of(all_ms)
+        ms = {v: all_ms[v] for v in versions if v in all_ms}
         if versions != live[-len(versions):]:
             raise ValueError(
                 f"compact_tail requires a suffix of the live versions "
@@ -335,6 +359,29 @@ class TransactionalDocumentStore(DocumentStore):
                 "compact_tail cannot supersede tombstone commits — use "
                 "compact() (full merge materialization)"
             )
+        # Resurrection guard: a compaction product INSIDE the range can
+        # carry rows whose effective version (its snapshot_of) is OLDER
+        # than a live tombstone OUTSIDE the range (a racy upsert that
+        # won a manifest version between that compaction's basis and
+        # its commit). Re-stamping such rows to this range's max would
+        # lift them past the tombstone and resurrect replaced content —
+        # so every range member's effective version must be >= the
+        # newest live outside tombstone.
+        out_tombs = [
+            v
+            for v in live
+            if v not in ms and "tombstone_keys" in all_ms[v]
+        ]
+        max_t = max(out_tombs, default=-1)
+        for v, m in ms.items():
+            if m.get("snapshot_of", v) < max_t:
+                raise ValueError(
+                    f"compact_tail range contains a compaction product "
+                    f"(v{v}, snapshot_of={m.get('snapshot_of')}) older "
+                    f"than a live tombstone at v{max_t} outside the "
+                    "range — superseding it would resurrect replaced "
+                    "rows; use compact()"
+                )
         import json
         import uuid
 
@@ -370,9 +417,6 @@ class TransactionalDocumentStore(DocumentStore):
                 return rows
             except FileExistsError:
                 version += 1
-
-    def _manifests_of(self, versions: list[int]) -> dict[int, dict]:
-        return {v: self._read_manifest(v) for v in versions}
 
     def append_dedup(
         self,

@@ -71,15 +71,13 @@ class ModelStore:
         self.commits.append((self._next_version(), list(snap), None, replaced))
         return len(snap)
 
-    def compact_tail(self):
-        """Mirror of the store's tiered policy step: the live TAIL
-        (tombstone-free by precondition) is rewritten verbatim — tail
-        rows are never shadowed by older tombstones, so raw
-        concatenation IS their visible form."""
-        tail = self._live_versions()[1:]
-        rows = [r for _v, rws, _k, _r in tail for r in rws]
+    def compact_range(self, rng):
+        """Mirror of the store's L0 policy step: a tombstone-free live
+        suffix is rewritten verbatim — its rows are never shadowed by
+        older tombstones, so raw concatenation IS their visible form."""
+        rows = [r for _v, rws, _k, _r in rng for r in rws]
         self.commits.append(
-            (self._next_version(), rows, None, {c[0] for c in tail})
+            (self._next_version(), rows, None, {c[0] for c in rng})
         )
         return len(rows)
 
@@ -146,11 +144,19 @@ def test_store_matches_model_with_auto_compaction(spark, tmp_path, seed):
         getattr(model, kind)(rows)
         live = model._live_versions()
         if len(live) >= K:
-            tail = live[1:]
-            if len(tail) >= 2 and all(c[2] is None for c in tail):
-                model.compact_tail()  # tiered: head blob untouched
+            # two-level mirror: L0 = plain commits after the last live
+            # compaction product (replaces non-empty), head never in L0
+            blob_idx = [i for i, c in enumerate(live) if c[3]]
+            cut = blob_idx[-1] + 1 if blob_idx else 1
+            fresh = live[cut:]
+            if (
+                len(blob_idx) < K
+                and len(fresh) >= 2
+                and all(c[2] is None for c in fresh)
+            ):
+                model.compact_range(fresh)
             else:
-                model.compact()  # tombstoned tail → full merge
+                model.compact()  # blob-saturated / tombstoned → fold
 
     ops = ["append"] + [
         rng.choice(["append", "upsert", "append", "travel"])
@@ -306,6 +312,41 @@ def test_compaction_concurrent_upsert_not_resurrected(
     assert ("a.txt", "v2") in rows, rows  # the upsert won
     assert ("a.txt", "v1") not in rows, rows  # not resurrected
     assert ("b.txt", "x") in rows
+
+
+def test_compact_tail_resurrection_guard(spark, tmp_path):
+    """Code-review r10 (2nd pass): a compaction product INSIDE a
+    compact_tail range whose snapshot_of is OLDER than a live tombstone
+    OUTSIDE the range must be refused — re-stamping its rows to the
+    range's max would lift them past the tombstone and resurrect
+    replaced content. The state is forged here to simulate the
+    cross-process race that creates it (an upsert winning a manifest
+    version between a tail-compaction's basis capture and its commit)."""
+    import json
+    import os
+
+    store = TransactionalDocumentStore(spark, str(tmp_path / "store"))
+    store.append(_mk_batch(spark, [("d.txt", "head")]))  # v0
+    store.append(_mk_batch(spark, [("a.txt", "v1")]))  # v1
+    store.upsert(_mk_batch(spark, [("a.txt", "v2")]), key_cols=("path",))  # v2
+    store.append(_mk_batch(spark, [("b.txt", "x")]))  # v3
+    store.append(_mk_batch(spark, [("c.txt", "y")]))  # v4
+    assert store.compact_tail([3, 4]) == 2  # B at v5, snapshot_of=4
+    store.append(_mk_batch(spark, [("e.txt", "z")]))  # v6
+
+    # forge the racy end-state: B claims a basis OLDER than the live
+    # tombstone at v2
+    mpath = os.path.join(store._manifest_path(), "5.json")
+    m = json.load(open(mpath))
+    m["snapshot_of"] = 1
+    json.dump(m, open(mpath, "w"))
+
+    with pytest.raises(ValueError, match="resurrect"):
+        store.compact_tail([5, 6])
+    # the full merge-materializing path handles it
+    before = _store_rows(store)
+    store.compact()
+    assert _store_rows(store) == before
 
 
 def test_index_auto_compaction(spark, tmp_path):
