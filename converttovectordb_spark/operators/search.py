@@ -420,6 +420,8 @@ def ivf_knn_join_shuffled(
     target_pairs_per_task: int = DEFAULT_TARGET_PAIRS_PER_TASK,
     exclude_self: bool = False,
     query_label_col: str | None = None,
+    cluster_sizes: dict | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """IVF KNN join for CORPUS-SCALE query sets (self-join dedup,
     corpus-to-corpus linking, embedding-space audits, hard-negative
@@ -454,8 +456,12 @@ def ivf_knn_join_shuffled(
          S)`) and replicates each probe row S ways, bounding any single
          task's pair count when cluster sizes are skewed — results are
          invariant to S. ``salt_buckets="auto"`` sizes S PER CLUSTER
-         from the corpus's cluster-size histogram (one tiny plan-time
-         agg + a query count): each cluster gets
+         from the corpus's cluster-size histogram — passed in via
+         ``cluster_sizes``/``n_queries`` (zero extra Spark actions; the
+         IVF index artifact persists exactly these stats at
+         build/append/compact time, `IVFIndex.cluster_stats()`), or
+         derived with one tiny plan-time agg + a query count when the
+         caller has no artifact: each cluster gets
          ``auto_salt_buckets(d_c, N, Q, nprobe)`` buckets targeting
          ``target_pairs_per_task`` pairs per task, broadcast to both
          sides as a cluster→S_c map. Only hot clusters pay probe
@@ -565,30 +571,40 @@ def ivf_knn_join_shuffled(
     )
     if salt_buckets == "auto":
         # Per-cluster adaptive salting: size S_c from the cluster-size
-        # histogram. Two tiny plan-time jobs (a grouped count over the
-        # corpus, a query count); the map is one row per NON-TRIVIAL
-        # cluster (S_c > 1), broadcast-joined to both sides — cold
-        # clusters skip replication entirely via coalesce(_nsalt, 1).
+        # histogram. ``cluster_sizes`` (a {cluster_id: n} dict, e.g.
+        # `IVFIndex.cluster_stats()["cluster_sizes"]` — the index
+        # artifact records it at build/append/compact time) and
+        # ``n_queries`` make sizing ZERO extra Spark actions; without
+        # them the operator derives both itself (two tiny plan-time
+        # jobs: a grouped count over the corpus, a query count). The
+        # map is one row per NON-TRIVIAL cluster (S_c > 1),
+        # broadcast-joined to both sides — cold clusters skip
+        # replication entirely via coalesce(_nsalt, 1).
         spark = docs.sparkSession
-        hist = (
-            docs.groupBy(F.col(cluster_col))
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .collect()
-        )
-        n_docs = sum(r["_n"] for r in hist)
-        n_queries = queries.count()
+        if cluster_sizes is not None:
+            hist_pairs = [(cid, int(n)) for cid, n in cluster_sizes.items()]
+        else:
+            hist_pairs = [
+                (r[cluster_col], int(r["_n"]))
+                for r in docs.groupBy(F.col(cluster_col))
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .collect()
+            ]
+        n_docs = sum(n for _, n in hist_pairs)
+        if n_queries is None:
+            n_queries = queries.count()
         sizes = [
             (
-                r[cluster_col],
+                cid,
                 auto_salt_buckets(
-                    r["_n"],
+                    n,
                     n_docs,
                     n_queries,
                     nprobe,
                     target_pairs_per_task=target_pairs_per_task,
                 ),
             )
-            for r in hist
+            for cid, n in hist_pairs
         ]
         hot = [(cid, s) for cid, s in sizes if s > 1]
         if not hot:

@@ -44,6 +44,43 @@ from converttovectordb_spark.functions.vector import (
 CENTROIDS_SUBDIR = "centroids"
 CORPUS_SUBDIR = "corpus"
 CLUSTER_COL = "cluster_id"
+STATS_FILE = "_stats.json"
+
+
+def _batch_histogram(assigned: DataFrame) -> dict:
+    """Per-cluster row counts of an assigned (cluster-labeled) frame —
+    computed at WRITE time, where the batch is already materialized, so
+    query-time consumers (`ivf_knn_join_shuffled(salt_buckets="auto")`,
+    nprobe sizing) never pay a stats job of their own. Keys are
+    stringified for JSON manifests; `cluster_stats()` restores ints."""
+    rows = assigned.groupBy(CLUSTER_COL).agg(
+        F.count(F.lit(1)).alias("_n")
+    ).collect()
+    return {str(r[CLUSTER_COL]): int(r["_n"]) for r in rows}
+
+
+def _merge_histograms(hists) -> dict:
+    """Sum histograms keyed by cluster id. Keys are normalized to str
+    first — inputs mix JSON-restored native keys and fresh stringified
+    ones, and `3` vs `"3"` must sum, not shadow."""
+    out: dict = {}
+    for h in hists:
+        for cid, n in h.items():
+            k = str(cid)
+            out[k] = out.get(k, 0) + int(n)
+    return out
+
+
+def _stats_keys_native(sizes: dict) -> dict:
+    """JSON round-trip restores int cluster ids (string-labeled corpora
+    keep their strings — int() failing means the key WAS a string)."""
+    native = {}
+    for cid, n in sizes.items():
+        try:
+            native[int(cid)] = int(n)
+        except (TypeError, ValueError):
+            native[cid] = int(n)
+    return native
 
 #: Ceiling on the number of queries `IVFIndex.search(adc_shortlist=...)`
 #: accepts. The IVFADC plan builds ONE driver-side ADC leg per query
@@ -163,6 +200,12 @@ def build_ivf_index(
     assigned.write.mode("overwrite").partitionBy(CLUSTER_COL).parquet(
         f"{index_path}/{CORPUS_SUBDIR}"
     )
+    index = IVFIndex(docs.sparkSession, index_path)
+    # Persist the cluster-size histogram beside the layout it describes:
+    # computed from the WRITTEN corpus (the partition column needs only
+    # file footers, not data pages), so auto salting and nprobe sizing
+    # downstream read a manifest instead of re-running a corpus agg.
+    index._write_stats(_batch_histogram(index.corpus()))
     if pq_m is not None:
         from converttovectordb_spark.plans.pq_index import (
             codebooks_df,
@@ -185,7 +228,7 @@ def build_ivf_index(
         coded.write.mode("overwrite").partitionBy(CLUSTER_COL).parquet(
             f"{index_path}/{PQ_CODES_SUBDIR}"
         )
-    return IVFIndex(docs.sparkSession, index_path)
+    return index
 
 
 class IVFIndex:
@@ -198,6 +241,52 @@ class IVFIndex:
 
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.path}/{CENTROIDS_SUBDIR}")
+
+    # -- persisted cluster stats --------------------------------------
+    def _stats_path(self) -> str:
+        import os
+
+        return os.path.join(self.path, STATS_FILE)
+
+    def _write_stats(self, cluster_sizes: dict) -> None:
+        """Atomic (tmp + rename) publish of the histogram manifest. The
+        plain index is single-maintainer by contract (its append is a
+        bare parquet append), so read-merge-write in `append` is safe."""
+        import json
+        import os
+        import uuid
+
+        tmp = f"{self._stats_path()}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "n_docs": sum(int(n) for n in cluster_sizes.values()),
+                    "cluster_sizes": {
+                        str(c): int(n) for c, n in cluster_sizes.items()
+                    },
+                },
+                fh,
+            )
+        os.replace(tmp, self._stats_path())
+
+    def cluster_stats(self) -> dict | None:
+        """``{"n_docs": N, "cluster_sizes": {cid: n}}`` from the stats
+        manifest written at build/append time, or None for a pre-stats
+        artifact (consumers fall back to computing — never fail).
+
+        This is the write-time answer to the auto-salting plan-time
+        jobs: `ivf_knn_join_shuffled(salt_buckets="auto",
+        cluster_sizes=index.cluster_stats()["cluster_sizes"], ...)`
+        sizes per-cluster salts with ZERO extra Spark actions."""
+        import json
+
+        try:
+            with open(self._stats_path()) as fh:
+                raw = json.load(fh)
+        except (FileNotFoundError, ValueError):
+            return None
+        sizes = _stats_keys_native(raw.get("cluster_sizes", {}))
+        return {"n_docs": int(raw["n_docs"]), "cluster_sizes": sizes}
 
     def corpus(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.path}/{CORPUS_SUBDIR}")
@@ -523,6 +612,17 @@ class IVFIndex:
             assigned.select(*corpus_cols).write.mode("append").partitionBy(
                 CLUSTER_COL
             ).parquet(f"{self.path}/{CORPUS_SUBDIR}")
+            # keep the histogram manifest current (read-merge-write is
+            # sound: the plain index is single-maintainer by contract);
+            # a pre-stats artifact stays stats-less rather than getting
+            # a partial histogram that undercounts the base corpus
+            prev = self.cluster_stats()
+            if prev is not None:
+                self._write_stats(
+                    _merge_histograms(
+                        [prev["cluster_sizes"], _batch_histogram(assigned)]
+                    )
+                )
             if self.has_pq():
                 from converttovectordb_spark.plans.pq_index import (
                     pq_encode_frozen,
@@ -730,6 +830,27 @@ class TransactionalIVFIndex(IVFIndex):
     def pq_codes(self) -> DataFrame:
         return self._union_batches("codes_dir")
 
+    def cluster_stats(self) -> dict | None:
+        """Live histogram = sum over live commits' write-time
+        histograms — a manifest fold, NO Spark job. None when any live
+        commit predates stats (a partial sum would silently undercount
+        and mis-size the salts toward the hot-task failure mode)."""
+        ms = self._manifests()
+        live = self._live_of(ms)
+        if not live:
+            return None
+        hists = []
+        for v in live:
+            h = ms[v].get("cluster_sizes")
+            if h is None:
+                return None
+            hists.append(h)
+        sizes = _stats_keys_native(_merge_histograms(hists))
+        return {
+            "n_docs": sum(sizes.values()),
+            "cluster_sizes": sizes,
+        }
+
     # -- writes ------------------------------------------------------
     @classmethod
     def build(
@@ -844,7 +965,15 @@ class TransactionalIVFIndex(IVFIndex):
                 corpus_dir
             )
             rows = int(obs.get["rows"])
-            commit = {"corpus_dir": corpus_dir, "rows": rows}
+            commit = {
+                "corpus_dir": corpus_dir,
+                "rows": rows,
+                # write-time histogram: `assigned` is materialized here,
+                # so this is one cheap action over cached rows; live
+                # stats are the SUM over live commits (cluster_stats),
+                # giving query-time consumers zero-job salt sizing
+                "cluster_sizes": _batch_histogram(assigned),
+            }
             if txn_id is not None:
                 commit["txn_id"] = txn_id
             if models is not None or self.has_pq():
@@ -1045,9 +1174,20 @@ class TransactionalIVFIndex(IVFIndex):
             "overwrite"
         ).partitionBy(CLUSTER_COL).parquet(corpus_dir)
         rows = int(obs.get["rows"])
+        in_hists = [ms[v].get("cluster_sizes") for v in live]
+        if all(h is not None for h in in_hists):
+            # pure manifest arithmetic — compaction moves rows, it
+            # doesn't change per-cluster membership
+            sizes = _merge_histograms(in_hists)
+        else:
+            # a pre-stats commit is being folded in: recompute from the
+            # just-written snapshot (partition-column-only read — file
+            # footers, not data pages) so compaction HEALS missing stats
+            sizes = _batch_histogram(self.spark.read.parquet(corpus_dir))
         commit = {
             "corpus_dir": corpus_dir,
             "rows": rows,
+            "cluster_sizes": sizes,
             # exactly the rewritten set: a full compact also sweeps
             # already-superseded manifests (harmless, idempotent), a
             # subset compact must supersede ONLY what it rewrote

@@ -605,18 +605,20 @@ def q_hard_negatives_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-size histogram (auto_salt_buckets), not hardcoded — at
     100 TB a skewed hot cluster bounds the whole join, and the right S
     is a function of that skew. Results are salt-invariant (the oracle
-    has no salt concept), so the sizing is free to vary with stats."""
+    has no salt concept), so the sizing is free to vary with stats.
+    The histogram comes from the index artifact's stats manifest
+    (`IVFIndex.cluster_stats()`, persisted at build time) — zero
+    plan-time stats jobs here; every probe is a corpus row, so
+    n_queries == n_docs from the same manifest."""
     emb = load(spark, sf_dir, "embeddings")
     probes = emb.select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("embedding").alias("query_vec"),
     )
-    cents = (
-        _ivf_index_cached(spark, sf_dir)
-        .centroids()
-        .withColumnRenamed("cluster_id", "label")
-    )
+    index = _ivf_index_cached(spark, sf_dir)
+    cents = index.centroids().withColumnRenamed("cluster_id", "label")
+    stats = index.cluster_stats()
     out = ivf_knn_join_shuffled(
         probes,
         emb,
@@ -625,6 +627,8 @@ def q_hard_negatives_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_buckets="auto",
         centroids=cents,
         query_label_col="qlabel",
+        cluster_sizes=None if stats is None else stats["cluster_sizes"],
+        n_queries=None if stats is None else stats["n_docs"],
     )
     return out.select(
         "query_id",
@@ -811,8 +815,11 @@ def _ivf_index_cached(spark: SparkSession, sf_dir: str):
 
     from converttovectordb_spark.plans.ivf_index import IVFIndex, build_ivf_index
 
+    # params bump (stats=1): artifacts now persist the cluster-size
+    # histogram manifest; a key change rebuilds rather than leaving the
+    # cached pre-stats artifact to silently force the fallback path
     index_path = _artifact_cache_dir(
-        "ivf_index", [f"{sf_dir}/embeddings.parquet"], "cluster_col=label"
+        "ivf_index", [f"{sf_dir}/embeddings.parquet"], "cluster_col=label;stats=1"
     )
     if not os.path.isdir(index_path):
         emb = load(spark, sf_dir, "embeddings")

@@ -1,0 +1,137 @@
+"""Persisted cluster-size stats on the IVF index artifacts.
+
+The r10 finding: `ivf_knn_join_shuffled(salt_buckets="auto")` re-derived
+per call (a grouped corpus count + a query count) what the index
+artifact already knows at write time. These tests pin the write-time
+half: build/append/compact keep an exact histogram manifest, readers
+get it with zero Spark jobs, and pre-stats artifacts degrade to None
+(fallback) instead of a silently partial histogram.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from converttovectordb_spark.plans.ivf_index import (
+    IVFIndex,
+    TransactionalIVFIndex,
+    build_ivf_index,
+)
+
+
+def _docs(spark, n_per=((0, 12), (1, 5), (2, 3)), start=0):
+    rows = []
+    vid = start
+    for label, n in n_per:
+        for i in range(n):
+            a = 0.1 * i + label * 10.0
+            rows.append((vid, label, [math.cos(a), math.sin(a), 1.0 + label]))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+
+
+def _corpus_hist(index):
+    return {
+        int(r["cluster_id"]): int(r["n"])
+        for r in index.corpus()
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def test_build_persists_exact_histogram(spark, tmp_path):
+    docs = _docs(spark)
+    index = build_ivf_index(docs, str(tmp_path / "ivf"), cluster_col="label")
+    stats = index.cluster_stats()
+    assert stats is not None
+    assert stats["cluster_sizes"] == {0: 12, 1: 5, 2: 3}
+    assert stats["n_docs"] == 20
+    assert stats["cluster_sizes"] == _corpus_hist(index)
+
+
+def test_plain_append_merges_stats(spark, tmp_path):
+    docs = _docs(spark)
+    index = build_ivf_index(docs, str(tmp_path / "ivf"), cluster_col="label")
+    batch = _docs(spark, n_per=((0, 2), (2, 1)), start=100)
+    index.append(batch, cluster_col="label")
+    stats = index.cluster_stats()
+    assert stats["cluster_sizes"] == {0: 14, 1: 5, 2: 4}
+    assert stats["n_docs"] == 23
+    assert stats["cluster_sizes"] == _corpus_hist(index)
+
+
+def test_pre_stats_artifact_degrades_to_none(spark, tmp_path):
+    docs = _docs(spark)
+    index = build_ivf_index(docs, str(tmp_path / "ivf"), cluster_col="label")
+    os.remove(index._stats_path())  # simulate an artifact built pre-stats
+    assert index.cluster_stats() is None
+    # append must NOT fabricate a batch-only histogram (it would
+    # undercount the base corpus and mis-size salts)
+    index.append(_docs(spark, n_per=((1, 2),), start=200), cluster_col="label")
+    assert index.cluster_stats() is None
+
+
+def test_txn_append_and_compact_keep_stats(spark, tmp_path):
+    docs = _docs(spark)
+    index = TransactionalIVFIndex.build(
+        docs, str(tmp_path / "txn"), cluster_col="label"
+    )
+    assert index.cluster_stats()["cluster_sizes"] == {0: 12, 1: 5, 2: 3}
+    index.append(
+        _docs(spark, n_per=((0, 1), (1, 4)), start=100), cluster_col="label"
+    )
+    want = {0: 13, 1: 9, 2: 3}
+    assert index.cluster_stats()["cluster_sizes"] == want
+    assert index.cluster_stats()["n_docs"] == 25
+    # a replayed txn epoch must not double-count the histogram
+    batch = _docs(spark, n_per=((2, 2),), start=300)
+    index.append(batch, cluster_col="label", txn_id="e1")
+    index.append(batch, cluster_col="label", txn_id="e1")
+    want = {0: 13, 1: 9, 2: 5}
+    assert index.cluster_stats()["cluster_sizes"] == want
+    # compaction is manifest arithmetic — same totals, no recount drift
+    index.compact()
+    assert index.cluster_stats()["cluster_sizes"] == want
+    assert index.cluster_stats()["cluster_sizes"] == _corpus_hist(index)
+
+
+def test_txn_legacy_manifest_none_then_compact_heals(spark, tmp_path):
+    docs = _docs(spark)
+    index = TransactionalIVFIndex.build(
+        docs, str(tmp_path / "txn"), cluster_col="label"
+    )
+    index.append(_docs(spark, n_per=((1, 2),), start=100), cluster_col="label")
+    # strip stats from one live commit: a pre-stats epoch in the chain
+    mpath = os.path.join(index._manifest_path(), "0.json")
+    with open(mpath) as fh:
+        m = json.load(fh)
+    del m["cluster_sizes"]
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    assert index.cluster_stats() is None  # partial sum refused
+    index.compact()  # recomputes from the rewritten snapshot
+    stats = index.cluster_stats()
+    assert stats is not None
+    assert stats["cluster_sizes"] == _corpus_hist(index)
+
+
+def test_stats_survive_json_roundtrip_key_types(spark, tmp_path):
+    """JSON stringifies keys; cluster_stats restores ints so the salt
+    map joins against an int cluster column."""
+    docs = _docs(spark)
+    index = build_ivf_index(docs, str(tmp_path / "ivf"), cluster_col="label")
+    assert all(
+        isinstance(k, int) for k in index.cluster_stats()["cluster_sizes"]
+    )
+
+
+def test_missing_path_is_none(spark, tmp_path):
+    assert IVFIndex(spark, str(tmp_path / "nope")).cluster_stats() is None

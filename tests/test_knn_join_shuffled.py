@@ -181,6 +181,80 @@ def test_query_label_reserved_names_rejected(emb, probes, bad):
         )
 
 
+def test_auto_salt_with_provided_stats_zero_jobs_same_result(
+    spark, emb, probes
+):
+    """cluster_sizes/n_queries from the index manifest make auto salt
+    sizing ZERO extra Spark actions (the r10 finding: two plan-time
+    jobs per call), and the result is identical to self-derived stats.
+    """
+    target = 2_000  # small enough that salting actually engages
+    ref = _rows(
+        ivf_knn_join_shuffled(
+            probes,
+            emb,
+            top_k=3,
+            nprobe=2,
+            salt_buckets="auto",
+            target_pairs_per_task=target,
+        )
+    )
+    stats = {
+        r["label"]: r["n"]
+        for r in emb.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    nq = probes.count()
+    sc = spark.sparkContext
+    group = "auto-salt-stats-plan"
+    sc.setJobGroup(group, "plan construction with provided stats")
+    try:
+        df = ivf_knn_join_shuffled(
+            probes,
+            emb,
+            top_k=3,
+            nprobe=2,
+            salt_buckets="auto",
+            target_pairs_per_task=target,
+            cluster_sizes=stats,
+            n_queries=nq,
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+    assert _rows(df) == ref
+
+
+def test_hard_negatives_corpus_entry_no_extra_plan_time_jobs(spark):
+    """The graded `hard_negatives_corpus` entry threads the index
+    artifact's persisted histogram into auto salting — constructing its
+    plan must launch no MORE jobs than its fixed-salt sibling
+    `vector_knn_selfjoin_ivf` (same reads, no stats derivation). The
+    r10 finding was +2 jobs here (corpus histogram + query count)."""
+    from converttovectordb_spark.queries import (
+        q_hard_negatives_corpus,
+        q_vector_knn_selfjoin_ivf,
+    )
+
+    sf_dir = SF_DIR
+    q_hard_negatives_corpus(spark, sf_dir)  # warm the index artifact
+    sc = spark.sparkContext
+
+    def plan_jobs(fn, group):
+        sc.setJobGroup(group, f"{group} plan construction")
+        try:
+            fn(spark, sf_dir)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    control = plan_jobs(q_vector_knn_selfjoin_ivf, "selfjoin-plan")
+    auto = plan_jobs(q_hard_negatives_corpus, "hnc-plan")
+    assert auto <= control, (
+        f"auto-salt entry launched {auto} plan-time jobs vs the "
+        f"fixed-salt sibling's {control} — stats are being re-derived"
+    )
+
+
 def test_auto_salt_buckets_sizing():
     """Pure arithmetic of the per-cluster salt sizing."""
     from converttovectordb_spark.operators.search import (
