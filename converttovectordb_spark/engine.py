@@ -96,6 +96,10 @@ class VectorEngine:
             self.store = DocumentStore(
                 spark, store_path, partition_by=("extension",)
             )
+        # also the lexical signature artifact's fold cadence (when set);
+        # unset engines take the sigstore's own default — the artifact
+        # is internal, so it self-compacts regardless of store flavor
+        self.auto_compact_after = auto_compact_after
         self.embedder = embedder or hash_embedder(dim)
         self.dim = dim
         self.chunk_size = chunk_size
@@ -854,8 +858,15 @@ class VectorEngine:
             MinHashSignatureStore,
         )
 
+        kwargs = (
+            {}
+            if self.auto_compact_after is None
+            else {"auto_compact_after": self.auto_compact_after}
+        )
         return MinHashSignatureStore(
-            self.spark, self.store.path.rstrip("/") + "_minhash_sigs"
+            self.spark,
+            self.store.path.rstrip("/") + "_minhash_sigs",
+            **kwargs,
         )
 
     def _corpus_for_sigs(self) -> DataFrame:

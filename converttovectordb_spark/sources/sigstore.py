@@ -69,6 +69,17 @@ def token_digest(token) -> str | None:
     return hashlib.sha256(repr(basis).encode()).hexdigest()
 
 
+#: default write-door compaction cadence: fold the per-append parquet
+#: dirs once DEFAULT_AUTO_COMPACT_AFTER of them accumulate. The
+#: artifact is internal (the engine builds and maintains it), so the
+#: policy is ON by default — a push/stream cadence with lexical dedup
+#: was the last unbounded small-file producer on the steady-state
+#: ingest path (the store and IVF index got the same policy in r10;
+#: the reference's own O(N²) per-request rewrite,
+#: mock_vector_db_api.py:215, is the cautionary tale).
+DEFAULT_AUTO_COMPACT_AFTER = 16
+
+
 class MinHashSignatureStore:
     """Parquet-backed (rid, sig, band_id, band_key, chash) table with
     a token-file freshness contract. All methods are driver-cheap
@@ -78,9 +89,26 @@ class MinHashSignatureStore:
     TOKEN_FILE = "_TOKEN"
     DATA_DIR = "data"
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        auto_compact_after: int | None = DEFAULT_AUTO_COMPACT_AFTER,
+    ):
+        """``auto_compact_after=K``: after an append commit, when the
+        data dir holds >= K batch dirs, fold them into one (post-commit
+        and warn-don't-fail, same policy as the store and the IVF
+        index — the token is already durable, so a failed fold costs
+        nothing but the deferred rewrite). ``None`` disarms."""
+        if auto_compact_after is not None and auto_compact_after < 2:
+            raise ValueError(
+                f"auto_compact_after must be >= 2 (every-append rewrites "
+                f"are the reference's O(N²) bug), got {auto_compact_after}"
+            )
         self.spark = spark
         self.path = path
+        self.auto_compact_after = auto_compact_after
 
     # -- state ---------------------------------------------------------
     def exists(self) -> bool:
@@ -88,7 +116,12 @@ class MinHashSignatureStore:
 
     def token(self) -> str | None:
         """The committed store-token digest, or None when the artifact
-        is absent, unreadable, or was built under different params."""
+        is absent, unreadable, or was built under different params.
+        A token WITHOUT a data dir (the rebuild/compact swap's
+        rename-away crash window) also reads as absent — callers must
+        rebuild, not trust a digest whose rows are gone."""
+        if not self.exists():
+            return None
         try:
             with open(os.path.join(self.path, self.TOKEN_FILE)) as fh:
                 meta = json.load(fh)
@@ -113,9 +146,65 @@ class MinHashSignatureStore:
         )
 
     def append(self, sigs: DataFrame, digest: str) -> None:
-        """Stage one parquet dir atomically, then commit the token."""
+        """Stage one parquet dir atomically, then commit the token.
+        Post-commit, the armed compaction policy folds accumulated
+        batch dirs — warn-don't-fail: the token is already written, so
+        a fold failure defers the rewrite to the next append rather
+        than failing a committed heal/ingest."""
         self._write_batch(sigs)
         self._write_token(digest)
+        k = self.auto_compact_after
+        if k is not None and len(self._batch_dirs()) >= k:
+            try:
+                self.compact()
+            except Exception as exc:  # noqa: BLE001
+                import warnings
+
+                warnings.warn(
+                    f"auto-compaction of {self.path} failed (append "
+                    f"already committed; next append retries): {exc}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+
+    def compact(self) -> int:
+        """Fold all committed batch dirs into ONE — content-neutral, so
+        the token file is NOT touched (the digest still covers exactly
+        the same rows; a stale artifact compacts to a stale artifact).
+        Returns the number of dirs folded (0 when there is nothing to
+        fold).
+
+        Swap ordering mirrors `rebuild` (stage fully, rename old away,
+        rename staged in, then delete): every crash window leaves
+        either the old dirs intact or the data dir absent — and an
+        absent data dir reads as "artifact missing" (`exists()` /
+        `token()`-then-`load()` callers rebuild), never as silently
+        duplicated or half-folded rows."""
+        dirs = self._batch_dirs()
+        if len(dirs) < 2:
+            return 0
+        # stage from the CURRENT dirs (the staging write is an action —
+        # the old files are fully read before any swap step)
+        staged = self._stage(self.load())
+        data = self._data_path()
+        old = data + ".old." + uuid.uuid4().hex
+        os.rename(data, old)
+        os.makedirs(data, exist_ok=True)
+        os.rename(staged, os.path.join(data, os.path.basename(staged)[4:]))
+        shutil.rmtree(old, ignore_errors=True)
+        return len(dirs)
+
+    def _batch_dirs(self) -> list[str]:
+        data = self._data_path()
+        try:
+            names = os.listdir(data)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            os.path.join(data, n)
+            for n in names
+            if os.path.isdir(os.path.join(data, n))
+        )
 
     def rebuild(self, sigs: DataFrame, digest: str) -> None:
         """Replace the artifact wholesale (store dropped rows, params
