@@ -3250,6 +3250,224 @@ FROM o GROUP BY 1
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation lineage — four individually-graded stages
+    chained the way a production pretraining-data run chains them,
+    oracle-replayed end-to-end:
+
+      1. Gopher quality filter (`q_gopher_quality`'s keep flag),
+      2. exact-substring dedup CUT over the survivors
+         (`cut_duplicate_spans` — corpus-first keeper within the
+         FILTERED corpus: filter-then-dedup is the composition order,
+         and the gram statistics must reflect it),
+      3. temperature sampling weights (T=2) over the CLEANED per-lang
+         token mass — the weights a mixture built from this corpus
+         would actually use, not the pre-cut ones,
+      4. sequence packing of the cleaned token stream into 1024-token
+         bins (two-phase distributed prefix sum, `pack_offsets`).
+
+    Output per bin: doc count, token mass, first doc, and the
+    temperature-weighted token mass (each doc's tokens × its lang's
+    6dp weight, summed as exact DECIMAL so the hash can't wobble).
+
+    Composition is where plan pathologies recur (SURVEY §8): a filter
+    over computed quality signals predicate-pushes below the signal
+    projections and re-inlines every tokenize/shingle array into the
+    scan (measured here: 32 `split()` sites in the scan filter vs 2
+    materialized projections). The survivor filter therefore crosses a
+    Generate barrier — ``explode(array(keep))`` — which Catalyst
+    cannot push a predicate below, so the token/line arrays stay
+    materialized once per stage boundary
+    (tests/test_plan_shapes.py pins this)."""
+    from converttovectordb_spark.operators.dedup import cut_duplicate_spans
+    from converttovectordb_spark.operators.pack import pack_offsets
+
+    docs = _spread(spark, load(spark, sf_dir, "documents"))
+    g = _gopher_quality_frame(docs)
+    kept_ids = (
+        g.withColumn("_keep_m", F.explode(F.array(F.col("keep"))))
+        .filter(F.col("_keep_m"))
+        .select("doc_id")
+    )
+    survivors = docs.join(kept_ids, "doc_id", "left_semi")
+    cut = cut_duplicate_spans(survivors, k=8, min_occ=2)
+    cleaned = cut.select("doc_id", F.col("n_kept").alias("toks")).join(
+        survivors.select("doc_id", "lang"), "doc_id"
+    )
+    # temperature weights (T=2) over the cleaned corpus: same
+    # sqrt + 6dp-decimal normalizer recipe as q_temperature_sampling
+    per = cleaned.groupBy("lang").agg(
+        F.sum("toks").cast("bigint").alias("_ltok")
+    )
+    per = per.withColumn(
+        "_s",
+        F.round(F.sqrt(F.col("_ltok").cast("double")), 6).cast(
+            "decimal(18,6)"
+        ),
+    )
+    denom = per.agg(F.sum("_s").alias("_denom"))
+    wt = per.crossJoin(F.broadcast(denom)).select(
+        "lang",
+        F.round(
+            F.col("_s").cast("double") / F.col("_denom").cast("double"), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("_w"),
+    )
+    weighted = cleaned.join(F.broadcast(wt), "lang")
+    offs = pack_offsets(weighted, id_col="doc_id", tokens_col="toks")
+    return (
+        offs.withColumn(
+            "bin", F.floor(F.col("start") / F.lit(1024)).cast("int")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("bin_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            # exact decimal accumulation: 6dp weight × integer tokens
+            # has an exact decimal representation, so the sum is
+            # order-independent and the final rounded double hash-safe
+            F.sum(F.col("_w") * F.col("toks")).alias("_wsum"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "bin_tokens",
+            "first_doc",
+            _round6(F.col("_wsum").cast("double")).alias("w_tokens"),
+        )
+    )
+
+
+ORACLE_CURATION_PIPELINE = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS t,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+         text
+  FROM documents
+),
+tri AS (
+  SELECT doc_id, t, lines, text,
+         CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         END AS tg
+  FROM base
+),
+sig AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CASE WHEN len(lines) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE)
+         END AS dlf,
+         CASE WHEN len(tg) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(tg)) / CAST(len(tg) AS DOUBLE)
+         END AS dtf,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE length(array_to_string(t, '')) / CAST(len(t) AS DOUBLE)
+         END AS mwl,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE ((length(text) - length(replace(text, '#', '')))
+                    + (length(text) - length(replace(text, '...', ''))) / 3)
+                   / CAST(len(t) AS DOUBLE)
+         END AS sym,
+         CASE WHEN len(lines) = 0 THEN 0.0
+              ELSE len(list_filter(lines, x -> regexp_matches(x, '^[ \\t\\v\\f\\r]*[-*]')))
+                   / CAST(len(lines) AS DOUBLE)
+         END AS bul
+  FROM tri
+),
+keepers AS (
+  SELECT doc_id FROM sig
+  WHERE n_tokens >= 50 AND n_tokens <= 100000
+    AND mwl >= 3.0 AND mwl <= 10.0
+    AND dlf < 0.30 AND dtf < 0.60
+    AND sym < 0.10 AND bul < 0.90
+),
+stoks AS (
+  SELECT b.doc_id, b.t FROM base b JOIN keepers USING (doc_id)
+),
+pos AS (
+  SELECT doc_id, unnest(range(0, len(t) - 8 + 1)) AS pos, t
+  FROM stoks WHERE len(t) >= 8
+),
+g2 AS (
+  SELECT doc_id, pos, array_to_string(t[pos+1:pos+8], ' ') AS gram FROM pos
+),
+dupg AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY gram) AS occ
+  FROM g2
+),
+excess AS (SELECT doc_id, pos FROM dupg WHERE occ >= 2 AND rn > 1),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS new_isl
+  FROM excess WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+cuts AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+  FROM isl GROUP BY doc_id, island
+),
+tokpos AS (
+  SELECT doc_id, unnest(range(0, len(t))) AS i FROM stoks
+),
+kept AS (
+  SELECT tp.doc_id, i FROM tokpos tp
+  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                    WHERE c.doc_id = tp.doc_id AND tp.i BETWEEN c.s AND c.e)
+),
+rebuilt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id
+),
+cleaned AS (
+  SELECT s.doc_id, coalesce(r.n_kept, 0) AS toks, d.lang
+  FROM stoks s
+  LEFT JOIN rebuilt r USING (doc_id)
+  JOIN documents d USING (doc_id)
+),
+per AS (
+  SELECT lang, CAST(sum(toks) AS BIGINT) AS ltok FROM cleaned GROUP BY lang
+),
+sv AS (
+  SELECT lang,
+         CAST(round(sqrt(CAST(ltok AS DOUBLE)), 6) AS DECIMAL(18,6)) AS svv
+  FROM per
+),
+tot AS (SELECT sum(svv) AS denom FROM sv),
+wt AS (
+  SELECT lang,
+         CAST(round(CAST(svv AS DOUBLE) / CAST(denom AS DOUBLE), 6)
+              AS DECIMAL(18,6)) AS w
+  FROM sv CROSS JOIN tot
+),
+o AS (
+  SELECT doc_id, toks, lang,
+         COALESCE(SUM(toks) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS start
+  FROM cleaned
+),
+j AS (SELECT o.*, wt.w FROM o JOIN wt USING (lang))
+SELECT CAST(floor(start / 1024) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS bin_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       round(CAST(sum(w * toks) AS DOUBLE), 6) AS w_tokens
+FROM j GROUP BY 1
+"""
+
+
 def q_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture scheduling: the deterministic interleave order a
     training loop reads a weighted source mixture in. Each source s
@@ -8777,6 +8995,7 @@ QUERIES = {
     "bpe_tokens": q_bpe_tokens,
     "token_stats": q_token_stats,
     "sequence_pack": q_sequence_pack,
+    "curation_pipeline": q_curation_pipeline,
     "mixture_schedule": q_mixture_schedule,
     "weighted_sample": q_weighted_sample,
     "token_budget_fill": q_token_budget_fill,
@@ -8936,6 +9155,7 @@ ORACLES = {
     "vector_math": ORACLE_VECTOR_MATH,
     "token_stats": ORACLE_TOKEN_STATS,
     "sequence_pack": ORACLE_SEQUENCE_PACK,
+    "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "mixture_schedule": ORACLE_MIXTURE_SCHEDULE,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "token_budget_fill": ORACLE_TOKEN_BUDGET_FILL,

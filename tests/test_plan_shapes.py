@@ -337,3 +337,50 @@ def test_knn_label_prop_broadcasts_seeds_corpus_never_shuffles(spark):
     # ahead of the exchange — the property that bounds shuffled bytes
     # to k rows per vector
     assert "WindowGroupLimit" in plan
+
+
+def test_curation_pipeline_no_tokenize_reinlined_into_filters(spark):
+    """The composed curation lineage (gopher filter → substring cut →
+    temperature weights → sequence pack) must keep its tokenize/line
+    arrays in materialized projections across the stage boundaries: a
+    predicate over computed quality signals would otherwise push below
+    the projections and re-inline every array into the scan filter
+    (codegen does not CSE across HOF lambdas — the survivor filter
+    crosses a Generate barrier precisely to stop this). Pinned both
+    ways: the pipeline plan has NO split()/tokenize inside a Filter or
+    scan, while the naive keep-filter formulation provably does."""
+    from pyspark.sql import functions as F
+
+    from converttovectordb_spark.queries import (
+        _gopher_quality_frame,
+        _spread,
+        load,
+        q_curation_pipeline,
+    )
+
+    plan = physical_plan(q_curation_pipeline(spark, SF_DIR))
+    offenders = [
+        line
+        for line in plan.splitlines()
+        if ("Filter" in line or "FileScan" in line) and "split(" in line
+    ]
+    assert not offenders, "tokenization sank into a filter/scan:\n" + "\n".join(
+        offenders
+    )
+    # the barrier is a Generate the predicate cannot cross
+    assert "Generate explode" in plan
+
+    # control: the naive formulation re-inlines the arrays — if this
+    # stops failing, Catalyst learned CSE here and the barrier (plus
+    # this test) can be retired
+    docs = _spread(spark, load(spark, SF_DIR, "documents"))
+    naive = (
+        _gopher_quality_frame(docs).filter(F.col("keep")).select("doc_id")
+    )
+    nplan = physical_plan(naive)
+    n_inlined = sum(
+        line.count("split(")
+        for line in nplan.splitlines()
+        if "Filter" in line or "FileScan" in line
+    )
+    assert n_inlined > 2, nplan
