@@ -766,6 +766,38 @@ class TransactionalIVFIndex(IVFIndex):
             replaced.update(m.get("replaces", []))
         return [v for v in sorted(manifests) if v not in replaced]
 
+    @staticmethod
+    def _txn_ids_of(manifests: dict[int, dict]) -> set:
+        """Every txn id this index must treat as already-committed:
+        own commits' ``txn_id`` plus ``carried_txn_ids`` lists (epochs
+        inherited from a replaced index at rebuild time). ALL manifests
+        count, live or superseded — a vacuumed/compacted epoch replayed
+        by a recovering stream must stay a no-op."""
+        ids: set = set()
+        for m in manifests.values():
+            if m.get("txn_id") is not None:
+                ids.add(m["txn_id"])
+            ids.update(m.get("carried_txn_ids", []))
+        return ids
+
+    def committed_txn_ids(self) -> set:
+        return self._txn_ids_of(self._manifests())
+
+    def carry_txn_ids(self, txn_ids) -> int:
+        """Seed this index's replay-dedup with epochs committed to a
+        PREDECESSOR index — the rebuild-and-swap correctness step: a
+        drift rebuild trains on the store's committed corpus (which
+        already contains every applied epoch's rows), so a post-swap
+        replay of an old epoch must dedup here exactly as it would
+        have on the replaced index, or its rows land twice. The commit
+        carries no data dirs — readers skip it; only the dedup sees
+        it. Returns the committed manifest version (-1 if there was
+        nothing new to carry)."""
+        new = sorted(set(txn_ids) - self.committed_txn_ids())
+        if not new:
+            return -1
+        return self._commit({"rows": 0, "carried_txn_ids": new})
+
     def _live_versions(self) -> list[int]:
         return self._live_of(self._manifests())
 
@@ -787,10 +819,9 @@ class TransactionalIVFIndex(IVFIndex):
         os.makedirs(self._manifest_path(), exist_ok=True)
         version = (self._versions() or [-1])[-1] + 1
         while True:
-            if commit.get("txn_id") is not None and any(
-                m.get("txn_id") == commit["txn_id"]
-                for m in self._manifests().values()
-            ):
+            if commit.get("txn_id") is not None and commit[
+                "txn_id"
+            ] in self._txn_ids_of(self._manifests()):
                 return -1
             target = os.path.join(self._manifest_path(), f"{version}.json")
             try:
@@ -836,7 +867,9 @@ class TransactionalIVFIndex(IVFIndex):
         commit predates stats (a partial sum would silently undercount
         and mis-size the salts toward the hot-task failure mode)."""
         ms = self._manifests()
-        live = self._live_of(ms)
+        # only corpus-bearing commits hold rows; carried-txn-id commits
+        # (rebuild inheritance) contribute nothing to the histogram
+        live = [v for v in self._live_of(ms) if "corpus_dir" in ms[v]]
         if not live:
             return None
         hists = []
@@ -1022,9 +1055,7 @@ class TransactionalIVFIndex(IVFIndex):
         `_route_batch`); the batch is materialized before any probe so
         the committed corpus/codes cannot diverge from what the caller
         stored (see the plain append's persist rationale)."""
-        if txn_id is not None and any(
-            m.get("txn_id") == txn_id for m in self._manifests().values()
-        ):
+        if txn_id is not None and txn_id in self.committed_txn_ids():
             return 0
         # one materialization boundary, placed BEFORE the dim probe so
         # the rows validated are the rows committed (the routed/selected
@@ -1160,6 +1191,8 @@ class TransactionalIVFIndex(IVFIndex):
             return 0
         corpus_dirs = [ms[v]["corpus_dir"] for v in live if "corpus_dir" in ms[v]]
         codes_dirs = [ms[v]["codes_dir"] for v in live if "codes_dir" in ms[v]]
+        if not corpus_dirs:
+            return 0  # only data-less carried-txn commits in range
         snapshot = self._union_dirs(corpus_dirs)
         import os
         import uuid
@@ -1174,7 +1207,9 @@ class TransactionalIVFIndex(IVFIndex):
             "overwrite"
         ).partitionBy(CLUSTER_COL).parquet(corpus_dir)
         rows = int(obs.get["rows"])
-        in_hists = [ms[v].get("cluster_sizes") for v in live]
+        in_hists = [
+            ms[v].get("cluster_sizes") for v in live if "corpus_dir" in ms[v]
+        ]
         if all(h is not None for h in in_hists):
             # pure manifest arithmetic — compaction moves rows, it
             # doesn't change per-cluster membership

@@ -118,6 +118,88 @@ def stream_ingest_documents(
     return writer.start()
 
 
+def retrain_index_if_drifted(
+    store, index, shift_threshold: float, *, seed: int = 7
+):
+    """The scheduled-retrain step for a STREAM-maintained index:
+    measure drift against the committed store (`index_drift_report`,
+    one linear corpus pass) and, past ``shift_threshold`` (max L2
+    shift of any frozen centroid to its routed rows' current mean),
+    rebuild-and-swap under the CURRENT protocol. Returns the index to
+    use from now on (the new one after a rebuild, else the input).
+
+    The raw store/index twin of `VectorEngine.maybe_retrain`, with one
+    extra correctness step the streaming context forces:
+    ``carry_txn_ids`` — the rebuild trains on the committed corpus,
+    which already contains every applied epoch's rows, so the new
+    index inherits the old one's txn ids and a post-swap replay of an
+    old epoch stays a no-op (without it the replay would double-insert
+    into the fresh manifest). Idempotent by measurement: post-rebuild
+    drift is ~0, so a replayed trigger of the same epoch re-measures
+    and no-ops instead of rebuilding twice.
+
+    Build parameters mirror the live index's own shape (centroid
+    count; PQ (m, k) and code id columns when present) — a drift
+    rebuild must not silently change the index family."""
+    import os
+    import uuid
+
+    from converttovectordb_spark.plans.ivf_index import (
+        CLUSTER_COL,
+        TransactionalIVFIndex,
+        index_drift_report,
+    )
+
+    if not isinstance(index, TransactionalIVFIndex):
+        raise ValueError(
+            "retrain-on-drift needs a TransactionalIVFIndex (the "
+            "rebuild-and-swap CURRENT protocol and txn-id carry live "
+            "on the manifest)"
+        )
+    docs = store.load()
+    report = index_drift_report(index, docs).collect()
+    shifts = [r for r in report if r["centroid_shift"] is not None]
+    max_shift = max(
+        (float(r["centroid_shift"]) for r in shifts), default=0.0
+    )
+    if max_shift <= shift_threshold:
+        return index
+    pq_m = None
+    pq_k = 16
+    pq_id_cols = None
+    if index.has_pq():
+        cb = (
+            index.pq_codebooks()
+            .agg(
+                F.countDistinct("sub").alias("m"),
+                (F.max("code") + 1).alias("k"),
+            )
+            .first()
+        )
+        pq_m, pq_k = int(cb["m"]), int(cb["k"])
+        pq_id_cols = tuple(
+            c
+            for c in index.pq_codes().columns
+            if c not in (CLUSTER_COL, "codes")
+        )
+    base = os.path.dirname(os.path.abspath(index.path))
+    new_dir = os.path.join(base, uuid.uuid4().hex)
+    new_index = TransactionalIVFIndex.build(
+        docs,
+        new_dir,
+        num_clusters=len(report),
+        seed=seed,
+        pq_m=pq_m,
+        pq_k=pq_k,
+        pq_id_cols=pq_id_cols,
+    )
+    # the maintainer's attach-time policies ride along to the new handle
+    new_index.auto_compact_after = index.auto_compact_after
+    new_index.carry_txn_ids(index.committed_txn_ids())
+    TransactionalIVFIndex.publish_current(base, new_dir)
+    return new_index
+
+
 def stream_ingest_transactional(
     spark: SparkSession,
     drop_dir: str,
@@ -130,6 +212,8 @@ def stream_ingest_transactional(
     overlap: int = 200,
     available_now: bool = True,
     index=None,
+    retrain_shift_threshold: float | None = None,
+    retrain_seed: int = 7,
 ) -> StreamingQuery:
     """EXACTLY-ONCE continuous ingest into a TransactionalDocumentStore:
     each micro-batch commits through `append(txn_id=epoch)` — an epoch
@@ -141,12 +225,29 @@ def stream_ingest_transactional(
 
     ``index`` (a `TransactionalIVFIndex`) additionally commits every
     epoch to the ANN index under the SAME txn id — see
-    `stream_ingest_indexed` for the two-idempotent-sinks argument."""
+    `stream_ingest_indexed` for the two-idempotent-sinks argument.
+
+    ``retrain_shift_threshold`` arms the per-epoch drift check: after
+    both commits, `retrain_index_if_drifted` measures the frozen
+    centroids against the committed corpus and rebuilds-and-swaps when
+    the worst shift exceeds the threshold; subsequent epochs append to
+    the NEW index. The check is one linear corpus pass per epoch —
+    size the trigger accordingly, or leave it unset and run the verb
+    on an offline schedule."""
+    if retrain_shift_threshold is not None and index is None:
+        raise ValueError(
+            "retrain_shift_threshold requires index= (there is nothing "
+            "to retrain on the store-only door)"
+        )
     raw = (
         spark.readStream.schema(RAW_FILES_SCHEMA)
         .json(drop_dir)
         .filter(F.col("content").isNotNull())
     )
+    # mutable cell: a drift rebuild swaps the handle mid-stream, and
+    # later epochs must commit to the published index, not the replaced
+    # one (closures rebind through the cell)
+    index_ref = {"index": index}
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         chunks = explode_chunks(
@@ -156,7 +257,7 @@ def stream_ingest_transactional(
             chunks, "content", "embedding", embedder, dim
         ).withColumn("timestamp", F.lit(float(epoch_id)))
         txn = stream_txn_id(checkpoint_dir, epoch_id)
-        if index is None:
+        if index_ref["index"] is None:
             store.append(docs, txn_id=txn)
             return
         # Two sinks + the index's assignment/encode jobs would re-run
@@ -165,9 +266,16 @@ def stream_ingest_transactional(
         docs = docs.persist()
         try:
             store.append(docs, txn_id=txn)
-            index.append(docs, txn_id=txn, materialized=True)
+            index_ref["index"].append(docs, txn_id=txn, materialized=True)
         finally:
             docs.unpersist()
+        if retrain_shift_threshold is not None:
+            index_ref["index"] = retrain_index_if_drifted(
+                store,
+                index_ref["index"],
+                retrain_shift_threshold,
+                seed=retrain_seed,
+            )
 
     writer = (
         raw.writeStream.foreachBatch(_sink)
@@ -346,6 +454,8 @@ def stream_ingest_indexed(
     chunk_size: int = 1000,
     overlap: int = 200,
     available_now: bool = True,
+    retrain_shift_threshold: float | None = None,
+    retrain_seed: int = 7,
 ) -> StreamingQuery:
     """Exactly-once continuous ingest that keeps the ANN index FRESH:
     each micro-batch commits to the `TransactionalDocumentStore` AND to
@@ -367,8 +477,13 @@ def stream_ingest_indexed(
     ``auto_compact_after=K`` and every Kth epoch compacts inside its
     own commit (the compaction's captured-set contract tolerates a
     concurrent epoch; a replayed epoch dedups on its txn id BEFORE the
-    trigger, so replays never compact). Periodic offline rebuilds
-    (`engine.maybe_retrain`) re-train under drift.
+    trigger, so replays never compact). Retraining under drift is
+    either offline (`engine.maybe_retrain` on a schedule) or wired
+    into the stream itself: ``retrain_shift_threshold=t`` checks the
+    drift report after every epoch's commits and rebuilds-and-swaps
+    past the threshold (`retrain_index_if_drifted` — the new index
+    inherits the old manifest's txn ids, so stale-epoch replays still
+    dedup after the swap).
 
     Thin wrapper over `stream_ingest_transactional(index=...)` — one
     sink implementation, two entry points.
@@ -384,4 +499,6 @@ def stream_ingest_indexed(
         overlap=overlap,
         available_now=available_now,
         index=index,
+        retrain_shift_threshold=retrain_shift_threshold,
+        retrain_seed=retrain_seed,
     )

@@ -538,3 +538,156 @@ def test_blind_reingest_store_builds_unique_index(spark, tmp_path):
     eng.append_to_index()
     corpus = eng._index.corpus()
     assert corpus.count() == corpus.select("_row_id").distinct().count()
+
+
+def test_carry_txn_ids_dedups_and_is_invisible_to_readers(spark, tmp_path):
+    """A carried-txn commit (rebuild inheritance) blocks replays of the
+    predecessor's epochs but contributes no rows, no histogram noise,
+    and survives compaction of everything around it."""
+    emb = _emb(spark)
+    old = _build(spark, tmp_path, docs=emb.filter(F.col("vec_id") < 300))
+    old.append(
+        emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)),
+        txn_id="e0",
+    )
+    fresh = TransactionalIVFIndex.build(
+        emb.filter(F.col("vec_id") < 400),
+        str(tmp_path / "tivf2"),
+        num_clusters=4,
+        seed=7,
+    )
+    n = fresh.corpus().count()
+    assert fresh.carry_txn_ids(old.committed_txn_ids()) >= 0
+    assert "e0" in fresh.committed_txn_ids()
+    # the carried epoch replays as a no-op on the NEW index
+    assert (
+        fresh.append(
+            emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)),
+            txn_id="e0",
+        )
+        == 0
+    )
+    assert fresh.corpus().count() == n
+    # readers and stats are untouched by the data-less commit
+    stats = fresh.cluster_stats()
+    assert stats is not None and stats["n_docs"] == n
+    # re-carrying the same ids is a no-op commit
+    assert fresh.carry_txn_ids(old.committed_txn_ids()) == -1
+    # compaction coexists: fold, then the carried dedup still holds
+    fresh.append(emb.filter(F.col("vec_id") >= 400), txn_id="e1")
+    fresh.compact()
+    assert (
+        fresh.append(
+            emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)),
+            txn_id="e0",
+        )
+        == 0
+    )
+
+
+def test_stream_indexed_retrain_on_drift(spark, tmp_path):
+    """Injected-drift streaming retrain: an epoch of off-manifold docs
+    pushes the drift report past the threshold → EXACTLY ONE
+    rebuild-and-swap inside the stream; post-swap epoch replays stay
+    no-ops on BOTH sinks (txn-id carry), and an immediate re-check
+    does not rebuild again (idempotence by measurement)."""
+    import json
+    import os
+
+    from converttovectordb_spark.embeddings import embed_column
+    from converttovectordb_spark.sources.chunker import explode_chunks
+    from converttovectordb_spark.sources.store import (
+        TransactionalDocumentStore,
+    )
+    from converttovectordb_spark.streaming.jobs import (
+        retrain_index_if_drifted,
+        stream_ingest_indexed,
+        stream_txn_id,
+    )
+
+    def _kw_embedder(texts):
+        # deterministic keyword embedder (dim 4): geometric drift
+        # control — AAA/BBB/CCC content maps to fixed axes. Nested so
+        # cloudpickle ships it by VALUE (a module-level test function
+        # is pickled by reference, which Spark workers cannot import).
+        import numpy as np
+
+        out = []
+        for t in texts:
+            v = [0.0, 0.0, 0.0, 0.0]
+            if "AAA" in t:
+                v[0] = 1.0
+            elif "BBB" in t:
+                v[1] = 1.0
+            elif "CCC" in t:
+                v[2] = 1.0
+            else:
+                v[3] = 1.0
+            out.append(v)
+        return np.asarray(out)
+
+    store = TransactionalDocumentStore(spark, str(tmp_path / "store"))
+    seed_raw = spark.createDataFrame(
+        [("a.txt", "txt", "AAA seed doc"), ("b.txt", "txt", "BBB seed doc")],
+        "path string, extension string, content string",
+    )
+    seed = embed_column(
+        explode_chunks(seed_raw, chunk_size=200, overlap=50),
+        "content", "embedding", _kw_embedder, 4,
+    ).withColumn("timestamp", F.lit(0.0))
+    store.append(seed)
+    base = str(tmp_path / "tivf_base")
+    os.makedirs(base)
+    first_dir = os.path.join(base, "v0")
+    index = TransactionalIVFIndex.build(
+        store.load(), first_dir, num_clusters=2
+    )
+    TransactionalIVFIndex.publish_current(base, first_dir)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    recs = [
+        {"path": f"c{i}.txt", "extension": "txt",
+         "content": f"CCC drift doc {i}"}
+        for i in range(6)
+    ]
+    (drop / "b1.json").write_text("\n".join(json.dumps(r) for r in recs))
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_ingest_indexed(
+        spark, str(drop), store, index, ckpt,
+        embedder=_kw_embedder, dim=4, chunk_size=200, overlap=50,
+        retrain_shift_threshold=0.5,
+    )
+    q.awaitTermination(180)
+
+    # exactly one rebuild: CURRENT moved off v0, exactly one new dir
+    with open(os.path.join(base, "CURRENT")) as fh:
+        cur = fh.read().strip()
+    assert cur != first_dir
+    dirs = [
+        d for d in os.listdir(base)
+        if os.path.isdir(os.path.join(base, d))
+    ]
+    assert len(dirs) == 2, dirs
+    new_index = TransactionalIVFIndex.open_current(spark, base)
+    n_store = store.load().count()
+    assert new_index.corpus().count() == n_store == 8
+
+    # stale-epoch dedup preserved across the swap: replay epoch 0
+    docs = embed_column(
+        explode_chunks(
+            spark.read.schema(
+                "path string, extension string, content string"
+            ).json(str(drop)),
+            chunk_size=200, overlap=50,
+        ),
+        "content", "embedding", _kw_embedder, 4,
+    ).withColumn("timestamp", F.lit(0.0))
+    txn = stream_txn_id(ckpt, 0)
+    assert store.append(docs, txn_id=txn) == 0
+    assert new_index.append(docs, txn_id=txn) == 0
+    assert new_index.corpus().count() == n_store
+
+    # idempotent by measurement: post-rebuild drift is under threshold
+    again = retrain_index_if_drifted(store, new_index, 0.5)
+    assert again.path == new_index.path
