@@ -313,6 +313,59 @@ def main() -> int:
                 / len(probes64),
                 6,
             )
+
+            # Diverse (MMR) door, single vs Q=16 batch at the same
+            # condition: the batch door embeds once and fetches all
+            # candidate sets in ONE broadcast join job, then per-query
+            # MMR runs as parallel Arrow groups — per-query p50 should
+            # sit below the single door's p50 (the r10 batch-parity
+            # completion; the reference can only loop singles).
+            texts16 = [
+                str(r["content"])[:80]
+                for r in matched.select("content").limit(16).collect()
+            ]
+            dpayload = json.dumps(
+                {"query": texts16[0], "top_k": 5, "fetch_k": 50}
+            ).encode()
+
+            def one_diverse() -> float:
+                req = urllib.request.Request(
+                    f"http://{host}:{port}/diverse",
+                    data=dpayload,
+                    method="POST",
+                    headers={"Content-Type": "application/json"},
+                )
+                t0 = time.time()
+                with urllib.request.urlopen(req, timeout=300) as resp:
+                    json.loads(resp.read())
+                return time.time() - t0
+
+            one_diverse()  # warm
+            http_diverse_p50 = round(
+                statistics.median(one_diverse() for _ in range(9)), 4
+            )
+            dbpayload = json.dumps(
+                {"queries": texts16, "top_k": 5, "fetch_k": 50}
+            ).encode()
+
+            def one_diverse_batch() -> float:
+                req = urllib.request.Request(
+                    f"http://{host}:{port}/diverse_batch",
+                    data=dbpayload,
+                    method="POST",
+                    headers={"Content-Type": "application/json"},
+                )
+                t0 = time.time()
+                with urllib.request.urlopen(req, timeout=300) as resp:
+                    json.loads(resp.read())
+                return time.time() - t0
+
+            one_diverse_batch()  # warm
+            http_diverse_batch16_per_query_p50 = round(
+                statistics.median(one_diverse_batch() for _ in range(5))
+                / len(texts16),
+                6,
+            )
         finally:
             srv.stop()
     matched.unpersist()
@@ -524,6 +577,13 @@ def main() -> int:
                     # offer (reference client loops single queries)
                     "http_batch64_per_query_p50_sec": (
                         http_batch64_per_query_p50
+                    ),
+                    # MMR door, single vs Q=16 batch (one embed call +
+                    # one candidate join for the whole batch; per-query
+                    # MMR is parallel Arrow groups)
+                    "http_diverse_p50_sec": http_diverse_p50,
+                    "http_diverse_batch16_per_query_p50_sec": (
+                        http_diverse_batch16_per_query_p50
                     ),
                     # PIPELINE throughput: chunk + dim-64 HASH embedder +
                     # parquet write. NOT comparable to the reference's

@@ -1395,6 +1395,102 @@ class VectorEngine:
             out = truncate_content(out, max_chars=truncate_chars)
         return out
 
+    def search_diverse_batch(
+        self,
+        query_texts: list,
+        top_k: int = 5,
+        *,
+        fetch_k: int = 50,
+        mmr_lambda: float = 0.5,
+        corpus: DataFrame | None = None,
+    ) -> DataFrame:
+        """Q-query twin of `search_diverse` — the batch shape the
+        single door cannot amortize (the reference's client loops
+        singles, query_vector_db.py:133-140). ONE embedder call for
+        all texts, ONE broadcast `knn_join` job fetches every query's
+        relevance top-``fetch_k`` (the only stage that touches the
+        corpus), then `mmr_rerank` runs per-query greedy loops as
+        parallel Arrow groups — the operator was multi-query from the
+        start; the single door just always passed one group.
+
+        Per-query semantics match `search_diverse`: relevance
+        threshold 0.1 applied AFTER selection, embeddings stripped,
+        newest-copy dedupe on duplicate identities. ``query_index``
+        labels each result row with its probe's position. (Scores ride
+        the prenormalize-then-dot batch plan, so the last float ulp
+        can differ from the single door's inline-cosine form — same
+        contract as /query vs /query_batch.)"""
+        from converttovectordb_spark.functions.vector import NORM_COL
+        from converttovectordb_spark.operators.search import (
+            knn_join,
+            mmr_rerank,
+        )
+
+        if not 0.0 <= mmr_lambda <= 1.0:
+            raise ValueError(
+                f"lambda_ must be in [0, 1], got {mmr_lambda}"
+            )
+        if not query_texts:
+            raise ValueError("query_texts must be non-empty")
+        top_k = validate_top_k(top_k)
+        if not self.store.exists():
+            empty = (
+                self._empty_results()
+                .withColumn("query_index", F.lit(None).cast("int"))
+                .withColumn("mmr", F.lit(None).cast("double"))
+                .withColumn("mmr_rank", F.lit(None).cast("int"))
+            )
+            display = [
+                c for c in empty.columns
+                if c not in ("query_index", "score", "mmr", "mmr_rank")
+            ]
+            return empty.select(
+                "query_index", "score", "mmr", "mmr_rank", *display
+            )
+        qv = np.asarray(
+            self.embedder(list(query_texts)), dtype=np.float64
+        )
+        queries_df = self.spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(qv)],
+            "query_index int, query_vec array<double>",
+        )
+        base = corpus if corpus is not None else self.load_corpus()
+        if NORM_COL in base.columns:
+            base = base.drop(NORM_COL)
+        corpus_df = base.withColumn("_rid", _row_id())
+        cands = knn_join(
+            queries_df,
+            corpus_df.select(
+                "_rid",
+                F.col("embedding").cast("array<double>").alias("embedding"),
+            ),
+            top_k=max(int(fetch_k), top_k),
+            query_id_col="query_index",
+            doc_id_col="_rid",
+            carry_cols=["embedding"],
+        )
+        picked = mmr_rerank(
+            cands.select("query_index", "_rid", "score", "embedding"),
+            top_k=top_k,
+            lambda_=mmr_lambda,
+            query_id_col="query_index",
+            doc_id_col="_rid",
+        )
+        joined = picked.filter(
+            F.col("score") >= DEFAULT_SCORE_THRESHOLD
+        ).join(corpus_df.drop("embedding", "score"), on="_rid")
+        # bounded post-join dedupe, per (query, identity) — same rule
+        # as the single door (<= Q·k×copies rows, newest copy kept)
+        wdup = Window.partitionBy("query_index", "_rid").orderBy(
+            F.col("timestamp").desc()
+        )
+        return (
+            joined.withColumn("_rn_dedup", F.row_number().over(wdup))
+            .filter(F.col("_rn_dedup") == 1)
+            .drop("_rn_dedup", "_rid")
+            .orderBy(F.col("query_index").asc(), F.col("mmr_rank").asc())
+        )
+
     def search_hybrid(
         self,
         query_text: str,

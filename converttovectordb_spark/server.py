@@ -709,6 +709,54 @@ class VectorDBApi:
         }
 
 
+    def diverse_batch(self, body: dict) -> dict:
+        """Q diverse queries per POST — completes the batch parity of
+        the serving surface (/query_batch, /search_batch, and now the
+        MMR door; the reference can only loop singles). ONE embedder
+        call, ONE broadcast candidate join for all probes, per-query
+        MMR as parallel Arrow groups (`engine.search_diverse_batch`);
+        ``results[i]`` answers ``queries[i]`` with /diverse's
+        semantics."""
+        start = time.time()
+        queries = body.get("queries")
+        if (
+            not queries
+            or not isinstance(queries, list)
+            or not all(isinstance(q, str) and q for q in queries)
+        ):
+            raise _ApiError(400, "No queries provided")
+        handle = self._corpus_handle()
+        corpus = (
+            handle[1] if handle is not None and handle[0] == "df" else None
+        )
+        from converttovectordb_spark.operators.serving import (
+            point_query_mode,
+        )
+
+        try:
+            hits = self.engine.search_diverse_batch(
+                queries,
+                body.get("top_k", 5),
+                fetch_k=body.get("fetch_k", 50),
+                mmr_lambda=body.get("mmr_lambda", 0.5),
+                corpus=corpus,
+            )
+        except ValueError as e:
+            raise _ApiError(400, str(e))
+        with point_query_mode(self.engine.spark):
+            rows = hits.collect()
+        results: list = [[] for _ in queries]
+        for r in rows:
+            d = r.asDict(recursive=True)
+            qi = d.pop("query_index")
+            d.pop("embedding", None)  # T5: never ship embeddings back
+            results[qi].append(d)
+        return {
+            "results": results,
+            "query_time": time.time() - start,
+        }
+
+
 _POST_ROUTES = {
     "/add_documents": "add_documents",
     "/query": "query",
@@ -717,6 +765,7 @@ _POST_ROUTES = {
     "/search": "search_text",
     "/hybrid": "hybrid",
     "/diverse": "diverse",
+    "/diverse_batch": "diverse_batch",
     "/answer": "answer",
     "/clear": "clear",
 }

@@ -831,3 +831,60 @@ def test_add_documents_non_string_extension_counts_one_skip(server):
     assert status == 200
     assert out["total_documents"] == 1
     assert out["skipped_invalid"] == 1
+
+
+def test_diverse_batch_matches_single_diverse(server):
+    """/diverse_batch answers Q texts per POST with /diverse semantics;
+    results[i] must equal the single /diverse answer for queries[i]
+    (ids, rank order, and display columns exactly; score/mmr to 1e-9 —
+    the batch candidate stage rides the prenormalize-then-dot plan, so
+    the last float ulp may differ from the single door's inline-cosine
+    form, same contract as /query vs /query_batch)."""
+    _seed(server, n=6)
+    texts = ["document number 1", "document number 4", "nothing alike"]
+    status, out = _call(
+        server,
+        "POST",
+        "/diverse_batch",
+        {"queries": texts, "top_k": 3, "fetch_k": 6},
+    )
+    assert status == 200 and len(out["results"]) == 3
+    for i, q in enumerate(texts):
+        st, single = _call(
+            server, "POST", "/diverse",
+            {"query": q, "top_k": 3, "fetch_k": 6},
+        )
+        assert st == 200
+        batch_i = out["results"][i]
+        assert len(batch_i) == len(single["results"])
+        for got, want in zip(batch_i, single["results"]):
+            assert got["path"] == want["path"]
+            assert got["chunk_index"] == want["chunk_index"]
+            assert got["mmr_rank"] == want["mmr_rank"]
+            assert got["content"] == want["content"]
+            assert abs(got["score"] - want["score"]) < 1e-9
+            assert abs(got["mmr"] - want["mmr"]) < 1e-9
+            assert "embedding" not in got
+
+    # per-query rank lists are well-formed
+    for res in out["results"]:
+        ranks = [r["mmr_rank"] for r in res]
+        assert ranks == sorted(ranks) and len(set(ranks)) == len(ranks)
+
+    # validation contract: bad lambda and empty/non-string queries
+    status, err = _call(
+        server, "POST", "/diverse_batch",
+        {"queries": ["x"], "mmr_lambda": 2.0},
+    )
+    assert status == 400 and "lambda" in err["error"]
+    for bad in ({}, {"queries": []}, {"queries": ["ok", 7]}):
+        status, err = _call(server, "POST", "/diverse_batch", bad)
+        assert status == 400
+
+
+def test_diverse_batch_empty_store(server):
+    status, out = _call(
+        server, "POST", "/diverse_batch", {"queries": ["a", "b"]}
+    )
+    assert status == 200
+    assert out["results"] == [[], []]
