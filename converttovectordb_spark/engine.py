@@ -1745,6 +1745,7 @@ class VectorEngine:
         pq_m: int | None = None,
         pq_k: int = 16,
         transactional: bool = False,
+        recall_sample: int | None = None,
     ):
         """Train + materialize the IVF index beside the store (offline
         job, one corpus pass). Search with use_index=True afterwards —
@@ -1761,7 +1762,13 @@ class VectorEngine:
         touches the index readers are on, and `open_index()` attaches
         a fresh process to whatever CURRENT points at. Incremental
         maintenance (`append_to_index`) then commits through the index
-        manifest instead of bare parquet appends."""
+        manifest instead of bare parquet appends.
+
+        ``recall_sample=N`` additionally measures recall@5 vs nprobe on
+        an N-probe held-out sample and persists the curve in the index
+        (`measure_recall_curve`) — `search_indexed(target_recall=0.9)`
+        then resolves nprobe from the measurement instead of a guess.
+        Off by default: it costs an exact-KNN pass at build time."""
         from converttovectordb_spark.plans.ivf_index import (
             TransactionalIVFIndex,
             build_ivf_index,
@@ -1814,6 +1821,16 @@ class VectorEngine:
                 pq_m=pq_m,
                 pq_k=pq_k,
                 pq_id_cols=("_row_id",),
+            )
+        if recall_sample is not None:
+            from converttovectordb_spark.plans.ivf_index import (
+                measure_recall_curve,
+            )
+
+            measure_recall_curve(
+                self._index,
+                sample=int(recall_sample),
+                doc_id_col="_row_id",
             )
         self._index_token = token
         return self._index
@@ -2040,8 +2057,9 @@ class VectorEngine:
         self,
         query_text: str,
         top_k: int = 5,
-        nprobe: int = 2,
+        nprobe: int | None = None,
         *,
+        target_recall: float | None = None,
         adc_shortlist: int | None = None,
         allow_stale: bool = False,
         where: str | None = None,
@@ -2064,8 +2082,20 @@ class VectorEngine:
         partitions' parquet scan next to the cluster pruning. A
         selective filter can leave fewer than k matches inside the
         probed clusters; raise nprobe for more recall under heavy
-        filters."""
+        filters.
+
+        nprobe resolution: an EXPLICIT ``nprobe`` always wins;
+        otherwise ``target_recall=r`` resolves it from the index's
+        persisted recall curve (`build_index(recall_sample=...)` must
+        have measured one — `IVFIndex.nprobe_for_recall`); with
+        neither, the historical default of 2 applies."""
         index = self._require_index(allow_stale=allow_stale)
+        if nprobe is None:
+            nprobe = (
+                index.nprobe_for_recall(float(target_recall))
+                if target_recall is not None
+                else 2
+            )
         qv = self.embedder([query_text])
         qv = np.asarray(qv, dtype=np.float64).reshape(-1).tolist()
         probes = self.spark.createDataFrame([(0, qv)], "query_id int, query_vec array<double>")

@@ -291,6 +291,44 @@ class IVFIndex:
     def corpus(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.path}/{CORPUS_SUBDIR}")
 
+    def recall_curve(self) -> dict | None:
+        """The persisted recall@k-vs-nprobe curve
+        (`measure_recall_curve`), or None when never measured."""
+        import json
+        import os
+
+        try:
+            with open(os.path.join(self.path, RECALL_CURVE_FILE)) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
+
+    def nprobe_for_recall(self, target_recall: float) -> int:
+        """The measured MINIMAL nprobe whose held-out recall@k reaches
+        ``target_recall`` — the stated-contract resolution of the
+        index's one magic knob. Requires a persisted curve
+        (`measure_recall_curve` at build time); raises otherwise
+        rather than guessing. A target above every measured point
+        resolves to the largest measured nprobe (the curve's
+        exact-scan endpoint when measured with defaults) — the closest
+        the index can honestly offer."""
+        if not 0.0 < target_recall <= 1.0:
+            raise ValueError(
+                f"target_recall must be in (0, 1], got {target_recall}"
+            )
+        payload = self.recall_curve()
+        if payload is None or not payload.get("curve"):
+            raise ValueError(
+                f"no recall curve measured for {self.path}; run "
+                "measure_recall_curve(index) (engine: "
+                "build_index(recall_sample=...)) first"
+            )
+        curve = sorted(payload["curve"], key=lambda c: int(c["nprobe"]))
+        for point in curve:
+            if float(point["recall"]) >= target_recall:
+                return int(point["nprobe"])
+        return int(curve[-1]["nprobe"])
+
     def probe_clusters(
         self,
         queries: DataFrame,
@@ -1260,6 +1298,107 @@ class TransactionalIVFIndex(IVFIndex):
                     shutil.rmtree(d)
                     removed += 1
         return removed
+
+
+RECALL_CURVE_FILE = "_recall_curve.json"
+
+
+def measure_recall_curve(
+    index: "IVFIndex",
+    *,
+    top_k: int = 5,
+    nprobes: list[int] | None = None,
+    sample: int = 16,
+    vec_col: str = "embedding",
+    doc_id_col: str = "vec_id",
+) -> dict:
+    """Measure recall@``top_k`` vs nprobe on a held-out probe sample
+    and persist the curve next to the index — the build-time step that
+    turns nprobe from a magic knob into a stated contract
+    (`IVFIndex.nprobe_for_recall(0.9)` → the measured minimal nprobe;
+    `VectorEngine.search_indexed(target_recall=...)` consumes it).
+
+    Probes are a deterministic hash-ordered sample of the index's OWN
+    corpus (xxhash64 order — no RNG state, same sample every run);
+    ground truth is the exact KNN join over the full corpus, the
+    approximate side is `index.search` at each nprobe. Recall is
+    monotone non-decreasing in nprobe by construction (probing more
+    clusters only ADDS candidates, and a true top-k member in the
+    candidate set always survives exact re-scoring), which the tests
+    pin. Cost: one exact-KNN pass over the corpus for ``sample``
+    probes plus |nprobes| pruned searches — a build-time price, paid
+    where the index build already pays a full corpus pass.
+
+    The curve describes the corpus AT MEASUREMENT TIME under the
+    frozen centroids; incremental appends shift it like they shift
+    drift — re-measure on the retrain cadence.
+
+    ``nprobes`` defaults to powers of two up to the centroid count
+    (plus the count itself — the exact-scan endpoint, recall 1.0 by
+    construction, so every target is resolvable)."""
+    import json
+    import os
+    import uuid
+
+    from converttovectordb_spark.operators.search import knn_join
+
+    corpus = index.corpus().select(
+        F.col(doc_id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    n_clusters = index.centroids().count()
+    if nprobes is None:
+        nprobes, p = [], 1
+        while p < n_clusters:
+            nprobes.append(p)
+            p *= 2
+        nprobes.append(int(n_clusters))
+    nprobes = sorted({int(p) for p in nprobes})
+    probes = (
+        corpus.withColumn("_h", F.xxhash64(F.col(doc_id_col)))
+        .orderBy("_h", F.col(doc_id_col).asc())
+        .limit(int(sample))
+        .select(
+            F.col(doc_id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+        )
+        .persist()
+    )
+    try:
+        exact = {}
+        for r in knn_join(
+            probes, corpus, top_k=top_k, doc_id_col=doc_id_col
+        ).collect():
+            exact.setdefault(r["query_id"], set()).add(r[doc_id_col])
+        n_probes = len(exact)
+        curve = []
+        for p in nprobes:
+            approx = {}
+            for r in index.search(
+                probes,
+                top_k=top_k,
+                nprobe=p,
+                doc_id_col=doc_id_col,
+                vec_col=vec_col,
+            ).collect():
+                approx.setdefault(r["query_id"], set()).add(r[doc_id_col])
+            recall = (
+                sum(
+                    len(exact[q] & approx.get(q, set())) / len(exact[q])
+                    for q in exact
+                )
+                / n_probes
+                if n_probes
+                else 0.0
+            )
+            curve.append({"nprobe": int(p), "recall": round(recall, 6)})
+    finally:
+        probes.unpersist()
+    payload = {"top_k": int(top_k), "sample": n_probes, "curve": curve}
+    tmp = os.path.join(index.path, f".recall.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, os.path.join(index.path, RECALL_CURVE_FILE))
+    return payload
 
 
 def index_drift_report(
