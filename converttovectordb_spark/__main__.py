@@ -225,6 +225,12 @@ def _build_parser() -> argparse.ArgumentParser:
         help="also train product-quantization codes (IVFADC layout)",
     )
     sp.add_argument("--pq-k", type=int, default=16)
+    sp.add_argument(
+        "--recall-sample", type=int, default=None, metavar="N",
+        help="measure recall@5 vs nprobe on an N-probe held-out sample "
+        "and persist the curve in the index — search_indexed("
+        "target_recall=r) then resolves nprobe from the measurement",
+    )
     common(sp)
 
     sp = sub.add_parser(
@@ -508,21 +514,21 @@ def main(argv: list[str] | None = None) -> int:
                 pq_m=args.pq_m,
                 pq_k=args.pq_k,
                 transactional=args.transactional,
+                recall_sample=args.recall_sample,
             )
         except Exception as e:
             print(json.dumps({"command": "build-index", "error": str(e)}))
             return 1
-        print(
-            json.dumps(
-                {
-                    "command": "build-index",
-                    "index_path": idx.path,
-                    "num_clusters": args.num_clusters,
-                    "pq": args.pq_m is not None,
-                    "transactional": args.transactional,
-                }
-            )
-        )
+        out = {
+            "command": "build-index",
+            "index_path": idx.path,
+            "num_clusters": args.num_clusters,
+            "pq": args.pq_m is not None,
+            "transactional": args.transactional,
+        }
+        if args.recall_sample is not None:
+            out["recall_curve"] = idx.recall_curve()
+        print(json.dumps(out))
     elif args.command == "retrain":
         try:
             eng.open_index()  # attach (and heal) the published index
