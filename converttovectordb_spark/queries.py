@@ -828,6 +828,30 @@ def _ivf_index_cached(spark: SparkSession, sf_dir: str):
     return IVFIndex(spark, index_path)
 
 
+def q_index_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-time cluster-size histogram the IVF artifact persists
+    in its stats manifest (r11: recorded at build/append/compact so
+    auto salting and nprobe sizing never pay a plan-time stats job) —
+    graded against a fresh SQL groupBy over the same corpus, so the
+    manifest BOOKKEEPING itself is hash-checked in the driver gate:
+    any drift between what the artifact claims and what the data says
+    (a missed append merge, a double-counted compaction) fails the
+    round. Reading the manifest is zero Spark jobs by design."""
+    index = _ivf_index_cached(spark, sf_dir)
+    stats = index.cluster_stats()
+    rows = sorted(
+        (int(c), int(n)) for c, n in stats["cluster_sizes"].items()
+    )
+    return spark.createDataFrame(rows, "cluster_id bigint, n_rows bigint")
+
+
+ORACLE_INDEX_CLUSTER_STATS = """
+SELECT CAST(label AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM embeddings GROUP BY label
+"""
+
+
 def q_vector_ivf_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF KNN over a MATERIALIZED index: centroids trained+persisted
     once, corpus re-written partitioned by cluster id, search reads only
@@ -8959,6 +8983,7 @@ QUERIES = {
     "vector_ivf_knn_indexed": q_vector_ivf_knn_indexed,
     "vector_ivf_knn_filtered": q_vector_ivf_knn_filtered,
     "index_drift": q_index_drift,
+    "index_cluster_stats": q_index_cluster_stats,
     "prototypicality": q_prototypicality,
     "ivf_recall": q_ivf_recall,
     "ivf_recall_kmeans": q_ivf_recall_kmeans,
@@ -9102,6 +9127,7 @@ ORACLES = {
     "vector_ivf_knn_indexed": ORACLE_VECTOR_IVF_KNN,
     "vector_ivf_knn_filtered": ORACLE_VECTOR_IVF_KNN_FILTERED,
     "index_drift": ORACLE_INDEX_DRIFT,
+    "index_cluster_stats": ORACLE_INDEX_CLUSTER_STATS,
     "prototypicality": ORACLE_PROTOTYPICALITY,
     "ivf_recall": ORACLE_IVF_RECALL,
     "ivf_recall_kmeans": ORACLE_IVF_RECALL_KMEANS,
