@@ -1809,6 +1809,17 @@ class VectorEngine:
                 pq_k=pq_k,
                 pq_id_cols=("_row_id",),
             )
+            # txn-id carry across the swap (same correctness step the
+            # streaming retrain applies): the rebuild trained on the
+            # committed store, which already holds every applied
+            # epoch/heal, so the replaced index's txn ids must keep
+            # deduping on the NEW manifest — a post-swap replay of an
+            # old streaming epoch would otherwise double-insert
+            try:
+                prev = TransactionalIVFIndex.open_current(self.spark, base)
+                self._index.carry_txn_ids(prev.committed_txn_ids())
+            except FileNotFoundError:
+                pass  # first publish at this base — nothing to carry
             # publish: atomic pointer replace — readers attached to the
             # old dir keep working, new open_index() calls see this one
             TransactionalIVFIndex.publish_current(base, new_dir)

@@ -691,3 +691,53 @@ def test_stream_indexed_retrain_on_drift(spark, tmp_path):
     # idempotent by measurement: post-rebuild drift is under threshold
     again = retrain_index_if_drifted(store, new_index, 0.5)
     assert again.path == new_index.path
+
+
+def test_engine_rebuild_carries_txn_ids(spark, tmp_path):
+    """The OFFLINE rebuild path (`build_index(transactional=True)` /
+    `maybe_retrain`) carries the replaced index's txn ids exactly like
+    the streaming retrain: after a forced retrain, a replay of a
+    pre-rebuild epoch stays a no-op on the new manifest."""
+    from converttovectordb_spark.embeddings import embed_column
+    from converttovectordb_spark.engine import VectorEngine
+    from converttovectordb_spark.sources.chunker import explode_chunks
+
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), dim=16, transactional=True
+    )
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    (repo / "a.txt").write_text("alpha corpus document " * 30)
+    (repo / "b.txt").write_text("beta corpus document " * 30)
+    eng.ingest(str(repo))
+    eng.build_index(num_clusters=2, transactional=True)
+
+    # one manifest-committed epoch on the live index
+    batch_raw = spark.createDataFrame(
+        [("c.txt", ".txt", "gamma streamed document " * 30)],
+        "path string, extension string, content string",
+    )
+    batch = embed_column(
+        explode_chunks(batch_raw, chunk_size=200, overlap=50),
+        "content", "embedding", eng.embedder, 16,
+    ).withColumn("timestamp", F.lit(1.0)).withColumn(
+        "_row_id", F.concat_ws("#", F.col("path"), F.col("chunk_index"))
+    )
+    store_cols = [
+        "path", "extension", "chunk_index", "total_chunks",
+        "content", "embedding", "timestamp",
+    ]
+    eng.store.append(batch.select(*store_cols), txn_id="epoch-7")
+    old = eng._index
+    old.append(batch, txn_id="epoch-7")
+    n_old = old.corpus().count()
+
+    # forced retrain (threshold below any measurable drift)
+    rep = eng.maybe_retrain(-1.0)
+    assert rep["retrained"]
+    new = eng._index
+    assert new.path != old.path
+    assert "epoch-7" in new.committed_txn_ids()
+    # replayed epoch no-ops on the NEW manifest
+    assert new.append(batch, txn_id="epoch-7") == 0
+    assert new.corpus().count() == n_old
