@@ -1403,6 +1403,9 @@ class VectorEngine:
         fetch_k: int = 50,
         mmr_lambda: float = 0.5,
         corpus: DataFrame | None = None,
+        use_index: bool = False,
+        nprobe: int = 2,
+        allow_stale: bool = False,
     ) -> DataFrame:
         """Q-query twin of `search_diverse` — the batch shape the
         single door cannot amortize (the reference's client loops
@@ -1419,7 +1422,16 @@ class VectorEngine:
         labels each result row with its probe's position. (Scores ride
         the prenormalize-then-dot batch plan, so the last float ulp
         can differ from the single door's inline-cosine form — same
-        contract as /query vs /query_batch.)"""
+        contract as /query vs /query_batch.)
+
+        ``use_index=True`` replaces the full-corpus candidate scan
+        with the IVF index's batch probe (same approximate-recall
+        contract and staleness guard as `search_indexed`; raise
+        ``nprobe`` for more candidates) — at 100 TB the candidate
+        stage then reads ~Q·nprobe/C of the corpus files, and the MMR
+        rerank's embedding join-back touches only the ≤ Q·fetch_k
+        survivors (bounded; `_row_id` is unique in the index by
+        write-time contract, so it cannot fan out)."""
         from converttovectordb_spark.functions.vector import NORM_COL
         from converttovectordb_spark.operators.search import (
             knn_join,
@@ -1454,21 +1466,49 @@ class VectorEngine:
             [(i, [float(x) for x in v]) for i, v in enumerate(qv)],
             "query_index int, query_vec array<double>",
         )
-        base = corpus if corpus is not None else self.load_corpus()
-        if NORM_COL in base.columns:
-            base = base.drop(NORM_COL)
-        corpus_df = base.withColumn("_rid", _row_id())
-        cands = knn_join(
-            queries_df,
-            corpus_df.select(
-                "_rid",
-                F.col("embedding").cast("array<double>").alias("embedding"),
-            ),
-            top_k=max(int(fetch_k), top_k),
-            query_id_col="query_index",
-            doc_id_col="_rid",
-            carry_cols=["embedding"],
-        )
+        if use_index:
+            index = self._require_index(allow_stale=allow_stale)
+            # cluster-pruned candidate fetch; embedding joined back for
+            # the rerank over the bounded survivor set only
+            corpus_df = index.corpus().drop("cluster_id").withColumn(
+                "_rid", F.col("_row_id")
+            ).drop("_row_id")
+            cands = (
+                index.search(
+                    queries_df,
+                    top_k=max(int(fetch_k), top_k),
+                    nprobe=nprobe,
+                    query_id_col="query_index",
+                    doc_id_col="_row_id",
+                )
+                .withColumnRenamed("_row_id", "_rid")
+                .join(
+                    corpus_df.select(
+                        "_rid",
+                        F.col("embedding")
+                        .cast("array<double>")
+                        .alias("embedding"),
+                    ),
+                    on="_rid",
+                )
+                .select("query_index", "_rid", "score", "embedding")
+            )
+        else:
+            base = corpus if corpus is not None else self.load_corpus()
+            if NORM_COL in base.columns:
+                base = base.drop(NORM_COL)
+            corpus_df = base.withColumn("_rid", _row_id())
+            cands = knn_join(
+                queries_df,
+                corpus_df.select(
+                    "_rid",
+                    F.col("embedding").cast("array<double>").alias("embedding"),
+                ),
+                top_k=max(int(fetch_k), top_k),
+                query_id_col="query_index",
+                doc_id_col="_rid",
+                carry_cols=["embedding"],
+            )
         picked = mmr_rerank(
             cands.select("query_index", "_rid", "score", "embedding"),
             top_k=top_k,

@@ -110,3 +110,55 @@ def test_engine_search_diverse(spark, tmp_path):
     if len(out) == 3:
         top2 = {r.path for r in out[:2]}
         assert not top2 <= {f"{repo}/a.txt", f"{repo}/b.txt"}
+
+
+def test_diverse_batch_use_index_matches_brute_at_full_probe(
+    spark, tmp_path
+):
+    """search_diverse_batch(use_index=True) with nprobe == num_clusters
+    probes every cluster — the candidate set equals the brute scan's,
+    so picks and ranks must match exactly (scores to 1e-9: the two
+    stages compute cosine in different fold orders)."""
+    from converttovectordb_spark.engine import VectorEngine
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    for i in range(6):
+        (repo / f"f{i}.txt").write_text(
+            f"document {i} about topic {'alpha' if i % 2 else 'beta'} "
+            * 8
+        )
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), dim=16, chunk_size=400, overlap=80
+    )
+    eng.ingest(str(repo))
+    eng.build_index(num_clusters=2)
+
+    texts = ["alpha topic document", "beta topic document"]
+    brute = eng.search_diverse_batch(texts, top_k=3, fetch_k=12).collect()
+    indexed = eng.search_diverse_batch(
+        texts, top_k=3, fetch_k=12, use_index=True, nprobe=2
+    ).collect()
+    assert len(brute) == len(indexed) > 0
+
+    def key(rows):
+        return [
+            (r["query_index"], r["path"], r["chunk_index"], r["mmr_rank"])
+            for r in rows
+        ]
+
+    assert key(indexed) == key(brute)
+    for a, b in zip(indexed, brute):
+        assert abs(a["score"] - b["score"]) < 1e-9
+        assert abs(a["mmr"] - b["mmr"]) < 1e-9
+    assert all("embedding" not in r.asDict() for r in indexed)
+
+    # staleness guard rides along: more ingest → indexed path raises
+    (repo / "late.txt").write_text("late arrival document " * 8)
+    eng.ingest(str(repo))
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="stale"):
+        eng.search_diverse_batch(
+            texts, top_k=3, use_index=True
+        ).collect()
