@@ -3315,8 +3315,11 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = docs.join(kept_ids, "doc_id", "left_semi")
     cut = cut_duplicate_spans(survivors, k=8, min_occ=2)
+    # lang rides in from the BASE table: cut's output ids are already
+    # survivor-filtered, so joining `survivors` here would re-execute
+    # the gopher+semi subtree once more for a column the raw scan has
     cleaned = cut.select("doc_id", F.col("n_kept").alias("toks")).join(
-        survivors.select("doc_id", "lang"), "doc_id"
+        docs.select("doc_id", "lang"), "doc_id"
     )
     # temperature weights (T=2) over the cleaned corpus: same
     # sqrt + 6dp-decimal normalizer recipe as q_temperature_sampling
