@@ -1434,7 +1434,7 @@ class VectorEngine:
         write-time contract, so it cannot fan out)."""
         from converttovectordb_spark.functions.vector import NORM_COL
         from converttovectordb_spark.operators.search import (
-            knn_join,
+            knn_join_blas,
             mmr_rerank,
         )
 
@@ -1462,11 +1462,13 @@ class VectorEngine:
         qv = np.asarray(
             self.embedder(list(query_texts)), dtype=np.float64
         )
-        queries_df = self.spark.createDataFrame(
-            [(i, [float(x) for x in v]) for i, v in enumerate(qv)],
-            "query_index int, query_vec array<double>",
-        )
+        query_rows = [
+            (i, [float(x) for x in v]) for i, v in enumerate(qv)
+        ]
         if use_index:
+            queries_df = self.spark.createDataFrame(
+                query_rows, "query_index int, query_vec array<double>"
+            )
             index = self._require_index(allow_stale=allow_stale)
             # cluster-pruned candidate fetch; embedding joined back for
             # the rerank over the bounded survivor set only
@@ -1498,16 +1500,20 @@ class VectorEngine:
             if NORM_COL in base.columns:
                 base = base.drop(NORM_COL)
             corpus_df = base.withColumn("_rid", _row_id())
-            cands = knn_join(
-                queries_df,
+            # BLAS bulk scorer, not knn_join: this candidate stage has
+            # no SQL oracle, and the interpreted per-pair fold measured
+            # 11.2 s at Q=16 × N=13,515 where one matmul per Arrow
+            # chunk is milliseconds (knn_join_blas docstring)
+            cands = knn_join_blas(
+                query_rows,
                 corpus_df.select(
                     "_rid",
                     F.col("embedding").cast("array<double>").alias("embedding"),
                 ),
                 top_k=max(int(fetch_k), top_k),
                 query_id_col="query_index",
-                doc_id_col="_rid",
-                carry_cols=["embedding"],
+                carry_cols=["_rid", "embedding"],
+                order_cols=["_rid"],
             )
         picked = mmr_rerank(
             cands.select("query_index", "_rid", "score", "embedding"),
@@ -1682,7 +1688,7 @@ class VectorEngine:
         query's top-k). At 100 TB this is the difference between the
         brute path's full-corpus stream and reading ~Q·nprobe/C of the
         files."""
-        from converttovectordb_spark.operators.search import knn_join
+        from converttovectordb_spark.operators.search import knn_join_blas
 
         if not query_texts:
             raise ValueError("query_texts must be non-empty")
@@ -1733,22 +1739,24 @@ class VectorEngine:
                 )
                 .orderBy(F.col("query_index").asc(), F.col("rank").asc())
             )
-        docs = self.store.load().withColumn(
-            "_rid", _row_id()
-        )
         # payload CARRIED through the scoring, never joined back on the
         # identity: a blind re-push's duplicate (path, chunk_index)
         # copies would fan each hit out across every same-id copy,
         # pairing one copy's score with another's content (the same
-        # fix the REST batch door carries — see knn_join.carry_cols)
-        hits = knn_join(
-            queries,
-            docs,
+        # fix the REST batch door carries). BLAS bulk scorer — this
+        # facade verb has no SQL oracle, and the interpreted per-pair
+        # fold is ~40 µs/pair (knn_join_blas docstring).
+        hits = knn_join_blas(
+            [
+                (i, vecs[i].reshape(-1).tolist())
+                for i in range(len(query_texts))
+            ],
+            self.store.load(),
             validate_top_k(top_k),
             query_id_col="query_index",
-            doc_id_col="_rid",
             score_threshold=score_threshold,
             carry_cols=["path", "chunk_index", "content"],
+            order_cols=["path", "chunk_index"],
         )
         return (
             hits.join(F.broadcast(queries.drop("query_vec")), on="query_index")

