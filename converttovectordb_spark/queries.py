@@ -1112,6 +1112,146 @@ GROUP BY e.query_id, ov.n_overlap
 """
 
 
+_RECALL_CURVE_NPROBES = (1, 2, 4, 8, 10)
+
+
+def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 vs nprobe — the CURVE, not one point: the measured
+    contract behind adaptive nprobe (r11: `measure_recall_curve`
+    persists this shape in the index manifest and
+    `search_indexed(target_recall=...)` resolves the knob from it).
+    Monotone non-decreasing by construction — probing more clusters
+    only adds candidates, and a true top-k member in the candidate set
+    always survives exact re-scoring — and the oracle re-derives every
+    point, so the property is hash-checked, not asserted.
+
+    Mean recall is an integer-exact quotient (total overlapping pairs
+    / total exact pairs over the 8-probe panel), so the 6dp rounding
+    cannot wobble across engines. Centroids come from the materialized
+    index artifact (same mean-per-label values the oracle derives
+    inline — the established `vector_ivf_knn_indexed` equivalence)."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    cents = (
+        _ivf_index_cached(spark, sf_dir)
+        .centroids()
+        .withColumnRenamed("cluster_id", "label")
+    )
+    exact = knn_join(probes, emb, top_k=3).select("query_id", "vec_id")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("_ne"))
+    out = None
+    for p in _RECALL_CURVE_NPROBES:
+        approx = ivf_knn_join(
+            probes, emb, top_k=3, nprobe=p, centroids=cents
+        ).select("query_id", "vec_id")
+        ov = exact.join(approx, on=["query_id", "vec_id"]).agg(
+            F.count(F.lit(1)).alias("_no")
+        )
+        row = (
+            ov.crossJoin(n_exact)
+            .select(
+                F.lit(p).cast("int").alias("nprobe"),
+                _round6(F.col("_no") / F.col("_ne")).alias("mean_recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _recall_curve_oracle() -> str:
+    shared = """
+WITH docs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+probes AS (SELECT vec_id AS query_id, v AS q FROM docs WHERE vec_id < 8),
+norm AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+  FROM docs
+),
+unit AS (
+  SELECT vec_id,
+         CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS u
+  FROM norm
+),
+qunit AS (SELECT query_id, u AS qu FROM probes p JOIN unit x ON x.vec_id = p.query_id),
+exact_s AS (
+  SELECT p.query_id, d.vec_id,
+         list_sum(list_transform(list_zip(p.qu, d.u), x -> x[1] * x[2])) AS score
+  FROM qunit p CROSS JOIN unit d
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id) AS rank
+    FROM exact_s
+  ) WHERE rank <= 3
+),
+pos AS (
+  SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM docs
+),
+cpos AS (SELECT label, pos, avg(val) AS cval FROM pos GROUP BY label, pos),
+cent AS (SELECT label, list(cval ORDER BY pos) AS c FROM cpos GROUP BY label),
+qc AS (
+  SELECT query_id, q, label,
+         CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS csim
+  FROM (
+    SELECT p.query_id, p.q, ct.label,
+           list_sum(list_transform(list_zip(p.q, ct.c), x -> x[1] * x[2])) AS dot,
+           sqrt(list_sum(list_transform(p.q, x -> x * x))) AS nq,
+           sqrt(list_sum(list_transform(ct.c, x -> x * x))) AS nc
+    FROM probes p CROSS JOIN cent ct
+  )
+)"""
+    per_p = """,
+probe_{p} AS (
+  SELECT query_id, q, label FROM (
+    SELECT query_id, q, label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY csim DESC, label) AS crank
+    FROM qc
+  ) WHERE crank <= {p}
+),
+approx_{p} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id) AS rank
+    FROM (
+      SELECT query_id, vec_id,
+             CASE WHEN nq = 0 OR nd = 0 THEN 0.0 ELSE dot / (nq * nd) END AS score
+      FROM (
+        SELECT p.query_id, d.vec_id,
+               list_sum(list_transform(list_zip(p.q, d.v), x -> x[1] * x[2])) AS dot,
+               sqrt(list_sum(list_transform(p.q, x -> x * x))) AS nq,
+               sqrt(list_sum(list_transform(d.v, x -> x * x))) AS nd
+        FROM probe_{p} p JOIN docs d ON d.label = p.label
+      )
+    )
+  ) WHERE rank <= 3
+)"""
+    select_p = """
+SELECT CAST({p} AS INT) AS nprobe,
+       round(CAST((SELECT count(*) FROM exact e
+                   JOIN approx_{p} a ON a.query_id = e.query_id
+                                    AND a.vec_id = e.vec_id) AS DOUBLE)
+             / (SELECT count(*) FROM exact), 6) AS mean_recall"""
+    body = shared + "".join(
+        per_p.format(p=p) for p in _RECALL_CURVE_NPROBES
+    )
+    selects = "\nUNION ALL".join(
+        select_p.format(p=p) for p in _RECALL_CURVE_NPROBES
+    )
+    return body + selects
+
+
+ORACLE_IVF_RECALL_CURVE = _recall_curve_oracle()
+
+
 #: Fixed ALIAS the kmeans-IVF verification export is reachable at, so
 #: the (static) oracle SQL can read the SAME trained centroids/
 #: assignment the Spark query used. k-means training is iterative —
@@ -8989,6 +9129,7 @@ QUERIES = {
     "index_cluster_stats": q_index_cluster_stats,
     "prototypicality": q_prototypicality,
     "ivf_recall": q_ivf_recall,
+    "ivf_recall_curve": q_ivf_recall_curve,
     "ivf_recall_kmeans": q_ivf_recall_kmeans,
     "pq_recall": q_pq_recall,
     "ivfadc_knn": q_ivfadc_knn,
@@ -9133,6 +9274,7 @@ ORACLES = {
     "index_cluster_stats": ORACLE_INDEX_CLUSTER_STATS,
     "prototypicality": ORACLE_PROTOTYPICALITY,
     "ivf_recall": ORACLE_IVF_RECALL,
+    "ivf_recall_curve": ORACLE_IVF_RECALL_CURVE,
     "ivf_recall_kmeans": ORACLE_IVF_RECALL_KMEANS,
     "pq_recall": ORACLE_PQ_RECALL,
     "ivfadc_knn": ORACLE_IVFADC_KNN,
