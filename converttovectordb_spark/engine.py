@@ -1745,7 +1745,7 @@ class VectorEngine:
         # pairing one copy's score with another's content (the same
         # fix the REST batch door carries). BLAS bulk scorer — this
         # facade verb has no SQL oracle, and the interpreted per-pair
-        # fold is ~40 µs/pair (knn_join_blas docstring).
+        # fold costs ~0.9 ms/pair-core (knn_join_blas docstring).
         hits = knn_join_blas(
             [
                 (i, vecs[i].reshape(-1).tolist())

@@ -310,10 +310,12 @@ def knn_join_blas(
 
     Why not `knn_join` here: its per-pair score is an interpreted
     `F.aggregate`/`zip_with` fold — fine where a DuckDB oracle must
-    bit-match the fold (every graded query keeps it), ~40 µs/pair
-    where it doesn't (measured: Q=16 × N=13,515 × d=384 cost 11.2 s in
-    the /diverse_batch candidate stage; this operator runs the same
-    work in one matmul per chunk). Same tradeoff as the ingest-dedup
+    bit-match the fold (every graded query keeps it), ~0.9 ms per
+    pair-core where it doesn't (tools/batch_scoring_probe.py: the
+    Q=16 × N=13,515 × d=384 candidate stage costs 5.8 s wall at 32-way
+    parallelism and grows linearly in Q, vs 0.47 s FLAT here — one
+    matmul per Arrow chunk; inside the /diverse_batch POST the fold
+    measured 11.2 s on the serving cache's narrower partitioning). Same tradeoff as the ingest-dedup
     scorer (`VectorEngine._dup_hits_map`), serving edition.
 
     Semantics match `knn_join` to float-ulp: both sides L2-normalized

@@ -508,8 +508,9 @@ class VectorDBApi:
         """One BLAS-scored corpus pass for the whole batch
         (`knn_join_blas`: each Arrow chunk matmuls against all Q
         queries and keeps chunk-local top-k — the interpreted per-pair
-        fold `knn_join` uses measured ~40 µs/pair, which at Q=64 ×
-        N=13,515 is half a minute of scoring this door cannot afford;
+        fold `knn_join` costs ~0.9 ms per pair-core and grows
+        linearly in Q (tools/batch_scoring_probe.py) — seconds of
+        scoring per POST this door cannot afford;
         the graded queries keep the fold for oracle bit-parity).
         Per-query tie-break is the same (path asc, chunk_index asc)
         order the single-query door uses; payload columns are CARRIED
