@@ -365,7 +365,17 @@ def knn_join_blas(
             n = len(pdf)
             if n == 0:
                 continue
-            cmat = np.array(list(pdf[doc_vec_col]), dtype=np.float64)
+            vecs = list(pdf[doc_vec_col])
+            # ragged embedding lengths make np.array raise (or collapse
+            # to an object array) — name the offence instead of the
+            # bare numpy error / IndexError cmat.shape[1] would throw
+            lens = sorted({len(v) for v in vecs})
+            if len(lens) > 1:
+                raise ValueError(
+                    f"embedding column {doc_vec_col!r} has mixed "
+                    f"lengths {lens} — re-embed or rebuild the corpus"
+                )
+            cmat = np.array(vecs, dtype=np.float64)
             if cmat.shape[1] != qunit.shape[1]:
                 raise ValueError(
                     f"query dimension {qunit.shape[1]} != stored "
@@ -396,10 +406,20 @@ def knn_join_blas(
         for f in docs.select(*carry).schema
     )
     # the vec col may itself be carried (MMR wants the embeddings of
-    # the survivors) — select each input column once
+    # the survivors) — select each input column once. NULL embeddings
+    # are excluded BEFORE the scorer: a null row would turn the chunk
+    # matrix into an object array and kill the whole batch job, where
+    # `knn_join`'s fold degrades that row to a null score that sorts
+    # below every real candidate — filtering is the same outcome
+    # whenever >= k scorable rows exist, without the crash.
     in_cols = [doc_vec_col] + [c for c in carry if c != doc_vec_col]
-    pruned = docs.select(*in_cols).mapInPandas(
-        score_chunks, f"`{query_id_col}` int, score double{carry_schema}"
+    pruned = (
+        docs.select(*in_cols)
+        .filter(F.col(doc_vec_col).isNotNull())
+        .mapInPandas(
+            score_chunks,
+            f"`{query_id_col}` int, score double{carry_schema}",
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), *[F.col(c).asc() for c in order]
@@ -734,7 +754,20 @@ def ivf_knn_join_shuffled(
         if not hot:
             salt_buckets = 1
         else:
-            cluster_type = docs_side.schema[cluster_col].dataType.simpleString()
+            from pyspark.sql.types import StringType
+
+            cdtype = docs_side.schema[cluster_col].dataType
+            cluster_type = cdtype.simpleString()
+            # coerce manifest keys to the JOIN column's dtype: stats
+            # round-tripped through a JSON manifest can disagree with
+            # the caller's corpus column (digit-string labels int-ify
+            # on older manifests; partition-type inference int-ifies
+            # read-back corpora) and createDataFrame would fail — the
+            # docs frame being joined is the authority
+            if isinstance(cdtype, StringType):
+                hot = [(str(cid), s) for cid, s in hot]
+            else:
+                hot = [(int(cid), s) for cid, s in hot]
             salt_map = F.broadcast(
                 spark.createDataFrame(
                     hot, f"{cluster_col} {cluster_type}, _nsalt int"

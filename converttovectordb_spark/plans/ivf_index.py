@@ -71,9 +71,21 @@ def _merge_histograms(hists) -> dict:
     return out
 
 
-def _stats_keys_native(sizes: dict) -> dict:
-    """JSON round-trip restores int cluster ids (string-labeled corpora
-    keep their strings — int() failing means the key WAS a string)."""
+def _stats_keys_native(sizes: dict, key_type: str | None = None) -> dict:
+    """Restore native cluster-id keys from a JSON manifest. When the
+    manifest carries a ``key_type`` marker ("int"/"str", written from
+    the corpus cluster column's dtype at commit time) the keys coerce
+    to THAT type — a string-labeled corpus whose labels happen to be
+    digit strings ("3") must come back as strings, or the salt_map
+    `ivf_knn_join_shuffled` builds from these stats is typed against
+    the corpus column and the join silently misses. Markerless (pre-r12)
+    manifests fall back to the old inference: int() succeeding means
+    the key round-tripped from an int corpus column in every artifact
+    written before string labels could reach this path."""
+    if key_type == "str":
+        return {str(cid): int(n) for cid, n in sizes.items()}
+    if key_type == "int":
+        return {int(cid): int(n) for cid, n in sizes.items()}
     native = {}
     for cid, n in sizes.items():
         try:
@@ -81,6 +93,16 @@ def _stats_keys_native(sizes: dict) -> dict:
         except (TypeError, ValueError):
             native[cid] = int(n)
     return native
+
+
+def _cluster_key_type(df: DataFrame) -> str:
+    """The stats-manifest key-type marker for a cluster-labeled frame:
+    the corpus column's own dtype is the authority (consumers join
+    these keys against that column)."""
+    from pyspark.sql.types import StringType
+
+    dtype = df.schema[CLUSTER_COL].dataType
+    return "str" if isinstance(dtype, StringType) else "int"
 
 #: Ceiling on the number of queries `IVFIndex.search(adc_shortlist=...)`
 #: accepts. The IVFADC plan builds ONE driver-side ADC leg per query
@@ -205,7 +227,15 @@ def build_ivf_index(
     # computed from the WRITTEN corpus (the partition column needs only
     # file footers, not data pages), so auto salting and nprobe sizing
     # downstream read a manifest instead of re-running a corpus agg.
-    index._write_stats(_batch_histogram(index.corpus()))
+    # histogram from the WRITTEN footers (exact, no data pages), but the
+    # key-type marker from the PRE-write frame: partition-column type
+    # inference int-ifies digit-string labels on read-back, while the
+    # caller's own corpus frame — what salt maps get typed against —
+    # keeps the original dtype
+    index._write_stats(
+        _batch_histogram(index.corpus()),
+        key_type=_cluster_key_type(assigned),
+    )
     if pq_m is not None:
         from converttovectordb_spark.plans.pq_index import (
             codebooks_df,
@@ -248,25 +278,30 @@ class IVFIndex:
 
         return os.path.join(self.path, STATS_FILE)
 
-    def _write_stats(self, cluster_sizes: dict) -> None:
+    def _write_stats(
+        self, cluster_sizes: dict, *, key_type: str | None = None
+    ) -> None:
         """Atomic (tmp + rename) publish of the histogram manifest. The
         plain index is single-maintainer by contract (its append is a
-        bare parquet append), so read-merge-write in `append` is safe."""
+        bare parquet append), so read-merge-write in `append` is safe.
+        ``key_type`` ("int"/"str") records the corpus cluster column's
+        dtype so the JSON round-trip restores keys to the type the
+        salt-map join needs (see `_stats_keys_native`)."""
         import json
         import os
         import uuid
 
+        payload = {
+            "n_docs": sum(int(n) for n in cluster_sizes.values()),
+            "cluster_sizes": {
+                str(c): int(n) for c, n in cluster_sizes.items()
+            },
+        }
+        if key_type is not None:
+            payload["key_type"] = key_type
         tmp = f"{self._stats_path()}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as fh:
-            json.dump(
-                {
-                    "n_docs": sum(int(n) for n in cluster_sizes.values()),
-                    "cluster_sizes": {
-                        str(c): int(n) for c, n in cluster_sizes.items()
-                    },
-                },
-                fh,
-            )
+            json.dump(payload, fh)
         os.replace(tmp, self._stats_path())
 
     def cluster_stats(self) -> dict | None:
@@ -285,7 +320,9 @@ class IVFIndex:
                 raw = json.load(fh)
         except (FileNotFoundError, ValueError):
             return None
-        sizes = _stats_keys_native(raw.get("cluster_sizes", {}))
+        sizes = _stats_keys_native(
+            raw.get("cluster_sizes", {}), raw.get("key_type")
+        )
         return {"n_docs": int(raw["n_docs"]), "cluster_sizes": sizes}
 
     def corpus(self) -> DataFrame:
@@ -659,7 +696,8 @@ class IVFIndex:
                 self._write_stats(
                     _merge_histograms(
                         [prev["cluster_sizes"], _batch_histogram(assigned)]
-                    )
+                    ),
+                    key_type=_cluster_key_type(assigned),
                 )
             if self.has_pq():
                 from converttovectordb_spark.plans.pq_index import (
@@ -911,12 +949,16 @@ class TransactionalIVFIndex(IVFIndex):
         if not live:
             return None
         hists = []
+        key_type = None
         for v in live:
             h = ms[v].get("cluster_sizes")
             if h is None:
                 return None
             hists.append(h)
-        sizes = _stats_keys_native(_merge_histograms(hists))
+            # all live commits describe one corpus column — any marker
+            # speaks for the set; markerless (pre-r12) commits fall back
+            key_type = ms[v].get("cluster_key_type", key_type)
+        sizes = _stats_keys_native(_merge_histograms(hists), key_type)
         return {
             "n_docs": sum(sizes.values()),
             "cluster_sizes": sizes,
@@ -1044,6 +1086,7 @@ class TransactionalIVFIndex(IVFIndex):
                 # stats are the SUM over live commits (cluster_stats),
                 # giving query-time consumers zero-job salt sizing
                 "cluster_sizes": _batch_histogram(assigned),
+                "cluster_key_type": _cluster_key_type(assigned),
             }
             if txn_id is not None:
                 commit["txn_id"] = txn_id
@@ -1248,6 +1291,9 @@ class TransactionalIVFIndex(IVFIndex):
         in_hists = [
             ms[v].get("cluster_sizes") for v in live if "corpus_dir" in ms[v]
         ]
+        key_type = None
+        for v in live:
+            key_type = ms[v].get("cluster_key_type", key_type)
         if all(h is not None for h in in_hists):
             # pure manifest arithmetic — compaction moves rows, it
             # doesn't change per-cluster membership
@@ -1256,7 +1302,9 @@ class TransactionalIVFIndex(IVFIndex):
             # a pre-stats commit is being folded in: recompute from the
             # just-written snapshot (partition-column-only read — file
             # footers, not data pages) so compaction HEALS missing stats
-            sizes = _batch_histogram(self.spark.read.parquet(corpus_dir))
+            healed = self.spark.read.parquet(corpus_dir)
+            sizes = _batch_histogram(healed)
+            key_type = _cluster_key_type(healed)
         commit = {
             "corpus_dir": corpus_dir,
             "rows": rows,
@@ -1266,6 +1314,8 @@ class TransactionalIVFIndex(IVFIndex):
             # subset compact must supersede ONLY what it rewrote
             "replaces": sorted(ms) if versions is None else live,
         }
+        if key_type is not None:
+            commit["cluster_key_type"] = key_type
         if codes_dirs:
             codes_dir = os.path.join(
                 self.path, self.CODES_BATCHES, uuid.uuid4().hex

@@ -180,6 +180,7 @@ class MinHashSignatureStore:
         absent data dir reads as "artifact missing" (`exists()` /
         `token()`-then-`load()` callers rebuild), never as silently
         duplicated or half-folded rows."""
+        self._sweep_debris()
         dirs = self._batch_dirs()
         if len(dirs) < 2:
             return 0
@@ -210,6 +211,7 @@ class MinHashSignatureStore:
         """Replace the artifact wholesale (store dropped rows, params
         change, first build). The old data dir is removed only after
         the replacement is fully staged."""
+        self._sweep_debris()
         staged = self._stage(sigs)
         data = self._data_path()
         old = None
@@ -225,6 +227,32 @@ class MinHashSignatureStore:
     # -- internals -----------------------------------------------------
     def _data_path(self) -> str:
         return os.path.join(self.path, self.DATA_DIR)
+
+    def _sweep_debris(self) -> int:
+        """Remove crash leftovers under the artifact root: staged
+        ``tmp-<hex>`` dirs whose rename never ran, ``data.old.<hex>``
+        dirs whose post-swap rmtree was interrupted, and orphaned
+        ``.token.<hex>`` files. Run at the head of `compact`/`rebuild`
+        (single-maintainer contract — nothing else can be mid-stage),
+        so crash debris from a killed swap is bounded to one window
+        instead of accumulating forever. Returns entries removed."""
+        removed = 0
+        try:
+            names = os.listdir(self.path)
+        except FileNotFoundError:
+            return 0
+        for n in names:
+            full = os.path.join(self.path, n)
+            if n.startswith("tmp-") or n.startswith(f"{self.DATA_DIR}.old."):
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
+            elif n.startswith(".token."):
+                try:
+                    os.remove(full)
+                    removed += 1
+                except OSError:
+                    pass
+        return removed
 
     def _stage(self, sigs: DataFrame) -> str:
         os.makedirs(self.path, exist_ok=True)

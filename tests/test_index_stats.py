@@ -135,3 +135,77 @@ def test_stats_survive_json_roundtrip_key_types(spark, tmp_path):
 
 def test_missing_path_is_none(spark, tmp_path):
     assert IVFIndex(spark, str(tmp_path / "nope")).cluster_stats() is None
+
+def test_digit_string_labels_round_trip_as_strings(spark, tmp_path):
+    """r12 (ADVICE ivf_index.py:614): a string-labeled corpus whose
+    labels happen to be digit strings must restore STRING stats keys —
+    the salt map `ivf_knn_join_shuffled` builds from them is typed
+    against the caller's string cluster column."""
+    rows = [
+        (i, str(i % 2), [float(i % 3), 1.0, 0.5]) for i in range(9)
+    ]
+    docs = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    index = build_ivf_index(
+        docs, str(tmp_path / "ivf"), cluster_col="label"
+    )
+    sizes = index.cluster_stats()["cluster_sizes"]
+    assert sizes == {"0": 5, "1": 4}
+    assert all(isinstance(k, str) for k in sizes)
+    # txn twin: marker rides each commit and survives append + compact
+    tix = TransactionalIVFIndex.build(
+        docs, str(tmp_path / "txn"), cluster_col="label"
+    )
+    batch = spark.createDataFrame(
+        [(100, "0", [0.0, 1.0, 0.5])],
+        "vec_id long, label string, embedding array<double>",
+    )
+    tix.append(batch, cluster_col="label")
+    assert tix.cluster_stats()["cluster_sizes"] == {"0": 6, "1": 4}
+    tix.compact()
+    sizes = tix.cluster_stats()["cluster_sizes"]
+    assert sizes == {"0": 6, "1": 4}
+    assert all(isinstance(k, str) for k in sizes)
+
+
+def test_string_label_stats_feed_salt_map(spark, tmp_path):
+    """End to end: manifest stats from a digit-string-labeled corpus
+    drive salt_buckets="auto" against a string cluster column without
+    a createDataFrame type failure, and results stay salt-invariant."""
+    from converttovectordb_spark.operators.search import (
+        ivf_knn_join_shuffled,
+    )
+
+    rows = [
+        (i, str(i % 2), [float(i % 7) + 1.0, float(i % 3), 1.0])
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    index = build_ivf_index(
+        docs, str(tmp_path / "ivf"), cluster_col="label"
+    )
+    stats = index.cluster_stats()
+    queries = spark.createDataFrame(
+        [(i, [float(i % 7) + 1.0, float(i % 3), 1.0]) for i in range(6)],
+        "query_id long, query_vec array<double>",
+    )
+    got = ivf_knn_join_shuffled(
+        queries,
+        docs,
+        top_k=3,
+        nprobe=1,
+        salt_buckets="auto",
+        cluster_sizes=stats["cluster_sizes"],
+        n_queries=6,
+        # force salting so the map is actually built
+        target_pairs_per_task=4,
+    ).collect()
+    want = ivf_knn_join_shuffled(
+        queries, docs, top_k=3, nprobe=1, salt_buckets=1
+    ).collect()
+    assert sorted(
+        [(r["query_id"], r["rank"], r["vec_id"]) for r in got]
+    ) == sorted([(r["query_id"], r["rank"], r["vec_id"]) for r in want])

@@ -121,3 +121,35 @@ def test_order_cols_must_be_carried(spark, docs):
             [(0, [1.0] * 8)], docs, top_k=3,
             carry_cols=["vec_id"], order_cols=["nope"],
         )
+
+
+def test_null_embedding_rows_are_excluded_not_fatal(spark):
+    """r12 (ADVICE search.py:448): a NULL embedding row must not turn
+    the chunk matrix into an object array and kill the batch job — it
+    is excluded before the scorer (knn_join's fold gives the same row
+    a null score that sorts below every real candidate)."""
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(10)]
+    rows.append((99, None))
+    docs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(3)
+    qrows = [(0, [1.0, 2.0, 3.0, 4.0])]
+    got = knn_join_blas(
+        qrows, docs, top_k=3, carry_cols=["vec_id"], order_cols=["vec_id"]
+    ).collect()
+    assert len(got) == 3
+    assert all(r["vec_id"] != 99 for r in got)
+
+
+def test_ragged_embeddings_raise_named_error(spark):
+    rows = [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0])]
+    docs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="mixed"):
+        knn_join_blas(
+            [(0, [1.0, 2.0, 3.0])],
+            docs,
+            top_k=2,
+            carry_cols=["vec_id"],
+        ).collect()

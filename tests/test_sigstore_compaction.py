@@ -212,3 +212,28 @@ def test_heal_after_fold(spark, tmp_path):
     )
     out = eng.ingest(probe, lexical_dedup=0.7)
     assert out.count() == 0
+
+
+def test_crash_debris_swept_on_next_compact(spark, tmp_path):
+    """r12 (ADVICE sigstore.py:650): orphaned tmp-*/data.old.* dirs
+    from a crashed swap are garbage-collected at the head of the next
+    compact/rebuild instead of accumulating forever."""
+    store = MinHashSignatureStore(
+        spark, str(tmp_path / "sigs"), auto_compact_after=None
+    )
+    store.rebuild(_sigs(spark, ["a#0", "a#1"]), "d0")
+    store.append(_sigs(spark, ["b#0", "b#1"]), "d1")
+    # plant crash debris from a hypothetical killed swap
+    os.makedirs(os.path.join(store.path, "tmp-deadbeef"))
+    os.makedirs(os.path.join(store.path, "data.old.cafef00d"))
+    with open(os.path.join(store.path, ".token.feed"), "w") as fh:
+        fh.write("{}")
+    n = store.load().count()
+    assert store.compact() == 2
+    names = set(os.listdir(store.path))
+    assert not any(x.startswith("tmp-") for x in names)
+    assert not any(x.startswith("data.old.") for x in names)
+    assert not any(x.startswith(".token.") for x in names)
+    # content and token untouched by the sweep
+    assert store.load().count() == n
+    assert store.token() == "d1"
