@@ -1841,6 +1841,7 @@ class VectorEngine:
                 _row_id(),
             )
         )
+        prev_curve = None
         if transactional:
             import os
             import uuid
@@ -1866,12 +1867,21 @@ class VectorEngine:
             try:
                 prev = TransactionalIVFIndex.open_current(self.spark, base)
                 self._index.carry_txn_ids(prev.committed_txn_ids())
+                prev_curve = prev.recall_curve()
             except FileNotFoundError:
                 pass  # first publish at this base — nothing to carry
             # publish: atomic pointer replace — readers attached to the
             # old dir keep working, new open_index() calls see this one
             TransactionalIVFIndex.publish_current(base, new_dir)
         else:
+            from converttovectordb_spark.plans.ivf_index import IVFIndex
+
+            # plain rebuilds land IN PLACE, so the old _recall_curve.json
+            # would survive the overwrite as a silently stale file —
+            # capture it so the re-measure below replaces it
+            prev_curve = IVFIndex(
+                self.spark, f"{self.store.path}_ivf"
+            ).recall_curve()
             self._index = build_ivf_index(
                 docs,
                 f"{self.store.path}_ivf",
@@ -1890,6 +1900,19 @@ class VectorEngine:
                 self._index,
                 sample=int(recall_sample),
                 doc_id_col="_row_id",
+            )
+        elif prev_curve is not None:
+            # rebuild-and-swap of an index that carried a measured
+            # curve: re-measure under the SAME contract so
+            # search_indexed(target_recall=...) keeps resolving after
+            # the retrain (the build just paid a full corpus pass; the
+            # measurement is the same order of cost)
+            from converttovectordb_spark.plans.ivf_index import (
+                remeasure_recall_curve_like,
+            )
+
+            remeasure_recall_curve_like(
+                prev_curve, self._index, default_doc_id_col="_row_id"
             )
         self._index_token = token
         return self._index

@@ -340,7 +340,44 @@ class IVFIndex:
         except (OSError, ValueError):
             return None
 
-    def nprobe_for_recall(self, target_recall: float) -> int:
+    def recall_curve_staleness(self) -> dict | None:
+        """How far the live corpus has grown/shrunk past the persisted
+        recall curve's measurement stamp: ``{"measured_n_docs",
+        "current_n_docs", "growth"}`` where growth is the absolute
+        row-count delta as a fraction of the measured count. None when
+        there is no curve or the curve predates the stamp (pre-r12).
+        Zero Spark jobs when the stats manifest is present."""
+        payload = self.recall_curve()
+        if payload is None or payload.get("measured_n_docs") is None:
+            return None
+        measured = int(payload["measured_n_docs"])
+        stats = self.cluster_stats()
+        current = (
+            int(stats["n_docs"])
+            if stats is not None
+            else int(self.corpus().count())
+        )
+        growth = abs(current - measured) / max(measured, 1)
+        return {
+            "measured_n_docs": measured,
+            "current_n_docs": current,
+            "growth": growth,
+        }
+
+    #: fraction of corpus change (vs the curve's measurement stamp)
+    #: past which `nprobe_for_recall` flags the curve stale. 0.25 is
+    #: the drift-report cadence heuristic: a quarter of the corpus
+    #: arriving after measurement moves per-cluster recall enough that
+    #: a resolved nprobe is a guess wearing a measurement's clothes.
+    RECALL_CURVE_MAX_GROWTH = 0.25
+
+    def nprobe_for_recall(
+        self,
+        target_recall: float,
+        *,
+        max_growth: float | None = None,
+        strict: bool = False,
+    ) -> int:
         """The measured MINIMAL nprobe whose held-out recall@k reaches
         ``target_recall`` — the stated-contract resolution of the
         index's one magic knob. Requires a persisted curve
@@ -348,7 +385,15 @@ class IVFIndex:
         rather than guessing. A target above every measured point
         resolves to the largest measured nprobe (the curve's
         exact-scan endpoint when measured with defaults) — the closest
-        the index can honestly offer."""
+        the index can honestly offer.
+
+        Staleness budget: the curve is stamped with the corpus size at
+        measurement; when the live corpus has drifted past
+        ``max_growth`` (default `RECALL_CURVE_MAX_GROWTH`) the
+        resolution WARNS — or raises under ``strict=True`` — instead
+        of silently serving a measurement the appends have outgrown
+        (re-measure, or retrain: rebuild-and-swap re-measures
+        automatically when the old index carried a curve)."""
         if not 0.0 < target_recall <= 1.0:
             raise ValueError(
                 f"target_recall must be in (0, 1], got {target_recall}"
@@ -360,6 +405,23 @@ class IVFIndex:
                 "measure_recall_curve(index) (engine: "
                 "build_index(recall_sample=...)) first"
             )
+        budget = (
+            self.RECALL_CURVE_MAX_GROWTH if max_growth is None else max_growth
+        )
+        stale = self.recall_curve_staleness()
+        if stale is not None and stale["growth"] > budget:
+            msg = (
+                f"recall curve for {self.path} is stale: corpus moved "
+                f"{stale['measured_n_docs']} -> {stale['current_n_docs']} "
+                f"rows ({stale['growth']:.0%} > budget {budget:.0%}) since "
+                "measurement — re-measure (measure_recall_curve) or "
+                "retrain; resolved nprobe reflects the OLD corpus"
+            )
+            if strict:
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
         curve = sorted(payload["curve"], key=lambda c: int(c["nprobe"]))
         for point in curve:
             if float(point["recall"]) >= target_recall:
@@ -1381,7 +1443,16 @@ def measure_recall_curve(
 
     The curve describes the corpus AT MEASUREMENT TIME under the
     frozen centroids; incremental appends shift it like they shift
-    drift — re-measure on the retrain cadence.
+    drift. The payload is therefore STAMPED with the corpus state
+    (``measured_n_docs``) and the measurement contract (``top_k``,
+    ``requested_sample``, ``doc_id_col``, ``vec_col``) so that
+    (a) `nprobe_for_recall` can compare against the live corpus and
+    warn/refuse past a drift budget, and (b) a rebuild-and-swap
+    retrain (`VectorEngine.maybe_retrain`, the streaming
+    `retrain_index_if_drifted`) can RE-MEASURE the fresh index under
+    the exact same contract — the target-recall knob survives the
+    retrain cadence it was built for instead of dying at the first
+    swap.
 
     ``nprobes`` defaults to powers of two up to the centroid count
     (plus the count itself — the exact-scan endpoint, recall 1.0 by
@@ -1443,12 +1514,61 @@ def measure_recall_curve(
             curve.append({"nprobe": int(p), "recall": round(recall, 6)})
     finally:
         probes.unpersist()
-    payload = {"top_k": int(top_k), "sample": n_probes, "curve": curve}
+    # corpus-state stamp: the manifest histogram when present (zero
+    # jobs), else one count over the corpus the measurement already
+    # scanned — `nprobe_for_recall` compares this against the live
+    # corpus to surface append-driven staleness
+    stats = index.cluster_stats()
+    measured_n = (
+        int(stats["n_docs"]) if stats is not None else int(corpus.count())
+    )
+    payload = {
+        "top_k": int(top_k),
+        "sample": n_probes,
+        "requested_sample": int(sample),
+        "measured_n_docs": measured_n,
+        "doc_id_col": doc_id_col,
+        "vec_col": vec_col,
+        "curve": curve,
+    }
     tmp = os.path.join(index.path, f".recall.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as fh:
         json.dump(payload, fh)
     os.replace(tmp, os.path.join(index.path, RECALL_CURVE_FILE))
     return payload
+
+
+def remeasure_recall_curve_like(
+    old_payload: dict | None,
+    new_index: "IVFIndex",
+    *,
+    default_doc_id_col: str = "vec_id",
+    default_vec_col: str = "embedding",
+) -> dict | None:
+    """Carry the recall-curve CONTRACT (not the stale numbers) across
+    a rebuild-and-swap: re-measure the fresh index under the old
+    curve's stamped parameters (top_k, requested sample size, id and
+    vector columns). The retrain already pays a full corpus pass for
+    training, so the exact-KNN measurement pass is the same order of
+    cost — and without it, `search_indexed(target_recall=...)` starts
+    raising after the very retrain cadence the curve exists to
+    survive (r11 verdict finding #1). No-op (returns None) when the
+    replaced index never measured a curve — a knob nobody turned stays
+    unturned. Pre-stamp (r11) payloads fall back to the caller's
+    default columns."""
+    if old_payload is None:
+        return None
+    return measure_recall_curve(
+        new_index,
+        top_k=int(old_payload.get("top_k", 5)),
+        sample=int(
+            old_payload.get(
+                "requested_sample", old_payload.get("sample", 16)
+            )
+        ),
+        doc_id_col=old_payload.get("doc_id_col", default_doc_id_col),
+        vec_col=old_payload.get("vec_col", default_vec_col),
+    )
 
 
 def index_drift_report(

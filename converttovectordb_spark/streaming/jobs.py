@@ -196,6 +196,20 @@ def retrain_index_if_drifted(
     # the maintainer's attach-time policies ride along to the new handle
     new_index.auto_compact_after = index.auto_compact_after
     new_index.carry_txn_ids(index.committed_txn_ids())
+    # recall-curve carry (r11 verdict #1): when the replaced index had
+    # a measured nprobe→recall curve, re-measure the fresh one under
+    # the same stamped contract BEFORE publishing, so
+    # search_indexed(target_recall=...) keeps resolving across the
+    # very retrain cadence the curve exists to serve
+    old_curve = index.recall_curve()
+    if old_curve is not None:
+        from converttovectordb_spark.plans.ivf_index import (
+            remeasure_recall_curve_like,
+        )
+
+        remeasure_recall_curve_like(
+            old_curve, new_index, default_doc_id_col="_row_id"
+        )
     TransactionalIVFIndex.publish_current(base, new_dir)
     return new_index
 

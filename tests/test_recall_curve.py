@@ -151,3 +151,139 @@ def test_engine_target_recall_resolution_and_explicit_wins(
         eng.search_indexed("embedding vectors", top_k=3).collect()
         is not None
     )
+
+
+def test_staleness_stamp_and_budget(spark, tmp_path):
+    """r12 (VERDICT #1): the curve is stamped with the corpus size at
+    measurement; appends past the drift budget make resolution WARN
+    (raise under strict=True), and a generous budget stays silent."""
+    import warnings
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = build_ivf_index(
+        emb, str(tmp_path / "ivf"), cluster_col="label"
+    )
+    payload = measure_recall_curve(idx, top_k=3, sample=8)
+    n0 = emb.count()
+    assert payload["measured_n_docs"] == n0
+    assert payload["doc_id_col"] == "vec_id"
+    assert payload["requested_sample"] == 8
+    st = idx.recall_curve_staleness()
+    assert st["growth"] == 0.0 and st["current_n_docs"] == n0
+    # fresh curve resolves silently
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        idx.nprobe_for_recall(0.9)
+    # grow the corpus ~50% (> default 25% budget)
+    batch = emb.limit(max(1, n0 // 2)).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    idx.append(batch, cluster_col="label")
+    st = idx.recall_curve_staleness()
+    assert st["growth"] > 0.25
+    with pytest.warns(RuntimeWarning, match="stale"):
+        idx.nprobe_for_recall(0.9)
+    with pytest.raises(ValueError, match="stale"):
+        idx.nprobe_for_recall(0.9, strict=True)
+    # explicit generous budget: the caller owns the tradeoff
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        idx.nprobe_for_recall(0.9, max_growth=1.0)
+
+
+def test_engine_retrain_remeasures_curve(spark, tmp_path):
+    """r12 (VERDICT #1): maybe_retrain's rebuild-and-swap re-measures
+    the curve under the old stamped contract — target_recall keeps
+    resolving on the NEW index without a manual re-measure."""
+    from converttovectordb_spark.embeddings import hash_embedder
+    from converttovectordb_spark.engine import VectorEngine
+
+    def mkdocs(tag, vecs):
+        return spark.createDataFrame(
+            [
+                (f"{tag}/f{i}.txt", ".txt", 0, 1, f"{tag} doc {i}", v, 0.0)
+                for i, v in enumerate(vecs)
+            ],
+            "path string, extension string, chunk_index int, "
+            "total_chunks int, content string, embedding array<float>, "
+            "timestamp double",
+        )
+
+    base_vecs = [
+        [1.0 + 0.01 * i, 0.01 * i, 0.0, 0.0] for i in range(10)
+    ] + [[0.01 * i, 1.0 + 0.01 * i, 0.0, 0.0] for i in range(10)]
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(4), dim=4
+    )
+    eng.store.append(mkdocs("base", base_vecs))
+    eng.build_index(
+        num_clusters=2, transactional=True, recall_sample=4
+    )
+    old_payload = eng._index.recall_curve()
+    assert old_payload is not None
+    old_dir = eng._index.path
+
+    eng.store.append(
+        mkdocs("drift", [[6.0, 6.0, 0.01 * i, 0.0] for i in range(30)])
+    )
+    rep = eng.maybe_retrain(0.5)
+    assert rep["retrained"] is True
+    assert eng._index.path != old_dir
+    fresh = eng._index.recall_curve()
+    assert fresh is not None
+    # same contract, new corpus stamp
+    assert fresh["top_k"] == old_payload["top_k"]
+    assert fresh["requested_sample"] == old_payload["requested_sample"]
+    assert fresh["measured_n_docs"] == eng.store.load().count()
+    # the knob still turns, no manual re-measure
+    rows = eng.search_indexed(
+        "base doc", top_k=3, target_recall=1.0
+    ).collect()
+    assert rows
+
+    # curve-less indexes stay curve-less across a retrain: nobody
+    # turned the knob, the rebuild must not invent a measurement
+    eng2 = VectorEngine(
+        spark, str(tmp_path / "store2"), embedder=hash_embedder(4), dim=4
+    )
+    eng2.store.append(mkdocs("base", base_vecs))
+    eng2.build_index(num_clusters=2, transactional=True)
+    assert eng2._index.recall_curve() is None
+    eng2.store.append(
+        mkdocs("drift", [[6.0, 6.0, 0.01 * i, 0.0] for i in range(30)])
+    )
+    rep2 = eng2.maybe_retrain(0.5)
+    assert rep2["retrained"] is True
+    assert eng2._index.recall_curve() is None
+
+
+def test_plain_inplace_rebuild_replaces_stale_curve(spark, tmp_path):
+    """A plain (non-transactional) rebuild lands in place, where the
+    old _recall_curve.json would survive as a silently stale file —
+    build_index must re-measure it under the old contract."""
+    from converttovectordb_spark.engine import VectorEngine
+
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), dim=16, chunk_size=200, overlap=40
+    )
+    eng.ingest(_mini_repo(tmp_path))
+    eng.build_index(num_clusters=2, recall_sample=4)
+    first = eng._index.recall_curve()
+    n0 = first["measured_n_docs"]
+
+    repo2 = tmp_path / "repo2"
+    repo2.mkdir()
+    for i in range(4):
+        (repo2 / f"x{i}.md").write_text(
+            f"fresh corpus growth document number {i} with extra text"
+        )
+    eng.ingest(str(repo2))
+    eng.build_index(num_clusters=2)  # rebuild WITHOUT recall_sample
+    fresh = eng._index.recall_curve()
+    assert fresh is not None
+    assert fresh["measured_n_docs"] == eng.store.load().count() > n0
+    assert fresh["top_k"] == first["top_k"]
+    # and resolution works against the fresh measurement
+    assert eng.search_indexed(
+        "growth document", top_k=3, target_recall=1.0
+    ).collect() is not None

@@ -741,3 +741,85 @@ def test_engine_rebuild_carries_txn_ids(spark, tmp_path):
     # replayed epoch no-ops on the NEW manifest
     assert new.append(batch, txn_id="epoch-7") == 0
     assert new.corpus().count() == n_old
+
+
+def test_stream_retrain_carries_recall_curve(spark, tmp_path):
+    """r12 (VERDICT #1 / ADVICE jobs.py:121): the streaming drift
+    retrain re-measures the persisted recall curve on the rebuilt
+    index under the old stamped contract, so
+    `nprobe_for_recall(target)` resolves on the new CURRENT without a
+    manual re-measure — and stays absent when never measured."""
+    import os
+
+    from converttovectordb_spark.plans.ivf_index import (
+        measure_recall_curve,
+    )
+    from converttovectordb_spark.sources.store import (
+        TransactionalDocumentStore,
+    )
+    from converttovectordb_spark.streaming.jobs import (
+        retrain_index_if_drifted,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (p, ".txt", 0, 1, f"doc {p}", v, 0.0)
+                for p, v in rows
+            ],
+            "path string, extension string, chunk_index int, "
+            "total_chunks int, content string, embedding array<double>, "
+            "timestamp double",
+        )
+
+    store = TransactionalDocumentStore(spark, str(tmp_path / "store"))
+    seed = mk(
+        [
+            (f"s{i}.txt", [1.0 + 0.01 * i, 0.01 * i, 0.0, 0.0])
+            for i in range(10)
+        ]
+        + [
+            (f"t{i}.txt", [0.01 * i, 1.0 + 0.01 * i, 0.0, 0.0])
+            for i in range(10)
+        ]
+    )
+    store.append(seed)
+    base = str(tmp_path / "tivf")
+    os.makedirs(base)
+    first_dir = os.path.join(base, "v0")
+    index = TransactionalIVFIndex.build(
+        store.load(), first_dir, num_clusters=2
+    )
+    TransactionalIVFIndex.publish_current(base, first_dir)
+    measure_recall_curve(index, top_k=3, sample=6, doc_id_col="path")
+    assert index.recall_curve() is not None
+
+    # inject drift, then run the per-epoch retrain step directly
+    store.append(
+        mk([(f"d{i}.txt", [6.0, 6.0, 0.01 * i, 0.0]) for i in range(30)])
+    )
+    new_index = retrain_index_if_drifted(store, index, 0.5)
+    assert new_index.path != index.path
+    fresh = new_index.recall_curve()
+    assert fresh is not None
+    assert fresh["top_k"] == 3
+    assert fresh["requested_sample"] == 6
+    assert fresh["doc_id_col"] == "path"
+    assert fresh["measured_n_docs"] == store.load().count() == 50
+    # the knob resolves on the published index with zero manual steps
+    cur = TransactionalIVFIndex.open_current(spark, base)
+    assert cur.nprobe_for_recall(1.0) >= 1
+
+    # curve-less twin: a retrain must not invent a measurement
+    base2 = str(tmp_path / "tivf2")
+    os.makedirs(base2)
+    bare_dir = os.path.join(base2, "v0")
+    bare = TransactionalIVFIndex.build(
+        store.load().filter(~F.col("path").startswith("d")),
+        bare_dir,
+        num_clusters=2,
+    )
+    TransactionalIVFIndex.publish_current(base2, bare_dir)
+    bare_new = retrain_index_if_drifted(store, bare, 0.5)
+    assert bare_new.path != bare.path
+    assert bare_new.recall_curve() is None
