@@ -1794,6 +1794,7 @@ class VectorEngine:
         pq_k: int = 16,
         transactional: bool = False,
         recall_sample: int | None = None,
+        adc_recall_sample: int | None = None,
     ):
         """Train + materialize the IVF index beside the store (offline
         job, one corpus pass). Search with use_index=True afterwards —
@@ -1816,7 +1817,14 @@ class VectorEngine:
         an N-probe held-out sample and persists the curve in the index
         (`measure_recall_curve`) — `search_indexed(target_recall=0.9)`
         then resolves nprobe from the measurement instead of a guess.
-        Off by default: it costs an exact-KNN pass at build time."""
+        Off by default: it costs an exact-KNN pass at build time.
+        ``adc_recall_sample=N`` (PQ-enabled builds) is the same
+        treatment for the second knob: measure recall@5 vs
+        ``adc_shortlist`` (`measure_adc_curve`) so
+        `search_indexed(target_adc_recall=...)` resolves the shortlist
+        from a measurement. Rebuilds of an index that carried either
+        curve RE-MEASURE it under the old stamped contract — the
+        target knobs survive the retrain cadence."""
         from converttovectordb_spark.plans.ivf_index import (
             TransactionalIVFIndex,
             build_ivf_index,
@@ -1842,6 +1850,7 @@ class VectorEngine:
             )
         )
         prev_curve = None
+        prev_adc_curve = None
         if transactional:
             import os
             import uuid
@@ -1868,6 +1877,7 @@ class VectorEngine:
                 prev = TransactionalIVFIndex.open_current(self.spark, base)
                 self._index.carry_txn_ids(prev.committed_txn_ids())
                 prev_curve = prev.recall_curve()
+                prev_adc_curve = prev.adc_curve()
             except FileNotFoundError:
                 pass  # first publish at this base — nothing to carry
             # publish: atomic pointer replace — readers attached to the
@@ -1876,12 +1886,12 @@ class VectorEngine:
         else:
             from converttovectordb_spark.plans.ivf_index import IVFIndex
 
-            # plain rebuilds land IN PLACE, so the old _recall_curve.json
-            # would survive the overwrite as a silently stale file —
-            # capture it so the re-measure below replaces it
-            prev_curve = IVFIndex(
-                self.spark, f"{self.store.path}_ivf"
-            ).recall_curve()
+            # plain rebuilds land IN PLACE, so the old curve files
+            # would survive the overwrite as silently stale — capture
+            # them so the re-measure below replaces them
+            prev_plain = IVFIndex(self.spark, f"{self.store.path}_ivf")
+            prev_curve = prev_plain.recall_curve()
+            prev_adc_curve = prev_plain.adc_curve()
             self._index = build_ivf_index(
                 docs,
                 f"{self.store.path}_ivf",
@@ -1914,6 +1924,35 @@ class VectorEngine:
             remeasure_recall_curve_like(
                 prev_curve, self._index, default_doc_id_col="_row_id"
             )
+        if adc_recall_sample is not None:
+            from converttovectordb_spark.plans.ivf_index import (
+                measure_adc_curve,
+            )
+
+            measure_adc_curve(
+                self._index,
+                sample=int(adc_recall_sample),
+                doc_id_col="_row_id",
+            )
+        elif prev_adc_curve is not None:
+            from converttovectordb_spark.plans.ivf_index import (
+                ADC_CURVE_FILE,
+                remeasure_adc_curve_like,
+            )
+
+            if remeasure_adc_curve_like(
+                prev_adc_curve, self._index, default_doc_id_col="_row_id"
+            ) is None:
+                # the rebuild dropped PQ: an in-place rebuild would
+                # otherwise leave the old shortlist curve describing a
+                # codec that no longer exists
+                import contextlib
+                import os
+
+                with contextlib.suppress(OSError):
+                    os.remove(
+                        os.path.join(self._index.path, ADC_CURVE_FILE)
+                    )
         self._index_token = token
         return self._index
 
@@ -2143,6 +2182,7 @@ class VectorEngine:
         *,
         target_recall: float | None = None,
         adc_shortlist: int | None = None,
+        target_adc_recall: float | None = None,
         allow_stale: bool = False,
         where: str | None = None,
     ) -> DataFrame:
@@ -2170,7 +2210,14 @@ class VectorEngine:
         otherwise ``target_recall=r`` resolves it from the index's
         persisted recall curve (`build_index(recall_sample=...)` must
         have measured one — `IVFIndex.nprobe_for_recall`); with
-        neither, the historical default of 2 applies."""
+        neither, the historical default of 2 applies. The ADC
+        shortlist resolves the same way: explicit ``adc_shortlist``
+        wins, else ``target_adc_recall=r`` consults the persisted
+        shortlist curve (`build_index(pq_m=...,
+        adc_recall_sample=...)` — `IVFIndex.adc_shortlist_for_recall`),
+        warning when the effective nprobe differs from the one the
+        curve was measured at (the shortlist's recall is conditional
+        on the probe width)."""
         index = self._require_index(allow_stale=allow_stale)
         if nprobe is None:
             nprobe = (
@@ -2178,6 +2225,23 @@ class VectorEngine:
                 if target_recall is not None
                 else 2
             )
+        if adc_shortlist is None and target_adc_recall is not None:
+            adc_shortlist = index.adc_shortlist_for_recall(
+                float(target_adc_recall)
+            )
+            curve_nprobe = (index.adc_curve() or {}).get("nprobe")
+            if curve_nprobe is not None and int(curve_nprobe) != int(nprobe):
+                import warnings
+
+                warnings.warn(
+                    f"target_adc_recall resolved against a shortlist "
+                    f"curve measured at nprobe={curve_nprobe}, but this "
+                    f"search probes nprobe={nprobe} — re-measure "
+                    "(measure_adc_curve) at the serving nprobe for an "
+                    "honest contract",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         qv = self.embedder([query_text])
         qv = np.asarray(qv, dtype=np.float64).reshape(-1).tolist()
         probes = self.spark.createDataFrame([(0, qv)], "query_id int, query_vec array<double>")

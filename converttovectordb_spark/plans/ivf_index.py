@@ -428,6 +428,87 @@ class IVFIndex:
                 return int(point["nprobe"])
         return int(curve[-1]["nprobe"])
 
+    def adc_curve(self) -> dict | None:
+        """The persisted shortlist→recall@k curve (`measure_adc_curve`),
+        or None when never measured."""
+        import json
+        import os
+
+        try:
+            with open(os.path.join(self.path, ADC_CURVE_FILE)) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
+
+    def adc_curve_staleness(self) -> dict | None:
+        """ADC twin of `recall_curve_staleness` — live-corpus drift vs
+        the shortlist curve's measurement stamp."""
+        payload = self.adc_curve()
+        if payload is None or payload.get("measured_n_docs") is None:
+            return None
+        measured = int(payload["measured_n_docs"])
+        stats = self.cluster_stats()
+        current = (
+            int(stats["n_docs"])
+            if stats is not None
+            else int(self.corpus().count())
+        )
+        growth = abs(current - measured) / max(measured, 1)
+        return {
+            "measured_n_docs": measured,
+            "current_n_docs": current,
+            "growth": growth,
+        }
+
+    def adc_shortlist_for_recall(
+        self,
+        target_recall: float,
+        *,
+        max_growth: float | None = None,
+        strict: bool = False,
+    ) -> int:
+        """The measured MINIMAL ``adc_shortlist`` whose held-out
+        recall@k (vs the exact-rerank path at the curve's stamped
+        nprobe) reaches ``target_recall`` — the stated-contract
+        resolution of the index's second magic knob, mirroring
+        `nprobe_for_recall` (same staleness budget, same
+        largest-measured fallback for unreachable targets, same
+        loud-error-when-never-measured policy)."""
+        if not 0.0 < target_recall <= 1.0:
+            raise ValueError(
+                f"target_recall must be in (0, 1], got {target_recall}"
+            )
+        payload = self.adc_curve()
+        if payload is None or not payload.get("curve"):
+            raise ValueError(
+                f"no ADC shortlist curve measured for {self.path}; run "
+                "measure_adc_curve(index) (engine: "
+                "build_index(pq_m=..., adc_recall_sample=...)) first"
+            )
+        budget = (
+            self.RECALL_CURVE_MAX_GROWTH if max_growth is None else max_growth
+        )
+        stale = self.adc_curve_staleness()
+        if stale is not None and stale["growth"] > budget:
+            msg = (
+                f"ADC shortlist curve for {self.path} is stale: corpus "
+                f"moved {stale['measured_n_docs']} -> "
+                f"{stale['current_n_docs']} rows ({stale['growth']:.0%} > "
+                f"budget {budget:.0%}) since measurement — re-measure "
+                "(measure_adc_curve) or retrain; resolved shortlist "
+                "reflects the OLD corpus"
+            )
+            if strict:
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        curve = sorted(payload["curve"], key=lambda c: int(c["shortlist"]))
+        for point in curve:
+            if float(point["recall"]) >= target_recall:
+                return int(point["shortlist"])
+        return int(curve[-1]["shortlist"])
+
     def probe_clusters(
         self,
         queries: DataFrame,
@@ -1536,6 +1617,158 @@ def measure_recall_curve(
         json.dump(payload, fh)
     os.replace(tmp, os.path.join(index.path, RECALL_CURVE_FILE))
     return payload
+
+
+ADC_CURVE_FILE = "_adc_curve.json"
+
+
+def measure_adc_curve(
+    index: "IVFIndex",
+    *,
+    top_k: int = 5,
+    nprobe: int = 2,
+    shortlists: list[int] | None = None,
+    sample: int = 16,
+    vec_col: str = "embedding",
+    doc_id_col: str = "vec_id",
+) -> dict:
+    """Measure recall@``top_k`` vs ``adc_shortlist`` on a held-out
+    probe sample and persist the curve beside the codebooks — the
+    nprobe treatment (`measure_recall_curve`) applied to the index's
+    SECOND magic knob. `IVFIndex.adc_shortlist_for_recall(0.95)` then
+    resolves the measured minimal shortlist;
+    `VectorEngine.search_indexed(target_adc_recall=...)` consumes it.
+
+    Ground truth is the EXACT-rerank IVF search at the same ``nprobe``
+    (not the brute full-corpus KNN): the shortlist knob only controls
+    how much ADC-ranked candidate mass survives into the full-vector
+    rerank WITHIN the probed clusters, so measuring against the exact
+    path at the same probe isolates exactly the loss this knob buys
+    back. Recall is monotone non-decreasing in the shortlist by
+    construction — the ADC ordering is deterministic ((_adc desc, id
+    asc)), so a larger shortlist is a strict prefix-superset and a
+    true top-k member in the candidate set always survives exact
+    re-scoring; the tests pin it.
+
+    ``shortlists`` defaults to ``top_k`` doublings up to the corpus
+    size, plus the corpus size itself — at that endpoint every probed
+    row is shortlisted, the plan degenerates to the exact path, and
+    recall is 1.0 by construction, so every target is resolvable.
+
+    The payload carries the same corpus-state/contract stamps as the
+    recall curve (``measured_n_docs``, ``requested_sample``, column
+    names, plus the measurement ``nprobe``) so staleness budgets and
+    rebuild-and-swap re-measurement (`remeasure_adc_curve_like`) work
+    identically."""
+    import json
+    import os
+    import uuid
+
+    if not index.has_pq():
+        raise ValueError(
+            "measure_adc_curve requires a PQ-enabled index; rebuild "
+            "with build_ivf_index(..., pq_m=...)"
+        )
+    corpus = index.corpus().select(
+        F.col(doc_id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    stats = index.cluster_stats()
+    n_docs = (
+        int(stats["n_docs"]) if stats is not None else int(corpus.count())
+    )
+    if shortlists is None:
+        shortlists, s = [], int(top_k)
+        while s < n_docs:
+            shortlists.append(s)
+            s *= 2
+        shortlists.append(int(n_docs))
+    shortlists = sorted({int(s) for s in shortlists})
+    probes = (
+        corpus.withColumn("_h", F.xxhash64(F.col(doc_id_col)))
+        .orderBy("_h", F.col(doc_id_col).asc())
+        .limit(int(sample))
+        .select(
+            F.col(doc_id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+        )
+        .persist()
+    )
+    try:
+
+        def _hits(adc_shortlist):
+            out: dict = {}
+            for r in index.search(
+                probes,
+                top_k=top_k,
+                nprobe=nprobe,
+                doc_id_col=doc_id_col,
+                vec_col=vec_col,
+                adc_shortlist=adc_shortlist,
+            ).collect():
+                out.setdefault(r["query_id"], set()).add(r[doc_id_col])
+            return out
+
+        exact = _hits(None)  # exact rerank at the same nprobe
+        n_probes = len(exact)
+        curve = []
+        for s in shortlists:
+            approx = _hits(s)
+            recall = (
+                sum(
+                    len(exact[q] & approx.get(q, set())) / len(exact[q])
+                    for q in exact
+                )
+                / n_probes
+                if n_probes
+                else 0.0
+            )
+            curve.append({"shortlist": int(s), "recall": round(recall, 6)})
+    finally:
+        probes.unpersist()
+    payload = {
+        "top_k": int(top_k),
+        "nprobe": int(nprobe),
+        "sample": n_probes,
+        "requested_sample": int(sample),
+        "measured_n_docs": n_docs,
+        "doc_id_col": doc_id_col,
+        "vec_col": vec_col,
+        "curve": curve,
+    }
+    tmp = os.path.join(index.path, f".adc.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, os.path.join(index.path, ADC_CURVE_FILE))
+    return payload
+
+
+def remeasure_adc_curve_like(
+    old_payload: dict | None,
+    new_index: "IVFIndex",
+    *,
+    default_doc_id_col: str = "vec_id",
+    default_vec_col: str = "embedding",
+) -> dict | None:
+    """ADC twin of `remeasure_recall_curve_like`: carry the shortlist
+    curve's CONTRACT across a rebuild-and-swap by re-measuring the
+    fresh index under the old stamps. No-op when the replaced index
+    never measured one, or when the rebuild dropped PQ (family changes
+    are loud elsewhere; a curve for a codec that no longer exists
+    would be a lie)."""
+    if old_payload is None or not new_index.has_pq():
+        return None
+    return measure_adc_curve(
+        new_index,
+        top_k=int(old_payload.get("top_k", 5)),
+        nprobe=int(old_payload.get("nprobe", 2)),
+        sample=int(
+            old_payload.get(
+                "requested_sample", old_payload.get("sample", 16)
+            )
+        ),
+        doc_id_col=old_payload.get("doc_id_col", default_doc_id_col),
+        vec_col=old_payload.get("vec_col", default_vec_col),
+    )
 
 
 def remeasure_recall_curve_like(

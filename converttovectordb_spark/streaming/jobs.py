@@ -210,6 +210,15 @@ def retrain_index_if_drifted(
         remeasure_recall_curve_like(
             old_curve, new_index, default_doc_id_col="_row_id"
         )
+    old_adc = index.adc_curve()
+    if old_adc is not None:
+        from converttovectordb_spark.plans.ivf_index import (
+            remeasure_adc_curve_like,
+        )
+
+        remeasure_adc_curve_like(
+            old_adc, new_index, default_doc_id_col="_row_id"
+        )
     TransactionalIVFIndex.publish_current(base, new_dir)
     return new_index
 
