@@ -366,6 +366,53 @@ def main() -> int:
                 / len(texts16),
                 6,
             )
+
+            # Hybrid (BM25+RRF) door, single vs Q=16 batch — r12
+            # completes the serving surface's batch parity (the last
+            # single-only verb, r11 verdict #2): one embed call, one
+            # BLAS candidate pass, one batched-BM25 tokenize per POST.
+            hpayload = json.dumps(
+                {"query": texts16[0], "top_k": 5}
+            ).encode()
+
+            def one_hybrid() -> float:
+                req = urllib.request.Request(
+                    f"http://{host}:{port}/hybrid",
+                    data=hpayload,
+                    method="POST",
+                    headers={"Content-Type": "application/json"},
+                )
+                t0 = time.time()
+                with urllib.request.urlopen(req, timeout=300) as resp:
+                    json.loads(resp.read())
+                return time.time() - t0
+
+            one_hybrid()  # warm
+            http_hybrid_p50 = round(
+                statistics.median(one_hybrid() for _ in range(9)), 4
+            )
+            hbpayload = json.dumps(
+                {"queries": texts16, "top_k": 5}
+            ).encode()
+
+            def one_hybrid_batch() -> float:
+                req = urllib.request.Request(
+                    f"http://{host}:{port}/hybrid_batch",
+                    data=hbpayload,
+                    method="POST",
+                    headers={"Content-Type": "application/json"},
+                )
+                t0 = time.time()
+                with urllib.request.urlopen(req, timeout=300) as resp:
+                    json.loads(resp.read())
+                return time.time() - t0
+
+            one_hybrid_batch()  # warm
+            http_hybrid_batch16_per_query_p50 = round(
+                statistics.median(one_hybrid_batch() for _ in range(5))
+                / len(texts16),
+                6,
+            )
         finally:
             srv.stop()
     matched.unpersist()
@@ -584,6 +631,12 @@ def main() -> int:
                     "http_diverse_p50_sec": http_diverse_p50,
                     "http_diverse_batch16_per_query_p50_sec": (
                         http_diverse_batch16_per_query_p50
+                    ),
+                    # Hybrid door, single vs Q=16 batch (r12: the last
+                    # verb to gain a batch twin)
+                    "http_hybrid_p50_sec": http_hybrid_p50,
+                    "http_hybrid_batch16_per_query_p50_sec": (
+                        http_hybrid_batch16_per_query_p50
                     ),
                     # PIPELINE throughput: chunk + dim-64 HASH embedder +
                     # parquet write. NOT comparable to the reference's

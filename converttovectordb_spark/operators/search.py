@@ -204,6 +204,98 @@ def bm25_scores(
     return scored.groupBy(id_col).agg(F.sum("contrib").alias("bm25"))
 
 
+def bm25_scores_batch(
+    docs: DataFrame,
+    term_lists: list[list[str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    lowercase: bool = False,
+) -> DataFrame:
+    """Per-query BM25 for Q term lists in ONE corpus pass →
+    (query_index, id_col, bm25), exactly `bm25_scores` run Q times
+    (same tf/df/idf/avgdl corpus statistics — they are query-
+    independent, so computing tf once for the UNION of all queries'
+    terms and fanning contributions out through a broadcast
+    (query_index, term) map reproduces each query's independent score;
+    only float summation order can differ, within the established
+    1e-9 batch-door contract).
+
+    Scale shape: identical to the single-query operator — tokenize
+    map-side, filter to the term UNION before the shuffle (postings
+    for query terms only, never the vocabulary), broadcast the tiny
+    df table and the Q×|terms| query map back. A batch of Q queries
+    costs ONE corpus scan instead of Q."""
+    from converttovectordb_spark.functions.text import tokens
+
+    spark = docs.sparkSession
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    norm_lists = [
+        sorted({t.lower() for t in terms})
+        if lowercase
+        else sorted(set(terms))
+        for terms in term_lists
+    ]
+    union_terms = sorted({t for terms in norm_lists for t in terms})
+    qmap_rows = [
+        (qi, t) for qi, terms in enumerate(norm_lists) for t in terms
+    ]
+    toked = docs.select(F.col(id_col), tokens(text).alias("_toks"))
+    tok = toked.select(
+        id_col,
+        F.size("_toks").cast("bigint").alias("dl"),
+        F.explode_outer("_toks").alias("tok"),
+    )
+    stats = toked.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("_toks")).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("tok").isin(union_terms))
+        .groupBy(id_col, "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.countDistinct(id_col).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df_t), on="tok")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    if not qmap_rows:
+        return (
+            contrib.select(id_col)
+            .limit(0)
+            .withColumn("query_index", F.lit(None).cast("int"))
+            .withColumn("bm25", F.lit(None).cast("double"))
+            .select("query_index", id_col, "bm25")
+        )
+    qmap = F.broadcast(
+        spark.createDataFrame(qmap_rows, "query_index int, tok string")
+    )
+    return (
+        contrib.join(qmap, on="tok")
+        .groupBy("query_index", id_col)
+        .agg(F.sum("contrib").alias("bm25"))
+    )
+
+
 #: Reference display truncation width (query_vector_db.py:204-206).
 DEFAULT_TRUNCATE_CHARS = 500
 

@@ -191,7 +191,8 @@ class DriverMatrixIndex:
         self.norms = norms  # (n,) float64, 0.0 for zero vectors
         self.payload = payload  # row dicts WITHOUT the embedding column
         self.dim = dim
-        self._lex = None  # lazy BM25 cache: (counters, dl, avgdl)
+        self._lex = None  # lazy BM25 cache: (postings, dl, avgdl)
+        self._rids = None  # lazy rid cache: (id_cols, rids, order)
 
     @property
     def n(self) -> int:
@@ -412,16 +413,21 @@ class DriverMatrixIndex:
             )
 
     def _lex_cache(self, content_col: str):
-        """Per-doc lowercased token Counters + doc lengths + avgdl —
-        built once, on the first hybrid query (same lazy-fill contract
-        as the matrix itself). Tokenization mirrors functions/text.py's
-        ASCII_WS split exactly."""
+        """Inverted-index BM25 cache: term → (doc-index array, tf
+        array) postings, plus doc lengths and avgdl — built once, on
+        the first hybrid query (same lazy-fill contract as the matrix
+        itself). Tokenization mirrors functions/text.py's ASCII_WS
+        split exactly. Postings replace the r11 per-doc Counter list:
+        a hybrid query then touches only ITS terms' postings (document
+        frequency is len(idx), O(1)) instead of scanning every doc's
+        Counter per term — the loop shape the /hybrid_batch door would
+        otherwise pay Q times per POST."""
         if self._lex is None:
             import re
             from collections import Counter
 
             ws = re.compile(r"[ \t\n\x0b\f\r]+")
-            counters = []
+            raw: dict = {}
             dl = np.zeros(self.n, dtype=np.float64)
             for i, row in enumerate(self.payload):
                 toks = [
@@ -430,10 +436,41 @@ class DriverMatrixIndex:
                     if t
                 ]
                 dl[i] = len(toks)
-                counters.append(Counter(toks))
+                for t, tf in Counter(toks).items():
+                    raw.setdefault(t, []).append((i, tf))
+            postings = {
+                t: (
+                    np.fromiter(
+                        (i for i, _ in pl), dtype=np.int64, count=len(pl)
+                    ),
+                    np.fromiter(
+                        (tf for _, tf in pl),
+                        dtype=np.float64,
+                        count=len(pl),
+                    ),
+                )
+                for t, pl in raw.items()
+            }
             avgdl = float(dl.sum() / self.n) if self.n else 0.0
-            self._lex = (counters, dl, avgdl)
+            self._lex = (postings, dl, avgdl)
         return self._lex
+
+    def _rid_cache(self, id_cols: list[str]):
+        """'#'-joined rid per row plus its ascending-order rank array
+        (for C-speed lexsort tie-breaks) — cached per id_cols tuple;
+        the rid join used to be rebuilt O(n) per hybrid query."""
+        key = tuple(id_cols)
+        if self._rids is None or self._rids[0] != key:
+            rids = [
+                "#".join(str(self.payload[i][c]) for c in id_cols)
+                for i in range(self.n)
+            ]
+            order = np.empty(self.n, dtype=np.int64)
+            order[np.argsort(np.array(rids, dtype=object), kind="stable")] = (
+                np.arange(self.n)
+            )
+            self._rids = (key, rids, order)
+        return self._rids[1], self._rids[2]
 
     def hybrid_query(
         self,
@@ -456,36 +493,38 @@ class DriverMatrixIndex:
         '#'-joined rid the engine builds."""
         if self.n == 0:
             return []
-        rids = [
-            "#".join(str(self.payload[i][c]) for c in id_cols)
-            for i in range(self.n)
-        ]
+        rids, rid_order = self._rid_cache(id_cols)
         # semantic arm: rank by (score desc, rid asc), top `candidates`
+        # — lexsort keys are reversed (last is primary), rid rank
+        # breaks exact score ties ascending, C-speed instead of a
+        # Python-key sort of the whole corpus per query
         scores = self._scores(query_vector)
-        sem_order = sorted(
-            range(self.n), key=lambda i: (-scores[i], rids[i])
-        )[: max(int(candidates), 1)]
-        sem_rank = {i: r + 1 for r, i in enumerate(sem_order)}
-        # lexical arm: BM25 over docs containing >=1 query term
-        counters, dl, avgdl = self._lex_cache(content_col)
-        n_docs = self.n
-        qterms = [t.lower() for t in terms]
-        bm25 = {}
-        for t in set(qterms):
-            df_t = sum(1 for c in counters if t in c)
-            if df_t == 0:
-                continue
-            idf = math.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
-            for i, c in enumerate(counters):
-                tf = c.get(t)
-                if not tf:
-                    continue
-                denom = tf + k1 * (1 - b + b * dl[i] / avgdl)
-                bm25[i] = bm25.get(i, 0.0) + idf * (tf * (k1 + 1)) / denom
-        lex_order = sorted(bm25, key=lambda i: (-bm25[i], rids[i]))[
+        sem_order = np.lexsort((rid_order, -scores))[
             : max(int(candidates), 1)
         ]
-        lex_rank = {i: r + 1 for r, i in enumerate(lex_order)}
+        sem_rank = {int(i): r + 1 for r, i in enumerate(sem_order)}
+        # lexical arm: BM25 accumulated over the QUERY terms' postings
+        # only (inverted index — df is len(postings), never a corpus
+        # scan per term)
+        postings, dl, avgdl = self._lex_cache(content_col)
+        n_docs = self.n
+        qterms = sorted({t.lower() for t in terms})
+        bm25 = np.zeros(self.n, dtype=np.float64)
+        touched = np.zeros(self.n, dtype=bool)
+        for t in qterms:
+            pl = postings.get(t)
+            if pl is None:
+                continue
+            idx, tf = pl
+            idf = math.log((n_docs - len(idx) + 0.5) / (len(idx) + 0.5) + 1.0)
+            denom = tf + k1 * (1 - b + b * dl[idx] / avgdl)
+            bm25[idx] += idf * (tf * (k1 + 1)) / denom
+            touched[idx] = True
+        nz = np.flatnonzero(touched)
+        lex_order = nz[np.lexsort((rid_order[nz], -bm25[nz]))][
+            : max(int(candidates), 1)
+        ]
+        lex_rank = {int(i): r + 1 for r, i in enumerate(lex_order)}
         # fuse: rrf over the union, top_k by (rrf desc, rid asc)
         fused = {}
         for i, r in sem_rank.items():

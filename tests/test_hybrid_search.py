@@ -80,3 +80,83 @@ def test_hybrid_schema_same_for_empty_and_populated_store(spark, tmp_path):
     empty_eng.search_hybrid("x").unionByName(
         full_eng.search_hybrid("x")
     ).collect()
+
+
+def test_bm25_batch_matches_single(spark, tmp_path):
+    """bm25_scores_batch == bm25_scores run per query (same corpus
+    statistics; 1e-9 on the fused float sums)."""
+    from converttovectordb_spark.operators.search import (
+        bm25_scores,
+        bm25_scores_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark shuffles data across the cluster"),
+            (1, "watermarks bound streaming state"),
+            (2, "spark streaming state lives in the state store"),
+            (3, "a totally unrelated document about cats"),
+            (4, ""),
+        ],
+        "doc_id int, text string",
+    )
+    term_lists = [
+        ["spark", "state"],
+        ["streaming"],
+        ["zzz_absent"],
+        [],
+        ["spark", "spark", "SPARK"],  # dup/case: set semantics
+    ]
+    batch = bm25_scores_batch(
+        docs, term_lists, id_col="doc_id", text_col="text", lowercase=True
+    ).collect()
+    by_q: dict = {}
+    for r in batch:
+        by_q.setdefault(r["query_index"], {})[r["doc_id"]] = r["bm25"]
+    for qi, terms in enumerate(term_lists):
+        want = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_scores(
+                docs, terms, id_col="doc_id", text_col="text",
+                lowercase=True,
+            ).collect()
+        }
+        got = by_q.get(qi, {})
+        assert set(got) == set(want), (qi, got, want)
+        for d in want:
+            assert abs(got[d] - want[d]) < 1e-9
+
+
+def test_hybrid_batch_matches_single(spark, tmp_path):
+    """search_hybrid_batch results[i] == search_hybrid(queries[i]):
+    same docs, same sem/lex ranks, rrf to 1e-9, same display order."""
+    eng = _engine(spark, tmp_path)
+    texts = ["zephyrblue", "plain common words", "return"]
+    batch = eng.search_hybrid_batch(texts, top_k=4).collect()
+    by_q: dict = {}
+    for r in batch:
+        by_q.setdefault(r["query_index"], []).append(r)
+    for qi, q in enumerate(texts):
+        single = eng.search_hybrid(q, top_k=4).collect()
+        got = by_q.get(qi, [])
+        assert len(got) == len(single)
+        for g, w in zip(got, single):
+            assert (g["path"], g["chunk_index"]) == (
+                w["path"], w["chunk_index"],
+            )
+            assert g["sem_rank"] == w["sem_rank"]
+            assert g["lex_rank"] == w["lex_rank"]
+            assert abs(g["rrf"] - w["rrf"]) < 1e-9
+
+
+def test_hybrid_batch_empty_store_and_validation(spark, tmp_path):
+    import pytest
+
+    eng = VectorEngine(
+        spark, str(tmp_path / "none"), embedder=hash_embedder(16), dim=16
+    )
+    rows = eng.search_hybrid_batch(["a", "b"], top_k=3)
+    assert rows.count() == 0
+    assert "query_index" in rows.columns and "rrf" in rows.columns
+    with pytest.raises(ValueError, match="non-empty"):
+        eng.search_hybrid_batch([], top_k=3)

@@ -888,3 +888,73 @@ def test_diverse_batch_empty_store(server):
     )
     assert status == 200
     assert out["results"] == [[], []]
+
+
+def test_hybrid_batch_matches_single_hybrid(server):
+    """/hybrid_batch answers Q texts per POST with /hybrid semantics;
+    results[i] must equal the single /hybrid answer for queries[i]
+    (ids, sem/lex ranks, display columns exactly; rrf to 1e-9 — the
+    established batch-door contract)."""
+    _seed(server, n=6)
+    texts = ["document number 1", "document number 4", "nothing alike"]
+    status, out = _call(
+        server, "POST", "/hybrid_batch",
+        {"queries": texts, "top_k": 3},
+    )
+    assert status == 200 and len(out["results"]) == 3
+    for i, q in enumerate(texts):
+        st, single = _call(
+            server, "POST", "/hybrid", {"query": q, "top_k": 3}
+        )
+        assert st == 200
+        batch_i = out["results"][i]
+        assert len(batch_i) == len(single["results"])
+        for got, want in zip(batch_i, single["results"]):
+            assert got["path"] == want["path"]
+            assert got["chunk_index"] == want["chunk_index"]
+            assert got["sem_rank"] == want["sem_rank"]
+            assert got["lex_rank"] == want["lex_rank"]
+            assert abs(got["rrf"] - want["rrf"]) < 1e-9
+            assert "embedding" not in got
+    # validation contract
+    for bad in ({}, {"queries": []}, {"queries": ["ok", 7]}):
+        status, err = _call(server, "POST", "/hybrid_batch", bad)
+        assert status == 400
+
+
+def test_hybrid_batch_distributed_tier_matches_single(spark, tmp_path):
+    """Force the df tier (matrix_max_cells=0, same lever as the cache
+    reuse test): the batch door must route through
+    engine.search_hybrid_batch and still match the single door."""
+    from converttovectordb_spark.engine import VectorEngine
+    from converttovectordb_spark.server import VectorDBServer
+
+    eng = VectorEngine(
+        spark,
+        str(tmp_path / "dfstore"),
+        embedder=hash_embedder(DIM),
+        dim=DIM,
+    )
+    srv = VectorDBServer(eng, port=0, matrix_max_cells=0).start()
+    try:
+        _seed(srv)
+        texts = ["document number 2", "document number 5"]
+        status, out = _call(
+            srv, "POST", "/hybrid_batch",
+            {"queries": texts, "top_k": 3},
+        )
+        assert status == 200
+        for i, q in enumerate(texts):
+            st, single = _call(
+                srv, "POST", "/hybrid", {"query": q, "top_k": 3}
+            )
+            assert st == 200
+            got, want = out["results"][i], single["results"]
+            assert len(got) == len(want)
+            for g, w in zip(got, want):
+                assert g["path"] == w["path"]
+                assert g["sem_rank"] == w["sem_rank"]
+                assert g["lex_rank"] == w["lex_rank"]
+                assert abs(g["rrf"] - w["rrf"]) < 1e-9
+    finally:
+        srv.stop()
