@@ -237,6 +237,7 @@ def stream_ingest_transactional(
     index=None,
     retrain_shift_threshold: float | None = None,
     retrain_seed: int = 7,
+    retrain_check_every: int = 1,
 ) -> StreamingQuery:
     """EXACTLY-ONCE continuous ingest into a TransactionalDocumentStore:
     each micro-batch commits through `append(txn_id=epoch)` — an epoch
@@ -250,17 +251,31 @@ def stream_ingest_transactional(
     epoch to the ANN index under the SAME txn id — see
     `stream_ingest_indexed` for the two-idempotent-sinks argument.
 
-    ``retrain_shift_threshold`` arms the per-epoch drift check: after
-    both commits, `retrain_index_if_drifted` measures the frozen
-    centroids against the committed corpus and rebuilds-and-swaps when
-    the worst shift exceeds the threshold; subsequent epochs append to
-    the NEW index. The check is one linear corpus pass per epoch —
-    size the trigger accordingly, or leave it unset and run the verb
-    on an offline schedule."""
+    ``retrain_shift_threshold`` arms the drift check: after both
+    commits, `retrain_index_if_drifted` measures the frozen centroids
+    against the committed corpus and rebuilds-and-swaps when the worst
+    shift exceeds the threshold; subsequent epochs append to the NEW
+    index. Costs, measured at sf0.1 (tools/retrain_stall_probe.py,
+    SCALING.md): the check alone is one linear corpus pass — ~2.4 s
+    at 7.5k docs, comparable to the epoch commit itself — and a
+    triggered rebuild runs INSIDE the micro-batch, stalling the stream
+    for the full rebuild (~11 s at that scale, linear in corpus size;
+    epochs queue behind it and replay-dedup keeps them exactly-once).
+    ``retrain_check_every=K`` amortizes the armed cost by running the
+    check only on epochs where ``epoch_id % K == 0`` — epoch ids are
+    monotone and replay-stable, so the cadence is deterministic under
+    recovery; drift detection lags by at most K-1 epochs, which is the
+    honest tradeoff (appends stay CORRECT under drift — only recall
+    decays — so a bounded detection lag is safe). Leave the threshold
+    unset to run the verb on an offline schedule instead."""
     if retrain_shift_threshold is not None and index is None:
         raise ValueError(
             "retrain_shift_threshold requires index= (there is nothing "
             "to retrain on the store-only door)"
+        )
+    if retrain_check_every < 1:
+        raise ValueError(
+            f"retrain_check_every must be >= 1, got {retrain_check_every}"
         )
     raw = (
         spark.readStream.schema(RAW_FILES_SCHEMA)
@@ -292,7 +307,10 @@ def stream_ingest_transactional(
             index_ref["index"].append(docs, txn_id=txn, materialized=True)
         finally:
             docs.unpersist()
-        if retrain_shift_threshold is not None:
+        if (
+            retrain_shift_threshold is not None
+            and int(epoch_id) % retrain_check_every == 0
+        ):
             index_ref["index"] = retrain_index_if_drifted(
                 store,
                 index_ref["index"],
@@ -479,6 +497,7 @@ def stream_ingest_indexed(
     available_now: bool = True,
     retrain_shift_threshold: float | None = None,
     retrain_seed: int = 7,
+    retrain_check_every: int = 1,
 ) -> StreamingQuery:
     """Exactly-once continuous ingest that keeps the ANN index FRESH:
     each micro-batch commits to the `TransactionalDocumentStore` AND to
@@ -503,10 +522,13 @@ def stream_ingest_indexed(
     trigger, so replays never compact). Retraining under drift is
     either offline (`engine.maybe_retrain` on a schedule) or wired
     into the stream itself: ``retrain_shift_threshold=t`` checks the
-    drift report after every epoch's commits and rebuilds-and-swaps
-    past the threshold (`retrain_index_if_drifted` — the new index
-    inherits the old manifest's txn ids, so stale-epoch replays still
-    dedup after the swap).
+    drift report after each armed epoch's commits (every
+    ``retrain_check_every``-th epoch — see
+    `stream_ingest_transactional` for the measured check/stall costs
+    and the cadence tradeoff) and rebuilds-and-swaps past the
+    threshold (`retrain_index_if_drifted` — the new index inherits
+    the old manifest's txn ids, so stale-epoch replays still dedup
+    after the swap).
 
     Thin wrapper over `stream_ingest_transactional(index=...)` — one
     sink implementation, two entry points.
@@ -524,4 +546,5 @@ def stream_ingest_indexed(
         index=index,
         retrain_shift_threshold=retrain_shift_threshold,
         retrain_seed=retrain_seed,
+        retrain_check_every=retrain_check_every,
     )

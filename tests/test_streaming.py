@@ -305,3 +305,90 @@ def test_stream_ingest_dedup_same_path_recrawl_one_epoch(spark, tmp_path):
     assert len(rows) == 2
     newest = max(rows, key=lambda r: r.timestamp)
     assert newest.content == "second crawl version content"
+
+
+def test_retrain_check_cadence(spark, tmp_path, monkeypatch):
+    """r12: retrain_check_every=K runs the drift check only on epochs
+    with epoch_id % K == 0 (deterministic under replay), and the
+    default K=1 checks every epoch; K<1 is rejected."""
+    import json
+
+    import converttovectordb_spark.streaming.jobs as jobs
+    from converttovectordb_spark.plans.ivf_index import (
+        TransactionalIVFIndex,
+    )
+    from converttovectordb_spark.sources.store import (
+        TransactionalDocumentStore,
+    )
+
+    store = TransactionalDocumentStore(spark, str(tmp_path / "store"))
+    seed = spark.createDataFrame(
+        [("s.txt", ".txt", 1, 0, "seed", [1.0, 0.0], 0.0),
+         ("t.txt", ".txt", 1, 0, "seed2", [0.0, 1.0], 0.0)],
+        "path string, extension string, total_chunks int, "
+        "chunk_index int, content string, embedding array<float>, "
+        "timestamp double",
+    )
+    store.append(seed)
+    base = str(tmp_path / "tivf")
+    import os
+
+    os.makedirs(base)
+    idx_dir = os.path.join(base, "v0")
+    index = TransactionalIVFIndex.build(
+        store.load(), idx_dir, num_clusters=2
+    )
+    TransactionalIVFIndex.publish_current(base, idx_dir)
+
+    checked = []
+
+    def fake_retrain(store_, index_, threshold, *, seed=7):
+        checked.append(True)
+        return index_
+
+    monkeypatch.setattr(jobs, "retrain_index_if_drifted", fake_retrain)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+
+    def run_epochs(n_files, every, ckpt_name):
+        checked.clear()
+        for i in range(n_files):
+            (drop / f"{ckpt_name}_{i}.json").write_text(
+                json.dumps(
+                    {"path": f"{ckpt_name}{i}.txt", "extension": "txt",
+                     "content": f"doc {ckpt_name} {i}"}
+                )
+            )
+            q = jobs.stream_ingest_indexed(
+                spark,
+                str(drop),
+                store,
+                index,
+                str(tmp_path / f"ckpt_{ckpt_name}"),
+                dim=2,
+                chunk_size=100,
+                overlap=10,
+                retrain_shift_threshold=99.0,
+                retrain_check_every=every,
+            )
+            q.awaitTermination(120)
+        return len(checked)
+
+    # K=2 over epochs 0,1,2 → checks on epochs 0 and 2 only
+    assert run_epochs(3, 2, "a") == 2
+    # default-equivalent K=1 checks every epoch
+    assert run_epochs(2, 1, "b") == 2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="retrain_check_every"):
+        jobs.stream_ingest_transactional(
+            spark,
+            str(drop),
+            store,
+            str(tmp_path / "ckpt_bad"),
+            index=index,
+            retrain_shift_threshold=1.0,
+            retrain_check_every=0,
+        )
