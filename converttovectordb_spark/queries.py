@@ -2052,6 +2052,292 @@ FROM (
 """
 
 
+#: shortlist panel for `adc_recall_curve` — doublings of top_k=3 up to
+#: the ivfadc_knn production point (20-ish); each point is one extra
+#: shortlist+rerank leg, all bounded by the probed clusters.
+_ADC_CURVE_SHORTLISTS = [3, 6, 12, 24]
+
+
+def q_adc_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 vs ``adc_shortlist`` — the CURVE behind the r12
+    measured contract for the IVFADC plan's second knob
+    (`plans.ivf_index.measure_adc_curve` persists this shape beside
+    the codebooks; `search_indexed(target_adc_recall=...)` resolves
+    the shortlist from it). Ground truth is the EXACT-rerank IVF path
+    at the same nprobe=5 — recall here isolates exactly the loss the
+    shortlist buys back, so it is monotone non-decreasing by
+    construction (the ADC ordering is deterministic, a larger
+    shortlist is a prefix-superset) and reaches 1.0 once the
+    shortlist covers every probed row that matters. The oracle
+    re-derives every panel point (probe, LUT scan, shortlist, rerank)
+    in SQL from the fingerprint-filtered kmeans/PQ exports; mean
+    recall is an integer-exact quotient, hash-safe at 6dp.
+
+    Plan shape per point: the probe and LUT stages are shared CTE-like
+    subtrees; each shortlist leg scans the probed clusters' m-byte
+    codes once and reranks ≤S full vectors per query — the serving
+    dial an operator actually turns at 100 TB, graded."""
+    from converttovectordb_spark.functions.vector import (
+        cosine_similarity,
+        dot_product,
+        l2_normalize,
+    )
+    from converttovectordb_spark.plans.pq_index import adc_lut
+
+    km = _kmeans_ivf_export(spark, sf_dir)
+    pq = _pq_export(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    cents = spark.read.parquet(f"{km}/centroids").drop("corpus_fp")
+    assign = spark.read.parquet(f"{km}/assign").drop("corpus_fp")
+    books = spark.read.parquet(f"{pq}/codebooks").drop("corpus_fp")
+    codes = spark.read.parquet(f"{pq}/codes").drop("corpus_fp")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    # probe: nprobe=5 nearest trained centroids (broadcast × broadcast)
+    qc = (
+        F.broadcast(probes)
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "csim",
+            cosine_similarity(F.col("query_vec"), F.col("centroid")),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cluster_id").asc()
+    )
+    probe = (
+        qc.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= 5)
+        .select("query_id", "cluster_id")
+    )
+    qn = F.broadcast(
+        probes.select(
+            "query_id", l2_normalize(F.col("query_vec")).alias("_qn")
+        )
+    )
+    # exact side: full-precision rerank of EVERY probed-cluster row —
+    # the adc_shortlist=∞ endpoint the curve converges to
+    exact_s = (
+        F.broadcast(probe)
+        .join(assign, on="cluster_id")
+        .join(emb, on="vec_id")
+        .join(qn, on="query_id")
+        .withColumn(
+            "score",
+            dot_product(F.col("_qn"), l2_normalize(F.col("embedding"))),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    exact = (
+        exact_s.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "vec_id")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("_ne"))
+    # shared ADC candidate scoring over the probed clusters' codes
+    book_rows = books.collect()
+    luts = spark.createDataFrame(
+        [
+            (
+                int(r["query_id"]),
+                adc_lut(r["query_vec"], book_rows, m=PQ_M, k=PQ_K),
+            )
+            for r in probes.collect()
+        ],
+        "query_id int, lut array<double>",
+    )
+    cand = (
+        codes.join(assign, on="vec_id")
+        .join(F.broadcast(probe), on="cluster_id")
+        .join(F.broadcast(luts), on="query_id")
+        .withColumn(
+            "_adc",
+            F.aggregate(
+                F.transform(
+                    F.col("codes"),
+                    lambda c, i: F.element_at(
+                        F.col("lut"), c + i * F.lit(PQ_K) + 1
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc(), F.col("vec_id").asc()
+    )
+    cand_ranked = cand.withColumn("srank", F.row_number().over(ws))
+    out = None
+    for s in _ADC_CURVE_SHORTLISTS:
+        short = cand_ranked.filter(F.col("srank") <= s).select(
+            "query_id", "vec_id"
+        )
+        rr = (
+            short.join(emb, on="vec_id")
+            .join(qn, on="query_id")
+            .withColumn(
+                "score",
+                dot_product(
+                    F.col("_qn"), l2_normalize(F.col("embedding"))
+                ),
+            )
+        )
+        wr = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("vec_id").asc()
+        )
+        approx = (
+            rr.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= 3)
+            .select("query_id", "vec_id")
+        )
+        ov = exact.join(approx, on=["query_id", "vec_id"]).agg(
+            F.count(F.lit(1)).alias("_no")
+        )
+        row = ov.crossJoin(n_exact).select(
+            F.lit(s).cast("int").alias("shortlist"),
+            _round6(F.col("_no") / F.col("_ne")).alias("mean_recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _adc_recall_curve_oracle() -> str:
+    shared = f"""
+WITH docs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+norm AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+  FROM docs
+),
+unit AS (
+  SELECT vec_id,
+         CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS u
+  FROM norm
+),
+probes AS (SELECT vec_id AS query_id, v AS q FROM docs WHERE vec_id < 8),
+cent AS (
+  SELECT cluster_id, centroid::DOUBLE[] AS c
+  FROM read_parquet('{IVF_KMEANS_EXPORT_GLOB}/centroids/*.parquet')
+  WHERE corpus_fp = {_ORACLE_CORPUS_FP} || '|{_KMEANS_PARAMS}'
+),
+assign AS (
+  SELECT vec_id, cluster_id
+  FROM read_parquet('{IVF_KMEANS_EXPORT_GLOB}/assign/*.parquet')
+  WHERE corpus_fp = {_ORACLE_CORPUS_FP} || '|{_KMEANS_PARAMS}'
+),
+books AS (
+  SELECT sub, code, centroid::DOUBLE[] AS centroid
+  FROM read_parquet('{PQ_EXPORT_GLOB}/codebooks/*.parquet')
+  WHERE corpus_fp = {_ORACLE_CORPUS_FP} || '|{_PQ_PARAMS}'
+),
+codes AS (
+  SELECT vec_id, codes
+  FROM read_parquet('{PQ_EXPORT_GLOB}/codes/*.parquet')
+  WHERE corpus_fp = {_ORACLE_CORPUS_FP} || '|{_PQ_PARAMS}'
+),
+qc AS (
+  SELECT query_id, cluster_id,
+         CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE dot / (nq * nc) END AS csim
+  FROM (
+    SELECT p.query_id, ct.cluster_id,
+           list_sum(list_transform(list_zip(p.q, ct.c), x -> x[1] * x[2])) AS dot,
+           sqrt(list_sum(list_transform(p.q, x -> x * x))) AS nq,
+           sqrt(list_sum(list_transform(ct.c, x -> x * x))) AS nc
+    FROM probes p CROSS JOIN cent ct
+  )
+),
+probe AS (
+  SELECT query_id, cluster_id FROM (
+    SELECT query_id, cluster_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY csim DESC, cluster_id) AS crank
+    FROM qc
+  ) WHERE crank <= 5
+),
+qn AS (
+  SELECT p.query_id, u.u AS qu
+  FROM probes p JOIN unit u ON u.vec_id = p.query_id
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id) AS rank
+    FROM (
+      SELECT pr.query_id, a.vec_id,
+             list_sum(list_transform(list_zip(p.qu, d.u),
+                      x -> x[1] * x[2])) AS score
+      FROM probe pr
+      JOIN assign a ON a.cluster_id = pr.cluster_id
+      JOIN unit d ON d.vec_id = a.vec_id
+      JOIN qn p ON p.query_id = pr.query_id
+    )
+  ) WHERE rank <= 3
+),
+lutrows AS (
+  SELECT p.query_id, b.sub, b.code,
+         list_sum(list_transform(range(1, {PQ_DIM // PQ_M} + 1),
+                  i -> p.qu[b.sub * {PQ_DIM // PQ_M} + i] * b.centroid[i])) AS pdot
+  FROM qn p CROSS JOIN books b
+),
+luts AS (
+  SELECT query_id, list(pdot ORDER BY sub, code) AS lut
+  FROM lutrows GROUP BY query_id
+),
+cand AS (
+  SELECT pr.query_id, c.vec_id,
+         list_sum(list_transform(range(1, {PQ_M} + 1),
+                  s -> l.lut[(s - 1) * {PQ_K} + c.codes[s] + 1])) AS adc
+  FROM probe pr
+  JOIN assign a ON a.cluster_id = pr.cluster_id
+  JOIN codes c ON c.vec_id = a.vec_id
+  JOIN luts l ON l.query_id = pr.query_id
+),
+cand_ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc DESC, vec_id) AS srank
+  FROM cand
+)"""
+    per_s = """,
+approx_{s} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT r.query_id, r.vec_id,
+           row_number() OVER (PARTITION BY r.query_id
+                              ORDER BY r.score DESC, r.vec_id) AS rank
+    FROM (
+      SELECT c.query_id, c.vec_id,
+             list_sum(list_transform(list_zip(p.qu, d.u),
+                      x -> x[1] * x[2])) AS score
+      FROM cand_ranked c
+      JOIN unit d ON d.vec_id = c.vec_id
+      JOIN qn p ON p.query_id = c.query_id
+      WHERE c.srank <= {s}
+    ) r
+  ) WHERE rank <= 3
+)"""
+    select_s = """
+SELECT CAST({s} AS INT) AS shortlist,
+       round(CAST((SELECT count(*) FROM exact e
+                   JOIN approx_{s} a ON a.query_id = e.query_id
+                                    AND a.vec_id = e.vec_id) AS DOUBLE)
+             / (SELECT count(*) FROM exact), 6) AS mean_recall"""
+    body = shared + "".join(
+        per_s.format(s=s) for s in _ADC_CURVE_SHORTLISTS
+    )
+    selects = "\nUNION ALL".join(
+        select_s.format(s=s) for s in _ADC_CURVE_SHORTLISTS
+    )
+    return body + selects + "\nORDER BY shortlist"
+
+
 def _lsh_bands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hyperplane-LSH signature table (vec_id, band_id, band_key,
     normalized vector), materialized ONCE per sf_dir as a content-keyed
@@ -9133,6 +9419,7 @@ QUERIES = {
     "ivf_recall_kmeans": q_ivf_recall_kmeans,
     "pq_recall": q_pq_recall,
     "ivfadc_knn": q_ivfadc_knn,
+    "adc_recall_curve": q_adc_recall_curve,
     "vector_lsh_knn": q_vector_lsh_knn,
     "lsh_recall": q_lsh_recall,
     "bm25_search": q_bm25_search,
@@ -9278,6 +9565,7 @@ ORACLES = {
     "ivf_recall_kmeans": ORACLE_IVF_RECALL_KMEANS,
     "pq_recall": ORACLE_PQ_RECALL,
     "ivfadc_knn": ORACLE_IVFADC_KNN,
+    "adc_recall_curve": _adc_recall_curve_oracle(),
     "search_display": ORACLE_SEARCH_DISPLAY,
     "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     "quantize_calibration": ORACLE_QUANTIZE_CALIBRATION,
