@@ -1,0 +1,198 @@
+"""Persisted inverted index for distributed BM25 — the lexical arm's
+100 TB scale path.
+
+`operators/search.bm25_scores` already filters postings to the query
+terms BEFORE the shuffle, but it re-tokenizes the WHOLE corpus per
+query — at 100 TB every keyword query pays a full text scan. This
+module is the same move the IVF index made for the semantic arm:
+materialize the per-(term, doc) postings ONCE at build time, laid out
+so a query touches only its own terms' files.
+
+Layout::
+
+    <index_path>/postings/bucket=<b>/   parquet: (term, <id_col>, tf, dl)
+    <index_path>/_meta.json             {n_docs, avgdl, n_buckets,
+                                         id_col, params}
+
+The physical partition key is ``bucket = crc32(term) % n_buckets`` —
+CRC-32 is computable identically driver-side (zlib.crc32) and
+plan-side (Spark ``crc32``), so a query's bucket list is derived at
+PLAN time with zero Spark jobs and lands as a directory-level
+PartitionFilter; the residual ``term IN (...)`` filter is pushed into
+the parquet row groups. Document length rides each posting row (tf
+and dl are exact integers), and the two corpus-global scalars BM25
+needs (n_docs, avgdl — they cover ALL documents, including token-less
+ones that produce no postings) live in the meta manifest, so scoring
+a query reads: its buckets' row groups + one tiny broadcast df table
+derived from them. Nothing else touches the corpus.
+
+Reference parity: the reference has no keyword search at all — its
+only retrieval is the brute cosine scan (mock_vector_db_api.py:274-279).
+BM25-over-inverted-postings is the standard IR layout (Robertson &
+Zaragoza 2009); this is its Spark-physical expression, consistent to
+the float with `bm25_scores` (same contribution expression, same
+df/idf/avgdl definitions — `tests/test_lex_index.py` pins parity).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+POSTINGS_SUBDIR = "postings"
+META_FILE = "_meta.json"
+BUCKET_COL = "bucket"
+
+#: Default bucket count: at 100 TB the vocabulary is millions of terms
+#: and postings are Zipf-skewed; 256 buckets keeps directories coarse
+#: enough for cheap listings while a typical query (a handful of
+#: terms) still prunes ~99% of files. Hot-term skew lands in one
+#: bucket's FILES, not one task — the post-scan aggregation re-shuffles
+#: by (id) anyway.
+DEFAULT_BUCKETS = 256
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the plan-side ``crc32(term) % n_buckets``."""
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def build_lexical_index(
+    docs: DataFrame,
+    index_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    lowercase: bool = False,
+) -> "LexicalIndex":
+    """Tokenize once, write bucket-partitioned postings + the meta
+    manifest. One full corpus pass plus one postings shuffle — the
+    build-time price every later keyword query stops paying.
+
+    Tokenization matches `bm25_scores` exactly (functions/text.tokens:
+    ASCII-whitespace regexp split; optional lowercase is part of the
+    artifact contract and recorded in the manifest)."""
+    from converttovectordb_spark.functions.text import tokens
+
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toked = docs.select(F.col(id_col), tokens(text).alias("_toks"))
+    # corpus-global stats cover ALL docs (token-less ones included —
+    # same n_docs/avgdl definition as bm25_scores's stats agg)
+    stats = toked.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("_toks")).alias("avgdl"),
+    ).first()
+    tok = toked.select(
+        id_col,
+        F.size("_toks").cast("bigint").alias("dl"),
+        F.explode_outer("_toks").alias("term"),
+    )
+    postings = (
+        tok.filter(F.col("term").isNotNull())
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            BUCKET_COL,
+            F.pmod(F.crc32(F.col("term")), F.lit(n_buckets)).cast("int"),
+        )
+    )
+    postings.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+        os.path.join(index_path, POSTINGS_SUBDIR)
+    )
+    meta = {
+        "n_docs": int(stats["n_docs"]),
+        "avgdl": float(stats["avgdl"]) if stats["avgdl"] is not None else 0.0,
+        "n_buckets": int(n_buckets),
+        "id_col": id_col,
+        "lowercase": bool(lowercase),
+    }
+    tmp = os.path.join(index_path, f".meta.{os.getpid()}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(index_path, META_FILE))
+    return LexicalIndex(docs.sparkSession, index_path)
+
+
+class LexicalIndex:
+    """Materialized postings + meta; `bm25` scores a term list against
+    the artifact touching only the terms' buckets."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def meta(self) -> dict:
+        with open(os.path.join(self.path, META_FILE)) as fh:
+            return json.load(fh)
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.path, POSTINGS_SUBDIR)
+        )
+
+    def bm25(
+        self,
+        terms: list[str],
+        *,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """Per-doc BM25 for ``terms`` → (id_col, bm25), identical
+        semantics to `bm25_scores` over the corpus the index was built
+        from — df per term, idf, and the per-(doc, term) contribution
+        use the same expressions, so results agree to the float.
+
+        Plan: bucket list computed DRIVER-side via crc32 (zero jobs) →
+        directory-level PartitionFilter; ``term IN (...)`` pushed into
+        the row groups; df is a groupBy over the surviving postings
+        (broadcast back — |terms| rows); contribution + per-doc sum.
+        Reads ~|query terms| / |vocabulary| of the postings bytes and
+        ZERO corpus text bytes."""
+        meta = self.meta()
+        if meta.get("lowercase"):
+            terms = [t.lower() for t in terms]
+        terms = sorted(set(terms))
+        id_col = meta["id_col"]
+        if not terms:
+            return (
+                self.postings()
+                .select(id_col)
+                .limit(0)
+                .withColumn("bm25", F.lit(None).cast("double"))
+            )
+        buckets = sorted(
+            {term_bucket(t, int(meta["n_buckets"])) for t in terms}
+        )
+        post = self.postings().filter(
+            F.col(BUCKET_COL).isin(buckets) & F.col("term").isin(terms)
+        )
+        # postings rows are unique per (term, id): df = plain count
+        df_t = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        n_docs = int(meta["n_docs"])
+        avgdl = float(meta["avgdl"])
+        scored = (
+            post.join(F.broadcast(df_t), on="term")
+            .withColumn(
+                "idf",
+                F.log(
+                    (F.lit(n_docs) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                ),
+            )
+            .withColumn(
+                "contrib",
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
+                ),
+            )
+        )
+        return scored.groupBy(id_col).agg(F.sum("contrib").alias("bm25"))

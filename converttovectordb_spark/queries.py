@@ -5763,6 +5763,51 @@ def _bm25_agg(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFrame:
     return bm25_scores(docs, terms).withColumnRenamed("bm25", "_s")
 
 
+def _lex_index_cached(spark: SparkSession, sf_dir: str):
+    """The persisted BM25 inverted index for the documents table,
+    materialized ONCE per sf_dir as a content-keyed artifact (same
+    build-once/probe-many reasoning as the IVF index and LSH bands;
+    the bench pre-warms it outside the timed region)."""
+    import os
+
+    from converttovectordb_spark.plans.lex_index import (
+        LexicalIndex,
+        build_lexical_index,
+    )
+
+    path = _artifact_cache_dir(
+        "lex_index",
+        [f"{sf_dir}/documents.parquet"],
+        "buckets=256|lower=0|v1",
+    )
+    if not os.path.isdir(path):
+        docs = _spread(spark, load(spark, sf_dir, "documents"))
+        with _artifact_build(path) as build_dir:
+            build_lexical_index(
+                docs, build_dir, id_col="doc_id", text_col="text"
+            )
+    return LexicalIndex(spark, path)
+
+
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`bm25_search` served from the PERSISTED inverted index
+    (`plans/lex_index.py`) — the lexical arm's 100 TB scale path: the
+    brute query re-tokenizes the whole corpus per request, this one
+    reads only the query terms' postings buckets (bucket list derived
+    driver-side via crc32, zero plan-time jobs → directory-level
+    PartitionFilter; `term IN` pushed to the row groups) plus the
+    manifest's two corpus scalars. Same fixed query, same top-20, same
+    scores as `bm25_search` — the oracle is shared verbatim, so the
+    equivalence is hash-graded, not asserted."""
+    idx = _lex_index_cached(spark, sf_dir)
+    return (
+        idx.bm25(["vector", "join", "scan"])
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", _round6(F.col("bm25")).alias("bm25"))
+    )
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval for the fixed query ["vector", "join",
     "scan"] → top-20 docs — the keyword half of hybrid search next to
@@ -9423,6 +9468,7 @@ QUERIES = {
     "vector_lsh_knn": q_vector_lsh_knn,
     "lsh_recall": q_lsh_recall,
     "bm25_search": q_bm25_search,
+    "bm25_indexed": q_bm25_indexed,
     "hybrid_rrf": q_hybrid_rrf,
     "embedding_quantize": q_embedding_quantize,
     "quantize_calibration": q_quantize_calibration,
@@ -9650,6 +9696,7 @@ ORACLES = {
     "vector_lsh_knn": ORACLE_VECTOR_LSH_KNN,
     "lsh_recall": ORACLE_LSH_RECALL,
     "bm25_search": ORACLE_BM25_SEARCH,
+    "bm25_indexed": ORACLE_BM25_SEARCH,
     "hybrid_rrf": ORACLE_HYBRID_RRF,
     "gopher_quality": ORACLE_GOPHER_QUALITY,
     "quality_funnel": ORACLE_QUALITY_FUNNEL,

@@ -1,0 +1,131 @@
+"""Persisted BM25 inverted index (plans/lex_index.py).
+
+Contract under test: float-level score parity with the brute
+`bm25_scores` (same df/idf/avgdl definitions, token-less docs counted
+in the corpus stats), driver-side bucket derivation that matches the
+plan-side crc32 exactly, directory-level partition pruning to the
+query terms' buckets, and the empty/unknown-term edges.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from converttovectordb_spark.operators.search import bm25_scores
+from converttovectordb_spark.plans.lex_index import (
+    DEFAULT_BUCKETS,
+    LexicalIndex,
+    build_lexical_index,
+    term_bucket,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (0, "spark shuffles data across the cluster"),
+            (1, "watermarks bound streaming state"),
+            (2, "spark streaming state lives in the state store"),
+            (3, "a totally unrelated document about cats"),
+            (4, ""),  # token-less doc: counts in n_docs/avgdl only
+            (5, "spark spark spark join scan vector"),
+        ],
+        "doc_id int, text string",
+    )
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    return build_lexical_index(
+        corpus,
+        str(tmp_path_factory.mktemp("lex") / "idx"),
+        id_col="doc_id",
+        text_col="text",
+        n_buckets=8,
+    )
+
+
+def test_scores_match_brute_bm25(spark, corpus, index):
+    for terms in (
+        ["spark", "state"],
+        ["streaming"],
+        ["spark", "spark", "cats"],  # dup terms: set semantics
+    ):
+        want = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_scores(
+                corpus, terms, id_col="doc_id", text_col="text"
+            ).collect()
+        }
+        got = {
+            r["doc_id"]: r["bm25"] for r in index.bm25(terms).collect()
+        }
+        assert set(got) == set(want), terms
+        for d in want:
+            assert abs(got[d] - want[d]) < 1e-9
+
+
+def test_meta_counts_tokenless_docs(index):
+    meta = index.meta()
+    assert meta["n_docs"] == 6  # the empty doc counts
+    # avgdl averages over ALL six docs, including the zero-length one
+    assert meta["avgdl"] == pytest.approx((6 + 4 + 8 + 6 + 0 + 6) / 6)
+
+
+def test_driver_bucket_matches_plan_bucket(spark):
+    terms = ["spark", "état", "join", "x" * 50, "", "ümlaut"]
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(
+            "term",
+            F.pmod(F.crc32(F.col("term")), F.lit(DEFAULT_BUCKETS))
+            .cast("int")
+            .alias("b"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert term_bucket(r["term"], DEFAULT_BUCKETS) == r["b"]
+
+
+def test_query_prunes_to_term_buckets(spark, index):
+    from converttovectordb_spark.plans.bucketing import physical_plan
+
+    plan = physical_plan(index.bm25(["spark"]))
+    b = term_bucket("spark", 8)
+    assert "PartitionFilters: [" in plan
+    part = plan.split("PartitionFilters:")[1].split("]")[0]
+    # the IN-list on the partition column carries exactly our bucket
+    assert "bucket" in part and str(b) in part
+
+
+def test_empty_and_unknown_terms(spark, index):
+    assert index.bm25([]).count() == 0
+    assert index.bm25(["zzz_nowhere"]).count() == 0
+
+
+def test_lowercase_contract(spark, corpus, tmp_path):
+    idx = build_lexical_index(
+        corpus,
+        str(tmp_path / "lower"),
+        id_col="doc_id",
+        text_col="text",
+        n_buckets=8,
+        lowercase=True,
+    )
+    want = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(
+            corpus,
+            ["SPARK"],
+            id_col="doc_id",
+            text_col="text",
+            lowercase=True,
+        ).collect()
+    }
+    got = {r["doc_id"]: r["bm25"] for r in idx.bm25(["SPARK"]).collect()}
+    assert set(got) == set(want) and len(got) > 0
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9

@@ -143,12 +143,29 @@ def main() -> int:
     stall_sec = time.time() - t0
     assert new_index.path != index.path
 
+    # r12: a retrain of an index that carried a measured recall curve
+    # additionally RE-MEASURES it before publish — price that term
+    # separately (it adds to the stall only for curve-carrying indexes)
+    from converttovectordb_spark.plans.ivf_index import (
+        measure_recall_curve,
+    )
+
+    t0 = time.time()
+    measure_recall_curve(
+        new_index, top_k=5, sample=16, doc_id_col="path"
+    )
+    curve_sec = time.time() - t0
+
     print(f"| epoch commit ({EPOCH_ROWS} rows) | {epoch_sec:.2f} s |")
     print(f"| drift check (every armed epoch) | {check_sec:.2f} s |")
     print(f"| armed no-op retrain call | {noop_sec:.2f} s |")
     print(
         f"| in-epoch rebuild-and-swap STALL ({store.load().count()} "
         f"rows) | {stall_sec:.2f} s |"
+    )
+    print(
+        f"| + recall-curve re-measure (curve-carrying indexes only) "
+        f"| {curve_sec:.2f} s |"
     )
     spark.stop()
     return 0
