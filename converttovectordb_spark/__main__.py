@@ -231,6 +231,13 @@ def _build_parser() -> argparse.ArgumentParser:
         "and persist the curve in the index — search_indexed("
         "target_recall=r) then resolves nprobe from the measurement",
     )
+    sp.add_argument(
+        "--adc-recall-sample", type=int, default=None, metavar="N",
+        help="(with --pq-m) measure recall@5 vs adc_shortlist against "
+        "the exact-rerank path and persist the curve — search_indexed("
+        "target_adc_recall=r) then resolves the shortlist from the "
+        "measurement",
+    )
     common(sp)
 
     sp = sub.add_parser(
@@ -515,6 +522,7 @@ def main(argv: list[str] | None = None) -> int:
                 pq_k=args.pq_k,
                 transactional=args.transactional,
                 recall_sample=args.recall_sample,
+                adc_recall_sample=args.adc_recall_sample,
             )
         except Exception as e:
             print(json.dumps({"command": "build-index", "error": str(e)}))
@@ -528,6 +536,8 @@ def main(argv: list[str] | None = None) -> int:
         }
         if args.recall_sample is not None:
             out["recall_curve"] = idx.recall_curve()
+        if args.adc_recall_sample is not None:
+            out["adc_curve"] = idx.adc_curve()
         print(json.dumps(out))
     elif args.command == "retrain":
         try:

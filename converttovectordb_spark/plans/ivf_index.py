@@ -166,8 +166,13 @@ def kmeans_centroids(
     from pyspark.ml.functions import array_to_vector
 
     feat = docs.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    # same clamp as train_pq: Spark 4.1's block-mode KMeans can AIOOBE
+    # when k exceeds the row count; a build-time count is cheap next to
+    # the fit and a clamped index stays self-consistent (probe width,
+    # stats, drift report all derive from the trained centers)
+    k_eff = max(1, min(int(num_clusters), int(docs.count())))
     model = KMeans(
-        k=num_clusters, seed=seed, maxIter=max_iter, featuresCol="_features"
+        k=k_eff, seed=seed, maxIter=max_iter, featuresCol="_features"
     ).fit(feat)
     assigned = (
         model.transform(feat)

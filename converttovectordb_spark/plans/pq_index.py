@@ -59,6 +59,24 @@ def train_pq(
     d = int(first["d"])
     if d % m != 0:
         raise ValueError(f"dimension {d} is not divisible into m={m} subspaces")
+    # Clamp k to the corpus size: Spark 4.1's block-mode KMeans
+    # aggregator can AIOOBE when k exceeds the row count (observed on a
+    # 3-row corpus with k=4), and a codebook with more centroids than
+    # points is meaningless anyway. One count, build-time only (the
+    # engine builds train over an already-persisted frame); a clamped
+    # codebook stays self-consistent downstream — codes, LUT width,
+    # and retrain family inference all derive from the trained centers.
+    n_rows = docs.count()
+    k_eff = max(1, min(int(k), int(n_rows)))
+    if k_eff < k:
+        import warnings
+
+        warnings.warn(
+            f"pq_k={k} exceeds the corpus size ({n_rows} rows); "
+            f"training {k_eff} centroids per subspace instead",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     ds = d // m
     vec = (
         l2_normalize(F.col(vec_col)) if normalize
@@ -74,7 +92,8 @@ def train_pq(
         )
         models.append(
             KMeans(
-                k=k, seed=seed + s, maxIter=max_iter, featuresCol="_features"
+                k=k_eff, seed=seed + s, maxIter=max_iter,
+                featuresCol="_features",
             ).fit(feat)
         )
     return models

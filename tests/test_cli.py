@@ -136,8 +136,16 @@ def test_cli_build_index_and_retrain(tmp_path):
     assert rc == 1 and "no published" in out["error"]
 
     _run("ingest", "--repo", str(repo), *common)
-    bi = _run("build-index", "--num-clusters", "2", *common)
+    bi = _run(
+        "build-index", "--num-clusters", "2",
+        "--pq-m", "2", "--pq-k", "4",
+        "--recall-sample", "4", "--adc-recall-sample", "4",
+        *common,
+    )
     assert bi["transactional"] and bi["index_path"]
+    # r12: both measured-contract curves are built and reported
+    assert bi["recall_curve"]["curve"][-1]["recall"] == 1.0
+    assert bi["adc_curve"]["curve"][-1]["recall"] == 1.0
 
     noop = _run("retrain", "--shift-threshold", "1000.0", *common)
     assert noop["retrained"] is False and noop["clusters"] == 2

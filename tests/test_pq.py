@@ -235,3 +235,28 @@ def test_pq_recall_query_dials(spark):
     rr = sum(r.recall_rerank for r in rows) / len(rows)
     assert rr >= adc
     assert rr >= 0.6
+
+
+def test_train_pq_clamps_k_to_corpus_size(spark):
+    """r12: Spark 4.1's block-mode KMeans AIOOBEs when k exceeds the
+    row count (hit via CLI build-index --pq-m on a 3-chunk corpus) —
+    train_pq clamps k to n with a warning, and the clamped codebook
+    stays self-consistent (codes reference only trained centers)."""
+    import pytest as _pytest
+
+    from converttovectordb_spark.plans.pq_index import (
+        pq_encode,
+        train_pq,
+    )
+
+    df = spark.createDataFrame(
+        [([float(i + j) for j in range(8)],) for i in range(3)],
+        "embedding array<double>",
+    )
+    with _pytest.warns(RuntimeWarning, match="exceeds the corpus size"):
+        models = train_pq(df, m=2, k=16, seed=7)
+    assert all(len(m.clusterCenters()) <= 3 for m in models)
+    coded = pq_encode(df, models).collect()
+    k_eff = max(len(m.clusterCenters()) for m in models)
+    for r in coded:
+        assert all(0 <= c < k_eff for c in r["codes"])
