@@ -77,6 +77,7 @@ def main() -> int:
         _ivf_index_cached,
         _jaccard_pairs_cached,
         _kmeans_ivf_export,
+        _lex_index_cached,
         _lsh_bands_cached,
         _minhash_cands_cached,
         _pq_export,
@@ -88,6 +89,7 @@ def main() -> int:
         ("jaccard_pairs", _jaccard_pairs_cached),
         ("ivf_kmeans", _kmeans_ivf_export),
         ("pq_codec", _pq_export),
+        ("lex_index", _lex_index_cached),
         ("lsh_bands", _lsh_bands_cached),
         ("lsh_bands_bucketed", _bucketed_lsh_bands_cached),
         ("minhash_cands", _minhash_cands_cached),

@@ -101,7 +101,16 @@ def build_lexical_index(
             F.pmod(F.crc32(F.col("term")), F.lit(n_buckets)).cast("int"),
         )
     )
-    postings.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+    # co-locate each bucket before the partitioned write: partitionBy
+    # splits every TASK's rows by bucket value, so an un-repartitioned
+    # write fans out to (tasks × buckets) tiny files and the probe pays
+    # their listing/footers forever. Hash-repartitioning on the bucket
+    # column puts each bucket wholly in one task → one file per bucket
+    # dir (at 100 TB, raise shuffle width; a bucket still maps to ONE
+    # task's worth of files, never tasks×buckets).
+    postings.repartition(F.col(BUCKET_COL)).write.mode(
+        "overwrite"
+    ).partitionBy(BUCKET_COL).parquet(
         os.path.join(index_path, POSTINGS_SUBDIR)
     )
     meta = {
