@@ -1545,6 +1545,10 @@ class VectorEngine:
         candidates: int = 50,
         k_rrf: int = 60,
         corpus: DataFrame | None = None,
+        use_index: bool = False,
+        nprobe: int = 2,
+        use_lex_index: bool = False,
+        allow_stale: bool = False,
     ) -> DataFrame:
         """Hybrid retrieval over the store: reciprocal-rank fusion of
         the cosine semantic arm (same scoring as `search`, no score
@@ -1563,7 +1567,19 @@ class VectorEngine:
         ``corpus`` substitutes an already-loaded corpus DataFrame for
         the store read (the serving facade's warm cache) — both arms
         and the display join-back then reuse one cached lineage instead
-        of three fresh scans."""
+        of three fresh scans.
+
+        100 TB arms (r12): ``use_index=True`` serves the semantic
+        candidates from the IVF index (same approximate-recall
+        contract, staleness guard, and nprobe knob as
+        `search_indexed`); ``use_lex_index=True`` serves the BM25
+        candidates from the persisted postings (`build_lex_index` —
+        reads only the query terms' buckets, zero corpus tokenize).
+        With both on, neither RANKING arm scans the corpus; only the
+        display join-back fetches the ≤2·candidates fused survivors'
+        columns. With nprobe covering every cluster the indexed result
+        is IDENTICAL to the brute door (tests pin it); at serving
+        nprobe it is approximate exactly like `search_indexed`."""
         from converttovectordb_spark.operators.search import bm25_scores
 
         if corpus is None and not self.store.exists():
@@ -1577,29 +1593,62 @@ class VectorEngine:
                 .withColumn("rrf", F.lit(None).cast("double"))
                 .drop("score")
             )
-        docs = (
-            corpus if corpus is not None else self.store.load()
-        ).withColumn(
-            "_rid", _row_id()
+        ivf = (
+            self._require_index(allow_stale=allow_stale)
+            if use_index
+            else None
         )
+        docs = None
+        if not (use_index and use_lex_index):
+            docs = (
+                corpus if corpus is not None else self.store.load()
+            ).withColumn("_rid", _row_id())
         terms = [t for t in query_text.lower().split() if t]
 
         qv = self.embedder([query_text])
         qv = np.asarray(qv, dtype=np.float64).reshape(-1).tolist()
-        sem = knn_topk(
-            docs,
-            qv,
-            validate_top_k(candidates),
-            id_cols=["_rid"],
-            score_threshold=-2.0,  # fusion wants ranks, not a cutoff
-            expected_dim=self.dim,
-        ).select("_rid", "score")
-        w_sem = Window.orderBy(F.col("score").desc(), F.col("_rid").asc())
-        sem = sem.select("_rid", F.row_number().over(w_sem).alias("sem_rank"))
+        if ivf is not None:
+            probes = self.spark.createDataFrame(
+                [(0, qv)], "query_id int, query_vec array<double>"
+            )
+            # index.search ranks per query by (score desc, _row_id asc)
+            # — the exact tie-break the brute window below uses
+            sem = ivf.search(
+                probes,
+                top_k=validate_top_k(candidates),
+                nprobe=nprobe,
+                doc_id_col="_row_id",
+            ).select(
+                F.col("_row_id").alias("_rid"),
+                F.col("rank").alias("sem_rank"),
+            )
+        else:
+            sem = knn_topk(
+                docs,
+                qv,
+                validate_top_k(candidates),
+                id_cols=["_rid"],
+                score_threshold=-2.0,  # fusion wants ranks, not a cutoff
+                expected_dim=self.dim,
+            ).select("_rid", "score")
+            w_sem = Window.orderBy(
+                F.col("score").desc(), F.col("_rid").asc()
+            )
+            sem = sem.select(
+                "_rid", F.row_number().over(w_sem).alias("sem_rank")
+            )
 
-        lex = bm25_scores(
-            docs, terms, id_col="_rid", text_col="content", lowercase=True
-        )
+        if use_lex_index:
+            lex = (
+                self._require_lex_index(allow_stale=allow_stale)
+                .bm25(terms)
+                .withColumnRenamed("_row_id", "_rid")
+            )
+        else:
+            lex = bm25_scores(
+                docs, terms, id_col="_rid", text_col="content",
+                lowercase=True,
+            )
         lex = (
             lex.orderBy(F.col("bm25").desc(), F.col("_rid").asc())
             .limit(candidates)
@@ -1623,8 +1672,17 @@ class VectorEngine:
         # cache's internal norm column. Final order carries the same
         # `_rid` ascending tiebreak the matrix-tier serving path uses
         # (operators/serving.py hybrid_query), so equal-RRF rows come
-        # back in the identical order on both tiers.
-        display = docs.drop("embedding", NORM_COL)
+        # back in the identical order on both tiers. With both indexes
+        # on, the store was never loaded — fetch display columns from
+        # the IVF corpus (same rows, _row_id-unique by write contract).
+        if docs is None:
+            display = (
+                ivf.corpus()
+                .drop("cluster_id", "embedding", NORM_COL)
+                .withColumnRenamed("_row_id", "_rid")
+            )
+        else:
+            display = docs.drop("embedding", NORM_COL)
         return (
             fused.join(display, on="_rid")
             .orderBy(F.col("rrf").desc(), F.col("_rid").asc())
@@ -1639,6 +1697,10 @@ class VectorEngine:
         candidates: int = 50,
         k_rrf: int = 60,
         corpus: DataFrame | None = None,
+        use_index: bool = False,
+        nprobe: int = 2,
+        use_lex_index: bool = False,
+        allow_stale: bool = False,
     ) -> DataFrame:
         """Q-query twin of `search_hybrid` — the LAST single-only verb
         gets its batch shape (r11 verdict #2; the reference client can
@@ -1656,7 +1718,12 @@ class VectorEngine:
         tokenize for all Q BM25 arms (postings filtered to the term
         UNION before the shuffle), then per-query windows over the
         ≤ Q·candidates·2 fused survivors. ``query_index`` labels each
-        result row with its probe's position."""
+        result row with its probe's position.
+
+        ``use_index``/``use_lex_index``/``nprobe``/``allow_stale``:
+        same 100 TB arms as the single door — the whole batch routes
+        through ONE IVF probe pass and/or ONE postings probe over the
+        batch's term union."""
         from converttovectordb_spark.functions.vector import NORM_COL
         from converttovectordb_spark.operators.search import (
             bm25_scores_batch,
@@ -1675,37 +1742,75 @@ class VectorEngine:
                 .withColumn("rrf", F.lit(None).cast("double"))
                 .drop("score")
             )
-        docs = (
-            corpus if corpus is not None else self.store.load()
-        ).withColumn("_rid", _row_id())
+        ivf = (
+            self._require_index(allow_stale=allow_stale)
+            if use_index
+            else None
+        )
+        docs = None
+        if not (use_index and use_lex_index):
+            docs = (
+                corpus if corpus is not None else self.store.load()
+            ).withColumn("_rid", _row_id())
         qv = np.asarray(
             self.embedder(list(query_texts)), dtype=np.float64
         )
         query_rows = [
             (i, [float(x) for x in v]) for i, v in enumerate(qv)
         ]
-        # semantic arm: ranks via the BLAS batch scorer (knn_join_blas
-        # already ranks by (score desc, order_cols asc) — the same
-        # tie-break as the single door's row_number window)
-        sem = knn_join_blas(
-            query_rows,
-            docs.select(
-                "_rid",
-                F.col("embedding").cast("array<double>").alias("embedding"),
-            ),
-            top_k=validate_top_k(candidates),
-            query_id_col="query_index",
-            carry_cols=["_rid"],
-            order_cols=["_rid"],
-        ).select("query_index", "_rid", F.col("rank").alias("sem_rank"))
-        # lexical arm: one corpus tokenize for every query's terms
+        if ivf is not None:
+            queries_df = self.spark.createDataFrame(
+                query_rows, "query_index int, query_vec array<double>"
+            )
+            # one probe pass + one pruned scan serves every query;
+            # index.search's rank is (score desc, _row_id asc) — the
+            # same tie-break as the brute arm's window
+            sem = ivf.search(
+                queries_df,
+                top_k=validate_top_k(candidates),
+                nprobe=nprobe,
+                query_id_col="query_index",
+                doc_id_col="_row_id",
+            ).select(
+                "query_index",
+                F.col("_row_id").alias("_rid"),
+                F.col("rank").alias("sem_rank"),
+            )
+        else:
+            # semantic arm: ranks via the BLAS batch scorer
+            # (knn_join_blas already ranks by (score desc, order_cols
+            # asc) — the same tie-break as the single door's window)
+            sem = knn_join_blas(
+                query_rows,
+                docs.select(
+                    "_rid",
+                    F.col("embedding")
+                    .cast("array<double>")
+                    .alias("embedding"),
+                ),
+                top_k=validate_top_k(candidates),
+                query_id_col="query_index",
+                carry_cols=["_rid"],
+                order_cols=["_rid"],
+            ).select(
+                "query_index", "_rid", F.col("rank").alias("sem_rank")
+            )
+        # lexical arm: one corpus tokenize (or one postings probe over
+        # the batch's term union) for every query's terms
         term_lists = [
             [t for t in q.lower().split() if t] for q in query_texts
         ]
-        lex_all = bm25_scores_batch(
-            docs, term_lists, id_col="_rid", text_col="content",
-            lowercase=True,
-        )
+        if use_lex_index:
+            lex_all = (
+                self._require_lex_index(allow_stale=allow_stale)
+                .bm25_batch(term_lists)
+                .withColumnRenamed("_row_id", "_rid")
+            )
+        else:
+            lex_all = bm25_scores_batch(
+                docs, term_lists, id_col="_rid", text_col="content",
+                lowercase=True,
+            )
         w_lex = Window.partitionBy("query_index").orderBy(
             F.col("bm25").desc(), F.col("_rid").asc()
         )
@@ -1730,7 +1835,14 @@ class VectorEngine:
             .filter(F.col("_rrf_rank") <= top_k)
             .drop("_rrf_rank")
         )
-        display = docs.drop("embedding", NORM_COL)
+        if docs is None:
+            display = (
+                ivf.corpus()
+                .drop("cluster_id", "embedding", NORM_COL)
+                .withColumnRenamed("_row_id", "_rid")
+            )
+        else:
+            display = docs.drop("embedding", NORM_COL)
         return (
             fused.join(display, on="_rid")
             .orderBy(
@@ -2095,6 +2207,78 @@ class VectorEngine:
         if refresh:
             self.append_to_index()
         return self._index
+
+    def build_lex_index(self):
+        """Offline build of the persisted BM25 inverted index for the
+        store (`plans/lex_index.py`) — the lexical twin of
+        `build_index`: one corpus tokenize pays for every later
+        keyword probe, which then reads only its query terms' postings
+        buckets instead of re-tokenizing the store
+        (`search_hybrid(use_lex_index=True)` consumes it).
+
+        Freshness contract mirrors the IVF one: the store token is
+        digested BEFORE the build reads the store and earned into the
+        artifact's `_TOKEN` file after the postings land —
+        `_require_lex_index` raises on any later store change. There
+        is no incremental heal: per-term postings deltas would need a
+        merge-on-read layer the artifact doesn't carry; the rebuild is
+        ONE tokenize pass (no embedding inference), so the maintenance
+        op under churn is simply rebuilding on the ingest cadence."""
+        import json
+        import os
+        import uuid
+
+        from converttovectordb_spark.plans.lex_index import (
+            build_lexical_index,
+        )
+        from converttovectordb_spark.sources.sigstore import token_digest
+
+        token = self.store.state_token()
+        docs = self._dedup_row_ids(
+            self.store.load().withColumn("_row_id", _row_id())
+        )
+        path = f"{self.store.path}_lexidx"
+        idx = build_lexical_index(
+            docs,
+            path,
+            id_col="_row_id",
+            text_col="content",
+            lowercase=True,
+        )
+        tmp = os.path.join(path, f".token.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump({"digest": token_digest(token)}, fh)
+        os.replace(tmp, os.path.join(path, "_TOKEN"))
+        return idx
+
+    def _require_lex_index(self, *, allow_stale: bool):
+        """Presence + staleness guard for the lexical artifact — the
+        `_require_index` contract applied to the postings: a keyword
+        arm served from postings that predate a store write would
+        silently miss (or resurrect) documents."""
+        import json
+        import os
+
+        from converttovectordb_spark.plans.lex_index import LexicalIndex
+        from converttovectordb_spark.sources.sigstore import token_digest
+
+        path = f"{self.store.path}_lexidx"
+        try:
+            with open(os.path.join(path, "_TOKEN")) as fh:
+                built = json.load(fh).get("digest")
+        except (OSError, ValueError):
+            raise RuntimeError(
+                "no lexical index built; call build_lex_index() first"
+            ) from None
+        if not allow_stale and built != token_digest(
+            self.store.state_token()
+        ):
+            raise RuntimeError(
+                "lexical index is stale: the store changed since "
+                "build_lex_index(); rebuild it (one tokenize pass) or "
+                "pass allow_stale=True to search the old snapshot"
+            )
+        return LexicalIndex(self.spark, path)
 
     def append_to_index(self) -> int:
         """Incrementally index whatever the STORE has that the index

@@ -205,3 +205,79 @@ class LexicalIndex:
             )
         )
         return scored.groupBy(id_col).agg(F.sum("contrib").alias("bm25"))
+
+    def bm25_batch(self, term_lists: list[list[str]], **kw) -> DataFrame:
+        """Q term lists in ONE postings probe → (query_index, id_col,
+        bm25) — `bm25_scores_batch`'s shape served from the artifact:
+        the scan filters to the UNION of all queries' buckets/terms
+        (still a PartitionFilter + pushed IN), per-term df comes from
+        the surviving postings, and a broadcast (query_index, term)
+        map fans contributions out to each query's sum. Per-query
+        results equal Q separate `bm25` calls (same contributions;
+        float sum order within a doc may differ — the 1e-9 batch-door
+        contract)."""
+        k1 = kw.get("k1", 1.2)
+        b = kw.get("b", 0.75)
+        meta = self.meta()
+        id_col = meta["id_col"]
+        norm_lists = [
+            sorted(
+                {t.lower() for t in terms}
+                if meta.get("lowercase")
+                else set(terms)
+            )
+            for terms in term_lists
+        ]
+        union_terms = sorted({t for terms in norm_lists for t in terms})
+        qmap_rows = [
+            (qi, t) for qi, terms in enumerate(norm_lists) for t in terms
+        ]
+        if not qmap_rows:
+            return (
+                self.postings()
+                .select(id_col)
+                .limit(0)
+                .withColumn("query_index", F.lit(None).cast("int"))
+                .withColumn("bm25", F.lit(None).cast("double"))
+                .select("query_index", id_col, "bm25")
+            )
+        buckets = sorted(
+            {term_bucket(t, int(meta["n_buckets"])) for t in union_terms}
+        )
+        post = self.postings().filter(
+            F.col(BUCKET_COL).isin(buckets)
+            & F.col("term").isin(union_terms)
+        )
+        df_t = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        n_docs = int(meta["n_docs"])
+        avgdl = float(meta["avgdl"])
+        contrib = (
+            post.join(F.broadcast(df_t), on="term")
+            .withColumn(
+                "idf",
+                F.log(
+                    (F.lit(n_docs) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                ),
+            )
+            .withColumn(
+                "contrib",
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
+                ),
+            )
+        )
+        qmap = F.broadcast(
+            self.spark.createDataFrame(
+                qmap_rows, "query_index int, term string"
+            )
+        )
+        return (
+            contrib.join(qmap, on="term")
+            .groupBy("query_index", id_col)
+            .agg(F.sum("contrib").alias("bm25"))
+        )

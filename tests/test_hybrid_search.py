@@ -160,3 +160,84 @@ def test_hybrid_batch_empty_store_and_validation(spark, tmp_path):
     assert "query_index" in rows.columns and "rrf" in rows.columns
     with pytest.raises(ValueError, match="non-empty"):
         eng.search_hybrid_batch([], top_k=3)
+
+
+def test_hybrid_indexed_arms_match_brute_at_full_probe(spark, tmp_path):
+    """r12: with nprobe covering every cluster the IVF semantic arm is
+    exact and the postings BM25 arm is float-identical, so the fully
+    indexed hybrid (single AND batch) must reproduce the brute door
+    row for row — and with neither the store text nor embeddings
+    scanned for ranking."""
+    eng = _engine(spark, tmp_path)
+    eng.build_index(num_clusters=2, transactional=True)
+    eng.build_lex_index()
+    n_clusters = eng._index.centroids().count()
+    texts = ["zephyrblue", "plain common words"]
+
+    for q in texts:
+        brute = eng.search_hybrid(q, top_k=4).collect()
+        fast = eng.search_hybrid(
+            q,
+            top_k=4,
+            use_index=True,
+            nprobe=n_clusters,
+            use_lex_index=True,
+        ).collect()
+        assert len(fast) == len(brute)
+        for g, w in zip(fast, brute):
+            assert (g["path"], g["chunk_index"]) == (
+                w["path"], w["chunk_index"],
+            )
+            assert g["sem_rank"] == w["sem_rank"]
+            assert g["lex_rank"] == w["lex_rank"]
+            assert abs(g["rrf"] - w["rrf"]) < 1e-9
+
+    batch = eng.search_hybrid_batch(
+        texts,
+        top_k=4,
+        use_index=True,
+        nprobe=n_clusters,
+        use_lex_index=True,
+    ).collect()
+    by_q: dict = {}
+    for r in batch:
+        by_q.setdefault(r["query_index"], []).append(r)
+    for qi, q in enumerate(texts):
+        want = eng.search_hybrid(q, top_k=4).collect()
+        got = by_q.get(qi, [])
+        assert [(g["path"], g["sem_rank"], g["lex_rank"]) for g in got] == [
+            (w["path"], w["sem_rank"], w["lex_rank"]) for w in want
+        ]
+
+    # mixed modes compose: indexed semantic arm + brute lexical arm
+    mixed = eng.search_hybrid(
+        "zephyrblue", top_k=4, use_index=True, nprobe=n_clusters
+    ).collect()
+    want = eng.search_hybrid("zephyrblue", top_k=4).collect()
+    assert len(mixed) == len(want)
+    for g, w in zip(mixed, want):
+        assert g["path"] == w["path"] and abs(g["rrf"] - w["rrf"]) < 1e-9
+
+
+def test_lex_index_staleness_guard(spark, tmp_path):
+    import pytest as _pytest
+
+    eng = _engine(spark, tmp_path)
+    with _pytest.raises(RuntimeError, match="no lexical index"):
+        eng.search_hybrid("x", use_lex_index=True)
+    eng.build_lex_index()
+    assert eng.search_hybrid("zephyrblue", use_lex_index=True).collect()
+    # a store write invalidates the postings
+    repo2 = tmp_path / "repo2"
+    repo2.mkdir()
+    (repo2 / "c.md").write_text("fresh zephyrblue arrival " * 10)
+    eng.ingest(str(repo2))
+    with _pytest.raises(RuntimeError, match="stale"):
+        eng.search_hybrid("zephyrblue", use_lex_index=True)
+    # explicit opt-in serves the old snapshot; rebuild heals
+    assert eng.search_hybrid(
+        "zephyrblue", use_lex_index=True, allow_stale=True
+    ).collect()
+    eng.build_lex_index()
+    rows = eng.search_hybrid("zephyrblue", use_lex_index=True).collect()
+    assert any("c.md" in r["path"] for r in rows)
