@@ -138,6 +138,30 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--query", required=True)
     sp.add_argument("--top-k", type=int, default=5)
+    sp.add_argument(
+        "--use-index", action="store_true",
+        help="serve the semantic arm from the PUBLISHED transactional "
+        "IVF index (build-index --transactional first; approximate at "
+        "--nprobe, staleness-guarded)",
+    )
+    sp.add_argument("--nprobe", type=int, default=2)
+    sp.add_argument(
+        "--use-lex-index", action="store_true",
+        help="serve the BM25 arm from the persisted postings "
+        "(build-lex-index first; staleness-guarded)",
+    )
+    sp.add_argument(
+        "--allow-stale", action="store_true",
+        help="serve from stale index snapshots instead of raising",
+    )
+    common(sp)
+
+    sp = sub.add_parser(
+        "build-lex-index",
+        help="tokenize the store once into the persisted BM25 inverted "
+        "index (bucket-partitioned postings; hybrid --use-lex-index "
+        "then reads only the query terms' buckets)",
+    )
     common(sp)
 
     sp = sub.add_parser(
@@ -439,9 +463,37 @@ def main(argv: list[str] | None = None) -> int:
         rows = [r.asDict() for r in res.collect()]
         print(json.dumps({"command": "search", "results": rows}))
     elif args.command == "hybrid":
-        res = eng.search_hybrid(args.query, args.top_k)
-        rows = [r.asDict() for r in res.collect()]
+        try:
+            if args.use_index:
+                # fresh-process attach: the PUBLISHED transactional
+                # index (same contract as the retrain verb — a plain
+                # index has no pointer a new process can trust)
+                eng.open_index()
+            res = eng.search_hybrid(
+                args.query,
+                args.top_k,
+                use_index=args.use_index,
+                nprobe=args.nprobe,
+                use_lex_index=args.use_lex_index,
+                allow_stale=args.allow_stale,
+            )
+            rows = [r.asDict() for r in res.collect()]
+        except RuntimeError as e:  # missing/stale index contracts
+            print(json.dumps({"command": "hybrid", "error": str(e)}))
+            return 1
         print(json.dumps({"command": "hybrid", "results": rows}))
+    elif args.command == "build-lex-index":
+        idx = eng.build_lex_index()
+        print(
+            json.dumps(
+                {
+                    "command": "build-lex-index",
+                    "index_path": idx.path,
+                    "n_docs": idx.meta()["n_docs"],
+                    "n_buckets": idx.meta()["n_buckets"],
+                }
+            )
+        )
     elif args.command == "diverse":
         try:
             res = eng.search_diverse(

@@ -289,3 +289,48 @@ def test_cli_push_content_only_rows_get_unique_identities(tmp_path):
     assert proc.returncode == 1
     err = json.loads(proc.stdout.strip().splitlines()[-1])
     assert "cannot read" in err["error"]
+
+
+def test_cli_indexed_hybrid_lifecycle(tmp_path):
+    """r12: build-lex-index + hybrid --use-lex-index/--use-index from
+    fresh processes — missing indexes error cleanly (exit 1), the
+    fully indexed door serves after both builds, and a store write
+    makes the postings arm stale (rebuild heals)."""
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    (repo / "a.md").write_text("zephyr vector join scan document " * 40)
+    (repo / "b.py").write_text("def g():\n    return 1\n" * 30)
+    store = str(tmp_path / "store")
+    common = [
+        "--store", store, "--dim", "16", "--master", "local[2]",
+        "--transactional",
+    ]
+    _run("ingest", "--repo", str(repo), *common)
+
+    rc, out = _run_fail(
+        "hybrid", "--query", "vector", "--use-lex-index", *common
+    )
+    assert rc == 1 and "no lexical index" in out["error"]
+
+    bl = _run("build-lex-index", *common)
+    assert bl["index_path"].endswith("_lexidx") and bl["n_docs"] >= 2
+
+    _run("build-index", "--num-clusters", "2", *common)
+    out = _run(
+        "hybrid", "--query", "vector scan",
+        "--use-lex-index", "--use-index", "--nprobe", "2", *common,
+    )
+    assert out["results"] and out["results"][0]["lex_rank"] == 1
+
+    # store write → stale postings; --allow-stale serves the snapshot
+    (repo / "c.md").write_text("new arrival vector " * 10)
+    _run("ingest", "--repo", str(repo), *common)
+    rc, err = _run_fail(
+        "hybrid", "--query", "vector", "--use-lex-index", *common
+    )
+    assert rc == 1 and "stale" in err["error"]
+    ok = _run(
+        "hybrid", "--query", "vector", "--use-lex-index",
+        "--allow-stale", *common,
+    )
+    assert ok["results"]
