@@ -2238,6 +2238,14 @@ class VectorEngine:
             self.store.load().withColumn("_row_id", _row_id())
         )
         path = f"{self.store.path}_lexidx"
+        # drop the commit marker BEFORE overwriting the postings: a
+        # crash mid-rebuild must read back as "no lexical index" (the
+        # old token would otherwise bless half-overwritten postings
+        # whenever the store itself hadn't changed)
+        import contextlib
+
+        with contextlib.suppress(OSError):
+            os.remove(os.path.join(path, "_TOKEN"))
         idx = build_lexical_index(
             docs,
             path,
