@@ -2219,11 +2219,11 @@ class VectorEngine:
         Freshness contract mirrors the IVF one: the store token is
         digested BEFORE the build reads the store and earned into the
         artifact's `_TOKEN` file after the postings land —
-        `_require_lex_index` raises on any later store change. There
-        is no incremental heal: per-term postings deltas would need a
-        merge-on-read layer the artifact doesn't carry; the rebuild is
-        ONE tokenize pass (no embedding inference), so the maintenance
-        op under churn is simply rebuilding on the ingest cadence."""
+        `_require_lex_index` raises on any later store change.
+        Incremental maintenance is `append_to_lex_index` (O(new rows),
+        the IVF heal contract); the full rebuild — ONE tokenize pass,
+        no embedding inference — remains the answer to deletions and
+        to the append-cadence small-file debt."""
         import json
         import os
         import uuid
@@ -2259,6 +2259,54 @@ class VectorEngine:
         os.replace(tmp, os.path.join(path, "_TOKEN"))
         return idx
 
+    def append_to_lex_index(self) -> int:
+        """Incrementally index whatever the STORE has that the lexical
+        index does not — the `append_to_index` contract applied to the
+        postings, replacing the r12.0 rebuild-on-every-ingest policy
+        with an O(new rows) heal. The delta comes from the committed
+        store itself (a `_row_id` anti-join against the artifact's
+        doclens table), never from a caller-held batch. Rows present
+        in the index but GONE from the store (replace/clear) cannot be
+        healed by appending — raise for a rebuild, exactly like the
+        IVF heal. Earns a fresh `_TOKEN` on success. Returns rows
+        appended."""
+        import json
+        import os
+        import uuid
+
+        from converttovectordb_spark.plans.lex_index import LexicalIndex
+        from converttovectordb_spark.sources.sigstore import token_digest
+
+        path = f"{self.store.path}_lexidx"
+        idx = LexicalIndex(self.spark, path)
+        try:
+            idx.meta()
+        except (OSError, ValueError):
+            raise RuntimeError(
+                "no lexical index built; call build_lex_index() first"
+            ) from None
+        token = self.store.state_token()
+        docs = self._dedup_row_ids(
+            self.store.load().withColumn("_row_id", _row_id())
+        )
+        indexed_ids = idx.doclens().select("_row_id")
+        orphans = indexed_ids.join(
+            docs.select("_row_id"), on="_row_id", how="left_anti"
+        ).count()
+        if orphans:
+            raise RuntimeError(
+                f"lexical index holds {orphans} rows no longer in the "
+                "store (replace/clear happened); appending cannot "
+                "remove postings — rebuild with build_lex_index()"
+            )
+        missing = docs.join(indexed_ids, on="_row_id", how="left_anti")
+        added = idx.append(missing, text_col="content")
+        tmp = os.path.join(path, f".token.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump({"digest": token_digest(token)}, fh)
+        os.replace(tmp, os.path.join(path, "_TOKEN"))
+        return added
+
     def _require_lex_index(self, *, allow_stale: bool):
         """Presence + staleness guard for the lexical artifact — the
         `_require_index` contract applied to the postings: a keyword
@@ -2282,9 +2330,10 @@ class VectorEngine:
             self.store.state_token()
         ):
             raise RuntimeError(
-                "lexical index is stale: the store changed since "
-                "build_lex_index(); rebuild it (one tokenize pass) or "
-                "pass allow_stale=True to search the old snapshot"
+                "lexical index is stale: the store changed since it "
+                "was built/healed; run append_to_lex_index() (O(new "
+                "rows)) or build_lex_index(), or pass allow_stale=True "
+                "to search the old snapshot"
             )
         return LexicalIndex(self.spark, path)
 

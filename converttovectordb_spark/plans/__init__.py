@@ -10,10 +10,16 @@ from converttovectordb_spark.plans.ivf_index import (
     build_ivf_index,
     mean_centroids,
 )
+from converttovectordb_spark.plans.lex_index import (
+    LexicalIndex,
+    build_lexical_index,
+)
 
 __all__ = [
     "IVFIndex",
+    "LexicalIndex",
     "build_ivf_index",
+    "build_lexical_index",
     "mean_centroids",
     "physical_plan",
     "write_bucketed",

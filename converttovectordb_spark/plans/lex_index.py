@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 POSTINGS_SUBDIR = "postings"
+DOCLENS_SUBDIR = "doclens"
 META_FILE = "_meta.json"
 BUCKET_COL = "bucket"
 
@@ -81,11 +82,20 @@ def build_lexical_index(
 
     text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     toked = docs.select(F.col(id_col), tokens(text).alias("_toks"))
-    # corpus-global stats cover ALL docs (token-less ones included —
-    # same n_docs/avgdl definition as bm25_scores's stats agg)
-    stats = toked.agg(
+    # per-doc length table: ONE row per doc, token-less docs included.
+    # It serves two masters — exact corpus stats (n_docs, total_dl are
+    # additive, so `append` updates them by arithmetic) and the
+    # delta/orphan detection an incremental heal needs (postings alone
+    # cannot represent a token-less doc).
+    doclens = toked.select(
+        id_col, F.size("_toks").cast("bigint").alias("dl")
+    )
+    doclens.write.mode("overwrite").parquet(
+        os.path.join(index_path, DOCLENS_SUBDIR)
+    )
+    stats = doclens.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size("_toks")).alias("avgdl"),
+        F.sum("dl").alias("total_dl"),
     ).first()
     tok = toked.select(
         id_col,
@@ -113,9 +123,33 @@ def build_lexical_index(
     ).partitionBy(BUCKET_COL).parquet(
         os.path.join(index_path, POSTINGS_SUBDIR)
     )
+    _write_meta(
+        index_path,
+        n_docs=int(stats["n_docs"]),
+        total_dl=int(stats["total_dl"] or 0),
+        n_buckets=int(n_buckets),
+        id_col=id_col,
+        lowercase=bool(lowercase),
+    )
+    return LexicalIndex(docs.sparkSession, index_path)
+
+
+def _write_meta(
+    index_path: str,
+    *,
+    n_docs: int,
+    total_dl: int,
+    n_buckets: int,
+    id_col: str,
+    lowercase: bool,
+) -> None:
+    """Atomic manifest publish. ``avgdl`` is DERIVED (total_dl/n_docs)
+    so incremental appends update the stats by exact integer
+    arithmetic instead of re-averaging floats."""
     meta = {
-        "n_docs": int(stats["n_docs"]),
-        "avgdl": float(stats["avgdl"]) if stats["avgdl"] is not None else 0.0,
+        "n_docs": int(n_docs),
+        "total_dl": int(total_dl),
+        "avgdl": (float(total_dl) / n_docs) if n_docs else 0.0,
         "n_buckets": int(n_buckets),
         "id_col": id_col,
         "lowercase": bool(lowercase),
@@ -124,7 +158,6 @@ def build_lexical_index(
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
     os.replace(tmp, os.path.join(index_path, META_FILE))
-    return LexicalIndex(docs.sparkSession, index_path)
 
 
 class LexicalIndex:
@@ -143,6 +176,102 @@ class LexicalIndex:
         return self.spark.read.parquet(
             os.path.join(self.path, POSTINGS_SUBDIR)
         )
+
+    def doclens(self) -> DataFrame:
+        """One (id, dl) row per indexed doc — token-less docs included
+        (they exist nowhere in the postings but must count in
+        n_docs/avgdl and must be visible to delta detection)."""
+        return self.spark.read.parquet(
+            os.path.join(self.path, DOCLENS_SUBDIR)
+        )
+
+    def append(self, docs: DataFrame, *, text_col: str = "text") -> int:
+        """Incremental index maintenance: O(new rows), never O(corpus)
+        — the IVF `append` contract applied to the postings. The new
+        rows' postings and doclens append in place, and the manifest
+        scalars update by exact integer arithmetic (n_docs and
+        total_dl are additive). Per-term document frequency needs no
+        maintenance at all: `bm25` derives df from the postings it
+        reads, so appended rows join the statistics the moment their
+        files land.
+
+        The CALLER owns delta discovery and ordering (the engine's
+        `append_to_lex_index` anti-joins the store against `doclens`);
+        appending a doc id twice would double-count it everywhere —
+        this method does not re-check. Small-file debt: each append
+        adds ≤1 file per touched bucket (the same pre-write
+        repartition as the build), so debt grows with the APPEND COUNT
+        like the store's — fold it by rebuilding on the same cadence
+        that retrains the IVF index. Returns rows appended."""
+        from converttovectordb_spark.functions.text import tokens
+
+        meta = self.meta()
+        if "total_dl" not in meta:
+            raise ValueError(
+                f"{self.path} predates incremental appends (no "
+                "total_dl in the manifest); rebuild with "
+                "build_lexical_index first"
+            )
+        id_col = meta["id_col"]
+        n_buckets = int(meta["n_buckets"])
+        text = (
+            F.lower(F.col(text_col))
+            if meta.get("lowercase")
+            else F.col(text_col)
+        )
+        # materialize the tokenized delta: the stats probe, the doclens
+        # write, and the postings write are three actions — an
+        # un-persisted upstream lineage would re-execute per action and
+        # could even diverge between them
+        toked = docs.select(
+            F.col(id_col), tokens(text).alias("_toks")
+        ).persist()
+        try:
+            doclens = toked.select(
+                id_col, F.size("_toks").cast("bigint").alias("dl")
+            )
+            stats = doclens.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("dl").alias("dl_sum"),
+            ).first()
+            added = int(stats["n"])
+            if added == 0:
+                return 0
+            doclens.write.mode("append").parquet(
+                os.path.join(self.path, DOCLENS_SUBDIR)
+            )
+            postings = (
+                toked.select(
+                    id_col,
+                    F.size("_toks").cast("bigint").alias("dl"),
+                    F.explode_outer("_toks").alias("term"),
+                )
+                .filter(F.col("term").isNotNull())
+                .groupBy(id_col, "dl", "term")
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .withColumn(
+                    BUCKET_COL,
+                    F.pmod(
+                        F.crc32(F.col("term")), F.lit(n_buckets)
+                    ).cast("int"),
+                )
+            )
+            postings.repartition(F.col(BUCKET_COL)).write.mode(
+                "append"
+            ).partitionBy(BUCKET_COL).parquet(
+                os.path.join(self.path, POSTINGS_SUBDIR)
+            )
+        finally:
+            toked.unpersist()
+        _write_meta(
+            self.path,
+            n_docs=int(meta["n_docs"]) + added,
+            total_dl=int(meta["total_dl"]) + int(stats["dl_sum"] or 0),
+            n_buckets=n_buckets,
+            id_col=id_col,
+            lowercase=bool(meta.get("lowercase")),
+        )
+        return added
 
     def bm25(
         self,

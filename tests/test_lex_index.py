@@ -129,3 +129,73 @@ def test_lowercase_contract(spark, corpus, tmp_path):
     assert set(got) == set(want) and len(got) > 0
     for d in want:
         assert abs(got[d] - want[d]) < 1e-9
+
+
+def test_append_matches_rebuilt_scores(spark, corpus, tmp_path):
+    """r12: incremental append == full rebuild, to the float — df
+    derives from the postings at query time, n_docs/total_dl update by
+    integer arithmetic, token-less delta docs count in the stats."""
+    half = corpus.filter(F.col("doc_id") < 3)
+    rest = corpus.filter(F.col("doc_id") >= 3)
+    grown = build_lexical_index(
+        half, str(tmp_path / "grown"), id_col="doc_id",
+        text_col="text", n_buckets=8,
+    )
+    assert grown.append(rest, text_col="text") == 3
+    full = build_lexical_index(
+        corpus, str(tmp_path / "full"), id_col="doc_id",
+        text_col="text", n_buckets=8,
+    )
+    assert grown.meta()["n_docs"] == full.meta()["n_docs"] == 6
+    assert grown.meta()["total_dl"] == full.meta()["total_dl"]
+    for terms in (["spark", "state"], ["cats"], ["join", "vector"]):
+        want = {
+            r["doc_id"]: r["bm25"] for r in full.bm25(terms).collect()
+        }
+        got = {
+            r["doc_id"]: r["bm25"] for r in grown.bm25(terms).collect()
+        }
+        assert set(got) == set(want), terms
+        for d in want:
+            assert abs(got[d] - want[d]) < 1e-9
+    # empty delta is a no-op
+    assert grown.append(rest.limit(0), text_col="text") == 0
+
+
+def test_engine_heal_and_orphan_contract(spark, tmp_path):
+    """append_to_lex_index heals store growth to freshness (token
+    earned, searches resolve without a rebuild); store deletions make
+    the heal raise for a rebuild."""
+    import pytest as _pytest
+
+    from converttovectordb_spark.embeddings import hash_embedder
+    from converttovectordb_spark.engine import VectorEngine
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    (repo / "a.md").write_text("alpha vector corpus document " * 10)
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(16),
+        dim=16,
+    )
+    eng.ingest(str(repo))
+    eng.build_lex_index()
+    (repo / "b.md").write_text("beta arrival vector " * 10)
+    eng.ingest(str(repo))
+    with _pytest.raises(RuntimeError, match="stale"):
+        eng.search_hybrid("vector", use_lex_index=True)
+    added = eng.append_to_lex_index()
+    assert added >= 1
+    rows = eng.search_hybrid("beta", use_lex_index=True).collect()
+    assert any("b.md" in r["path"] for r in rows)
+    # idempotent: nothing new → 0 rows, token stays fresh
+    assert eng.append_to_lex_index() == 0
+    # deletions cannot be healed by appending: clear, then re-ingest a
+    # repo that lacks the previously indexed docs → orphaned postings
+    eng.clear(backup=False)
+    repo2 = tmp_path / "repo2"
+    repo2.mkdir()
+    (repo2 / "c.md").write_text("gamma only now")
+    eng.ingest(str(repo2))
+    with _pytest.raises(RuntimeError, match="rebuild"):
+        eng.append_to_lex_index()
