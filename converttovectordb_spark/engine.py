@@ -2305,6 +2305,28 @@ class VectorEngine:
         with open(tmp, "w") as fh:
             json.dump({"digest": token_digest(token)}, fh)
         os.replace(tmp, os.path.join(path, "_TOKEN"))
+        # write-door compaction policy, post-commit and warn-don't-fail
+        # (the store/IVF/sigstore policy applied to the fourth
+        # write-side artifact): one doclens file lands per append, so
+        # the doclens file count IS the append count — fold once 16
+        # appends accumulate. The token is already earned; a failed
+        # fold costs nothing but the deferred rewrite.
+        from converttovectordb_spark.plans.lex_index import (
+            DOCLENS_SUBDIR,
+        )
+
+        if len(idx._data_files(DOCLENS_SUBDIR)) >= 16:
+            try:
+                idx.compact()
+            except Exception as exc:  # noqa: BLE001
+                import warnings
+
+                warnings.warn(
+                    f"auto-compaction of {path} failed (heal already "
+                    f"committed; next heal retries): {exc}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         return added
 
     def _require_lex_index(self, *, allow_stale: bool):

@@ -335,6 +335,77 @@ class LexicalIndex:
         )
         return scored.groupBy(id_col).agg(F.sum("contrib").alias("bm25"))
 
+    def _data_files(self, sub: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(os.path.join(self.path, sub)):
+            out.extend(
+                os.path.join(root, f)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return out
+
+    def append_debt(self) -> int:
+        """Parquet file count across postings + doclens — the
+        small-file debt the per-append writes accumulate (each append
+        adds ≤1 file per touched bucket plus a doclens file). The
+        engine's heal folds it past a threshold."""
+        return len(self._data_files(POSTINGS_SUBDIR)) + len(
+            self._data_files(DOCLENS_SUBDIR)
+        )
+
+    def _sweep_debris(self) -> None:
+        import shutil
+
+        for n in os.listdir(self.path):
+            if ".old." in n or n.startswith("tmp-"):
+                shutil.rmtree(os.path.join(self.path, n),
+                              ignore_errors=True)
+
+    def compact(self) -> int:
+        """Fold the per-append small files: stage fresh bucket-
+        co-located postings and a re-coalesced doclens, then swap each
+        dir (stage fully → rename old away → rename staged in → delete
+        old). Content-neutral — the `_TOKEN` freshness marker is NOT
+        touched (same rows, same digest basis), and every crash window
+        leaves either the old dirs intact or a dir absent, which reads
+        as "rebuild me", never as duplicated rows — the sigstore's
+        swap contract. Single-maintainer by the artifact's contract.
+        Returns the file-count reduction."""
+        import shutil
+        import uuid
+
+        self._sweep_debris()
+        before = self.append_debt()
+        spark = self.spark
+        par = spark.sparkContext.defaultParallelism
+
+        def _stage(df, co_bucket: bool) -> str:
+            staged = os.path.join(self.path, "tmp-" + uuid.uuid4().hex)
+            if co_bucket:
+                df.repartition(F.col(BUCKET_COL)).write.partitionBy(
+                    BUCKET_COL
+                ).parquet(staged)
+            else:
+                n_parts = max(
+                    1, min(df.rdd.getNumPartitions(), par)
+                )
+                df.coalesce(n_parts).write.parquet(staged)
+            return staged
+
+        staged_p = _stage(self.postings(), co_bucket=True)
+        staged_d = _stage(self.doclens(), co_bucket=False)
+        for sub, staged in (
+            (POSTINGS_SUBDIR, staged_p),
+            (DOCLENS_SUBDIR, staged_d),
+        ):
+            target = os.path.join(self.path, sub)
+            old = f"{target}.old.{uuid.uuid4().hex}"
+            os.rename(target, old)
+            os.rename(staged, target)
+            shutil.rmtree(old, ignore_errors=True)
+        return before - self.append_debt()
+
     def bm25_batch(self, term_lists: list[list[str]], **kw) -> DataFrame:
         """Q term lists in ONE postings probe → (query_index, id_col,
         bm25) — `bm25_scores_batch`'s shape served from the artifact:

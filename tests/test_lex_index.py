@@ -199,3 +199,44 @@ def test_engine_heal_and_orphan_contract(spark, tmp_path):
     eng.ingest(str(repo2))
     with _pytest.raises(RuntimeError, match="rebuild"):
         eng.append_to_lex_index()
+
+
+def test_compact_folds_append_debt_content_neutral(spark, corpus, tmp_path):
+    """r12: compact() folds the per-append small files into one file
+    per bucket + a coalesced doclens, leaves every score and the
+    manifest untouched, and sweeps its own crash debris."""
+    import os as _os
+
+    idx = build_lexical_index(
+        corpus.filter(F.col("doc_id") < 2),
+        str(tmp_path / "idx"),
+        id_col="doc_id",
+        text_col="text",
+        n_buckets=8,
+    )
+    for lo in (2, 3, 4, 5):
+        idx.append(
+            corpus.filter(F.col("doc_id") == lo), text_col="text"
+        )
+    debt = idx.append_debt()
+    want = {
+        r["doc_id"]: r["bm25"]
+        for r in idx.bm25(["spark", "state"]).collect()
+    }
+    meta_before = idx.meta()
+    # plant crash debris from a hypothetical killed swap
+    _os.makedirs(_os.path.join(idx.path, "tmp-deadbeef"))
+    _os.makedirs(_os.path.join(idx.path, "postings.old.cafe"))
+    assert idx.compact() > 0
+    assert idx.append_debt() < debt
+    names = set(_os.listdir(idx.path))
+    assert not any(n.startswith("tmp-") for n in names)
+    assert not any(".old." in n for n in names)
+    assert idx.meta() == meta_before
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in idx.bm25(["spark", "state"]).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-12
