@@ -1305,6 +1305,9 @@ class VectorEngine:
         mmr_lambda: float = 0.5,
         truncate_chars: int | None = None,
         corpus: DataFrame | None = None,
+        use_index: bool = False,
+        nprobe: int = 2,
+        allow_stale: bool = False,
     ) -> DataFrame:
         """Two-stage diverse retrieval: relevance top-``fetch_k``
         (TakeOrderedAndProject over the corpus — the only stage that
@@ -1316,7 +1319,14 @@ class VectorEngine:
         Keeps the reference's observable search contract where it
         applies: threshold 0.1 AFTER selection (on relevance, so a
         diverse-but-irrelevant pick is still dropped), embeddings
-        stripped from results."""
+        stripped from results.
+
+        ``use_index=True`` (r12, single/batch symmetry —
+        `search_diverse_batch` had it first): the relevance stage
+        rides the IVF probe instead of the full-corpus scan, same
+        approximate-recall contract, staleness guard, and nprobe knob
+        as `search_indexed`; with nprobe covering every cluster the
+        result is identical to the brute door."""
         from converttovectordb_spark.operators.search import mmr_rerank
 
         if not 0.0 <= mmr_lambda <= 1.0:
@@ -1349,19 +1359,56 @@ class VectorEngine:
         # store.load() per request.
         from converttovectordb_spark.functions.vector import NORM_COL
 
-        base = corpus if corpus is not None else self.load_corpus()
-        if NORM_COL in base.columns:
-            base = base.drop(NORM_COL)
-        corpus = base.withColumn(
-            "_rid", _row_id()
-        )
-        from converttovectordb_spark.functions.vector import cosine_to_query
+        if use_index:
+            index = self._require_index(allow_stale=allow_stale)
+            probes = self.spark.createDataFrame(
+                [(0, qv)], "query_id int, query_vec array<double>"
+            )
+            # cluster-pruned candidate fetch; embeddings joined back
+            # for the rerank over the bounded survivor set only (the
+            # batch door's use_index shape, Q=1)
+            corpus = (
+                index.corpus()
+                .drop("cluster_id")
+                .withColumnRenamed("_row_id", "_rid")
+            )
+            cands = (
+                index.search(
+                    probes,
+                    top_k=max(int(fetch_k), validate_top_k(top_k)),
+                    nprobe=nprobe,
+                    doc_id_col="_row_id",
+                )
+                .withColumnRenamed("_row_id", "_rid")
+                .join(
+                    corpus.select(
+                        "_rid",
+                        F.col("embedding")
+                        .cast("array<double>")
+                        .alias("embedding"),
+                    ),
+                    on="_rid",
+                )
+                .select("_rid", "score", "embedding")
+            )
+        else:
+            base = corpus if corpus is not None else self.load_corpus()
+            if NORM_COL in base.columns:
+                base = base.drop(NORM_COL)
+            corpus = base.withColumn(
+                "_rid", _row_id()
+            )
+            from converttovectordb_spark.functions.vector import (
+                cosine_to_query,
+            )
 
-        cands = (
-            corpus.withColumn("score", cosine_to_query("embedding", qv))
-            .orderBy(F.col("score").desc(), F.col("_rid").asc())
-            .limit(max(int(fetch_k), validate_top_k(top_k)))
-        )
+            cands = (
+                corpus.withColumn(
+                    "score", cosine_to_query("embedding", qv)
+                )
+                .orderBy(F.col("score").desc(), F.col("_rid").asc())
+                .limit(max(int(fetch_k), validate_top_k(top_k)))
+            )
         picked = mmr_rerank(
             cands.select(
                 F.lit(0).alias("_qid"),

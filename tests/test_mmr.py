@@ -162,3 +162,51 @@ def test_diverse_batch_use_index_matches_brute_at_full_probe(
         eng.search_diverse_batch(
             texts, top_k=3, use_index=True
         ).collect()
+
+
+def test_single_diverse_use_index_matches_brute_at_full_probe(
+    spark, tmp_path
+):
+    """r12 single/batch symmetry: search_diverse(use_index=True) at
+    nprobe covering every cluster reproduces the brute door (ids,
+    ranks, display; scores to 1e-9), and the staleness guard applies."""
+    import pytest as _pytest
+
+    from converttovectordb_spark.engine import VectorEngine
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    (repo / "a.txt").write_text("spark joins and shuffles " * 30)
+    (repo / "b.txt").write_text("spark joins and shuffles " * 30)
+    (repo / "c.txt").write_text("streaming watermarks bound state")
+    (repo / "d.txt").write_text("cosine vectors rank embeddings")
+    eng = VectorEngine(spark, str(tmp_path / "store"), dim=16)
+    eng.ingest(str(repo))
+    eng.build_index(num_clusters=2, transactional=True)
+    n_clusters = eng._index.centroids().count()
+
+    brute = eng.search_diverse("spark joins", top_k=3, fetch_k=10).collect()
+    fast = eng.search_diverse(
+        "spark joins",
+        top_k=3,
+        fetch_k=10,
+        use_index=True,
+        nprobe=n_clusters,
+    ).collect()
+    assert len(fast) == len(brute) > 0
+    for g, w in zip(fast, brute):
+        assert (g["path"], g["chunk_index"], g["mmr_rank"]) == (
+            w["path"], w["chunk_index"], w["mmr_rank"],
+        )
+        assert abs(g["score"] - w["score"]) < 1e-9
+        assert abs(g["mmr"] - w["mmr"]) < 1e-9
+        assert "embedding" not in g.asDict()
+
+    # staleness guard rides along; allow_stale opts out
+    (repo / "e.txt").write_text("late arrival")
+    eng.ingest(str(repo))
+    with _pytest.raises(RuntimeError, match="stale"):
+        eng.search_diverse("spark joins", use_index=True)
+    assert eng.search_diverse(
+        "spark joins", use_index=True, allow_stale=True
+    ).collect()
