@@ -940,6 +940,77 @@ def ivf_knn_join_shuffled(
     )
 
 
+def mmr_greedy(
+    cand: dict,
+    top_k: int,
+    lam: float,
+) -> list:
+    """THE greedy MMR kernel — one implementation for every door.
+
+    ``cand`` maps doc id → ``(relevance, vector)``; returns
+    ``[(doc_id, rel, mmr, rank)]`` in pick order. `mmr_rerank` calls it
+    per Arrow query group and the serving matrix tier
+    (`operators.serving.DriverMatrixIndex.diverse_query`) calls it
+    driver-side, so the two /diverse tiers cannot drift the way a
+    second greedy implementation would (the r11 BLAS-vs-fold lesson,
+    applied to the rerank stage).
+
+    Numeric contract: pairwise sims are sequential left-fold float64
+    (not numpy dot) to bit-match the engine's JVM folds and the DuckDB
+    oracle's `list_sum`; ties scan ids ascending; the running max-sim
+    is updated incrementally against only the newest pick — O(n·k·d)
+    instead of the naive per-step recompute's O(n·k²·d), identical
+    results because max() is order-invariant."""
+    import math
+
+    norms: dict = {}
+    for did, (_, vec) in cand.items():
+        s = 0.0
+        for x in vec:
+            s += x * x
+        norms[did] = math.sqrt(s)
+
+    def _cos(a: object, b: object) -> float:
+        na, nb = norms[a], norms[b]
+        if na == 0.0 or nb == 0.0:
+            return 0.0
+        dot = 0.0
+        for x, y in zip(cand[a][1], cand[b][1]):
+            dot += x * y
+        return dot / (na * nb)
+
+    rows: list = []
+    remaining = dict(cand)
+    maxsim: dict = {did: None for did in cand}
+    last_pick = None
+    while remaining and len(rows) < top_k:
+        best = None
+        for did in sorted(remaining):  # id-asc scan → deterministic ties
+            rel, _ = remaining[did]
+            if last_pick is not None:
+                s = _cos(did, last_pick)
+                if maxsim[did] is None or s > maxsim[did]:
+                    maxsim[did] = s
+            if not rows:
+                # MMR seeds with the RELEVANCE argmax (at λ=0 the
+                # objective is flat over an empty set — seeding by
+                # id would be arbitrary); the recorded mmr value is
+                # still λ·rel − (1−λ)·0.
+                key = rel
+            else:
+                # true max (cosine can be negative — clipping at 0
+                # would under-penalize all-dissimilar sets)
+                key = lam * rel - (1.0 - lam) * maxsim[did]
+            if best is None or key > best[1]:
+                best = (did, key)
+        did, key = best
+        rel, _ = remaining.pop(did)
+        mmr = lam * rel if not rows else key
+        last_pick = did
+        rows.append((did, rel, mmr, len(rows) + 1))
+    return rows
+
+
 def mmr_rerank(
     candidates: DataFrame,
     top_k: int = DEFAULT_TOP_K,
@@ -990,64 +1061,17 @@ def mmr_rerank(
     )
 
     def _mmr(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        import math
-
         # duplicate doc ids collapse last-wins (equal keys by contract)
         cand: dict = {}
         for did, rel, vec in zip(
             pdf[doc_id_col], pdf[rel_col], pdf[doc_vec_col]
         ):
             cand[did] = (float(rel), [float(x) for x in vec])
-        norms: dict = {}
-        for did, (_, vec) in cand.items():
-            s = 0.0
-            for x in vec:
-                s += x * x
-            norms[did] = math.sqrt(s)
-
-        def _cos(a: object, b: object) -> float:
-            na, nb = norms[a], norms[b]
-            if na == 0.0 or nb == 0.0:
-                return 0.0
-            dot = 0.0
-            for x, y in zip(cand[a][1], cand[b][1]):
-                dot += x * y
-            return dot / (na * nb)
-
         qid = pdf[query_id_col].iloc[0]
-        rows = []
-        remaining = dict(cand)
-        # running max-sim vs the selected set, updated incrementally
-        # against only the newest pick — O(n·k·d) instead of the naive
-        # per-step full recompute's O(n·k²·d). max() is order-invariant
-        # so results are identical.
-        maxsim: dict = {did: None for did in cand}
-        last_pick = None
-        while remaining and len(rows) < top_k:
-            best = None
-            for did in sorted(remaining):  # id-asc scan → deterministic ties
-                rel, _ = remaining[did]
-                if last_pick is not None:
-                    s = _cos(did, last_pick)
-                    if maxsim[did] is None or s > maxsim[did]:
-                        maxsim[did] = s
-                if not rows:
-                    # MMR seeds with the RELEVANCE argmax (at λ=0 the
-                    # objective is flat over an empty set — seeding by
-                    # id would be arbitrary); the recorded mmr value is
-                    # still λ·rel − (1−λ)·0.
-                    key = rel
-                else:
-                    # true max (cosine can be negative — clipping at 0
-                    # would under-penalize all-dissimilar sets)
-                    key = lam * rel - (1.0 - lam) * maxsim[did]
-                if best is None or key > best[1]:
-                    best = (did, key)
-            did, key = best
-            rel, _ = remaining.pop(did)
-            mmr = lam * rel if not rows else key
-            last_pick = did
-            rows.append((qid, did, rel, mmr, len(rows) + 1))
+        rows = [
+            (qid, did, rel, mmr, rank)
+            for did, rel, mmr, rank in mmr_greedy(cand, top_k, lam)
+        ]
         return pd.DataFrame(
             rows,
             columns=[query_id_col, doc_id_col, rel_col, "mmr", "mmr_rank"],

@@ -193,6 +193,7 @@ class DriverMatrixIndex:
         self.dim = dim
         self._lex = None  # lazy BM25 cache: (postings, dl, avgdl)
         self._rids = None  # lazy rid cache: (id_cols, rids, order)
+        self._newest = None  # lazy display cache: (id_cols, rid -> idx)
 
     @property
     def n(self) -> int:
@@ -471,6 +472,92 @@ class DriverMatrixIndex:
             )
             self._rids = (key, rids, order)
         return self._rids[1], self._rids[2]
+
+    def _newest_cache(self, id_cols: list[str], timestamp_col: str):
+        """rid → payload index of the NEWEST copy (max timestamp,
+        first-seen among equal stamps) — the matrix-tier twin of the
+        engine's bounded post-join dedupe window in `search_diverse`
+        (a plain store can hold repeated (path, chunk_index) rows
+        after a blind re-ingest). Built once per id_cols, O(n)."""
+        key = (tuple(id_cols), timestamp_col)
+        if self._newest is None or self._newest[0] != key:
+            rids, _ = self._rid_cache(id_cols)
+            newest: dict = {}
+            for i, row in enumerate(self.payload):
+                ts = row.get(timestamp_col)
+                prev = newest.get(rids[i])
+                if prev is None:
+                    newest[rids[i]] = (ts, i)
+                else:
+                    pts = prev[0]
+                    if (pts is None and ts is not None) or (
+                        ts is not None and pts is not None and ts > pts
+                    ):
+                        newest[rids[i]] = (ts, i)
+            self._newest = (key, {r: i for r, (_, i) in newest.items()})
+        return self._newest[1]
+
+    def diverse_query(
+        self,
+        query_vector: list[float],
+        top_k: int,
+        *,
+        fetch_k: int = 50,
+        lambda_: float = 0.5,
+        id_cols: list[str],
+        score_threshold: float = 0.1,
+        timestamp_col: str = "timestamp",
+    ) -> list[dict]:
+        """MMR-diversified search over the cached corpus — the same
+        two-stage semantics as ``VectorEngine.search_diverse`` (top-
+        ``fetch_k`` relevance candidates tie-broken rid-ascending,
+        greedy MMR via the SHARED `operators.search.mmr_greedy`
+        kernel, relevance threshold applied AFTER selection, newest
+        copy per rid in the display), without a Spark job. Duplicate-
+        rid candidate rows collapse to one candidate (equal keys by
+        contract), exactly as `mmr_rerank`'s last-wins dict does.
+
+        The relevance scores come from the BLAS matvec, so they sit
+        within the established ~1e-9 tier contract of the other
+        matrix-tier doors; the MMR loop itself is the bit-identical
+        shared kernel."""
+        from converttovectordb_spark.operators.search import (
+            mmr_greedy,
+            validate_top_k,
+        )
+
+        if not 0.0 <= lambda_ <= 1.0:
+            raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+        k = validate_top_k(top_k)
+        if self.n == 0:
+            return []
+        scores = self._scores(query_vector)  # Q5 dim guard lives here
+        rids, rid_order = self._rid_cache(id_cols)
+        # candidate stage: first fetch_k ROWS by (score desc, rid asc)
+        # — row-level like the engine's orderBy+limit, so a duplicated
+        # rid consumes candidate slots identically on both tiers —
+        # then collapse to distinct rids for the kernel
+        limit = min(max(int(fetch_k), k), self.n)
+        order = np.lexsort((rid_order, -scores))[:limit]
+        cand: dict = {}
+        for i in order:
+            rid = rids[int(i)]
+            if rid not in cand:
+                cand[rid] = (
+                    float(scores[i]),
+                    [float(x) for x in self.matrix[int(i)]],
+                )
+        newest = self._newest_cache(id_cols, timestamp_col)
+        out = []
+        for rid, rel, mmr, rank in mmr_greedy(cand, k, float(lambda_)):
+            if rel < score_threshold:  # threshold AFTER selection
+                continue
+            row = dict(self.payload[newest[rid]])
+            row["score"] = rel
+            row["mmr"] = mmr
+            row["mmr_rank"] = rank
+            out.append(row)
+        return out
 
     def hybrid_query(
         self,

@@ -789,20 +789,40 @@ class VectorDBApi:
 
 
     def diverse(self, body: dict) -> dict:
-        """MMR-diversified search. The distributed first stage rides
-        the warm df-tier cache when present (prenormed corpus with
-        embeddings, same reuse as /search); only the MATRIX tier is
-        skipped — it strips embeddings, which the rerank needs, and a
-        matrix-tier MMR would be a second rerank implementation for a
-        verb whose cost is dominated by the bounded greedy loop."""
+        """MMR-diversified search. Matrix tier: candidate scoring is
+        the same BLAS matvec as /query and the greedy rerank is the
+        SHARED `mmr_greedy` kernel (`DriverMatrixIndex.diverse_query`)
+        — the tier keeps the embedding matrix, which is exactly what
+        cosine MMR needs, so no Spark job and no second greedy
+        implementation (r12; the single door used to pay a ~0.57 s
+        distributed job its batch twin had already amortized away).
+        Distributed tier: the relevance stage rides the warm df-tier
+        cache (prenormed corpus with embeddings, same reuse as
+        /search)."""
         start = time.time()
         query = body.get("query")
         if not query:
             raise _ApiError(400, "No query provided")
-        # warm-corpus reuse for the relevance stage: the df tier's own
-        # cache, or (matrix tier — it strips the embeddings MMR needs)
-        # the secondary embedding cache (r11), instead of a cold
-        # store.load() per request
+        handle = self._corpus_handle()
+        if handle is not None and handle[0] == "matrix":
+            idx = handle[1]
+            qv = self.engine.embedder([query])
+            import numpy as np
+
+            qv = np.asarray(qv, dtype=np.float64).reshape(-1).tolist()
+            try:
+                rows = idx.diverse_query(
+                    qv,
+                    body.get("top_k", 5),
+                    fetch_k=body.get("fetch_k", 50),
+                    lambda_=body.get("mmr_lambda", 0.5),
+                    id_cols=["path", "chunk_index"],
+                )
+            except ValueError as e:  # e.g. mmr_lambda out of [0, 1]
+                raise _ApiError(400, str(e))
+            return {"results": rows, "query_time": time.time() - start}
+        # warm-corpus reuse for the relevance stage on the df tier,
+        # instead of a cold store.load() per request
         corpus = self._embedding_corpus()
         try:
             hits = self.engine.search_diverse(
@@ -836,6 +856,31 @@ class VectorDBApi:
             or not all(isinstance(q, str) and q for q in queries)
         ):
             raise _ApiError(400, "No queries provided")
+        handle = self._corpus_handle()
+        if handle is not None and handle[0] == "matrix":
+            import numpy as np
+
+            idx = handle[1]
+            # one embedder call for the whole batch even on the
+            # driver tier — the embedder is the batch-shaped seam
+            qvs = np.asarray(
+                self.engine.embedder(list(queries)), dtype=np.float64
+            )
+            try:
+                results = [
+                    idx.diverse_query(
+                        qvs[i].tolist(),
+                        body.get("top_k", 5),
+                        fetch_k=body.get("fetch_k", 50),
+                        lambda_=body.get("mmr_lambda", 0.5),
+                        id_cols=["path", "chunk_index"],
+                    )
+                    for i in range(len(queries))
+                ]
+            except ValueError as e:
+                raise _ApiError(400, str(e))
+            return {"results": results,
+                    "query_time": time.time() - start}
         corpus = self._embedding_corpus()
         from converttovectordb_spark.operators.serving import (
             point_query_mode,

@@ -958,3 +958,91 @@ def test_hybrid_batch_distributed_tier_matches_single(spark, tmp_path):
                 assert abs(g["rrf"] - w["rrf"]) < 1e-9
     finally:
         srv.stop()
+
+
+def test_diverse_tier_parity(spark, tmp_path):
+    """/diverse and /diverse_batch must answer identically from the
+    matrix tier (DriverMatrixIndex.diverse_query, no Spark job — r12)
+    and the forced df tier (matrix_max_cells=0 → engine.search_diverse
+    through the warm cache): same picks, same order, same newest-copy
+    rows, scores/mmr within the 1e-9 tier contract."""
+    eng = VectorEngine(
+        spark,
+        str(tmp_path / "store"),
+        embedder=hash_embedder(DIM),
+        dim=DIM,
+    )
+    # two embedding near-clusters so MMR genuinely reorders (seed docs
+    # share most tokens within a cluster under the hash embedder)
+    docs = [
+        {
+            "path": f"src/f{i}.py",
+            "content": t,
+            "embedding": None,  # filled below
+            "chunk_index": 0,
+            "total_chunks": 1,
+        }
+        for i, t in enumerate(
+            [
+                "alpha shared tokens one",
+                "alpha shared tokens two",
+                "alpha shared tokens three",
+                "beta different story one",
+                "beta different story two",
+                "gamma stray unrelated",
+            ]
+        )
+    ]
+    emb = hash_embedder(DIM)
+    for d in docs:
+        d["embedding"] = [float(x) for x in emb([d["content"]])[0]]
+
+    srv_matrix = VectorDBServer(eng, port=0).start()
+    srv_df = VectorDBServer(eng, port=0, matrix_max_cells=0).start()
+    try:
+        status, _ = _call(
+            srv_matrix, "POST", "/add_documents", {"documents": docs}
+        )
+        assert status == 200
+        body = {
+            "query": "alpha shared probe",
+            "top_k": 4,
+            "fetch_k": 10,
+            "mmr_lambda": 0.4,
+        }
+        st_m, out_m = _call(srv_matrix, "POST", "/diverse", body)
+        st_d, out_d = _call(srv_df, "POST", "/diverse", body)
+        assert st_m == 200 and st_d == 200
+        got, want = out_m["results"], out_d["results"]
+        assert [r["path"] for r in got] == [r["path"] for r in want]
+        for g, w in zip(got, want):
+            assert g["mmr_rank"] == w["mmr_rank"]
+            assert g["content"] == w["content"]
+            assert abs(g["score"] - w["score"]) < 1e-9
+            assert abs(g["mmr"] - w["mmr"]) < 1e-9
+            assert "embedding" not in g
+
+        batch = {
+            "queries": ["alpha shared probe", "beta story probe"],
+            "top_k": 3,
+            "mmr_lambda": 0.4,
+        }
+        st_m, bm = _call(srv_matrix, "POST", "/diverse_batch", batch)
+        st_d, bd = _call(srv_df, "POST", "/diverse_batch", batch)
+        assert st_m == 200 and st_d == 200
+        assert len(bm["results"]) == len(bd["results"]) == 2
+        for rm, rd in zip(bm["results"], bd["results"]):
+            assert [r["path"] for r in rm] == [r["path"] for r in rd]
+            for g, w in zip(rm, rd):
+                assert g["mmr_rank"] == w["mmr_rank"]
+                assert abs(g["mmr"] - w["mmr"]) < 1e-9
+
+        # lambda validation keeps the 400 contract on the matrix tier
+        st, err = _call(
+            srv_matrix, "POST", "/diverse",
+            {"query": "x", "mmr_lambda": -0.1},
+        )
+        assert st == 400 and "lambda" in err["error"]
+    finally:
+        srv_matrix.stop()
+        srv_df.stop()

@@ -367,3 +367,127 @@ def test_point_query_mode_sessions_are_isolated(spark):
             a.__exit__(None, None, None)
         if b_active:
             b.__exit__(None, None, None)
+
+
+def _neardup_corpus_rows(emb):
+    """Six docs in two tight embedding clusters plus a stray — MMR must
+    actually reorder (a pure-relevance top-k would return one cluster's
+    near-duplicates back to back). Tests must query with a vector that
+    is NOT a stored doc's: if q == d0 exactly, every λ=0.5 key is
+    0.5·(rel−sim) ≡ 0 in exact math and the tier comparison degrades
+    to float-noise coin flips."""
+    base_a = emb(["alpha cluster seed"])[0]
+    base_b = emb(["beta cluster seed"])[0]
+
+    def _nudge(v, eps, j):
+        out = [float(x) for x in v]
+        out[j % len(out)] += eps
+        return out
+
+    vecs = [
+        _nudge(base_a, 0.0, 0),
+        _nudge(base_a, 0.01, 1),
+        _nudge(base_a, 0.02, 2),
+        _nudge(base_b, 0.0, 3),
+        _nudge(base_b, 0.015, 4),
+        emb(["stray unrelated document"])[0],
+    ]
+    return [
+        (
+            f"d{i}.txt", ".txt", 0, 1,
+            f"content of document {i}",
+            [float(x) for x in vecs[i]],
+            float(1000 + i),
+        )
+        for i in range(6)
+    ]
+
+
+def test_diverse_query_matches_engine(spark, tmp_path):
+    """Matrix-tier /diverse vs the engine's Spark door on a corpus
+    where MMR genuinely reorders: same picks, same order, same
+    newest-copy display rows; scores/mmr within the tier's 1e-9
+    contract (BLAS vs JVM-fold relevance; the greedy kernel itself is
+    shared, `operators.search.mmr_greedy`)."""
+    from converttovectordb_spark.embeddings import hash_embedder
+    from converttovectordb_spark.engine import VectorEngine
+
+    emb = hash_embedder(8)
+    rows = _neardup_corpus_rows(emb)
+    schema = (
+        "path string, extension string, chunk_index int, total_chunks int, "
+        "content string, embedding array<float>, timestamp double"
+    )
+    docs = spark.createDataFrame(rows, schema)
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=emb, dim=8
+    )
+    eng.store.append(docs)
+    # blind re-ingest: duplicate copies of d1 with a NEWER timestamp —
+    # both tiers must dedupe to the newest copy after selection
+    dup = [r[:6] + (2000.0,) for r in rows if r[0] == "d1.txt"]
+    eng.store.append(spark.createDataFrame(dup, schema))
+
+    query = "alpha cluster probe"
+    qv = [float(x) for x in emb([query])[0]]
+    idx = DriverMatrixIndex.from_dataframe(eng.store.load())
+    for lam in (0.3, 0.5, 0.9):
+        got = idx.diverse_query(
+            qv, 4, fetch_k=10, lambda_=lam,
+            id_cols=["path", "chunk_index"],
+        )
+        want = eng.search_diverse(
+            query, 4, fetch_k=10, mmr_lambda=lam
+        ).collect()
+        assert [r["path"] for r in got] == [r["path"] for r in want]
+        assert [r["mmr_rank"] for r in got] == [
+            r["mmr_rank"] for r in want
+        ]
+        for g, w in zip(got, want):
+            assert abs(g["score"] - w["score"]) < 1e-9
+            assert abs(g["mmr"] - w["mmr"]) < 1e-9
+            assert g["content"] == w["content"]
+            assert g["timestamp"] == w["timestamp"]
+            if g["path"] == "d1.txt":  # the duplicated rid
+                assert g["timestamp"] == 2000.0
+
+
+def test_diverse_query_contracts(spark, tmp_path):
+    """Matrix-tier diverse door edge contracts: lambda range raises
+    the engine's ValueError, empty corpus returns [], the relevance
+    threshold applies AFTER selection (an irrelevant pick is dropped,
+    not replaced), and results never carry embeddings."""
+    from converttovectordb_spark.embeddings import hash_embedder
+    from converttovectordb_spark.engine import VectorEngine
+
+    emb = hash_embedder(8)
+    eng = VectorEngine(spark, str(tmp_path / "s2"), embedder=emb, dim=8)
+    rows = _neardup_corpus_rows(emb)
+    eng.store.append(spark.createDataFrame(
+        rows,
+        "path string, extension string, chunk_index int, total_chunks int, "
+        "content string, embedding array<float>, timestamp double",
+    ))
+    idx = DriverMatrixIndex.from_dataframe(eng.store.load())
+    qv = [float(x) for x in emb(["alpha cluster probe"])[0]]
+
+    with pytest.raises(ValueError, match="lambda"):
+        idx.diverse_query(qv, 3, lambda_=1.5, id_cols=["path"])
+
+    empty = DriverMatrixIndex.from_dataframe(
+        eng.store.load().limit(0)
+    )
+    assert empty.diverse_query(qv, 3, id_cols=["path"]) == []
+
+    got = idx.diverse_query(
+        qv, 6, fetch_k=10, lambda_=0.5,
+        id_cols=["path", "chunk_index"],
+    )
+    want = eng.search_diverse(
+        "alpha cluster probe", 6, fetch_k=10, mmr_lambda=0.5
+    ).collect()
+    # threshold-after-selection: both doors drop the same
+    # below-threshold picks instead of backfilling
+    assert len(got) == len(want)
+    assert all(r["score"] >= 0.1 for r in got)
+    assert all("embedding" not in r for r in got)
