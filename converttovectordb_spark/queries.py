@@ -9422,6 +9422,315 @@ ORDER BY cluster_id
 """
 
 
+def q_mrl_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation recall panel (Kusupati et al. 2022): slice
+    every embedding to its first d' dims for d' in {8,16,32,64}, rerun
+    the exact top-3 search on the truncated vectors, and grade recall@3
+    against the full-dim ground truth — the measured contract for the
+    dimension knob, exactly the treatment nprobe (`ivf_recall_curve`)
+    and the ADC shortlist (`adc_recall_curve`) already have. MRL-style
+    prefix truncation is the standard storage/latency dial for learned
+    embeddings (store 64, search 16, rerank 64); an engine that can't
+    measure what truncation costs can only guess the dial.
+
+    Scale shape: each panel member is a `knn_join` — probe side
+    broadcast, corpus streamed with NO shuffle, per-probe top-k as a
+    bounded rank window — and the slice is a projection evaluated
+    inside the scan stage. The d'=64 member doubles as a self-check
+    (recall ≡ 1.0 by construction).
+
+    Reference: the brute engine searches at its one stored dimension
+    (mock_vector_db_api.py:37-52); the truncation dial and its recall
+    contract are part of this engine's ANN surface, not a port."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = knn_join(probes, emb, top_k=3).select("query_id", "vec_id")
+    total = exact.agg(F.count(F.lit(1)).alias("_total"))
+    panels = []
+    for d in (8, 16, 32, 64):
+        p_d = probes.select(
+            "query_id", F.slice("query_vec", 1, d).alias("query_vec")
+        )
+        c_d = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        approx = knn_join(p_d, c_d, top_k=3).select("query_id", "vec_id")
+        overlap = exact.join(approx, on=["query_id", "vec_id"], how="inner")
+        panels.append(
+            overlap.agg(F.count(F.lit(1)).alias("n_overlap")).select(
+                F.lit(d).alias("dim"), "n_overlap"
+            )
+        )
+    out = panels[0]
+    for p in panels[1:]:
+        out = out.unionByName(p)
+    return (
+        out.crossJoin(F.broadcast(total))
+        .select(
+            "dim",
+            F.col("n_overlap").cast("bigint").alias("n_overlap"),
+            _round6(F.col("n_overlap") / F.col("_total")).alias("recall"),
+        )
+        .orderBy("dim")
+    )
+
+
+ORACLE_MRL_RECALL_CURVE = """
+WITH dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+docs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+norm AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+  FROM docs
+),
+unit AS (
+  SELECT vec_id,
+         CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS u
+  FROM norm
+),
+qunit AS (SELECT vec_id AS query_id, u AS qu FROM unit WHERE vec_id < 8),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, d.vec_id,
+           row_number() OVER (PARTITION BY p.query_id
+             ORDER BY list_sum(list_transform(list_zip(p.qu, d.u),
+                                              x -> x[1] * x[2])) DESC,
+                      d.vec_id) AS rank
+    FROM qunit p CROSS JOIN unit d
+  ) WHERE rank <= 3
+),
+tdocs AS (
+  SELECT dm.dim, d.vec_id, list_slice(d.v, 1, dm.dim) AS tv
+  FROM docs d CROSS JOIN dims dm
+),
+tnorm AS (
+  SELECT dim, vec_id, tv,
+         sqrt(list_sum(list_transform(tv, x -> x * x))) AS n
+  FROM tdocs
+),
+tunit AS (
+  SELECT dim, vec_id,
+         CASE WHEN n = 0 THEN tv ELSE list_transform(tv, x -> x / n) END AS u
+  FROM tnorm
+),
+tq AS (SELECT dim, vec_id AS query_id, u AS qu FROM tunit WHERE vec_id < 8),
+approx AS (
+  SELECT dim, query_id, vec_id FROM (
+    SELECT p.dim, p.query_id, d.vec_id,
+           row_number() OVER (PARTITION BY p.dim, p.query_id
+             ORDER BY list_sum(list_transform(list_zip(p.qu, d.u),
+                                              x -> x[1] * x[2])) DESC,
+                      d.vec_id) AS rank
+    FROM tq p JOIN tunit d ON d.dim = p.dim
+  ) WHERE rank <= 3
+),
+ov AS (
+  SELECT a.dim, count(*) AS n_overlap
+  FROM approx a
+  JOIN exact e ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+  GROUP BY a.dim
+)
+SELECT d.dim,
+       CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(CAST(coalesce(o.n_overlap, 0) AS DOUBLE)
+             / (SELECT count(*) FROM exact), 6) AS recall
+FROM dims d LEFT JOIN ov o ON o.dim = d.dim
+ORDER BY d.dim
+"""
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel over the event stream: view → click →
+    purchase, each step STRICTLY after the previous step AND within a
+    24-hour conversion window of it (a click before the first view
+    does not count; neither does one a week later) — the
+    product-analytics primitive events tables exist for, and a shape
+    plain sessionization can't express (it has no step order).
+
+    Scale shape: each stage is filter(event_type) → groupBy(user_id)
+    min(ts) — the per-type filter pushes to the parquet scan and the
+    agg is map-side-combinable; stages join on user_id (bounded by
+    distinct users, NOT events — at 100 TB the joins carry the user
+    dimension only, and AQE picks broadcast when a stage's survivor
+    set is small). Output is 3 rows."""
+    ev = load_events(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, on="user_id")
+        .filter(
+            (F.col("ts") > F.col("t0"))
+            & (F.col("ts") <= F.col("t0") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, on="user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    stages = [
+        views.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(1).alias("stage_order"), F.lit("view").alias("stage"),
+            "users",
+        ),
+        clicks.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(2).alias("stage_order"), F.lit("click").alias("stage"),
+            "users",
+        ),
+        purchases.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(3).alias("stage_order"), F.lit("purchase").alias("stage"),
+            "users",
+        ),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    entered = views.agg(F.count(F.lit(1)).alias("_entered"))
+    return (
+        out.crossJoin(F.broadcast(entered))
+        .select(
+            "stage_order",
+            "stage",
+            F.col("users").cast("bigint").alias("users"),
+            _round6(F.col("users") / F.col("_entered")).alias("conversion"),
+        )
+        .orderBy("stage_order")
+    )
+
+
+ORACLE_FUNNEL_CONVERSION = """
+WITH views AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+clicks AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN views v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t0
+    AND e.ts <= v.t0 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+),
+purchases AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN clicks c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t1
+    AND e.ts <= c.t1 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+),
+stages AS (
+  SELECT 1 AS stage_order, 'view' AS stage,
+         (SELECT count(*) FROM views) AS users
+  UNION ALL
+  SELECT 2, 'click', (SELECT count(*) FROM clicks)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT count(*) FROM purchases)
+)
+SELECT stage_order, stage, CAST(users AS BIGINT) AS users,
+       round(CAST(users AS DOUBLE)
+             / (SELECT count(*) FROM views), 6) AS conversion
+FROM stages ORDER BY stage_order
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle: users grouped by the ISO week
+    of their FIRST event; for each (cohort_week, week_offset), the
+    distinct users active that many weeks later and the retention rate
+    against the cohort's size — the other canonical product-analytics
+    rollup (the funnel orders steps; this one follows a cohort through
+    time).
+
+    Scale shape: first-event per user is one map-side-combinable
+    min(ts) agg; activity is distinct (user, week) — a 2-phase
+    distinct agg; the cohort join carries the user dimension only.
+    The output is |weeks|² rows regardless of event count, and the
+    offset arithmetic is exact integer day-diff / 7 on both engines
+    (both truncate weeks to Monday 00:00)."""
+    ev = load_events(spark, sf_dir)
+    cohort = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("_first_ts"))
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("_first_ts")).alias("cohort_week"),
+        )
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    joined = active.join(cohort, on="user_id").select(
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        .cast("int")
+        .alias("week_offset"),
+        "user_id",
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_users")
+    )
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .join(sizes, on="cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            F.col("active_users").cast("bigint").alias("active_users"),
+            F.col("cohort_users").cast("bigint").alias("cohort_users"),
+            _round6(F.col("active_users") / F.col("cohort_users")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+ORACLE_RETENTION_COHORTS = """
+WITH cohort AS (
+  SELECT user_id,
+         CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+  FROM events
+),
+joined AS (
+  SELECT c.cohort_week,
+         CAST(date_diff('day', c.cohort_week, a.wk) / 7 AS INT)
+           AS week_offset,
+         a.user_id
+  FROM active a JOIN cohort c ON c.user_id = a.user_id
+),
+sizes AS (
+  SELECT cohort_week, count(DISTINCT user_id) AS cohort_users
+  FROM cohort GROUP BY cohort_week
+)
+SELECT j.cohort_week, j.week_offset,
+       CAST(count(DISTINCT j.user_id) AS BIGINT) AS active_users,
+       CAST(s.cohort_users AS BIGINT) AS cohort_users,
+       round(CAST(count(DISTINCT j.user_id) AS DOUBLE) / s.cohort_users, 6)
+         AS retention
+FROM joined j JOIN sizes s ON s.cohort_week = j.cohort_week
+GROUP BY j.cohort_week, j.week_offset, s.cohort_users
+ORDER BY j.cohort_week, j.week_offset
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -9584,6 +9893,10 @@ QUERIES = {
     "domain_cap_sample": q_domain_cap_sample,
     "source_mixture": q_source_mixture,
     "temperature_sampling": q_temperature_sampling,
+    # -- round-12 additions: measured-dial + product-analytics family -
+    "mrl_recall_curve": q_mrl_recall_curve,
+    "funnel_conversion": q_funnel_conversion,
+    "retention_cohorts": q_retention_cohorts,
 }
 
 #: Sketch-based queries have NO oracle entry on purpose: Spark's
@@ -9719,4 +10032,7 @@ ORACLES = {
     "value_percentiles": ORACLE_VALUE_PERCENTILES,
     "sessionize": ORACLE_SESSIONIZE,
     "stream_sessionize": ORACLE_SESSIONIZE,
+    "mrl_recall_curve": ORACLE_MRL_RECALL_CURVE,
+    "funnel_conversion": ORACLE_FUNNEL_CONVERSION,
+    "retention_cohorts": ORACLE_RETENTION_COHORTS,
 }
