@@ -8639,6 +8639,88 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered-funnel twin of `q_stream_sessionize`: the second
+    CUSTOM STATEFUL streaming operator under the correctness gate
+    (streaming/stateful.py `stream_funnel` — per-user step machine,
+    three nullable scalars of state), driven to completion and
+    aggregated into the SAME 3-row shape — and SQL oracle — as the
+    batch `funnel_conversion`.
+
+    Simpler than the sessionize harness on purpose: a stage completion
+    is known the moment its event arrives, so there is no tail to
+    flush and NO sentinel file. The per-type filter is applied on the
+    stream before the stateful operator (state machines never see
+    'error'/'signup' noise — at scale that is most of the stream)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        f"event_id bigint, ts {_events_physical_ts(sf_dir)}, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    stream_dir = tempfile.mkdtemp(prefix="stream_funnel_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    from converttovectordb_spark.streaming.stateful import stream_funnel
+
+    ev = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .transform(_normalize_events_ts)
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    comp = stream_funnel(ev, window_s=86_400)
+    name = f"stream_funnel_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            comp.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(stream_dir, ignore_errors=True)
+    completions = spark.table(name)
+    stages = spark.createDataFrame(
+        [(1, "view"), (2, "click"), (3, "purchase")],
+        "stage_order int, stage string",
+    )
+    counts = completions.groupBy("stage_order").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    entered = completions.filter(F.col("stage_order") == 1).agg(
+        F.count(F.lit(1)).alias("_entered")
+    )
+    out = (
+        stages.join(counts, on="stage_order", how="left")
+        .crossJoin(F.broadcast(entered))
+        .select(
+            "stage_order",
+            "stage",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("users"),
+            _round6(
+                F.coalesce(F.col("_n"), F.lit(0)) / F.col("_entered")
+            ).alias("conversion"),
+        )
+        .orderBy("stage_order")
+    )
+    spark.catalog.dropTempView(name)  # resolved above; no catalog leak
+    return out
+
+
 ORACLE_SESSIONIZE = """
 WITH ev AS (
   SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events
@@ -9897,6 +9979,7 @@ QUERIES = {
     "mrl_recall_curve": q_mrl_recall_curve,
     "funnel_conversion": q_funnel_conversion,
     "retention_cohorts": q_retention_cohorts,
+    "stream_funnel": q_stream_funnel,
 }
 
 #: Sketch-based queries have NO oracle entry on purpose: Spark's
@@ -10035,4 +10118,5 @@ ORACLES = {
     "mrl_recall_curve": ORACLE_MRL_RECALL_CURVE,
     "funnel_conversion": ORACLE_FUNNEL_CONVERSION,
     "retention_cohorts": ORACLE_RETENTION_COHORTS,
+    "stream_funnel": ORACLE_FUNNEL_CONVERSION,
 }

@@ -95,3 +95,85 @@ def stream_sessionize(events: DataFrame, *, gap_s: int = 1800) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+#: Emitted once per (user, completed funnel stage).
+FUNNEL_SCHEMA = "user_id bigint, stage_order int, stage_ts timestamp"
+
+#: Funnel progress per user: epoch-micros of each completed stage
+#: (NULL = not reached). Once stage 3 lands the machine is terminal.
+FUNNEL_STATE_SCHEMA = "t0_us bigint, t1_us bigint, t2_us bigint"
+
+#: Ordered funnel steps; must match queries.q_funnel_conversion.
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _funnel_fn(window_s: int):
+    window_us = window_s * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        t0_us, t1_us, t2_us = state.get if state.exists else (None, None, None)
+
+        emitted: list[dict[str, Any]] = []
+        events = pd.concat(list(pdfs))
+        events = events.sort_values(["ts", "event_id"])
+        for ts, etype in zip(events["ts"], events["event_type"]):
+            if t2_us is not None:
+                break  # terminal: the user completed the funnel
+            t_us = int(ts.value // 1_000)  # pandas ns -> us
+            if etype == _FUNNEL_STEPS[0] and t0_us is None:
+                t0_us = t_us
+                emitted.append({"user_id": user_id, "stage_order": 1,
+                                "stage_ts": pd.Timestamp(t_us * 1_000)})
+            elif (
+                etype == _FUNNEL_STEPS[1]
+                and t1_us is None
+                and t0_us is not None
+                and t0_us < t_us <= t0_us + window_us
+            ):
+                t1_us = t_us
+                emitted.append({"user_id": user_id, "stage_order": 2,
+                                "stage_ts": pd.Timestamp(t_us * 1_000)})
+            elif (
+                etype == _FUNNEL_STEPS[2]
+                and t2_us is None
+                and t1_us is not None
+                and t1_us < t_us <= t1_us + window_us
+            ):
+                t2_us = t_us
+                emitted.append({"user_id": user_id, "stage_order": 3,
+                                "stage_ts": pd.Timestamp(t_us * 1_000)})
+
+        state.update((t0_us, t1_us, t2_us))
+        yield pd.DataFrame(
+            emitted, columns=["user_id", "stage_order", "stage_ts"]
+        )
+
+    return fn
+
+
+def stream_funnel(events: DataFrame, *, window_s: int = 86_400) -> DataFrame:
+    """events(user_id, event_id, ts, event_type) stream → stage-
+    completion stream for the ordered view→click→purchase funnel with
+    a ``window_s`` conversion window per step (the batch twin is
+    queries.q_funnel_conversion's three chained min-aggregates).
+
+    Per-user state is THREE nullable epoch-micros scalars — O(users)
+    regardless of stream length, and strictly less than sessionize's
+    (no running aggregates). Unlike sessionize there is NO tail to
+    flush: a stage completion is known the moment its event arrives,
+    so rows emit immediately in append mode and a sentinel is never
+    needed. In ts-order feeds (micro-batch sort + ordered files) the
+    first qualifying event the machine sees IS the batch twin's
+    min(ts) for that stage, which is what makes the stream and batch
+    doors share one oracle."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn(window_s),
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -392,3 +392,70 @@ def test_retrain_check_cadence(spark, tmp_path, monkeypatch):
             retrain_shift_threshold=1.0,
             retrain_check_every=0,
         )
+
+
+def test_stream_funnel_state_across_batches(spark, tmp_path):
+    """The funnel step machine persists per-user progress across
+    micro-batches (view in batch 1, qualifying click in batch 2 →
+    stage 2 emits in batch 2), enforces the strict-order + 24h-window
+    contract (a click BEFORE the first view never counts; neither
+    does a purchase past the window), and emits each stage at most
+    once per user."""
+    import json as _json
+    import os
+    import time as _time
+
+    from converttovectordb_spark.streaming.stateful import stream_funnel
+
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def rec(eid, uid, minutes, etype):
+        ts = base + dt.timedelta(minutes=minutes)
+        return {"event_id": eid, "ts": ts.isoformat(), "user_id": uid,
+                "event_type": etype, "value": 0.0, "props": "{}"}
+
+    # user 1: view(b1) → click(b2, +30min, in window) → purchase(b2,
+    #   +25h after the click, OUT of window → stage 3 never fires)
+    # user 2: click BEFORE any view, then view — only stage 1 fires
+    # user 3: full funnel inside one batch, plus a SECOND qualifying
+    #   click that must not re-emit stage 2
+    b1 = src / "b1.json"
+    b1.write_text("\n".join(_json.dumps(r) for r in [
+        rec(1, 1, 0, "view"),
+        rec(10, 2, 0, "click"),
+        rec(11, 2, 5, "view"),
+    ]))
+    b2 = src / "b2.json"
+    b2.write_text("\n".join(_json.dumps(r) for r in [
+        rec(2, 1, 30, "click"),
+        rec(3, 1, 30 + 25 * 60, "purchase"),
+        rec(20, 3, 0, "view"),
+        rec(21, 3, 10, "click"),
+        rec(22, 3, 15, "click"),
+        rec(23, 3, 20, "purchase"),
+    ]))
+    now = _time.time()
+    os.utime(b1, (now - 60, now - 60))
+    os.utime(b2, (now, now))
+
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    ev = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).json(str(src))
+          .select("user_id", "event_id", "ts", "event_type"))
+    out = stream_funnel(ev, window_s=86_400)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("funnel_out")
+         .option("checkpointLocation", str(tmp_path / "funnel_ckpt"))
+         .trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.table("funnel_out").collect()
+    got = sorted((r["user_id"], r["stage_order"]) for r in rows)
+    assert got == [(1, 1), (1, 2), (2, 1), (3, 1), (3, 2), (3, 3)]
+    by = {(r["user_id"], r["stage_order"]): r["stage_ts"] for r in rows}
+    assert by[(1, 2)] == base + dt.timedelta(minutes=30)
+    assert by[(3, 2)] == base + dt.timedelta(minutes=10)  # FIRST click
