@@ -9623,6 +9623,134 @@ ORDER BY d.dim
 """
 
 
+def q_binary_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) quantization recall: quantize every embedding
+    to one bit per dimension (x > 0), search by Hamming distance, and
+    grade recall@3 against the full-precision exact top-k — closing
+    the quantization family's third dial (int8 affine =
+    `quantize_calibration`, PQ/ADC = `adc_recall_curve`, and now the
+    32× bit-compression every billion-scale first-stage retriever
+    uses). Ties on Hamming break by vec_id ascending, like every
+    top-k in the suite.
+
+    Scale shape: the bit vectors here are int arrays so the oracle
+    can replay the exact same integer arithmetic (list_sum of |a−b|
+    over 0/1 ints — no float anywhere below the recall quotient); the
+    production layout packs the 64 bits into one BIGINT word per
+    vector and scores with bit_count(xor) — same semantics, graded
+    here, packed there. Probe side broadcast; corpus streams with no
+    shuffle; per-probe top-k is a bounded rank window."""
+    emb = load(spark, sf_dir, "embeddings")
+    bits = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(x > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    corpus = emb.select("vec_id", bits.alias("bits"))
+    probes = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("bits").alias("qbits")
+    )
+    hamming = F.aggregate(
+        F.zip_with("qbits", "bits", lambda a, b: F.abs(a - b)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        "query_id", "vec_id", hamming.alias("hamming")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("vec_id").asc()
+    )
+    approx = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("query_id", "vec_id")
+    )
+    full_probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = knn_join(full_probes, emb, top_k=3).select("query_id", "vec_id")
+    overlap = exact.join(approx, on=["query_id", "vec_id"], how="inner")
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .join(
+            overlap.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("n_overlap")
+            ),
+            on="query_id",
+            how="left",
+        )
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("bigint")
+            .alias("n_overlap"),
+            _round6(
+                F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("_k")
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_BINARY_QUANT_RECALL = """
+WITH docs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bits AS (
+  SELECT vec_id,
+         list_transform(v, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS b
+  FROM docs
+),
+qbits AS (SELECT vec_id AS query_id, b AS qb FROM bits WHERE vec_id < 8),
+ham AS (
+  SELECT q.query_id, d.vec_id,
+         list_sum(list_transform(list_zip(q.qb, d.b),
+                                 x -> abs(x[1] - x[2]))) AS hamming
+  FROM qbits q CROSS JOIN bits d
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming ASC, vec_id) AS rank
+    FROM ham
+  ) WHERE rank <= 3
+),
+norm AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+  FROM docs
+),
+unit AS (
+  SELECT vec_id,
+         CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS u
+  FROM norm
+),
+qunit AS (SELECT vec_id AS query_id, u AS qu FROM unit WHERE vec_id < 8),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, d.vec_id,
+           row_number() OVER (PARTITION BY p.query_id
+             ORDER BY list_sum(list_transform(list_zip(p.qu, d.u),
+                                              x -> x[1] * x[2])) DESC,
+                      d.vec_id) AS rank
+    FROM qunit p CROSS JOIN unit d
+  ) WHERE rank <= 3
+),
+ov AS (
+  SELECT e.query_id, count(*) AS n_overlap
+  FROM exact e JOIN approx a
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY e.query_id
+)
+SELECT k.query_id,
+       CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / k.k, 6) AS recall
+FROM (SELECT query_id, count(*) AS k FROM exact GROUP BY query_id) k
+LEFT JOIN ov o ON o.query_id = k.query_id
+ORDER BY k.query_id
+"""
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-step funnel over the event stream: view → click →
     purchase, each step STRICTLY after the previous step AND within a
@@ -9977,6 +10105,7 @@ QUERIES = {
     "temperature_sampling": q_temperature_sampling,
     # -- round-12 additions: measured-dial + product-analytics family -
     "mrl_recall_curve": q_mrl_recall_curve,
+    "binary_quant_recall": q_binary_quant_recall,
     "funnel_conversion": q_funnel_conversion,
     "retention_cohorts": q_retention_cohorts,
     "stream_funnel": q_stream_funnel,
@@ -10116,6 +10245,7 @@ ORACLES = {
     "sessionize": ORACLE_SESSIONIZE,
     "stream_sessionize": ORACLE_SESSIONIZE,
     "mrl_recall_curve": ORACLE_MRL_RECALL_CURVE,
+    "binary_quant_recall": ORACLE_BINARY_QUANT_RECALL,
     "funnel_conversion": ORACLE_FUNNEL_CONVERSION,
     "retention_cohorts": ORACLE_RETENTION_COHORTS,
     "stream_funnel": ORACLE_FUNNEL_CONVERSION,
