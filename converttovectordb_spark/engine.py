@@ -2149,9 +2149,14 @@ class VectorEngine:
                 prev_adc_curve = prev.adc_curve()
             except FileNotFoundError:
                 pass  # first publish at this base — nothing to carry
-            # publish: atomic pointer replace — readers attached to the
-            # old dir keep working, new open_index() calls see this one
-            TransactionalIVFIndex.publish_current(base, new_dir)
+            # publish is DEFERRED until after the recall/ADC curve
+            # re-measures below (the streaming retrain's ordering,
+            # streaming/jobs.py): publishing first opens a window —
+            # minutes at scale, the re-measure is a corpus pass —
+            # where a reader's search_indexed(target_recall=...) hits
+            # "no recall curve measured", and a crash mid-measure
+            # would publish an index that permanently lost the knob.
+            pending_publish = (base, new_dir)
         else:
             from converttovectordb_spark.plans.ivf_index import IVFIndex
 
@@ -2222,6 +2227,11 @@ class VectorEngine:
                     os.remove(
                         os.path.join(self._index.path, ADC_CURVE_FILE)
                     )
+        if transactional:
+            # publish: atomic pointer replace — readers attached to the
+            # old dir keep working, new open_index() calls see this
+            # one, curves already measured above
+            TransactionalIVFIndex.publish_current(*pending_publish)
         self._index_token = token
         return self._index
 
@@ -2332,6 +2342,12 @@ class VectorEngine:
             raise RuntimeError(
                 "no lexical index built; call build_lex_index() first"
             ) from None
+        # torn-maintenance guard BEFORE the delta anti-join: a crashed
+        # append leaves doclens ahead of the manifest — blindly healing
+        # on top of it would earn a token over silently-missing
+        # postings/stale stats. Also restores a crashed compact swap
+        # (dir absent, .old. copy parked).
+        idx.verify_integrity()
         token = self.store.state_token()
         docs = self._dedup_row_ids(
             self.store.load().withColumn("_row_id", _row_id())
@@ -2395,6 +2411,24 @@ class VectorEngine:
             raise RuntimeError(
                 "no lexical index built; call build_lex_index() first"
             ) from None
+        # cheap os-level presence check (no Spark job on the read
+        # path): a compact swap crashed between renames leaves a data
+        # dir absent while _TOKEN is still valid (compaction is
+        # content-neutral) — raise the documented recovery message
+        # instead of a mid-query AnalysisException
+        from converttovectordb_spark.plans.lex_index import (
+            DOCLENS_SUBDIR,
+            POSTINGS_SUBDIR,
+        )
+
+        for sub in (POSTINGS_SUBDIR, DOCLENS_SUBDIR):
+            if not os.path.isdir(os.path.join(path, sub)):
+                raise RuntimeError(
+                    f"lexical index data dir '{sub}' is missing (a "
+                    "maintenance swap crashed); run "
+                    "append_to_lex_index() to recover, or "
+                    "build_lex_index()"
+                )
         if not allow_stale and built != token_digest(
             self.store.state_token()
         ):

@@ -81,48 +81,61 @@ def build_lexical_index(
     from converttovectordb_spark.functions.text import tokens
 
     text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-    toked = docs.select(F.col(id_col), tokens(text).alias("_toks"))
-    # per-doc length table: ONE row per doc, token-less docs included.
-    # It serves two masters — exact corpus stats (n_docs, total_dl are
-    # additive, so `append` updates them by arithmetic) and the
-    # delta/orphan detection an incremental heal needs (postings alone
-    # cannot represent a token-less doc).
-    doclens = toked.select(
-        id_col, F.size("_toks").cast("bigint").alias("dl")
-    )
-    doclens.write.mode("overwrite").parquet(
-        os.path.join(index_path, DOCLENS_SUBDIR)
-    )
-    stats = doclens.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("total_dl"),
-    ).first()
-    tok = toked.select(
-        id_col,
-        F.size("_toks").cast("bigint").alias("dl"),
-        F.explode_outer("_toks").alias("term"),
-    )
-    postings = (
-        tok.filter(F.col("term").isNotNull())
-        .groupBy(id_col, "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn(
-            BUCKET_COL,
-            F.pmod(F.crc32(F.col("term")), F.lit(n_buckets)).cast("int"),
+    # materialize the tokenized corpus: the doclens write, the stats
+    # agg, and the postings write are THREE actions — an un-persisted
+    # lineage would re-run the full corpus scan + tokenize per action
+    # (the build used to pay exactly that; `append` already persisted
+    # its delta for the same reason)
+    toked = docs.select(F.col(id_col), tokens(text).alias("_toks")).persist()
+    try:
+        # per-doc length table: ONE row per doc, token-less docs
+        # included. It serves two masters — exact corpus stats (n_docs,
+        # total_dl are additive, so `append` updates them by
+        # arithmetic) and the delta/orphan detection an incremental
+        # heal needs (postings alone cannot represent a token-less
+        # doc). Written FIRST, meta LAST — `verify_integrity` relies on
+        # that ordering to detect torn maintenance.
+        doclens = toked.select(
+            id_col, F.size("_toks").cast("bigint").alias("dl")
         )
-    )
-    # co-locate each bucket before the partitioned write: partitionBy
-    # splits every TASK's rows by bucket value, so an un-repartitioned
-    # write fans out to (tasks × buckets) tiny files and the probe pays
-    # their listing/footers forever. Hash-repartitioning on the bucket
-    # column puts each bucket wholly in one task → one file per bucket
-    # dir (at 100 TB, raise shuffle width; a bucket still maps to ONE
-    # task's worth of files, never tasks×buckets).
-    postings.repartition(F.col(BUCKET_COL)).write.mode(
-        "overwrite"
-    ).partitionBy(BUCKET_COL).parquet(
-        os.path.join(index_path, POSTINGS_SUBDIR)
-    )
+        doclens.write.mode("overwrite").parquet(
+            os.path.join(index_path, DOCLENS_SUBDIR)
+        )
+        stats = doclens.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_dl"),
+        ).first()
+        tok = toked.select(
+            id_col,
+            F.size("_toks").cast("bigint").alias("dl"),
+            F.explode_outer("_toks").alias("term"),
+        )
+        postings = (
+            tok.filter(F.col("term").isNotNull())
+            .groupBy(id_col, "dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn(
+                BUCKET_COL,
+                F.pmod(F.crc32(F.col("term")), F.lit(n_buckets)).cast(
+                    "int"
+                ),
+            )
+        )
+        # co-locate each bucket before the partitioned write:
+        # partitionBy splits every TASK's rows by bucket value, so an
+        # un-repartitioned write fans out to (tasks × buckets) tiny
+        # files and the probe pays their listing/footers forever.
+        # Hash-repartitioning on the bucket column puts each bucket
+        # wholly in one task → one file per bucket dir (at 100 TB,
+        # raise shuffle width; a bucket still maps to ONE task's worth
+        # of files, never tasks×buckets).
+        postings.repartition(F.col(BUCKET_COL)).write.mode(
+            "overwrite"
+        ).partitionBy(BUCKET_COL).parquet(
+            os.path.join(index_path, POSTINGS_SUBDIR)
+        )
+    finally:
+        toked.unpersist()
     _write_meta(
         index_path,
         n_docs=int(stats["n_docs"]),
@@ -354,6 +367,36 @@ class LexicalIndex:
             self._data_files(DOCLENS_SUBDIR)
         )
 
+    def _recover_swap_debris(self) -> None:
+        """Finish a crashed `compact` swap BEFORE anything sweeps: a
+        kill between ``rename(target, old)`` and ``rename(staged,
+        target)`` leaves a data dir absent with its complete pre-swap
+        copy parked at ``<sub>.old.<hex>``. Compaction is
+        content-neutral, so restoring the old copy restores the exact
+        artifact; with no recoverable copy (or an ambiguous pair),
+        raise for a rebuild instead of letting `_sweep_debris` destroy
+        the only surviving rows — the data-loss window the sigstore
+        never had because IT defines 'absent data dir' as 'artifact
+        missing', which this layered artifact cannot."""
+        for sub in (POSTINGS_SUBDIR, DOCLENS_SUBDIR):
+            target = os.path.join(self.path, sub)
+            if os.path.isdir(target):
+                continue
+            olds = sorted(
+                n
+                for n in os.listdir(self.path)
+                if n.startswith(f"{sub}.old.")
+            )
+            if len(olds) == 1:
+                os.rename(os.path.join(self.path, olds[0]), target)
+            else:
+                raise RuntimeError(
+                    f"lexical index dir {target} is missing and "
+                    f"{len(olds)} .old. copies survive — cannot "
+                    "recover the crashed swap; rebuild with "
+                    "build_lexical_index()"
+                )
+
     def _sweep_debris(self) -> None:
         import shutil
 
@@ -361,6 +404,38 @@ class LexicalIndex:
             if ".old." in n or n.startswith("tmp-"):
                 shutil.rmtree(os.path.join(self.path, n),
                               ignore_errors=True)
+            elif n.startswith(".token.") or n.startswith(".meta."):
+                # crashed-publish tmp FILES (token/meta stage-then-
+                # replace) — rmtree only removes dirs
+                with __import__("contextlib").suppress(OSError):
+                    os.remove(os.path.join(self.path, n))
+
+    def verify_integrity(self) -> None:
+        """Raise if the artifact shows TORN maintenance. Both the build
+        and `append` write doclens first and the meta manifest last, so
+        any crash in between leaves the doclens table ahead of the
+        manifest's exact integer stats — one narrow two-column agg
+        detects it. Without this check a later heal would anti-join
+        against the already-written doclens rows, find nothing missing,
+        and bless an index whose postings (or stats) silently lost
+        those rows forever. Recovers a crashed compact swap first (the
+        other torn state)."""
+        self._recover_swap_debris()
+        meta = self.meta()
+        actual = self.doclens().agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl_sum")
+        ).first()
+        if int(actual["n"]) != int(meta["n_docs"]) or int(
+            actual["dl_sum"] or 0
+        ) != int(meta.get("total_dl", -1)):
+            raise RuntimeError(
+                f"lexical index at {self.path} is torn: doclens holds "
+                f"{int(actual['n'])} rows / total_dl "
+                f"{int(actual['dl_sum'] or 0)} but the manifest says "
+                f"{meta['n_docs']} / {meta.get('total_dl')} — a "
+                "maintenance write crashed between the doclens and "
+                "manifest commits; rebuild with build_lexical_index()"
+            )
 
     def compact(self) -> int:
         """Fold the per-append small files: stage fresh bucket-
@@ -368,14 +443,17 @@ class LexicalIndex:
         dir (stage fully → rename old away → rename staged in → delete
         old). Content-neutral — the `_TOKEN` freshness marker is NOT
         touched (same rows, same digest basis), and every crash window
-        leaves either the old dirs intact or a dir absent, which reads
-        as "rebuild me", never as duplicated rows — the sigstore's
-        swap contract. Single-maintainer by the artifact's contract.
-        Returns the file-count reduction."""
+        leaves either the old dirs intact or a dir absent WITH its
+        complete pre-swap `.old.` copy parked beside it, which the
+        next maintenance pass restores (`_recover_swap_debris`) —
+        never duplicated rows, never a lost artifact. Single-
+        maintainer by the artifact's contract. Returns the file-count
+        reduction."""
         import shutil
         import uuid
 
-        self._sweep_debris()
+        self._recover_swap_debris()  # BEFORE the sweep — never destroy
+        self._sweep_debris()  # ...the only copy of a crashed swap
         before = self.append_debt()
         spark = self.spark
         par = spark.sparkContext.defaultParallelism

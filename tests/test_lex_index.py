@@ -240,3 +240,100 @@ def test_compact_folds_append_debt_content_neutral(spark, corpus, tmp_path):
     assert set(got) == set(want)
     for d in want:
         assert abs(got[d] - want[d]) < 1e-12
+
+
+def test_torn_append_detected_not_blessed(spark, corpus, tmp_path):
+    """A maintenance crash between the doclens write and the manifest
+    commit must surface as 'torn / rebuild' at the next heal — NOT be
+    silently blessed. (Pre-fix behavior: the heal's anti-join saw the
+    crashed rows already in doclens, found nothing missing, and earned
+    a fresh token over permanently-missing postings and stale stats.)"""
+    import os as _os
+
+    from converttovectordb_spark.plans.lex_index import DOCLENS_SUBDIR
+
+    idx = build_lexical_index(
+        corpus.filter(F.col("doc_id") < 4),
+        str(tmp_path / "idx"),
+        id_col="doc_id",
+        text_col="text",
+        n_buckets=8,
+    )
+    # simulate the torn window: the doclens rows of an append landed,
+    # postings and manifest did not
+    spark.createDataFrame(
+        [(99, 3)], "doc_id int, dl bigint"
+    ).write.mode("append").parquet(
+        _os.path.join(idx.path, DOCLENS_SUBDIR)
+    )
+    with pytest.raises(RuntimeError, match="torn"):
+        idx.verify_integrity()
+
+
+def test_crashed_compact_swap_recovers(spark, corpus, tmp_path):
+    """A compact killed between its two renames (data dir absent, the
+    complete pre-swap copy parked at <sub>.old.<hex>): the read path
+    raises the documented recovery error instead of a mid-query
+    AnalysisException, maintenance RESTORES the copy (never sweeps the
+    only surviving rows), and scores afterwards equal the pre-crash
+    ones."""
+    import os as _os
+    import shutil as _shutil
+
+    from converttovectordb_spark.plans.lex_index import POSTINGS_SUBDIR
+
+    idx = build_lexical_index(
+        corpus,
+        str(tmp_path / "idx2"),
+        id_col="doc_id",
+        text_col="text",
+        n_buckets=8,
+    )
+    want = {
+        r["doc_id"]: r["bm25"]
+        for r in idx.bm25(["spark", "state"]).collect()
+    }
+    post = _os.path.join(idx.path, POSTINGS_SUBDIR)
+    _os.rename(post, post + ".old.feedface")  # the crash window
+    # maintenance path: verify_integrity restores the parked copy
+    idx.verify_integrity()
+    assert _os.path.isdir(post)
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in idx.bm25(["spark", "state"]).collect()
+    }
+    assert got == want
+    # ambiguous (two .old. copies) → raise for a rebuild, never guess
+    _os.rename(post, post + ".old.aaaa")
+    _shutil.copytree(post + ".old.aaaa", post + ".old.bbbb")
+    with pytest.raises(RuntimeError, match="rebuild"):
+        idx.verify_integrity()
+
+
+def test_read_path_raises_clean_error_on_missing_dir(spark, tmp_path):
+    """_require_lex_index: a valid _TOKEN over a missing data dir (the
+    crashed-swap state) raises the recovery message, and
+    append_to_lex_index() actually recovers it end-to-end."""
+    import os as _os
+
+    from converttovectordb_spark.embeddings import hash_embedder
+    from converttovectordb_spark.engine import VectorEngine
+    from converttovectordb_spark.plans.lex_index import POSTINGS_SUBDIR
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    (repo / "a.md").write_text("alpha vector corpus document " * 10)
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(16),
+        dim=16,
+    )
+    eng.ingest(str(repo))
+    eng.build_lex_index()
+    lex_path = f"{eng.store.path}_lexidx"
+    post = _os.path.join(lex_path, POSTINGS_SUBDIR)
+    _os.rename(post, post + ".old.cafe")
+    with pytest.raises(RuntimeError, match="missing"):
+        eng.search_hybrid("vector", use_lex_index=True)
+    assert eng.append_to_lex_index() == 0  # recovers, nothing to add
+    rows = eng.search_hybrid("vector", use_lex_index=True).collect()
+    assert rows

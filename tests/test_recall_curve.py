@@ -287,3 +287,64 @@ def test_plain_inplace_rebuild_replaces_stale_curve(spark, tmp_path):
     assert eng.search_indexed(
         "growth document", top_k=3, target_recall=1.0
     ).collect() is not None
+
+
+def test_rebuild_publishes_only_after_remeasure(spark, tmp_path, monkeypatch):
+    """Transactional rebuild ordering (r12 review fix): the CURRENT
+    pointer swaps only AFTER the carried recall curve is re-measured —
+    a reader in the old publish→remeasure window used to hit 'no
+    recall curve measured', and a crash mid-measure published an index
+    that permanently lost the knob. With the re-measure failing, the
+    rebuild must raise AND the previously published index (curve
+    intact) must still be what open_current resolves."""
+    import pytest as _pytest
+
+    from converttovectordb_spark.embeddings import hash_embedder
+    from converttovectordb_spark.engine import VectorEngine
+    from converttovectordb_spark.plans.ivf_index import (
+        TransactionalIVFIndex,
+    )
+
+    def mkdocs(tag, vecs):
+        return spark.createDataFrame(
+            [
+                (f"{tag}/f{i}.txt", ".txt", 0, 1, f"{tag} doc {i}", v, 0.0)
+                for i, v in enumerate(vecs)
+            ],
+            "path string, extension string, chunk_index int, "
+            "total_chunks int, content string, embedding array<float>, "
+            "timestamp double",
+        )
+
+    vecs = [[1.0, 0.01 * i, 0.0, 0.0] for i in range(8)] + [
+        [0.01 * i, 1.0, 0.0, 0.0] for i in range(8)
+    ]
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(4), dim=4
+    )
+    eng.store.append(mkdocs("base", vecs))
+    eng.build_index(num_clusters=2, transactional=True, recall_sample=4)
+    published = TransactionalIVFIndex.open_current(
+        spark, f"{eng.store.path}_tivf"
+    )
+    old_dir = published.path
+    assert published.recall_curve() is not None
+
+    def _boom(*a, **kw):
+        raise RuntimeError("simulated re-measure crash")
+
+    import converttovectordb_spark.plans.ivf_index as ivf_mod
+
+    monkeypatch.setattr(
+        ivf_mod, "remeasure_recall_curve_like", _boom
+    )
+    eng.store.append(mkdocs("more", [[5.0, 5.0, 0.0, 0.0]] * 4))
+    with _pytest.raises(RuntimeError, match="simulated"):
+        eng.build_index(num_clusters=2, transactional=True)
+    # the crash never published: CURRENT still points at the old dir
+    # and its curve still resolves
+    still = TransactionalIVFIndex.open_current(
+        spark, f"{eng.store.path}_tivf"
+    )
+    assert still.path == old_dir
+    assert still.recall_curve() is not None
