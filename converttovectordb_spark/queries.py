@@ -3072,6 +3072,34 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`neardup_clusters`' edge graph pushed through the DISTRIBUTED
+    strategy of `connected_components` (``driver_threshold=0`` forces
+    the min-label propagation rounds instead of the driver union-find
+    the small graph would normally take) — so BOTH physical strategies
+    of the pairs→groups step now sit under the hash gate against the
+    same recursive-CTE oracle. The driver path was always graded; the
+    distributed fallback — the one that actually runs at 100 TB edge
+    counts — was previously pytest-verified only. Convergence is part
+    of the contract: propagation that stopped early raises rather than
+    returning a partial fixpoint, so a hash-green run proves the full
+    component labeling."""
+    from converttovectordb_spark.operators.dedup import connected_components
+
+    pairs = _jaccard_pairs_cached(spark, sf_dir)
+    comp = connected_components(
+        pairs, src="a", dst="b", driver_threshold=0
+    )
+    sizes = comp.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return comp.join(sizes, on="comp").select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
 ORACLE_NEARDUP_CLUSTERS = """
 WITH RECURSIVE toks AS (
   SELECT doc_id,
@@ -10109,6 +10137,7 @@ QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "retention_cohorts": q_retention_cohorts,
     "stream_funnel": q_stream_funnel,
+    "neardup_clusters_distributed": q_neardup_clusters_distributed,
 }
 
 #: Sketch-based queries have NO oracle entry on purpose: Spark's
@@ -10249,4 +10278,5 @@ ORACLES = {
     "funnel_conversion": ORACLE_FUNNEL_CONVERSION,
     "retention_cohorts": ORACLE_RETENTION_COHORTS,
     "stream_funnel": ORACLE_FUNNEL_CONVERSION,
+    "neardup_clusters_distributed": ORACLE_NEARDUP_CLUSTERS,
 }
