@@ -1409,6 +1409,18 @@ class VectorEngine:
                 .orderBy(F.col("score").desc(), F.col("_rid").asc())
                 .limit(max(int(fetch_k), validate_top_k(top_k)))
             )
+        # collapse duplicate-rid candidates DETERMINISTICALLY (best
+        # score wins) before the rerank: mmr_rerank's per-group dict
+        # would otherwise keep whichever copy lands last in the Arrow
+        # group — nondeterministic when a re-ingest MODIFIED the doc —
+        # and the matrix tier's first-in-(score desc) collapse could
+        # disagree. Bounded: ≤ fetch_k rows enter the window.
+        wc = Window.partitionBy("_rid").orderBy(F.col("score").desc())
+        cands = (
+            cands.withColumn("_rn_c", F.row_number().over(wc))
+            .filter(F.col("_rn_c") == 1)
+            .drop("_rn_c")
+        )
         picked = mmr_rerank(
             cands.select(
                 F.lit(0).alias("_qid"),
@@ -1427,10 +1439,12 @@ class VectorEngine:
         # bounded post-join dedupe: a plain store can hold repeated
         # (path, chunk_index) rows (blind re-ingest) and the display
         # join fans each pick out per copy — dedupe AFTER the join
-        # (<= k x copies rows, newest copy kept deterministically)
-        # instead of shuffling the whole corpus per query
+        # (<= k x copies rows, newest copy kept deterministically;
+        # content asc breaks EQUAL timestamps — a bare timestamp desc
+        # crowns an arbitrary copy per run, and the matrix tier's
+        # stable rule would disagree)
         wdup = Window.partitionBy("_rid").orderBy(
-            F.col("timestamp").desc()
+            F.col("timestamp").desc(), F.col("content").asc()
         )
         out = (
             joined.withColumn("_rn_dedup", F.row_number().over(wdup))
@@ -1562,6 +1576,16 @@ class VectorEngine:
                 carry_cols=["_rid", "embedding"],
                 order_cols=["_rid"],
             )
+        # deterministic duplicate-rid collapse before the rerank —
+        # same rule (and reason) as the single door
+        wc = Window.partitionBy("query_index", "_rid").orderBy(
+            F.col("score").desc()
+        )
+        cands = (
+            cands.withColumn("_rn_c", F.row_number().over(wc))
+            .filter(F.col("_rn_c") == 1)
+            .drop("_rn_c")
+        )
         picked = mmr_rerank(
             cands.select("query_index", "_rid", "score", "embedding"),
             top_k=top_k,
@@ -1573,9 +1597,10 @@ class VectorEngine:
             F.col("score") >= DEFAULT_SCORE_THRESHOLD
         ).join(corpus_df.drop("embedding", "score"), on="_rid")
         # bounded post-join dedupe, per (query, identity) — same rule
-        # as the single door (<= Q·k×copies rows, newest copy kept)
+        # as the single door (<= Q·k×copies rows, newest copy kept;
+        # content asc breaks equal timestamps)
         wdup = Window.partitionBy("query_index", "_rid").orderBy(
-            F.col("timestamp").desc()
+            F.col("timestamp").desc(), F.col("content").asc()
         )
         return (
             joined.withColumn("_rn_dedup", F.row_number().over(wdup))

@@ -600,6 +600,20 @@ def connected_components(
     n_edges = raw.count()
     spark = edges.sparkSession
 
+    if n_edges == 0:
+        # typed empty result BEFORE strategy selection: the driver
+        # path's createDataFrame([]) cannot infer a schema (a corpus
+        # with zero near-dup pairs used to CRASH both cluster
+        # queries), and there is nothing to propagate distributedly —
+        # derive the (node, comp) schema from the edge columns
+        out = raw.select(
+            F.col("u").alias("node"), F.col("u").alias("comp")
+        ).limit(0)
+        raw.unpersist()
+        if stats is not None:
+            stats.update(strategy="empty", n_edges=0)
+        return out
+
     if n_edges <= driver_threshold:
         # Union-find is direction- and duplicate-insensitive, so the
         # RAW mined pairs are collected as-is — no symmetrize-union, no

@@ -194,6 +194,14 @@ class DriverMatrixIndex:
         self._lex = None  # lazy BM25 cache: (postings, dl, avgdl)
         self._rids = None  # lazy rid cache: (id_cols, rids, order)
         self._newest = None  # lazy display cache: (id_cols, rid -> idx)
+        # guards the lazy caches above: the REST server is threaded,
+        # and an unlocked check-then-rebuild lets a concurrent caller
+        # with DIFFERENT id_cols publish its cache between another
+        # caller's key check and read — the reader would consume the
+        # wrong key's rids. Builders compute into locals and re-check
+        # under the lock; readers return the local, never re-read the
+        # attribute after publish.
+        self._cache_lock = threading.Lock()
 
     @property
     def n(self) -> int:
@@ -422,80 +430,120 @@ class DriverMatrixIndex:
         a hybrid query then touches only ITS terms' postings (document
         frequency is len(idx), O(1)) instead of scanning every doc's
         Counter per term — the loop shape the /hybrid_batch door would
-        otherwise pay Q times per POST."""
-        if self._lex is None:
-            import re
-            from collections import Counter
+        otherwise pay Q times per POST. Note: keyed implicitly on the
+        FIRST content_col used (the REST door always passes 'content');
+        guarded by the shared cache lock like the rid caches."""
+        import re
+        from collections import Counter
 
-            ws = re.compile(r"[ \t\n\x0b\f\r]+")
-            raw: dict = {}
-            dl = np.zeros(self.n, dtype=np.float64)
-            for i, row in enumerate(self.payload):
-                toks = [
-                    t
-                    for t in ws.split((row.get(content_col) or "").lower())
-                    if t
-                ]
-                dl[i] = len(toks)
-                for t, tf in Counter(toks).items():
-                    raw.setdefault(t, []).append((i, tf))
-            postings = {
-                t: (
-                    np.fromiter(
-                        (i for i, _ in pl), dtype=np.int64, count=len(pl)
-                    ),
-                    np.fromiter(
-                        (tf for _, tf in pl),
-                        dtype=np.float64,
-                        count=len(pl),
-                    ),
-                )
-                for t, pl in raw.items()
-            }
-            avgdl = float(dl.sum() / self.n) if self.n else 0.0
-            self._lex = (postings, dl, avgdl)
-        return self._lex
+        with self._cache_lock:
+            if self._lex is None:
+                ws = re.compile(r"[ \t\n\x0b\f\r]+")
+                raw: dict = {}
+                dl = np.zeros(self.n, dtype=np.float64)
+                for i, row in enumerate(self.payload):
+                    toks = [
+                        t
+                        for t in ws.split(
+                            (row.get(content_col) or "").lower()
+                        )
+                        if t
+                    ]
+                    dl[i] = len(toks)
+                    for t, tf in Counter(toks).items():
+                        raw.setdefault(t, []).append((i, tf))
+                postings = {
+                    t: (
+                        np.fromiter(
+                            (i for i, _ in pl),
+                            dtype=np.int64,
+                            count=len(pl),
+                        ),
+                        np.fromiter(
+                            (tf for _, tf in pl),
+                            dtype=np.float64,
+                            count=len(pl),
+                        ),
+                    )
+                    for t, pl in raw.items()
+                }
+                avgdl = float(dl.sum() / self.n) if self.n else 0.0
+                self._lex = (postings, dl, avgdl)
+            cached = self._lex
+        return cached
 
     def _rid_cache(self, id_cols: list[str]):
         """'#'-joined rid per row plus its ascending-order rank array
         (for C-speed lexsort tie-breaks) — cached per id_cols tuple;
         the rid join used to be rebuilt O(n) per hybrid query."""
         key = tuple(id_cols)
-        if self._rids is None or self._rids[0] != key:
-            rids = [
-                "#".join(str(self.payload[i][c]) for c in id_cols)
-                for i in range(self.n)
-            ]
-            order = np.empty(self.n, dtype=np.int64)
-            order[np.argsort(np.array(rids, dtype=object), kind="stable")] = (
-                np.arange(self.n)
-            )
-            self._rids = (key, rids, order)
-        return self._rids[1], self._rids[2]
+        with self._cache_lock:
+            if self._rids is None or self._rids[0] != key:
+                rids = [
+                    "#".join(str(self.payload[i][c]) for c in id_cols)
+                    for i in range(self.n)
+                ]
+                order = np.empty(self.n, dtype=np.int64)
+                order[
+                    np.argsort(np.array(rids, dtype=object), kind="stable")
+                ] = np.arange(self.n)
+                self._rids = (key, rids, order)
+            cached = self._rids
+        return cached[1], cached[2]
 
-    def _newest_cache(self, id_cols: list[str], timestamp_col: str):
-        """rid → payload index of the NEWEST copy (max timestamp,
-        first-seen among equal stamps) — the matrix-tier twin of the
-        engine's bounded post-join dedupe window in `search_diverse`
-        (a plain store can hold repeated (path, chunk_index) rows
-        after a blind re-ingest). Built once per id_cols, O(n)."""
-        key = (tuple(id_cols), timestamp_col)
-        if self._newest is None or self._newest[0] != key:
-            rids, _ = self._rid_cache(id_cols)
-            newest: dict = {}
-            for i, row in enumerate(self.payload):
-                ts = row.get(timestamp_col)
-                prev = newest.get(rids[i])
-                if prev is None:
-                    newest[rids[i]] = (ts, i)
-                else:
-                    pts = prev[0]
-                    if (pts is None and ts is not None) or (
-                        ts is not None and pts is not None and ts > pts
+    def _newest_cache(
+        self,
+        id_cols: list[str],
+        timestamp_col: str,
+        content_col: str = "content",
+    ):
+        """rid → payload index of the NEWEST copy — the matrix-tier
+        twin of the engine's bounded post-join dedupe window in
+        `search_diverse` (a plain store can hold repeated
+        (path, chunk_index) rows after a blind re-ingest). The rule is
+        the SAME on both tiers so cross-tier parity survives duplicate
+        stores: max timestamp, then MIN content among equal stamps
+        (the engine window orders ``timestamp desc, content asc`` — a
+        bare timestamp would crown an arbitrary copy per run), then
+        first-seen. Built once per id_cols, O(n)."""
+        key = (tuple(id_cols), timestamp_col, content_col)
+        rids, _ = self._rid_cache(id_cols)  # outside the lock: reentry
+        with self._cache_lock:
+            if self._newest is None or self._newest[0] != key:
+                newest: dict = {}
+                for i, row in enumerate(self.payload):
+                    ts = row.get(timestamp_col)
+                    ct = row.get(content_col)
+                    prev = newest.get(rids[i])
+                    if prev is None or self._fresher(
+                        ts, ct, prev[0], prev[1]
                     ):
-                        newest[rids[i]] = (ts, i)
-            self._newest = (key, {r: i for r, (_, i) in newest.items()})
-        return self._newest[1]
+                        newest[rids[i]] = (ts, ct, i)
+                self._newest = (
+                    key,
+                    {r: i for r, (_, _, i) in newest.items()},
+                )
+            cached = self._newest
+        return cached[1]
+
+    @staticmethod
+    def _fresher(ts, ct, pts, pct) -> bool:
+        """True when (ts, ct) beats the incumbent under the engine's
+        display-dedupe ordering: timestamp DESC (None = oldest),
+        content ASC (None = smallest, mirroring Spark's nulls-first on
+        asc), first-seen keeps ties."""
+        if ts is None and pts is not None:
+            return False
+        if pts is None and ts is not None:
+            return True
+        if ts is not None and pts is not None and ts != pts:
+            return ts > pts
+        # equal timestamps: min content wins; None sorts first
+        if ct is None:
+            return pct is not None
+        if pct is None:
+            return False
+        return ct < pct
 
     def diverse_query(
         self,
@@ -514,29 +562,122 @@ class DriverMatrixIndex:
         greedy MMR via the SHARED `operators.search.mmr_greedy`
         kernel, relevance threshold applied AFTER selection, newest
         copy per rid in the display), without a Spark job. Duplicate-
-        rid candidate rows collapse to one candidate (equal keys by
-        contract), exactly as `mmr_rerank`'s last-wins dict does.
+        rid candidate rows collapse to one candidate per rid keeping
+        the BEST score — the same deterministic rule the engine door
+        applies before its rerank.
 
         The relevance scores come from the BLAS matvec, so they sit
         within the established ~1e-9 tier contract of the other
         matrix-tier doors; the MMR loop itself is the bit-identical
         shared kernel."""
-        from converttovectordb_spark.operators.search import (
-            mmr_greedy,
-            validate_top_k,
-        )
+        from converttovectordb_spark.operators.search import validate_top_k
 
         if not 0.0 <= lambda_ <= 1.0:
             raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
         k = validate_top_k(top_k)
         if self.n == 0:
             return []
+        q = np.asarray([float(x) for x in query_vector], dtype=np.float64)
+        if not np.all(np.isfinite(q)):
+            # same guard (and message) as query()/query_batch: NaN
+            # scores would otherwise corrupt every greedy comparison
+            # AND survive the threshold (NaN < t is False), shipping
+            # RFC-invalid JSON
+            raise ValueError(
+                "query embedding contains non-finite values (NaN/Infinity)"
+            )
         scores = self._scores(query_vector)  # Q5 dim guard lives here
+        return self._diverse_from_scores(
+            scores,
+            k,
+            fetch_k=fetch_k,
+            lambda_=lambda_,
+            id_cols=id_cols,
+            score_threshold=score_threshold,
+            timestamp_col=timestamp_col,
+        )
+
+    def diverse_query_batch(
+        self,
+        query_vectors: list[list[float]],
+        top_k: int,
+        *,
+        fetch_k: int = 50,
+        lambda_: float = 0.5,
+        id_cols: list[str],
+        score_threshold: float = 0.1,
+        timestamp_col: str = "timestamp",
+    ) -> list[list[dict]]:
+        """Batched twin of :meth:`diverse_query`: ONE GEMM scores all
+        Q queries (``matrix @ Q.T`` — the `query_batch` shape, where a
+        Q-times loop of matvecs re-traverses the corpus per query),
+        then each query's candidate cutoff + greedy MMR reuses the
+        single-query path exactly."""
+        from converttovectordb_spark.operators.search import validate_top_k
+
+        if not 0.0 <= lambda_ <= 1.0:
+            raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+        k = validate_top_k(top_k)
+        Q = np.asarray(
+            [[float(x) for x in v] for v in query_vectors],
+            dtype=np.float64,
+        )
+        if Q.ndim != 2:
+            raise ValueError(
+                "query embeddings must be equal-length numeric vectors"
+            )
+        if not np.all(np.isfinite(Q)):
+            raise ValueError(
+                "query embedding contains non-finite values (NaN/Infinity)"
+            )
+        if self.n == 0:
+            return [[] for _ in range(Q.shape[0])]
+        if Q.shape[1] != self.dim:
+            raise ValueError(
+                f"query dimension {Q.shape[1]} != stored dimension {self.dim}"
+            )
+        qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))  # (q,)
+        dots = self.matrix @ Q.T  # (n, q) — the one GEMM
+        denom = np.outer(self.norms, qn)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scores = np.where(denom == 0.0, 0.0, dots / denom)
+        return [
+            self._diverse_from_scores(
+                np.ascontiguousarray(scores[:, j]),
+                k,
+                fetch_k=fetch_k,
+                lambda_=lambda_,
+                id_cols=id_cols,
+                score_threshold=score_threshold,
+                timestamp_col=timestamp_col,
+            )
+            for j in range(Q.shape[0])
+        ]
+
+    def _diverse_from_scores(
+        self,
+        scores: np.ndarray,
+        k: int,
+        *,
+        fetch_k: int,
+        lambda_: float,
+        id_cols: list[str],
+        score_threshold: float,
+        timestamp_col: str,
+    ) -> list[dict]:
+        """Shared per-query tail of the diverse doors (single and
+        batched MUST not drift): fetch_k row-level cutoff by (score
+        desc, rid asc), best-score-per-rid collapse, the shared
+        `mmr_greedy` kernel, relevance threshold AFTER selection,
+        newest-copy display rows."""
+        from converttovectordb_spark.operators.search import mmr_greedy
+
         rids, rid_order = self._rid_cache(id_cols)
         # candidate stage: first fetch_k ROWS by (score desc, rid asc)
         # — row-level like the engine's orderBy+limit, so a duplicated
         # rid consumes candidate slots identically on both tiers —
-        # then collapse to distinct rids for the kernel
+        # then collapse to distinct rids for the kernel (first in this
+        # ordering = best score per rid, the engine's collapse rule)
         limit = min(max(int(fetch_k), k), self.n)
         order = np.lexsort((rid_order, -scores))[:limit]
         cand: dict = {}

@@ -3052,10 +3052,19 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, so the oracle is a recursive-CTE reachability walk over the
     identical edge set. Output: every clustered doc with its component
     id and the component size."""
+    return _neardup_cluster_rollup(spark, sf_dir)
+
+
+def _neardup_cluster_rollup(
+    spark: SparkSession, sf_dir: str, **cc_kwargs
+) -> DataFrame:
+    """Shared pairs→components→sizes tail of the two cluster queries
+    (one body, two physical CC strategies — a drifted copy would
+    silently decouple them from their shared oracle)."""
     from converttovectordb_spark.operators.dedup import connected_components
 
     pairs = _jaccard_pairs_cached(spark, sf_dir)
-    comp = connected_components(pairs, src="a", dst="b")
+    comp = connected_components(pairs, src="a", dst="b", **cc_kwargs)
     sizes = comp.groupBy("comp").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )
@@ -3084,20 +3093,7 @@ def q_neardup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFram
     of the contract: propagation that stopped early raises rather than
     returning a partial fixpoint, so a hash-green run proves the full
     component labeling."""
-    from converttovectordb_spark.operators.dedup import connected_components
-
-    pairs = _jaccard_pairs_cached(spark, sf_dir)
-    comp = connected_components(
-        pairs, src="a", dst="b", driver_threshold=0
-    )
-    sizes = comp.groupBy("comp").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
-    )
-    return comp.join(sizes, on="comp").select(
-        F.col("node").alias("doc_id"),
-        F.col("comp").alias("cluster_id"),
-        "cluster_size",
-    )
+    return _neardup_cluster_rollup(spark, sf_dir, driver_threshold=0)
 
 
 ORACLE_NEARDUP_CLUSTERS = """

@@ -867,16 +867,16 @@ class VectorDBApi:
                 self.engine.embedder(list(queries)), dtype=np.float64
             )
             try:
-                results = [
-                    idx.diverse_query(
-                        qvs[i].tolist(),
-                        body.get("top_k", 5),
-                        fetch_k=body.get("fetch_k", 50),
-                        lambda_=body.get("mmr_lambda", 0.5),
-                        id_cols=["path", "chunk_index"],
-                    )
-                    for i in range(len(queries))
-                ]
+                # ONE GEMM for all Q queries (diverse_query_batch) —
+                # a loop of single calls would re-traverse the cached
+                # matrix per query
+                results = idx.diverse_query_batch(
+                    [v.tolist() for v in qvs],
+                    body.get("top_k", 5),
+                    fetch_k=body.get("fetch_k", 50),
+                    lambda_=body.get("mmr_lambda", 0.5),
+                    id_cols=["path", "chunk_index"],
+                )
             except ValueError as e:
                 raise _ApiError(400, str(e))
             return {"results": results,

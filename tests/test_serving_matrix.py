@@ -491,3 +491,109 @@ def test_diverse_query_contracts(spark, tmp_path):
     assert len(got) == len(want)
     assert all(r["score"] >= 0.1 for r in got)
     assert all("embedding" not in r for r in got)
+
+
+def test_diverse_query_nonfinite_guard_and_batch_parity(spark, tmp_path):
+    """diverse_query rejects NaN/Inf queries with the same ValueError
+    as query()/query_batch (NaN scores would corrupt every greedy
+    comparison AND slip past the threshold); diverse_query_batch (one
+    GEMM) returns exactly the single door's answer per query."""
+    from converttovectordb_spark.embeddings import hash_embedder
+    from converttovectordb_spark.engine import VectorEngine
+
+    emb = hash_embedder(8)
+    rows = _neardup_corpus_rows(emb)
+    eng = VectorEngine(spark, str(tmp_path / "s3"), embedder=emb, dim=8)
+    eng.store.append(spark.createDataFrame(
+        rows,
+        "path string, extension string, chunk_index int, total_chunks int, "
+        "content string, embedding array<float>, timestamp double",
+    ))
+    idx = DriverMatrixIndex.from_dataframe(eng.store.load())
+    qv = [float(x) for x in emb(["alpha cluster probe"])[0]]
+
+    bad = list(qv)
+    bad[0] = float("nan")
+    with pytest.raises(ValueError, match="non-finite"):
+        idx.diverse_query(bad, 3, id_cols=["path", "chunk_index"])
+    with pytest.raises(ValueError, match="non-finite"):
+        idx.diverse_query_batch([qv, bad], 3,
+                                id_cols=["path", "chunk_index"])
+
+    qv2 = [float(x) for x in emb(["beta cluster probe"])[0]]
+    batch = idx.diverse_query_batch(
+        [qv, qv2], 4, fetch_k=10, lambda_=0.4,
+        id_cols=["path", "chunk_index"],
+    )
+    for j, q in enumerate([qv, qv2]):
+        single = idx.diverse_query(
+            q, 4, fetch_k=10, lambda_=0.4,
+            id_cols=["path", "chunk_index"],
+        )
+        assert [r["path"] for r in batch[j]] == [
+            r["path"] for r in single
+        ]
+        for g, w in zip(batch[j], single):
+            assert abs(g["mmr"] - w["mmr"]) < 1e-12
+
+
+def test_diverse_modified_reingest_tier_parity(spark, tmp_path):
+    """A re-ingest that MODIFIED a document (same (path, chunk_index),
+    different embedding+content+timestamp): both tiers must pick the
+    BEST-SCORE copy for relevance/MMR and the NEWEST-timestamp copy
+    for display — deterministically, run to run (the engine door used
+    to keep whichever copy landed last in the Arrow group)."""
+    from converttovectordb_spark.embeddings import hash_embedder
+    from converttovectordb_spark.engine import VectorEngine
+
+    emb = hash_embedder(8)
+    rows = _neardup_corpus_rows(emb)
+    schema = (
+        "path string, extension string, chunk_index int, total_chunks int, "
+        "content string, embedding array<float>, timestamp double"
+    )
+    eng = VectorEngine(spark, str(tmp_path / "s4"), embedder=emb, dim=8)
+    eng.store.append(spark.createDataFrame(rows, schema))
+    # modified copy of d0: embedding far from the probe (low score),
+    # newer timestamp, new content — display must show THIS text while
+    # scoring keeps the original (higher-score) vector
+    mod = [(
+        "d0.txt", ".txt", 0, 1, "MODIFIED content of document 0",
+        [float(x) for x in emb(["totally different now"])[0]], 5000.0,
+    )]
+    eng.store.append(spark.createDataFrame(mod, schema))
+
+    query = "alpha cluster probe"
+    qv = [float(x) for x in emb([query])[0]]
+    idx = DriverMatrixIndex.from_dataframe(eng.store.load())
+    got = idx.diverse_query(
+        qv, 4, fetch_k=20, lambda_=0.5, id_cols=["path", "chunk_index"]
+    )
+    want = eng.search_diverse(query, 4, fetch_k=20, mmr_lambda=0.5).collect()
+    assert [r["path"] for r in got] == [r["path"] for r in want]
+    for g, w in zip(got, want):
+        assert abs(g["score"] - w["score"]) < 1e-9
+        assert abs(g["mmr"] - w["mmr"]) < 1e-9
+        assert g["content"] == w["content"]
+        if g["path"] == "d0.txt":
+            # newest copy displayed, best-score copy ranked
+            assert g["content"] == "MODIFIED content of document 0"
+            assert g["timestamp"] == 5000.0
+
+
+def test_connected_components_empty_edges(spark):
+    """Zero near-dup pairs must yield a typed EMPTY labeling — not a
+    createDataFrame([]) schema-inference crash — on BOTH strategies."""
+    from converttovectordb_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([], "a bigint, b bigint")
+    for thr in (500_000, 0):
+        stats: dict = {}
+        out = connected_components(
+            edges, src="a", dst="b", driver_threshold=thr, stats=stats
+        )
+        assert out.columns == ["node", "comp"]
+        assert out.count() == 0
+        assert stats["strategy"] == "empty" and stats["n_edges"] == 0
