@@ -9989,6 +9989,9 @@ ORDER BY j.cohort_week, j.week_offset
 #:   mktsegment_sales         → shipping_priority / region_revenue
 #:   nation_presence          → hybrid_rrf (full-outer) + docs_by_lang
 #:   rolling_revenue          → user_hourly_rolling (rolling windows)
+#: Window swaps in round 12 (new family in ↔ in-family twin out):
+#:   mrl_recall_curve (embedding-dimension dial) ↔ vector_ivf_knn_filtered
+#:   stream_funnel (product analytics + 2nd stateful op) ↔ minhash_accuracy
 QUERIES = {
     # -- vector / ANN / retrieval ------------------------------------
     "vector_topk": q_vector_topk,
@@ -9998,7 +10001,7 @@ QUERIES = {
     "vector_knn_selfjoin_ivf": q_vector_knn_selfjoin_ivf,
     "mmr_rerank": q_mmr_rerank,
     "vector_ivf_knn_indexed": q_vector_ivf_knn_indexed,
-    "vector_ivf_knn_filtered": q_vector_ivf_knn_filtered,
+    "mrl_recall_curve": q_mrl_recall_curve,
     "index_drift": q_index_drift,
     "index_cluster_stats": q_index_cluster_stats,
     "prototypicality": q_prototypicality,
@@ -10023,7 +10026,7 @@ QUERIES = {
     "neardup_jaccard": q_neardup_jaccard,
     "neardup_clusters": q_neardup_clusters,
     "minhash_lsh": q_minhash_lsh,
-    "minhash_accuracy": q_minhash_accuracy,
+    "stream_funnel": q_stream_funnel,
     "simhash_neardup": q_simhash_neardup,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -10127,13 +10130,16 @@ QUERIES = {
     "domain_cap_sample": q_domain_cap_sample,
     "source_mixture": q_source_mixture,
     "temperature_sampling": q_temperature_sampling,
-    # -- round-12 additions: measured-dial + product-analytics family -
-    "mrl_recall_curve": q_mrl_recall_curve,
+    # -- round-12 additions: measured-dial + product-analytics family
+    # (mrl_recall_curve and stream_funnel sit IN the driver window as
+    # their families' representatives; the displaced in-family twins
+    # land here, still parity-checked)
     "binary_quant_recall": q_binary_quant_recall,
     "funnel_conversion": q_funnel_conversion,
     "retention_cohorts": q_retention_cohorts,
-    "stream_funnel": q_stream_funnel,
     "neardup_clusters_distributed": q_neardup_clusters_distributed,
+    "vector_ivf_knn_filtered": q_vector_ivf_knn_filtered,
+    "minhash_accuracy": q_minhash_accuracy,
 }
 
 #: Sketch-based queries have NO oracle entry on purpose: Spark's
