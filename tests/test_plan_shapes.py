@@ -384,3 +384,48 @@ def test_curation_pipeline_no_tokenize_reinlined_into_filters(spark):
         if "Filter" in line or "FileScan" in line
     )
     assert n_inlined > 2, nplan
+
+
+def test_funnel_stage_filters_reach_the_scans(spark):
+    """r12 funnel: each stage's event_type equality must land in the
+    parquet scan's PushedFilters (the 100 TB claim is that a stage
+    reads ITS event type's row groups, not the whole stream), and the
+    only hard broadcast hint is the 1-row entered-count attach."""
+    from converttovectordb_spark.queries import q_funnel_conversion
+
+    df = q_funnel_conversion(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    for stage in ("view", "click", "purchase"):
+        assert any(
+            f"EqualTo(event_type,{stage})" in ln for ln in pushed
+        ), stage
+    # the only hard hint is the 1-row entered-count attach — the hinted
+    # subtree must be an Aggregate, never a raw SF-scaled relation
+    # (the r8 scalar-attach convention)
+    stack = [df._jdf.queryExecution().analyzed()]
+    hints = []
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "ResolvedHint":
+            hints.append(node)
+            continue
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    assert hints
+    for h in hints:
+        assert "Aggregate" in h.child().toString().splitlines()[0]
+
+
+def test_retention_cohorts_no_cartesian_no_hinted_base(spark):
+    """r12 retention: user-dimension joins only — no cartesian, and no
+    hard hint on an SF-scaled base relation."""
+    from converttovectordb_spark.queries import q_retention_cohorts
+
+    df = q_retention_cohorts(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert broadcast_hinted_leaves(df) == []
