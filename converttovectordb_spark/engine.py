@@ -2488,6 +2488,12 @@ class VectorEngine:
         index = getattr(self, "_index", None)
         if index is None:
             raise RuntimeError("no IVF index built; call build_index() first")
+        # heal-time stats integrity (the lex-index verify_integrity
+        # pattern): a crashed plain append can leave the histogram
+        # manifest permanently undercounting — derivable here, so it
+        # self-heals instead of raising (no-op on the transactional
+        # index, whose histogram rides the committed manifests)
+        index.verify_stats()
         token = self.store.state_token()
         docs = self._dedup_row_ids(
             self.store.load().withColumn(
@@ -2610,19 +2616,17 @@ class VectorEngine:
             return out
         if num_clusters is None:
             num_clusters = len(report)
-        if index.has_pq():
-            cb = (
-                index.pq_codebooks()
-                .agg(
-                    F.countDistinct("sub").alias("m"),
-                    (F.max("code") + 1).alias("k"),
-                )
-                .first()
-            )
-            if pq_m is None:
-                pq_m = int(cb["m"])
-            if pq_k is None:
-                pq_k = int(cb["k"])
+        # family probe shared with the streaming retrain door (caller-
+        # provided overrides win)
+        from converttovectordb_spark.plans.ivf_index import (
+            index_family_params,
+        )
+
+        fam = index_family_params(index)
+        if pq_m is None:
+            pq_m = fam["pq_m"]
+        if pq_k is None and fam["pq_m"] is not None:
+            pq_k = fam["pq_k"]
         self.build_index(
             num_clusters=num_clusters,
             seed=seed,

@@ -191,6 +191,34 @@ PQ_CODEBOOKS_SUBDIR = "pq_codebooks"
 PQ_CODES_SUBDIR = "pq_codes"
 
 
+def index_family_params(index) -> dict:
+    """The live index's own build-shape — PQ (m, k) from the codebook
+    table and the code table's id columns when PQ is present — so a
+    drift rebuild reproduces the index FAMILY instead of silently
+    changing it (dropping PQ on a retrain would break every ADC
+    consumer). ONE implementation for both retrain doors
+    (`VectorEngine.maybe_retrain` and
+    `streaming.jobs.retrain_index_if_drifted`) — a copy in each door
+    would let a future fix to one silently miss the other."""
+    out: dict = {"pq_m": None, "pq_k": 16, "pq_id_cols": None}
+    if index.has_pq():
+        cb = (
+            index.pq_codebooks()
+            .agg(
+                F.countDistinct("sub").alias("m"),
+                (F.max("code") + 1).alias("k"),
+            )
+            .first()
+        )
+        out["pq_m"], out["pq_k"] = int(cb["m"]), int(cb["k"])
+        out["pq_id_cols"] = tuple(
+            c
+            for c in index.pq_codes().columns
+            if c not in (CLUSTER_COL, "codes")
+        )
+    return out
+
+
 def build_ivf_index(
     docs: DataFrame,
     index_path: str,
@@ -214,6 +242,21 @@ def build_ivf_index(
     full vectors for the rerank shortlist
     (``IVFIndex.search(adc_shortlist=...)``).
     """
+    # Drop the previous index's metadata BEFORE overwriting anything
+    # (the build_lex_index convention): a crash mid-rebuild must not
+    # leave an old _stats.json describing a half-overwritten corpus,
+    # and curves measured on the OLD centroids must never bless the new
+    # layout (their n_docs stamp can match while the geometry doesn't —
+    # no staleness signal would fire). Stats are rewritten below;
+    # curves are the caller's to (re-)measure — engine.build_index
+    # captures the previous payloads before calling and re-measures
+    # under the same contract after.
+    import contextlib as _contextlib
+    import os as _os
+
+    for _f in (STATS_FILE, RECALL_CURVE_FILE, ADC_CURVE_FILE):
+        with _contextlib.suppress(OSError):
+            _os.remove(_os.path.join(index_path, _f))
     if cluster_col is not None:
         centroids = mean_centroids(docs, cluster_col=cluster_col, vec_col=vec_col)
         assigned = docs.withColumn(CLUSTER_COL, F.col(cluster_col))
@@ -333,6 +376,38 @@ class IVFIndex:
     def corpus(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.path}/{CORPUS_SUBDIR}")
 
+    def verify_stats(self) -> bool:
+        """Detect-and-HEAL the plain append's crash window (corpus
+        files landed, the histogram manifest rewrite didn't): the
+        manifest would otherwise undercount FOREVER — `_write_stats`'s
+        read-merge-write bases every later append on the stale count —
+        silently blessing stale curves (`recall_curve_staleness`
+        derives current_n_docs from it) and mis-sizing auto salting.
+        Unlike the lexical index's torn append (whose postings are
+        simply gone), these stats are fully DERIVABLE from the written
+        layout, so a mismatch recomputes the histogram from partition
+        footers instead of raising. Keeps the stored key_type marker
+        (the pre-write frame is gone; the cluster dtype didn't change).
+        Returns True when a heal rewrote the manifest. The
+        transactional subclass overrides to a no-op — its histogram
+        rides each O_EXCL-committed manifest, so the window does not
+        exist there."""
+        import json
+
+        stats = self.cluster_stats()
+        if stats is None:
+            return False  # pre-stats artifact: consumers fall back
+        actual = int(self.corpus().count())
+        if int(stats["n_docs"]) == actual:
+            return False
+        try:
+            with open(self._stats_path()) as fh:
+                key_type = json.load(fh).get("key_type")
+        except (OSError, ValueError):
+            key_type = None
+        self._write_stats(_batch_histogram(self.corpus()), key_type=key_type)
+        return True
+
     def recall_curve(self) -> dict | None:
         """The persisted recall@k-vs-nprobe curve
         (`measure_recall_curve`), or None when never measured."""
@@ -345,14 +420,26 @@ class IVFIndex:
         except (OSError, ValueError):
             return None
 
-    def recall_curve_staleness(self) -> dict | None:
+    def recall_curve_staleness(self, payload: dict | None = None) -> dict | None:
         """How far the live corpus has grown/shrunk past the persisted
         recall curve's measurement stamp: ``{"measured_n_docs",
         "current_n_docs", "growth"}`` where growth is the absolute
         row-count delta as a fraction of the measured count. None when
         there is no curve or the curve predates the stamp (pre-r12).
-        Zero Spark jobs when the stats manifest is present."""
-        payload = self.recall_curve()
+        Zero Spark jobs when the stats manifest is present.
+
+        ``payload``: pass the already-loaded curve to keep one read —
+        re-reading here would let a concurrent re-measure swap the file
+        between the resolver's read and this one, pairing the OLD
+        curve's numbers with the NEW curve's staleness verdict."""
+        if payload is None:
+            payload = self.recall_curve()
+        return self._staleness_from(payload)
+
+    def _staleness_from(self, payload: dict | None) -> dict | None:
+        """Shared stamp-vs-live-corpus arithmetic for BOTH persisted
+        curves (one implementation — the budget semantics must not
+        drift between the nprobe and shortlist knobs)."""
         if payload is None or payload.get("measured_n_docs") is None:
             return None
         measured = int(payload["measured_n_docs"])
@@ -413,7 +500,7 @@ class IVFIndex:
         budget = (
             self.RECALL_CURVE_MAX_GROWTH if max_growth is None else max_growth
         )
-        stale = self.recall_curve_staleness()
+        stale = self.recall_curve_staleness(payload)
         if stale is not None and stale["growth"] > budget:
             msg = (
                 f"recall curve for {self.path} is stale: corpus moved "
@@ -445,25 +532,13 @@ class IVFIndex:
         except (OSError, ValueError):
             return None
 
-    def adc_curve_staleness(self) -> dict | None:
+    def adc_curve_staleness(self, payload: dict | None = None) -> dict | None:
         """ADC twin of `recall_curve_staleness` — live-corpus drift vs
-        the shortlist curve's measurement stamp."""
-        payload = self.adc_curve()
-        if payload is None or payload.get("measured_n_docs") is None:
-            return None
-        measured = int(payload["measured_n_docs"])
-        stats = self.cluster_stats()
-        current = (
-            int(stats["n_docs"])
-            if stats is not None
-            else int(self.corpus().count())
-        )
-        growth = abs(current - measured) / max(measured, 1)
-        return {
-            "measured_n_docs": measured,
-            "current_n_docs": current,
-            "growth": growth,
-        }
+        the shortlist curve's measurement stamp (same preloaded-payload
+        contract, same shared arithmetic)."""
+        if payload is None:
+            payload = self.adc_curve()
+        return self._staleness_from(payload)
 
     def adc_shortlist_for_recall(
         self,
@@ -493,7 +568,7 @@ class IVFIndex:
         budget = (
             self.RECALL_CURVE_MAX_GROWTH if max_growth is None else max_growth
         )
-        stale = self.adc_curve_staleness()
+        stale = self.adc_curve_staleness(payload)
         if stale is not None and stale["growth"] > budget:
             msg = (
                 f"ADC shortlist curve for {self.path} is stale: corpus "
@@ -1112,6 +1187,13 @@ class TransactionalIVFIndex(IVFIndex):
             "cluster_sizes": sizes,
         }
 
+    def verify_stats(self) -> bool:
+        """No-op override: the histogram rides each O_EXCL-committed
+        manifest (a torn append is invisible until its commit lands),
+        so the plain index's stats crash window does not exist here —
+        and the plain heal's corpus count would be a wasted job."""
+        return False
+
     # -- writes ------------------------------------------------------
     @classmethod
     def build(
@@ -1518,14 +1600,20 @@ def measure_recall_curve(
 
     Probes are a deterministic hash-ordered sample of the index's OWN
     corpus (xxhash64 order — no RNG state, same sample every run);
-    ground truth is the exact KNN join over the full corpus, the
-    approximate side is `index.search` at each nprobe. Recall is
-    monotone non-decreasing in nprobe by construction (probing more
-    clusters only ADDS candidates, and a true top-k member in the
-    candidate set always survives exact re-scoring), which the tests
-    pin. Cost: one exact-KNN pass over the corpus for ``sample``
-    probes plus |nprobes| pruned searches — a build-time price, paid
-    where the index build already pays a full corpus pass.
+    ground truth is `index.search` itself at nprobe = the centroid
+    count — an exact scan under the SAME scoring expression as every
+    measured point. Using a different exact scorer (knn_join
+    normalizes then dots; search divides by both norms) would let a
+    mathematical tie between scaled-copy vectors rank differently by
+    one ulp across the two formulas, breaking the endpoint-1.0 and
+    monotonicity guarantees the tests pin; with one formula the
+    endpoint is 1.0 LITERALLY by construction. Recall is monotone
+    non-decreasing in nprobe (probing more clusters only ADDS
+    candidates, and a true top-k member in the candidate set always
+    survives exact re-scoring). Cost: |nprobes| pruned searches for
+    ``sample`` probes — a build-time price, paid where the index build
+    already pays a full corpus pass (the full-width ground-truth
+    search doubles as the endpoint measurement).
 
     The curve describes the corpus AT MEASUREMENT TIME under the
     frozen centroids; incremental appends shift it like they shift
@@ -1546,8 +1634,6 @@ def measure_recall_curve(
     import json
     import os
     import uuid
-
-    from converttovectordb_spark.operators.search import knn_join
 
     corpus = index.corpus().select(
         F.col(doc_id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
@@ -1571,14 +1657,28 @@ def measure_recall_curve(
         .persist()
     )
     try:
+        # ground truth: the index's OWN scorer at full probe width —
+        # an exact scan under the same expression as every measured
+        # point (see the docstring's one-formula argument); it doubles
+        # as the endpoint measurement, recall 1.0 by set identity
         exact = {}
-        for r in knn_join(
-            probes, corpus, top_k=top_k, doc_id_col=doc_id_col
+        for r in index.search(
+            probes,
+            top_k=top_k,
+            nprobe=int(n_clusters),
+            doc_id_col=doc_id_col,
+            vec_col=vec_col,
         ).collect():
             exact.setdefault(r["query_id"], set()).add(r[doc_id_col])
         n_probes = len(exact)
         curve = []
         for p in nprobes:
+            if int(p) == int(n_clusters):
+                curve.append(
+                    {"nprobe": int(p),
+                     "recall": 1.0 if n_probes else 0.0}
+                )
+                continue
             approx = {}
             for r in index.search(
                 probes,

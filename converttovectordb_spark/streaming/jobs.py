@@ -156,7 +156,21 @@ def retrain_index_if_drifted(
             "rebuild-and-swap CURRENT protocol and txn-id carry live "
             "on the manifest)"
         )
-    docs = store.load()
+    # newest-copy-per-identity, exactly like the offline door
+    # (maybe_retrain → build_index → _dedup_row_ids): the streamed
+    # store is append-only, so a re-crawled (path, chunk_index) holds
+    # old+new copies — training on the raw load would rebuild an index
+    # that serves the same identity twice and measures its recall
+    # curve against duplicate-laden ground truth. The dedup column set
+    # follows the OLD index's corpus schema so later epoch appends
+    # (which select corpus columns) keep landing.
+    from converttovectordb_spark.engine import VectorEngine, _row_id
+
+    docs = VectorEngine._dedup_row_ids(
+        store.load().withColumn("_row_id", _row_id())
+    )
+    corpus_cols = [c for c in index.corpus().columns if c != CLUSTER_COL]
+    docs = docs.select(*corpus_cols)
     report = index_drift_report(index, docs).collect()
     shifts = [r for r in report if r["centroid_shift"] is not None]
     max_shift = max(
@@ -164,24 +178,9 @@ def retrain_index_if_drifted(
     )
     if max_shift <= shift_threshold:
         return index
-    pq_m = None
-    pq_k = 16
-    pq_id_cols = None
-    if index.has_pq():
-        cb = (
-            index.pq_codebooks()
-            .agg(
-                F.countDistinct("sub").alias("m"),
-                (F.max("code") + 1).alias("k"),
-            )
-            .first()
-        )
-        pq_m, pq_k = int(cb["m"]), int(cb["k"])
-        pq_id_cols = tuple(
-            c
-            for c in index.pq_codes().columns
-            if c not in (CLUSTER_COL, "codes")
-        )
+    from converttovectordb_spark.plans.ivf_index import index_family_params
+
+    fam = index_family_params(index)
     base = os.path.dirname(os.path.abspath(index.path))
     new_dir = os.path.join(base, uuid.uuid4().hex)
     new_index = TransactionalIVFIndex.build(
@@ -189,9 +188,9 @@ def retrain_index_if_drifted(
         new_dir,
         num_clusters=len(report),
         seed=seed,
-        pq_m=pq_m,
-        pq_k=pq_k,
-        pq_id_cols=pq_id_cols,
+        pq_m=fam["pq_m"],
+        pq_k=fam["pq_k"],
+        pq_id_cols=fam["pq_id_cols"],
     )
     # the maintainer's attach-time policies ride along to the new handle
     new_index.auto_compact_after = index.auto_compact_after
@@ -287,13 +286,48 @@ def stream_ingest_transactional(
     # one (closures rebind through the cell)
     index_ref = {"index": index}
 
+    def _resolve_current(idx):
+        """Re-resolve the handle against the published CURRENT pointer
+        at each epoch: the in-memory cell does not survive a stream
+        RESTART, and a caller re-seeding from a pre-retrain handle
+        would (a) commit epochs to an abandoned index that
+        open_current() readers never see, and (b) re-measure drift
+        against the replaced centroids — still past threshold — and
+        rebuild AGAIN on a replayed trigger. One pointer-file read per
+        epoch; no Spark job."""
+        import os
+
+        from converttovectordb_spark.plans.ivf_index import (
+            TransactionalIVFIndex,
+        )
+
+        if idx is None or not isinstance(idx, TransactionalIVFIndex):
+            return idx
+        base = os.path.dirname(os.path.abspath(idx.path))
+        try:
+            cur = TransactionalIVFIndex.open_current(idx.spark, base)
+        except FileNotFoundError:
+            return idx  # never published at this base: handle is it
+        if os.path.abspath(cur.path) != os.path.abspath(idx.path):
+            cur.auto_compact_after = idx.auto_compact_after
+            return cur
+        return idx
+
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        index_ref["index"] = _resolve_current(index_ref["index"])
         chunks = explode_chunks(
             batch_df, chunk_size=chunk_size, overlap=overlap
         )
+        # wall-clock stamp, like every other write door: an epoch-id
+        # stamp (the r12.0 behavior) always LOSES the newest-copy race
+        # in _dedup_row_ids against wall-clock-stamped pushes/ingests,
+        # so a streamed re-crawl could never supersede its old copy.
+        # Replay-safe: a replayed epoch dedups on the manifest txn id
+        # BEFORE any write, so the nondeterministic stamp is never
+        # written twice (the stream_ingest_dedup door's argument).
         docs = embed_column(
             chunks, "content", "embedding", embedder, dim
-        ).withColumn("timestamp", F.lit(float(epoch_id)))
+        ).withColumn("timestamp", F.lit(time.time()))
         txn = stream_txn_id(checkpoint_dir, epoch_id)
         if index_ref["index"] is None:
             store.append(docs, txn_id=txn)

@@ -209,3 +209,67 @@ def test_string_label_stats_feed_salt_map(spark, tmp_path):
     assert sorted(
         [(r["query_id"], r["rank"], r["vec_id"]) for r in got]
     ) == sorted([(r["query_id"], r["rank"], r["vec_id"]) for r in want])
+
+
+def test_verify_stats_heals_undercount(spark, tmp_path):
+    """r12 review: a crashed plain append (corpus files landed, the
+    histogram rewrite didn't) used to undercount FOREVER — every later
+    read-merge-write based itself on the stale manifest.
+    verify_stats() detects the mismatch against the written layout and
+    recomputes; the transactional override is a no-op."""
+    import json
+    import os
+
+    from converttovectordb_spark.plans.ivf_index import (
+        IVFIndex,
+        build_ivf_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 2) for i in range(10)],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    idx = build_ivf_index(
+        docs, str(tmp_path / "ivf"), cluster_col="label"
+    )
+    assert idx.verify_stats() is False  # consistent: no heal
+    # simulate the crash window: corpus rows landed, manifest did not
+    # get the append's histogram merge
+    stale = {"n_docs": 4, "cluster_sizes": {"0": 2, "1": 2},
+             "key_type": "int"}
+    with open(os.path.join(idx.path, "_stats.json"), "w") as fh:
+        json.dump(stale, fh)
+    assert IVFIndex(spark, idx.path).verify_stats() is True
+    healed = IVFIndex(spark, idx.path).cluster_stats()
+    assert healed["n_docs"] == 10
+    assert healed["cluster_sizes"] == {0: 5, 1: 5}  # key_type kept
+
+
+def test_build_ivf_index_drops_previous_metadata(spark, tmp_path):
+    """r12 review: an in-place rebuild must not leave curves measured
+    on the OLD centroids (their n_docs stamp can match — no staleness
+    signal would fire) or a stale _stats.json blessing a crashed
+    rebuild's half-overwritten corpus."""
+    import json
+    import os
+
+    from converttovectordb_spark.plans.ivf_index import (
+        RECALL_CURVE_FILE,
+        build_ivf_index,
+        measure_recall_curve,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 2) for i in range(8)],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    path = str(tmp_path / "ivf2")
+    idx = build_ivf_index(docs, path, cluster_col="label")
+    measure_recall_curve(idx, sample=2, top_k=2)
+    assert idx.recall_curve() is not None
+    # direct rebuild (no engine wrapper): the old curve must NOT
+    # survive to describe the new centroids
+    idx2 = build_ivf_index(docs, path, cluster_col="label")
+    assert idx2.recall_curve() is None
+    assert not os.path.exists(os.path.join(path, RECALL_CURVE_FILE))
+    assert idx2.cluster_stats()["n_docs"] == 8  # stats rewritten

@@ -459,3 +459,71 @@ def test_stream_funnel_state_across_batches(spark, tmp_path):
     by = {(r["user_id"], r["stage_order"]): r["stage_ts"] for r in rows}
     assert by[(1, 2)] == base + dt.timedelta(minutes=30)
     assert by[(3, 2)] == base + dt.timedelta(minutes=10)  # FIRST click
+
+
+def test_stream_sink_resolves_published_current(spark, tmp_path):
+    """r12 review: the epoch sink re-resolves the CURRENT pointer
+    before committing — a stream (re)started with a pre-retrain handle
+    must commit its epochs to the PUBLISHED index, not the abandoned
+    one. Also pins the wall-clock timestamp fix: streamed rows must
+    carry a real stamp (an epoch-id stamp always lost the newest-copy
+    race against wall-clock-stamped pushes)."""
+    import time as _time
+
+    from converttovectordb_spark.plans.ivf_index import (
+        TransactionalIVFIndex,
+    )
+    from converttovectordb_spark.sources.store import (
+        TransactionalDocumentStore,
+    )
+    from converttovectordb_spark.streaming.jobs import (
+        stream_ingest_indexed,
+    )
+
+    store = TransactionalDocumentStore(spark, str(tmp_path / "store"))
+    seed = spark.createDataFrame(
+        [("s.txt", ".txt", 1, 0, "seed one", [1.0] + [0.0] * 15, 0.0),
+         ("t.txt", ".txt", 1, 0, "seed two", [0.0, 1.0] + [0.0] * 14, 0.0)],
+        "path string, extension string, total_chunks int, "
+        "chunk_index int, content string, embedding array<float>, "
+        "timestamp double",
+    )
+    store.append(seed)
+    base = tmp_path / "tivf"
+    base.mkdir()
+    v0 = TransactionalIVFIndex.build(
+        store.load(), str(base / "v0"), num_clusters=2
+    )
+    TransactionalIVFIndex.publish_current(str(base), str(base / "v0"))
+    # a retrain happened elsewhere: v1 is now CURRENT; the caller still
+    # holds the stale v0 handle
+    v1 = TransactionalIVFIndex.build(
+        store.load(), str(base / "v1"), num_clusters=2
+    )
+    v1.carry_txn_ids(v0.committed_txn_ids())
+    TransactionalIVFIndex.publish_current(str(base), str(base / "v1"))
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "b1.json").write_text(json.dumps(
+        {"path": "n.md", "content": "new arrival doc", "extension": ".md"}
+    ))
+    before = _time.time()
+    q = stream_ingest_indexed(
+        spark, str(drop), store, v0, str(tmp_path / "ck"),
+        embedder=hash_embedder(16), dim=16, chunk_size=500, overlap=100,
+    )
+    q.awaitTermination(120)
+    # the epoch landed in the PUBLISHED index, not the stale handle
+    cur = TransactionalIVFIndex.open_current(spark, str(base))
+    assert cur.path.endswith("v1")
+    assert (
+        cur.corpus().filter("path = 'n.md'").count() == 1
+    )
+    assert (
+        TransactionalIVFIndex(spark, str(base / "v0"))
+        .corpus().filter("path = 'n.md'").count() == 0
+    )
+    # wall-clock stamp (not float(epoch_id))
+    row = store.load().filter("path = 'n.md'").first()
+    assert row["timestamp"] >= before - 1
