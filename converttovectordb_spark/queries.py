@@ -75,10 +75,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _events_physical_ts(sf_dir: str) -> str:
     """Spark-side type of events.ts for this data layout: ``bigint``
-    when the file stores TIMESTAMP(NANOS) without a timezone (read as
-    long via the nanosAsLong conf — the pre-2026-08 testdata layout),
-    ``timestamp`` for tz-adjusted (isAdjustedToUTC=true) files, else
-    ``timestamp_ntz`` (TIMESTAMP(MICROS/MILLIS), isAdjustedToUTC=false)."""
+    when the file stores INT64 TIMESTAMP(NANOS) without a timezone
+    (read as long via the nanosAsLong conf — the pre-2026-08 testdata
+    layout), ``timestamp`` for tz-adjusted (isAdjustedToUTC=true)
+    files AND for legacy INT96, else ``timestamp_ntz``
+    (TIMESTAMP(MICROS/MILLIS), isAdjustedToUTC=false).
+
+    INT96 needs the parquet PHYSICAL type, not the arrow view: pyarrow
+    surfaces INT96 as tz-less timestamp[ns] — indistinguishable from
+    INT64 TIMESTAMP(NANOS) at the arrow level — but Spark always reads
+    INT96 as session-tz TIMESTAMP (nanosAsLong applies only to INT64
+    NANOS), and INT96 is Spark's DEFAULT outputTimestampType, so any
+    Spark-rewritten events table hits this branch."""
     import glob
     import os
 
@@ -93,6 +101,11 @@ def _events_physical_ts(sf_dir: str) -> str:
                 f"no parquet part files under {path}; cannot sniff events.ts layout"
             )
         path = parts[0]
+    pqs = pq.ParquetFile(path).schema
+    for i in range(len(pqs)):
+        col = pqs.column(i)
+        if col.name == "ts" and col.physical_type == "INT96":
+            return "timestamp"
     t = pq.read_schema(path).field("ts").type
     if not pa.types.is_timestamp(t):
         raise TypeError(f"events.ts has unsupported physical type {t}")
@@ -102,6 +115,33 @@ def _events_physical_ts(sf_dir: str) -> str:
         # applies to timezone-less NANOS).
         return "timestamp"
     return "bigint" if t.unit == "ns" else "timestamp_ntz"
+
+
+def _symlink_table_into(
+    stream_dir: str, sf_dir: str, table: str, *, alias: str | None = None
+) -> None:
+    """Expose a testdata table to the streaming FILE source, which
+    lists plain files and does not recurse through a symlinked
+    directory entry: a single-file layout (the shipped testdata) links
+    as one file; a Spark-written DIRECTORY layout links each part file
+    — a bare dir symlink lists as ZERO inputs and the stream silently
+    produces an empty result (found by tools/analytics_scale_probe.py,
+    whose replicated corpora are Spark-written dirs)."""
+    import glob as _glob
+    import os as _os
+
+    src = _os.path.abspath(f"{sf_dir}/{table}.parquet")
+    name = alias or table
+    if _os.path.isdir(src):
+        parts = sorted(_glob.glob(_os.path.join(src, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {src}")
+        for i, p in enumerate(parts):
+            _os.symlink(
+                p, _os.path.join(stream_dir, f"{name}_{i:05d}.parquet")
+            )
+    else:
+        _os.symlink(src, _os.path.join(stream_dir, f"{name}.parquet"))
 
 
 def _normalize_events_ts(ev: DataFrame) -> DataFrame:
@@ -7937,13 +7977,10 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"event_id bigint, ts {_events_physical_ts(sf_dir)}, user_id bigint, "
         "event_type string, value double, props string"
     )
-    # The streaming file source requires a DIRECTORY; expose the single
-    # test file through a temp dir symlink.
+    # The streaming file source requires a DIRECTORY; expose the
+    # table through per-file symlinks (layout-robust — see helper).
     stream_dir = tempfile.mkdtemp(prefix="stream_events_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"),
-        os.path.join(stream_dir, "events.parquet"),
-    )
+    _symlink_table_into(stream_dir, sf_dir, "events")
     ev = (
         spark.readStream.schema(schema)
         .parquet(stream_dir)
@@ -8014,10 +8051,7 @@ def q_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, value double, props string"
     )
     stream_dir = tempfile.mkdtemp(prefix="stream_cp_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"),
-        os.path.join(stream_dir, "events.parquet"),
-    )
+    _symlink_table_into(stream_dir, sf_dir, "events")
     ev = (
         spark.readStream.schema(schema)
         .parquet(stream_dir)
@@ -8118,9 +8152,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, value double, props string"
     )
     stream_dir = tempfile.mkdtemp(prefix="stream_dedup_")
-    src = os.path.abspath(f"{sf_dir}/events.parquet")
-    os.symlink(src, os.path.join(stream_dir, "events_a.parquet"))
-    os.symlink(src, os.path.join(stream_dir, "events_b.parquet"))
+    _symlink_table_into(stream_dir, sf_dir, "events", alias="events_a")
+    _symlink_table_into(stream_dir, sf_dir, "events", alias="events_b")
     ev = (
         spark.readStream.schema(schema)
         .parquet(stream_dir)
@@ -8205,10 +8238,7 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars bigint"
     )
     stream_dir = tempfile.mkdtemp(prefix="stream_qgate_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/documents.parquet"),
-        os.path.join(stream_dir, "documents.parquet"),
-    )
+    _symlink_table_into(stream_dir, sf_dir, "documents")
     gated = _gopher_quality_frame(
         spark.readStream.schema(schema)
         .parquet(stream_dir)
@@ -8579,10 +8609,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, value double, props string"
     )
     stream_dir = tempfile.mkdtemp(prefix="stream_sess_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"),
-        os.path.join(stream_dir, "events.parquet"),
-    )
+    _symlink_table_into(stream_dir, sf_dir, "events")
     # Sentinel per user: 1801 s after their last event → closes the
     # final open session. The sentinel file must carry ts in the SAME
     # physical type the declared stream schema expects for this data
@@ -8687,10 +8714,7 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, value double, props string"
     )
     stream_dir = tempfile.mkdtemp(prefix="stream_funnel_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"),
-        os.path.join(stream_dir, "events.parquet"),
-    )
+    _symlink_table_into(stream_dir, sf_dir, "events")
     from converttovectordb_spark.streaming.stateful import stream_funnel
 
     ev = (
@@ -8736,7 +8760,9 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stage",
             F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("users"),
             _round6(
-                F.coalesce(F.col("_n"), F.lit(0)) / F.col("_entered")
+                F.try_divide(
+                    F.coalesce(F.col("_n"), F.lit(0)), F.col("_entered")
+                )
             ).alias("conversion"),
         )
         .orderBy("stage_order")
@@ -9578,7 +9604,9 @@ def q_mrl_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "dim",
             F.col("n_overlap").cast("bigint").alias("n_overlap"),
-            _round6(F.col("n_overlap") / F.col("_total")).alias("recall"),
+            _round6(
+                F.try_divide(F.col("n_overlap"), F.col("_total"))
+            ).alias("recall"),
         )
         .orderBy("dim")
     )
@@ -9839,7 +9867,11 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stage_order",
             "stage",
             F.col("users").cast("bigint").alias("users"),
-            _round6(F.col("users") / F.col("_entered")).alias("conversion"),
+            # try_divide: an empty stage-1 under ANSI would otherwise
+            # make 0/0 a runtime error; DuckDB's 0/0 is NULL, matching
+            _round6(
+                F.try_divide(F.col("users"), F.col("_entered"))
+            ).alias("conversion"),
         )
         .orderBy("stage_order")
     )
