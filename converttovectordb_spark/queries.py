@@ -4478,6 +4478,55 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over BINARY media payloads — the dedup family ×
+    multimodal cross: hash the opaque payload bytes (md5 — the one
+    digest both engines compute identically over the same bytes),
+    group, and report every duplicate group with its min-id keeper.
+    At 100 TB this is the first pass of any media-corpus curation
+    (byte-identical re-crawls/re-encodes collapse before a single
+    expensive decode runs); the hash is computed in the scan
+    projection and only (hash, id) rows reach the shuffle — payload
+    bytes never move."""
+    assets = _fake_assets(spark, sf_dir)
+    hashed = assets.filter(F.col("payload").isNotNull()).select(
+        "asset_id",
+        F.md5(F.col("payload")).alias("payload_md5"),
+        F.octet_length(F.col("payload")).cast("bigint").alias(
+            "payload_bytes"
+        ),
+    )
+    return (
+        hashed.groupBy("payload_md5", "payload_bytes")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("asset_id").cast("bigint").alias("keeper"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .select("payload_md5", "payload_bytes", "n_copies", "keeper")
+        .orderBy("payload_md5")
+    )
+
+
+ORACLE_MEDIA_DEDUP = """
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         md5(text) AS payload_md5,
+         octet_length(encode(text)) AS payload_bytes
+  FROM documents
+  WHERE text IS NOT NULL
+)
+SELECT payload_md5,
+       CAST(payload_bytes AS BIGINT) AS payload_bytes,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(asset_id) AS BIGINT) AS keeper
+FROM a
+GROUP BY payload_md5, payload_bytes
+HAVING count(*) >= 2
+ORDER BY payload_md5
+"""
+
+
 ORACLE_MEDIA_FRAME_SAMPLE = """
 WITH assets AS (
   SELECT doc_id AS asset_id, n_chars * 10 AS duration_ms FROM documents
@@ -10172,6 +10221,7 @@ QUERIES = {
     "neardup_clusters_distributed": q_neardup_clusters_distributed,
     "vector_ivf_knn_filtered": q_vector_ivf_knn_filtered,
     "minhash_accuracy": q_minhash_accuracy,
+    "media_dedup": q_media_dedup,
 }
 
 #: Sketch-based queries have NO oracle entry on purpose: Spark's
@@ -10313,4 +10363,5 @@ ORACLES = {
     "retention_cohorts": ORACLE_RETENTION_COHORTS,
     "stream_funnel": ORACLE_FUNNEL_CONVERSION,
     "neardup_clusters_distributed": ORACLE_NEARDUP_CLUSTERS,
+    "media_dedup": ORACLE_MEDIA_DEDUP,
 }
