@@ -2377,17 +2377,40 @@ class VectorEngine:
         docs = self._dedup_row_ids(
             self.store.load().withColumn("_row_id", _row_id())
         )
-        indexed_ids = idx.doclens().select("_row_id")
-        orphans = indexed_ids.join(
-            docs.select("_row_id"), on="_row_id", how="left_anti"
-        ).count()
-        if orphans:
+        from converttovectordb_spark.plans.lex_index import chash_expr
+
+        doclens = idx.doclens()
+        if "chash" not in doclens.columns:
             raise RuntimeError(
-                f"lexical index holds {orphans} rows no longer in the "
-                "store (replace/clear happened); appending cannot "
-                "remove postings — rebuild with build_lex_index()"
+                f"lexical index at {path} predates content-keyed heals "
+                "(doclens has no chash column) — a rid-only delta is "
+                "blind to content changes; rebuild with "
+                "build_lex_index()"
             )
-        missing = docs.join(indexed_ids, on="_row_id", how="left_anti")
+        # freshness key = (rid, chash) — the sigstore's v2 lesson: a
+        # rid-only delta heals a CHANGED document as a no-op and earns
+        # a token over the old file's postings. Deletions AND content
+        # changes both surface as indexed keys absent from the store;
+        # neither can be healed by appending (old postings must go).
+        store_keys = docs.select(
+            "_row_id",
+            chash_expr("content", bool(idx.meta().get("lowercase"))).alias(
+                "chash"
+            ),
+        )
+        stale = doclens.select("_row_id", "chash").join(
+            store_keys, on=["_row_id", "chash"], how="left_anti"
+        ).count()
+        if stale:
+            raise RuntimeError(
+                f"lexical index holds {stale} rows whose (id, content) "
+                "no longer matches the store (replace/clear/re-crawl "
+                "happened); appending cannot remove or rewrite "
+                "postings — rebuild with build_lex_index()"
+            )
+        missing = docs.join(
+            doclens.select("_row_id"), on="_row_id", how="left_anti"
+        )
         added = idx.append(missing, text_col="content")
         tmp = os.path.join(path, f".token.{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:

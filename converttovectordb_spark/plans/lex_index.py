@@ -62,6 +62,17 @@ def term_bucket(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
+def chash_expr(text_col: str, lowercase: bool):
+    """Content hash over EXACTLY the text the postings tokenize
+    (post-lowercase when the artifact lowercases) — the heal's change
+    detector. A rid-only delta is blind to a content CHANGE under an
+    existing id: the heal would no-op, earn a fresh token, and BM25
+    would serve the old file's postings forever (the same blindness
+    the sigstore's v2 (rid, chash) key closed for lexical dedup)."""
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    return F.xxhash64(text)
+
+
 def build_lexical_index(
     docs: DataFrame,
     index_path: str,
@@ -86,17 +97,24 @@ def build_lexical_index(
     # lineage would re-run the full corpus scan + tokenize per action
     # (the build used to pay exactly that; `append` already persisted
     # its delta for the same reason)
-    toked = docs.select(F.col(id_col), tokens(text).alias("_toks")).persist()
+    toked = docs.select(
+        F.col(id_col),
+        tokens(text).alias("_toks"),
+        chash_expr(text_col, lowercase).alias("_chash"),
+    ).persist()
     try:
         # per-doc length table: ONE row per doc, token-less docs
-        # included. It serves two masters — exact corpus stats (n_docs,
-        # total_dl are additive, so `append` updates them by
-        # arithmetic) and the delta/orphan detection an incremental
-        # heal needs (postings alone cannot represent a token-less
-        # doc). Written FIRST, meta LAST — `verify_integrity` relies on
-        # that ordering to detect torn maintenance.
+        # included. It serves three masters — exact corpus stats
+        # (n_docs, total_dl are additive, so `append` updates them by
+        # arithmetic), the delta/orphan detection an incremental heal
+        # needs (postings alone cannot represent a token-less doc),
+        # and content-change detection via `chash` (see chash_expr).
+        # Written FIRST, meta LAST — `verify_integrity` relies on that
+        # ordering to detect torn maintenance.
         doclens = toked.select(
-            id_col, F.size("_toks").cast("bigint").alias("dl")
+            id_col,
+            F.size("_toks").cast("bigint").alias("dl"),
+            F.col("_chash").alias("chash"),
         )
         doclens.write.mode("overwrite").parquet(
             os.path.join(index_path, DOCLENS_SUBDIR)
@@ -237,11 +255,17 @@ class LexicalIndex:
         # un-persisted upstream lineage would re-execute per action and
         # could even diverge between them
         toked = docs.select(
-            F.col(id_col), tokens(text).alias("_toks")
+            F.col(id_col),
+            tokens(text).alias("_toks"),
+            chash_expr(text_col, bool(meta.get("lowercase"))).alias(
+                "_chash"
+            ),
         ).persist()
         try:
             doclens = toked.select(
-                id_col, F.size("_toks").cast("bigint").alias("dl")
+                id_col,
+                F.size("_toks").cast("bigint").alias("dl"),
+                F.col("_chash").alias("chash"),
             )
             stats = doclens.agg(
                 F.count(F.lit(1)).alias("n"),

@@ -112,7 +112,12 @@ class MinHashSignatureStore:
 
     # -- state ---------------------------------------------------------
     def exists(self) -> bool:
-        return os.path.exists(self._data_path())
+        """Present = the data dir holds at least one committed batch
+        dir. A bare (empty) data dir — the compact/rebuild crash window
+        between renames used to leave one — must read ABSENT: its
+        token is untouched (compaction is content-neutral) and would
+        otherwise bless an unloadable artifact forever."""
+        return bool(self._batch_dirs())
 
     def token(self) -> str | None:
         """The committed store-token digest, or None when the artifact
@@ -176,22 +181,28 @@ class MinHashSignatureStore:
 
         Swap ordering mirrors `rebuild` (stage fully, rename old away,
         rename staged in, then delete): every crash window leaves
-        either the old dirs intact or the data dir absent — and an
-        absent data dir reads as "artifact missing" (`exists()` /
-        `token()`-then-`load()` callers rebuild), never as silently
+        either the old dirs intact (possibly with a parked ``.old.``
+        copy the next maintenance RESTORES) or the data dir absent/
+        empty, which reads as "artifact missing" (`exists()` /
+        `token()`-then-`load()` callers rebuild) — never silently
         duplicated or half-folded rows."""
+        self._recover_swap_debris()
         self._sweep_debris()
         dirs = self._batch_dirs()
         if len(dirs) < 2:
             return 0
         # stage from the CURRENT dirs (the staging write is an action —
-        # the old files are fully read before any swap step)
+        # the old files are fully read before any swap step), then
+        # assemble the COMPLETE replacement data dir under a tmp name
+        # so the swap is two renames with no present-but-empty window
         staged = self._stage(self.load())
         data = self._data_path()
+        newdata = data + ".new." + uuid.uuid4().hex
+        os.makedirs(newdata)
+        os.rename(staged, os.path.join(newdata, os.path.basename(staged)[4:]))
         old = data + ".old." + uuid.uuid4().hex
         os.rename(data, old)
-        os.makedirs(data, exist_ok=True)
-        os.rename(staged, os.path.join(data, os.path.basename(staged)[4:]))
+        os.rename(newdata, data)
         shutil.rmtree(old, ignore_errors=True)
         return len(dirs)
 
@@ -211,15 +222,18 @@ class MinHashSignatureStore:
         """Replace the artifact wholesale (store dropped rows, params
         change, first build). The old data dir is removed only after
         the replacement is fully staged."""
+        self._recover_swap_debris()
         self._sweep_debris()
         staged = self._stage(sigs)
         data = self._data_path()
+        newdata = data + ".new." + uuid.uuid4().hex
+        os.makedirs(newdata)
+        os.rename(staged, os.path.join(newdata, os.path.basename(staged)[4:]))
         old = None
         if os.path.exists(data):
             old = data + ".old." + uuid.uuid4().hex
             os.rename(data, old)
-        os.makedirs(data, exist_ok=True)
-        os.rename(staged, os.path.join(data, os.path.basename(staged)[4:]))
+        os.rename(newdata, data)
         if old is not None:
             shutil.rmtree(old, ignore_errors=True)
         self._write_token(digest)
@@ -228,11 +242,37 @@ class MinHashSignatureStore:
     def _data_path(self) -> str:
         return os.path.join(self.path, self.DATA_DIR)
 
+    def _recover_swap_debris(self) -> None:
+        """Finish a crashed swap BEFORE the sweep can destroy the only
+        copy: when no committed batch dirs survive but exactly one
+        parked ``data.old.<hex>`` does, restore it (both swaps park the
+        complete pre-swap data; compaction is content-neutral and a
+        crashed REBUILD never wrote its token, so the restored copy is
+        exactly what the token still describes). With zero or several
+        parked copies there is nothing safe to restore — the artifact
+        reads absent and the caller rebuilds from the store."""
+        if self._batch_dirs():
+            return  # live data present: .old/tmp entries are debris
+        try:
+            names = os.listdir(self.path)
+        except FileNotFoundError:
+            return
+        olds = sorted(
+            n for n in names if n.startswith(f"{self.DATA_DIR}.old.")
+        )
+        if len(olds) != 1:
+            return
+        data = self._data_path()
+        if os.path.isdir(data):
+            shutil.rmtree(data, ignore_errors=True)  # the empty shell
+        os.rename(os.path.join(self.path, olds[0]), data)
+
     def _sweep_debris(self) -> int:
         """Remove crash leftovers under the artifact root: staged
-        ``tmp-<hex>`` dirs whose rename never ran, ``data.old.<hex>``
-        dirs whose post-swap rmtree was interrupted, and orphaned
-        ``.token.<hex>`` files. Run at the head of `compact`/`rebuild`
+        ``tmp-<hex>``/assembled ``data.new.<hex>`` dirs whose rename
+        never ran, ``data.old.<hex>`` dirs whose post-swap rmtree was
+        interrupted, and orphaned ``.token.<hex>`` files. Run at the
+        head of `compact`/`rebuild` AFTER `_recover_swap_debris`
         (single-maintainer contract — nothing else can be mid-stage),
         so crash debris from a killed swap is bounded to one window
         instead of accumulating forever. Returns entries removed."""
@@ -243,7 +283,11 @@ class MinHashSignatureStore:
             return 0
         for n in names:
             full = os.path.join(self.path, n)
-            if n.startswith("tmp-") or n.startswith(f"{self.DATA_DIR}.old."):
+            if (
+                n.startswith("tmp-")
+                or n.startswith(f"{self.DATA_DIR}.old.")
+                or n.startswith(f"{self.DATA_DIR}.new.")
+            ):
                 shutil.rmtree(full, ignore_errors=True)
                 removed += 1
             elif n.startswith(".token."):

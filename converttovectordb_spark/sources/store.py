@@ -55,7 +55,21 @@ class DocumentStore:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(self.path)
-        return int(obs.get["rows_written"])
+        rows = int(obs.get["rows_written"])
+        if rows == 0:
+            # a zero-row FIRST write leaves a dir holding only
+            # _SUCCESS: exists() then reads True while load() raises
+            # UNABLE_TO_INFER_SCHEMA — restore "absent" when the store
+            # holds no data files at all (an established store is
+            # untouched: append added nothing)
+            has_data = any(
+                f.endswith(".parquet")
+                for _, _, files in os.walk(self.path)
+                for f in files
+            )
+            if not has_data:
+                shutil.rmtree(self.path, ignore_errors=True)
+        return rows
 
     def overwrite(self, docs: DataFrame) -> None:
         writer = docs.write.mode("overwrite")
@@ -188,6 +202,75 @@ class TransactionalDocumentStore(DocumentStore):
         with open(os.path.join(self._manifest_path(), f"{version}.json")) as fh:
             return json.load(fh)
 
+    def _commit_exclusive(
+        self,
+        commit: dict,
+        start_version: int,
+        *,
+        require_live: list[int] | None = None,
+    ) -> int:
+        """Publish one manifest atomically: stage the FULL json to a
+        tmp file, then ``os.link`` it to the next free version — the
+        link either exposes complete content or nothing. The previous
+        ``open(target, 'x')`` + buffered dump could die (or be read)
+        mid-write, leaving a torn ``N.json`` that bricked every later
+        `_read_manifest` with JSONDecodeError, permanently.
+
+        Per ATTEMPT (the log's documented check-then-commit
+        discipline, re-run after every lost race): ``require_live``
+        (compaction products) verifies the replaced versions are all
+        STILL live — two concurrent compactions over overlapping bases
+        would otherwise both commit, neither superseding the other,
+        and every overlapped row would load twice forever; a commit
+        carrying ``key_cols`` verifies no live manifest committed a
+        DIFFERENT key set (two racing upserts with different keys
+        would brick load()'s tombstone union)."""
+        import contextlib
+        import json
+        import uuid
+
+        mdir = self._manifest_path()
+        os.makedirs(mdir, exist_ok=True)
+        tmp = os.path.join(mdir, f".commit.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(commit, fh)
+        version = start_version
+        try:
+            while True:
+                ms = None
+                if require_live is not None:
+                    ms = self._manifests()
+                    if not set(require_live) <= set(self._live_of(ms)):
+                        raise RuntimeError(
+                            f"compaction basis {require_live} was "
+                            "superseded by a concurrent commit — "
+                            "aborting this product (the next compaction "
+                            "re-captures the live set)"
+                        )
+                if "key_cols" in commit:
+                    if ms is None:
+                        ms = self._manifests()
+                    for v in self._live_of(ms):
+                        m = ms[v]
+                        if (
+                            "key_cols" in m
+                            and m["key_cols"] != commit["key_cols"]
+                        ):
+                            raise ValueError(
+                                f"upsert key_cols {commit['key_cols']} "
+                                f"!= previously committed "
+                                f"{m['key_cols']}"
+                            )
+                target = os.path.join(mdir, f"{version}.json")
+                try:
+                    os.link(tmp, target)
+                    return version
+                except FileExistsError:
+                    version += 1
+        finally:
+            with contextlib.suppress(OSError):
+                os.unlink(tmp)
+
     def _schema_fingerprint(self, docs: DataFrame) -> list[list[str]]:
         return [[f.name, f.dataType.simpleString()] for f in docs.schema.fields]
 
@@ -241,23 +324,22 @@ class TransactionalDocumentStore(DocumentStore):
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(batch_dir)
         rows = int(obs.get["rows_written"])
-        os.makedirs(self._manifest_path(), exist_ok=True)
+        if rows == 0:
+            # NEVER commit a zero-row batch: with partition_by the
+            # staged dir holds only _SUCCESS, and unioning it poisons
+            # every later load() with UNABLE_TO_INFER_SCHEMA — a
+            # fully-deduped re-crawl or empty streaming epoch used to
+            # brick the store permanently. Nothing to replay either: a
+            # replayed zero-row epoch re-produces zero rows.
+            shutil.rmtree(batch_dir, ignore_errors=True)
+            return 0
+        self._ensure_uid()
         commit = {"batch_dir": batch_dir, "rows": rows, "schema": fingerprint}
         if txn_id is not None:
             commit["txn_id"] = txn_id
         if _extra_commit:
             commit.update(_extra_commit)
-        version = (self._versions() or [-1])[-1] + 1
-        while True:
-            target = os.path.join(self._manifest_path(), f"{version}.json")
-            try:
-                # O_EXCL create IS the commit — concurrent writers that
-                # lose the race retry with the next version.
-                with open(target, "x") as fh:
-                    json.dump(commit, fh)
-                break
-            except FileExistsError:
-                version += 1
+        self._commit_exclusive(commit, (self._versions() or [-1])[-1] + 1)
         self._maybe_auto_compact()
         return rows
 
@@ -408,15 +490,12 @@ class TransactionalDocumentStore(DocumentStore):
             "replaces": list(versions),
             "snapshot_of": versions[-1],
         }
-        version = (self._versions() or [-1])[-1] + 1
-        while True:
-            target = os.path.join(self._manifest_path(), f"{version}.json")
-            try:
-                with open(target, "x") as fh:
-                    json.dump(commit, fh)
-                return rows
-            except FileExistsError:
-                version += 1
+        self._commit_exclusive(
+            commit,
+            (self._versions() or [-1])[-1] + 1,
+            require_live=list(versions),
+        )
+        return rows
 
     def append_dedup(
         self,
@@ -490,6 +569,14 @@ class TransactionalDocumentStore(DocumentStore):
         what bounds it."""
         import uuid
 
+        # tombstone keys derive from the VALIDATED batch: validation's
+        # contract is "invalid rows are DROPPED" — a key whose every
+        # row fails validation must not tombstone (= silently delete)
+        # its committed rows with nothing written in their place
+        if validate:
+            docs = docs.filter(
+                F.col("content").isNotNull() & F.col("embedding").isNotNull()
+            )
         keys_dir = os.path.join(
             self.path, self.DATA_DIR, uuid.uuid4().hex + "_keys"
         )
@@ -503,14 +590,19 @@ class TransactionalDocumentStore(DocumentStore):
                     f"upsert key_cols {list(key_cols)} != previously "
                     f"committed {m['key_cols']}"
                 )
-        return self.append(
+        written = self.append(
             docs,
-            validate=validate,
+            validate=False,  # already filtered above, keys match rows
             _extra_commit={
                 "tombstone_keys": keys_dir,
                 "key_cols": list(key_cols),
             },
         )
+        if written == 0:
+            # zero valid rows → append skipped the commit; the staged
+            # key parquet is unreferenced debris
+            shutil.rmtree(keys_dir, ignore_errors=True)
+        return written
 
     def overwrite(self, docs: DataFrame) -> None:
         self.clear(backup=False)
@@ -601,13 +693,44 @@ class TransactionalDocumentStore(DocumentStore):
         """Latest committed version, -1 when empty."""
         return (self._versions() or [-1])[-1]
 
+    def _uid_path(self) -> str:
+        return os.path.join(self.path, "_uid")
+
+    def _ensure_uid(self) -> None:
+        """Store-lifetime identity, minted once at the first commit
+        (O_EXCL — racing writers keep the winner's). Lives inside the
+        store dir so clear()/overwrite() drop it with the log."""
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        try:
+            with open(self._uid_path(), "x") as fh:
+                fh.write(uuid.uuid4().hex)
+        except FileExistsError:
+            pass
+
+    def _uid(self) -> str | None:
+        try:
+            with open(self._uid_path()) as fh:
+                return fh.read().strip()
+        except OSError:
+            return None
+
     def state_token(self):
-        """Committed-state fingerprint: the manifest version — one dir
-        listing, no file walk (the manifest IS the committed truth, so
-        data-file mtimes are irrelevant here)."""
+        """Committed-state fingerprint: (manifest version, store uid) —
+        one dir listing plus one tiny read, no file walk (the manifest
+        IS the committed truth, so data-file mtimes are irrelevant).
+
+        The uid term closes a lifetime-collision hole: a bare version
+        counter repeats across clear()/overwrite() lifetimes (delete
+        the store, re-ingest back to version N → identical token), so
+        a PERSISTED artifact token (lex index, IVF `_TOKEN`) minted
+        against the old corpus would bless the new one and silently
+        serve deleted content. Every clear/overwrite drops the uid
+        file with the log; the next commit mints a fresh one."""
         if not self.exists():
             return None
-        return ("v", self.version())
+        return ("v", self.version(), self._uid())
 
     def history(self) -> list[dict]:
         return [
@@ -637,6 +760,10 @@ class TransactionalDocumentStore(DocumentStore):
         versions = self._versions()
         if not versions:
             return 0
+        # conflict-detection basis: the versions LIVE at capture (the
+        # full `replaces` list legitimately contains already-superseded
+        # history; only the live subset must still be live at commit)
+        live_at_capture = self._live_versions(versions)
         # Snapshot is capped at the CAPTURED version set (same contract
         # as TransactionalIVFIndex.compact): a batch committed while
         # the rewrite runs is neither in the snapshot nor in
@@ -665,15 +792,10 @@ class TransactionalDocumentStore(DocumentStore):
             # snapshot carries)
             "snapshot_of": versions[-1],
         }
-        version = versions[-1] + 1
-        while True:
-            target = os.path.join(self._manifest_path(), f"{version}.json")
-            try:
-                with open(target, "x") as fh:
-                    json.dump(commit, fh)
-                return rows
-            except FileExistsError:
-                version += 1
+        self._commit_exclusive(
+            commit, versions[-1] + 1, require_live=live_at_capture
+        )
+        return rows
 
     def vacuum(self) -> int:
         """Delete batch dirs no longer referenced by any LIVE version

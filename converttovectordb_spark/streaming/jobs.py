@@ -102,9 +102,13 @@ def stream_ingest_documents(
         chunks = explode_chunks(
             batch_df, chunk_size=chunk_size, overlap=overlap
         )
+        # wall-clock stamp like every other write door (an epoch-id
+        # stamp always LOSES the newest-copy race in _dedup_row_ids
+        # against wall-clock-stamped pushes/ingests — a streamed
+        # re-crawl could never supersede its old copy)
         docs = embed_column(chunks, "content", "embedding", embedder, dim)
         (
-            docs.withColumn("timestamp", F.lit(float(epoch_id)))
+            docs.withColumn("timestamp", F.lit(time.time()))
             .write.mode("append")
             .parquet(store_path)
         )

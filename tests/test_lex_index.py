@@ -337,3 +337,31 @@ def test_read_path_raises_clean_error_on_missing_dir(spark, tmp_path):
     assert eng.append_to_lex_index() == 0  # recovers, nothing to add
     rows = eng.search_hybrid("vector", use_lex_index=True).collect()
     assert rows
+
+
+def test_heal_detects_content_change(spark, tmp_path):
+    """r12 review: a rid-only heal was blind to a content CHANGE under
+    an existing path#chunk_index — it no-op'd, earned a fresh token,
+    and BM25 served the old file's postings forever. The heal now keys
+    freshness on (rid, chash) and raises for a rebuild."""
+    from converttovectordb_spark.embeddings import hash_embedder
+    from converttovectordb_spark.engine import VectorEngine
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    (repo / "a.md").write_text("original searchable words " * 10)
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(16),
+        dim=16,
+    )
+    eng.ingest(str(repo))
+    eng.build_lex_index()
+    # re-crawl with CHANGED content under the same path/chunk ids
+    (repo / "a.md").write_text("replacement different terms " * 10)
+    eng.ingest(str(repo))
+    with pytest.raises(RuntimeError, match="rebuild"):
+        eng.append_to_lex_index()
+    # rebuild restores correctness: the new terms hit, the old don't
+    eng.build_lex_index()
+    hits = eng.search_hybrid("replacement", use_lex_index=True).collect()
+    assert hits

@@ -237,3 +237,48 @@ def test_crash_debris_swept_on_next_compact(spark, tmp_path):
     # content and token untouched by the sweep
     assert store.load().count() == n
     assert store.token() == "d1"
+
+
+def test_crashed_swap_empty_shell_recovers(spark, tmp_path):
+    """r12 review: a compact/rebuild killed between renames used to
+    leave a PRESENT-but-empty data dir with a valid token — blessed
+    but unloadable, and the next sweep destroyed the parked recovery
+    copy. Now: an empty shell reads ABSENT (exists/token), and the
+    next maintenance pass RESTORES the single parked .old. copy before
+    any sweep."""
+    import os
+    import shutil
+
+    from converttovectordb_spark.sources.sigstore import (
+        MinHashSignatureStore,
+    )
+
+    sig = MinHashSignatureStore(spark, str(tmp_path / "sigs"))
+    rows = spark.createDataFrame(
+        [(f"r{i}", [i, i + 1], 0, i, i * 7) for i in range(6)],
+        "rid string, sig array<int>, band_id int, band_key bigint, "
+        "chash bigint",
+    )
+    sig.append(rows, digest="d1")
+    want = sorted(r["rid"] for r in sig.load().collect())
+
+    # simulate the crash window: data renamed away, empty shell made,
+    # staged rename never ran
+    data = sig._data_path()
+    os.rename(data, data + ".old.deadbeef")
+    os.makedirs(data)
+    assert sig.exists() is False
+    assert sig.token() is None  # blessed-but-unloadable is gone
+
+    # next maintenance restores the parked copy before sweeping
+    sig.compact()
+    assert sig.exists() is True
+    assert sig.token() == "d1"
+    assert sorted(r["rid"] for r in sig.load().collect()) == want
+    names = set(os.listdir(str(tmp_path / "sigs")))
+    assert not any(".old." in n or n.startswith("tmp-") for n in names)
+
+    # ambiguous double-park: nothing restored, artifact reads absent
+    os.rename(data, data + ".old.aaaa")
+    shutil.copytree(data + ".old.aaaa", data + ".old.bbbb")
+    assert sig.exists() is False and sig.token() is None

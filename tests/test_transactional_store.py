@@ -226,3 +226,119 @@ def test_engine_reingest_replace(spark, tmp_path):
     assert got.count() == n0
     assert got.filter("content LIKE '%return 2%'").count() == n0
     # plain append-mode would have doubled it (the thing replace avoids)
+
+
+def test_zero_row_batches_never_commit(spark, tmp_path):
+    """r12 review: a zero-row batch must NOT commit — with partition_by
+    the staged dir holds only _SUCCESS and unioning it used to poison
+    every later load() with UNABLE_TO_INFER_SCHEMA (a fully-deduped
+    re-crawl or an empty streaming epoch bricked the store)."""
+    from converttovectordb_spark.sources.store import (
+        TransactionalDocumentStore,
+    )
+
+    store = TransactionalDocumentStore(
+        spark, str(tmp_path / "t"), partition_by=("extension",)
+    )
+    schema = (
+        "path string, extension string, chunk_index int, total_chunks "
+        "int, content string, embedding array<float>, timestamp double"
+    )
+    empty = spark.createDataFrame([], schema)
+    # first-ever write of zero rows: store stays absent
+    assert store.append(empty) == 0
+    assert not store.exists()
+    # real batch, then a fully-deduped (zero-row) one: version count
+    # unchanged, load() keeps working
+    docs = spark.createDataFrame(
+        [("a.py", ".py", 0, 1, "alpha", [1.0, 0.0], 1.0)], schema
+    )
+    assert store.append(docs) == 1
+    v = store.version()
+    assert store.append(empty) == 0
+    assert store.version() == v
+    assert store.load().count() == 1
+    # all-invalid batch (validation drops every row) behaves the same
+    bad = spark.createDataFrame(
+        [("b.py", ".py", 0, 1, None, None, 1.0)], schema
+    )
+    assert store.append(bad) == 0
+    assert store.version() == v and store.load().count() == 1
+
+
+def test_plain_store_zero_row_first_write_stays_absent(spark, tmp_path):
+    from converttovectordb_spark.sources.store import DocumentStore
+
+    store = DocumentStore(
+        spark, str(tmp_path / "p"), partition_by=("extension",)
+    )
+    schema = (
+        "path string, extension string, chunk_index int, total_chunks "
+        "int, content string, embedding array<float>, timestamp double"
+    )
+    assert store.append(spark.createDataFrame([], schema)) == 0
+    assert not store.exists()
+
+
+def test_upsert_invalid_rows_do_not_tombstone(spark, tmp_path):
+    """r12 review: tombstone keys derive from the VALIDATED batch —
+    a key whose every row fails validation must not silently delete
+    its committed rows."""
+    from converttovectordb_spark.sources.store import (
+        TransactionalDocumentStore,
+    )
+
+    store = TransactionalDocumentStore(spark, str(tmp_path / "u"))
+    schema = (
+        "path string, extension string, chunk_index int, total_chunks "
+        "int, content string, embedding array<float>, timestamp double"
+    )
+    store.append(spark.createDataFrame(
+        [("a.py", ".py", 0, 1, "alpha", [1.0, 0.0], 1.0),
+         ("b.py", ".py", 0, 1, "beta", [0.0, 1.0], 1.0)], schema))
+    # an upsert whose every row for a.py is INVALID: nothing written,
+    # nothing tombstoned — a.py's committed chunk survives
+    bad = spark.createDataFrame(
+        [("a.py", ".py", 0, 1, "new text", None, 2.0)], schema
+    )
+    assert store.upsert(bad, key_cols=("path",)) == 0
+    rows = {r["path"]: r["content"] for r in store.load().collect()}
+    assert rows == {"a.py": "alpha", "b.py": "beta"}
+    # a VALID upsert still replaces
+    good = spark.createDataFrame(
+        [("a.py", ".py", 0, 1, "alpha v2", [0.5, 0.5], 3.0)], schema
+    )
+    assert store.upsert(good, key_cols=("path",)) == 1
+    rows = {r["path"]: r["content"] for r in store.load().collect()}
+    assert rows == {"a.py": "alpha v2", "b.py": "beta"}
+
+
+def test_state_token_differs_across_store_lifetimes(spark, tmp_path):
+    """r12 review: the transactional token carries a store-lifetime
+    uid — a bare version counter repeats across clear()/overwrite()
+    lifetimes, so persisted artifact tokens (lex/IVF _TOKEN) minted
+    against a deleted corpus would bless its replacement."""
+    from converttovectordb_spark.sources.store import (
+        TransactionalDocumentStore,
+    )
+
+    schema = (
+        "path string, extension string, chunk_index int, total_chunks "
+        "int, content string, embedding array<float>, timestamp double"
+    )
+    docs1 = spark.createDataFrame(
+        [("a.py", ".py", 0, 1, "first corpus", [1.0, 0.0], 1.0)], schema
+    )
+    store = TransactionalDocumentStore(spark, str(tmp_path / "s"))
+    store.append(docs1)
+    tok1 = store.state_token()
+    store.clear(backup=False)
+    docs2 = spark.createDataFrame(
+        [("z.py", ".py", 0, 1, "second corpus", [0.0, 1.0], 1.0)], schema
+    )
+    store.append(docs2)  # back at the same version number
+    tok2 = store.state_token()
+    assert store.version() == 0 and tok1 != tok2
+    # overwrite() resets the log: token must change too
+    store.overwrite(docs1)
+    assert store.state_token() not in (tok1, tok2)
