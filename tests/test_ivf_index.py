@@ -172,9 +172,12 @@ def test_store_state_tokens(spark, tmp_path):
     assert txn.state_token() is None
     txn.append(batch("a"))
     v1 = txn.state_token()
-    assert v1 == ("v", txn.version())
+    # (version, store-lifetime uid) since r12: a bare version counter
+    # repeats across clear()/overwrite() lifetimes
+    assert v1[:2] == ("v", txn.version()) and v1[2]
     txn.append(batch("b"))
     assert txn.state_token() != v1
+    assert txn.state_token()[2] == v1[2]  # same lifetime, same uid
 
 
 def test_kmeans_recall_query_exports_and_clears_bar(spark):
