@@ -204,6 +204,21 @@ def _build_parser() -> argparse.ArgumentParser:
     common(sp)
 
     sp = sub.add_parser(
+        "fsck",
+        help="integrity check over every persisted artifact (store "
+        "commit log, IVF index, lexical index, signature store); "
+        "--heal applies the safe repairs",
+    )
+    sp.add_argument(
+        "--heal",
+        action="store_true",
+        help="apply safe repairs (swap recovery, debris sweeps, "
+        "histogram recompute); data-losing or corpus-pass repairs "
+        "are only ever reported",
+    )
+    common(sp)
+
+    sp = sub.add_parser(
         "history",
         help="commit log of a transactional store (version ids usable "
         "with search --at-version)",
@@ -538,6 +553,16 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"command": "stats", **eng.stats()}))
     elif args.command == "health":
         print(json.dumps({"command": "health", **eng.health()}))
+    elif args.command == "fsck":
+        findings = eng.fsck(heal=args.heal)
+        print(json.dumps({
+            "command": "fsck",
+            "healthy": not any(
+                f["severity"] == "error" and not f["healed"]
+                for f in findings
+            ),
+            "findings": findings,
+        }))
     elif args.command == "history":
         print(json.dumps({"command": "history", "commits": eng.history()}))
     elif args.command in ("compact", "vacuum"):

@@ -2089,6 +2089,7 @@ class VectorEngine:
         transactional: bool = False,
         recall_sample: int | None = None,
         adc_recall_sample: int | None = None,
+        mrl_recall_sample: int | None = None,
     ):
         """Train + materialize the IVF index beside the store (offline
         job, one corpus pass). Search with use_index=True afterwards —
@@ -2116,9 +2117,13 @@ class VectorEngine:
         treatment for the second knob: measure recall@5 vs
         ``adc_shortlist`` (`measure_adc_curve`) so
         `search_indexed(target_adc_recall=...)` resolves the shortlist
-        from a measurement. Rebuilds of an index that carried either
-        curve RE-MEASURE it under the old stamped contract — the
-        target knobs survive the retrain cadence."""
+        from a measurement. ``mrl_recall_sample=N`` is the same
+        treatment for the THIRD knob — recall@5 vs Matryoshka prefix
+        dimension (`measure_mrl_curve`) so
+        `search_indexed(target_mrl_recall=...)` resolves the truncation
+        dimension from a measurement. Rebuilds of an index that
+        carried any curve RE-MEASURE it under the old stamped
+        contract — the target knobs survive the retrain cadence."""
         from converttovectordb_spark.plans.ivf_index import (
             TransactionalIVFIndex,
             build_ivf_index,
@@ -2145,6 +2150,7 @@ class VectorEngine:
         )
         prev_curve = None
         prev_adc_curve = None
+        prev_mrl_curve = None
         if transactional:
             import os
             import uuid
@@ -2172,6 +2178,7 @@ class VectorEngine:
                 self._index.carry_txn_ids(prev.committed_txn_ids())
                 prev_curve = prev.recall_curve()
                 prev_adc_curve = prev.adc_curve()
+                prev_mrl_curve = prev.mrl_curve()
             except FileNotFoundError:
                 pass  # first publish at this base — nothing to carry
             # publish is DEFERRED until after the recall/ADC curve
@@ -2191,6 +2198,7 @@ class VectorEngine:
             prev_plain = IVFIndex(self.spark, f"{self.store.path}_ivf")
             prev_curve = prev_plain.recall_curve()
             prev_adc_curve = prev_plain.adc_curve()
+            prev_mrl_curve = prev_plain.mrl_curve()
             self._index = build_ivf_index(
                 docs,
                 f"{self.store.path}_ivf",
@@ -2252,6 +2260,27 @@ class VectorEngine:
                     os.remove(
                         os.path.join(self._index.path, ADC_CURVE_FILE)
                     )
+        if mrl_recall_sample is not None:
+            from converttovectordb_spark.plans.ivf_index import (
+                measure_mrl_curve,
+            )
+
+            measure_mrl_curve(
+                self._index,
+                sample=int(mrl_recall_sample),
+                doc_id_col="_row_id",
+            )
+        elif prev_mrl_curve is not None:
+            # same carry as the other two curves — the truncation knob
+            # must survive the retrain cadence (no family guard: MRL
+            # works on any index, unlike the ADC/PQ coupling)
+            from converttovectordb_spark.plans.ivf_index import (
+                remeasure_mrl_curve_like,
+            )
+
+            remeasure_mrl_curve_like(
+                prev_mrl_curve, self._index, default_doc_id_col="_row_id"
+            )
         if transactional:
             # publish: atomic pointer replace — readers attached to the
             # old dir keep working, new open_index() calls see this
@@ -2689,6 +2718,9 @@ class VectorEngine:
         target_recall: float | None = None,
         adc_shortlist: int | None = None,
         target_adc_recall: float | None = None,
+        mrl_dim: int | None = None,
+        target_mrl_recall: float | None = None,
+        mrl_shortlist: int | None = None,
         allow_stale: bool = False,
         where: str | None = None,
     ) -> DataFrame:
@@ -2723,7 +2755,16 @@ class VectorEngine:
         adc_recall_sample=...)` — `IVFIndex.adc_shortlist_for_recall`),
         warning when the effective nprobe differs from the one the
         curve was measured at (the shortlist's recall is conditional
-        on the probe width)."""
+        on the probe width).
+
+        The MRL truncation dial resolves the same way: explicit
+        ``mrl_dim`` wins; else ``target_mrl_recall=r`` consults the
+        persisted truncation curve (`build_index(mrl_recall_sample=...)`
+        — `IVFIndex.mrl_dim_for_recall`), also adopting the curve's
+        stamped shortlist unless ``mrl_shortlist`` overrides it (the
+        measured recall is conditional on BOTH), and warning on an
+        nprobe mismatch like the ADC path. Mutually exclusive with the
+        ADC shortlist (see `IVFIndex.search`)."""
         index = self._require_index(allow_stale=allow_stale)
         if nprobe is None:
             nprobe = (
@@ -2748,6 +2789,26 @@ class VectorEngine:
                     RuntimeWarning,
                     stacklevel=2,
                 )
+        if mrl_dim is None and target_mrl_recall is not None:
+            mrl_dim = index.mrl_dim_for_recall(float(target_mrl_recall))
+            mrl_payload = index.mrl_curve() or {}
+            if mrl_shortlist is None:
+                # the measured recall is conditional on the shortlist
+                # the curve was measured with — adopt it
+                mrl_shortlist = mrl_payload.get("shortlist")
+            curve_nprobe = mrl_payload.get("nprobe")
+            if curve_nprobe is not None and int(curve_nprobe) != int(nprobe):
+                import warnings
+
+                warnings.warn(
+                    f"target_mrl_recall resolved against a truncation "
+                    f"curve measured at nprobe={curve_nprobe}, but this "
+                    f"search probes nprobe={nprobe} — re-measure "
+                    "(measure_mrl_curve) at the serving nprobe for an "
+                    "honest contract",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         qv = self.embedder([query_text])
         qv = np.asarray(qv, dtype=np.float64).reshape(-1).tolist()
         probes = self.spark.createDataFrame([(0, qv)], "query_id int, query_vec array<double>")
@@ -2757,6 +2818,8 @@ class VectorEngine:
             nprobe=nprobe,
             doc_id_col="_row_id",
             adc_shortlist=adc_shortlist,
+            mrl_dim=mrl_dim,
+            mrl_shortlist=mrl_shortlist,
             predicate=where,
         )  # → (query_id, _row_id, score, rank)
         # no display-side dedupe needed: _row_id uniqueness is enforced
@@ -2791,6 +2854,18 @@ class VectorEngine:
             r["extension"]: r["n_docs"] for r in docs_by_extension(docs).collect()
         }
         return base
+
+    def fsck(self, *, heal: bool = False) -> list[dict]:
+        """One integrity door over every persisted artifact this
+        engine writes (store commit log, IVF index + measured-dial
+        curves, lexical index, minhash signature store) — the typed
+        findings list `converttovectordb_spark.fsck.fsck` documents.
+        Detect-only by default; ``heal=True`` applies the repairs the
+        artifact modules define as safe. Offline maintenance verb:
+        single-maintainer contract, never run beside writers."""
+        from converttovectordb_spark.fsck import fsck as _fsck
+
+        return _fsck(self, heal=heal)
 
     def health(self) -> dict:
         if not self.store.exists():

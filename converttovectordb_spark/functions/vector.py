@@ -123,6 +123,42 @@ def cosine_to_query(emb_col_name: str, query: list[float]) -> Column:
     )
 
 
+def cosine_to_query_prefix(
+    emb_col_name: str, query: list[float], d: int
+) -> Column:
+    """``cosine_to_query`` over the first ``d`` dimensions of both
+    sides — the Matryoshka prefix stage of ``knn_topk(mrl_dim=...)``.
+    Same single ``F.expr`` parse, same sequential float64 fold, same
+    zero-norm→0.0 guard; the corpus side is ``slice(col, 1, d)`` so
+    the d-wide arithmetic never runs in the prefilter pass."""
+    import math
+
+    d = int(d)
+    if d < 1:
+        raise ValueError(f"prefix dimension must be >= 1, got {d}")
+    q = [float(x) for x in query[:d]]
+    if not all(math.isfinite(x) for x in q):
+        raise ValueError(
+            "query embedding contains non-finite values (NaN/Infinity)"
+        )
+    sq_sum = 0.0
+    for x in q:
+        sq_sum += x * x
+    qn = math.sqrt(sq_sum)
+    if qn == 0.0:
+        return F.lit(0.0)
+    col = f"slice(cast(`{emb_col_name}` AS array<double>), 1, {d})"
+    q_sql = "array(" + ",".join(f"{x!r}D" for x in q) + ")"
+    sq = f"aggregate({col}, 0D, (acc, v) -> acc + v * v)"
+    dot = (
+        f"aggregate(zip_with({col}, {q_sql}, "
+        f"(x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+    return F.expr(
+        f"CASE WHEN {sq} = 0D THEN 0D ELSE {dot} / (sqrt({sq}) * {qn!r}D) END"
+    )
+
+
 #: Column name the serving caches use for the precomputed corpus norm.
 NORM_COL = "_emb_norm"
 

@@ -64,9 +64,21 @@ def knn_topk(
     id_cols: list[str] | None = None,
     drop_embedding: bool = True,
     expected_dim: int | None = None,
+    mrl_dim: int | None = None,
+    mrl_shortlist: int | None = None,
 ) -> DataFrame:
     """Single-probe exact KNN: score every row, keep top-k, then apply
     the score threshold (threshold-AFTER-limit, reference Q4).
+
+    ``mrl_dim=d'`` turns the Matryoshka truncation dial (the
+    `IVFIndex.search` / `DriverMatrixIndex.query` contract, brute-scan
+    edition): stage 1 scores the FIRST d' dims only and keeps the
+    ``mrl_shortlist`` best rows (default 4×top_k) via the same
+    TakeOrderedAndProject partial top-k — the d-wide fold never runs
+    corpus-wide — then stage 2 re-scores the shortlist at full
+    dimension and finishes with the usual top-k + threshold. d' ≥ the
+    stored dimension degenerates to exact scoring (the prefix is the
+    whole vector), so results equal the plain path by construction.
 
     ``id_cols`` is the deterministic tie-break order (the reference's
     argsort tie order is an implementation artifact; we document ours:
@@ -84,6 +96,39 @@ def knn_topk(
     if expected_dim is not None and expected_dim != qlen:
         raise ValueError(
             f"query dimension {qlen} != stored dimension {expected_dim}"
+        )
+    if mrl_shortlist is not None and mrl_dim is None:
+        raise ValueError("mrl_shortlist requires mrl_dim")
+    if mrl_dim is not None:
+        if int(mrl_dim) < 1:
+            raise ValueError(f"mrl_dim must be >= 1, got {mrl_dim}")
+        short_n = (
+            int(mrl_shortlist) if mrl_shortlist is not None else 4 * top_k
+        )
+        if short_n < top_k:
+            raise ValueError(
+                f"mrl_shortlist ({short_n}) must be >= top_k ({top_k})"
+            )
+        from converttovectordb_spark.functions.vector import (
+            cosine_to_query_prefix,
+        )
+
+        order_pre: list[Column] = [F.col("_pre").desc()]
+        for c in id_cols or []:
+            order_pre.append(F.col(c).asc())
+        # TakeOrderedAndProject on the prefix score — the shortlist
+        # stage is the only corpus-wide pass, at O(d') per row; the
+        # full-width scoring below sees `short_n` rows
+        docs = (
+            docs.withColumn(
+                "_pre",
+                cosine_to_query_prefix(
+                    embedding_col, query_vector, int(mrl_dim)
+                ),
+            )
+            .orderBy(*order_pre)
+            .limit(short_n)
+            .drop("_pre")
         )
 
     # Single-parse construction: the serving path is latency-bound on

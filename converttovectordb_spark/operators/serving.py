@@ -57,6 +57,11 @@ DEFAULT_MAX_PAYLOAD_BYTES = 256 * 1024 * 1024
 #: toward the distributed tier.
 _FIXED_WIDTH_ROW_BYTES = 16
 
+#: byte → set-bit count, for the sign-bit Hamming prefilter (numpy in
+#: this container predates np.bitwise_count; a 256-entry LUT gather is
+#: the standard fallback and stays fully vectorized)
+_POPCOUNT_LUT = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
 #: Separate (smaller) budget for the hybrid lexical cache: per-doc
 #: token Counters cost far more per row than embedding cells, so the
 #: BM25 arm only materializes up to this many docs; past it the server
@@ -194,6 +199,8 @@ class DriverMatrixIndex:
         self._lex = None  # lazy BM25 cache: (postings, dl, avgdl)
         self._rids = None  # lazy rid cache: (id_cols, rids, order)
         self._newest = None  # lazy display cache: (id_cols, rid -> idx)
+        self._mrl_norms: dict[int, np.ndarray] = {}  # d' -> prefix norms
+        self._bits = None  # lazy sign-bit cache: (n, ceil(dim/8)) uint8
         # guards the lazy caches above: the REST server is threaded,
         # and an unlocked check-then-rebuild lets a concurrent caller
         # with DIFFERENT id_cols publish its cache between another
@@ -302,10 +309,31 @@ class DriverMatrixIndex:
         *,
         score_threshold: float = 0.1,
         id_cols: list[str] | None = None,
+        mrl_dim: int | None = None,
+        mrl_shortlist: int | None = None,
+        hamming_shortlist: int | None = None,
     ) -> list[dict]:
         """Top-k rows as dicts with a ``score`` key — the same contract
         (and the same reference semantics Q1/Q3/Q4/Q5) as
-        ``knn_topk(...).collect()`` on this corpus."""
+        ``knn_topk(...).collect()`` on this corpus.
+
+        ``mrl_dim=d'`` turns the Matryoshka truncation dial
+        (`IVFIndex.search`'s prefix-score-then-rerank, matrix edition):
+        candidates are scored on the FIRST d' dimensions (one
+        O(n·d') matvec against cached prefix norms), the top
+        ``mrl_shortlist`` (default 4×top_k) survive, and only the
+        survivors are re-scored at full dimension. ``hamming_shortlist
+        =N`` is the sign-bit edition: vectors quantize to 1 bit/dim
+        (packed uint8 words, cached), candidates rank by Hamming
+        distance (xor + popcount — ~d/8 bytes touched per row instead
+        of d float64s), and the N nearest rerank exactly. Both
+        prefilters keep ALL rows tied at the shortlist boundary (the
+        `knn_join_blas` tie rule), so results are deterministic and a
+        d'=dim / N≥n setting reproduces the exact path by
+        construction. Recall for both dials is a measured contract
+        (`mrl_recall_curve` / `binary_quant_recall` grade them;
+        `measure_mrl_curve` persists the resolvable curve). Mutually
+        exclusive — stacked prefilters compound unmeasured loss."""
         q = np.asarray([float(x) for x in query_vector], dtype=np.float64)
         if not np.all(np.isfinite(q)):
             raise ValueError(
@@ -317,16 +345,133 @@ class DriverMatrixIndex:
             raise ValueError(
                 f"query dimension {q.shape[0]} != stored dimension {self.dim}"
             )
+        cand = self._prefilter_candidates(
+            q,
+            top_k=top_k,
+            mrl_dim=mrl_dim,
+            mrl_shortlist=mrl_shortlist,
+            hamming_shortlist=hamming_shortlist,
+        )
         qn = math.sqrt(float(np.dot(q, q)))
+        if cand is None:
+            if qn == 0.0:
+                scores = np.zeros(self.n)
+            else:
+                denom = self.norms * qn
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    scores = np.where(
+                        self.norms == 0.0, 0.0, (self.matrix @ q) / denom
+                    )
+            return self._select_topk(scores, top_k, score_threshold, id_cols)
+        # exact rerank over the shortlist only — the full-width matvec
+        # runs for |cand| rows, never the corpus
+        sub = self._exact_scores_among(cand, q, qn)
+        return self._select_among(cand, sub, top_k, score_threshold, id_cols)
+
+    def _exact_scores_among(
+        self, idx: np.ndarray, q: np.ndarray, qn: float
+    ) -> np.ndarray:
+        """Full-dimension cosine for the given row indices only."""
         if qn == 0.0:
-            scores = np.zeros(self.n)
-        else:
-            denom = self.norms * qn
-            with np.errstate(divide="ignore", invalid="ignore"):
-                scores = np.where(
-                    self.norms == 0.0, 0.0, (self.matrix @ q) / denom
+            return np.zeros(len(idx))
+        norms = self.norms[idx]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(
+                norms == 0.0, 0.0, (self.matrix[idx] @ q) / (norms * qn)
+            )
+
+    def _prefilter_candidates(
+        self,
+        q: np.ndarray,
+        *,
+        top_k: int,
+        mrl_dim: int | None,
+        mrl_shortlist: int | None,
+        hamming_shortlist: int | None,
+    ) -> np.ndarray | None:
+        """Candidate row indices from the requested prefilter dial, or
+        None when no dial is turned (callers then run the exact path).
+        Shared validation + boundary-tie rule for single and batched
+        doors (they MUST not drift)."""
+        if mrl_dim is None and hamming_shortlist is None:
+            if mrl_shortlist is not None:
+                raise ValueError("mrl_shortlist requires mrl_dim")
+            return None
+        if mrl_dim is not None and hamming_shortlist is not None:
+            raise ValueError(
+                "mrl_dim and hamming_shortlist are mutually exclusive — "
+                "each is a separately measured prefilter; pick the dial "
+                "whose curve you measured"
+            )
+        k = max(int(top_k), 1)
+        if mrl_dim is not None:
+            if int(mrl_dim) < 1:
+                raise ValueError(f"mrl_dim must be >= 1, got {mrl_dim}")
+            n_short = (
+                int(mrl_shortlist) if mrl_shortlist is not None else 4 * k
+            )
+            if n_short < k:
+                raise ValueError(
+                    f"mrl_shortlist ({n_short}) must be >= top_k ({k})"
                 )
-        return self._select_topk(scores, top_k, score_threshold, id_cols)
+            d = min(int(mrl_dim), self.dim)
+            pnorms = self._prefix_norms(d)
+            qp = q[:d]
+            qpn = math.sqrt(float(np.dot(qp, qp)))
+            if qpn == 0.0:
+                pre = np.zeros(self.n)
+            else:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    pre = np.where(
+                        pnorms == 0.0,
+                        0.0,
+                        (self.matrix[:, :d] @ qp) / (pnorms * qpn),
+                    )
+            if n_short >= self.n:
+                return np.arange(self.n)
+            part = np.argpartition(-pre, n_short - 1)[:n_short]
+            kth = pre[part].min()
+            return np.nonzero(pre >= kth)[0]
+        n_short = int(hamming_shortlist)
+        if n_short < k:
+            raise ValueError(
+                f"hamming_shortlist ({n_short}) must be >= top_k ({k})"
+            )
+        bits = self._sign_bits()
+        qbits = np.packbits(q > 0)
+        ham = _POPCOUNT_LUT[np.bitwise_xor(bits, qbits)].sum(
+            axis=1, dtype=np.int64
+        )
+        if n_short >= self.n:
+            return np.arange(self.n)
+        part = np.argpartition(ham, n_short - 1)[:n_short]
+        kth = ham[part].max()
+        return np.nonzero(ham <= kth)[0]
+
+    def _prefix_norms(self, d: int) -> np.ndarray:
+        """Cached ‖row[:d]‖ per corpus row (one O(n·d') pass per
+        distinct d', then free). Same locked build-into-local pattern
+        as the other lazy caches — the REST server is threaded."""
+        got = self._mrl_norms.get(d)
+        if got is not None:
+            return got
+        sub = self.matrix[:, :d]
+        norms = np.sqrt(np.einsum("ij,ij->i", sub, sub))
+        with self._cache_lock:
+            return self._mrl_norms.setdefault(d, norms)
+
+    def _sign_bits(self) -> np.ndarray:
+        """Cached 1-bit/dim sign quantization, packed 8 dims/byte —
+        the binary_quant_recall query's production layout (xor +
+        popcount instead of float arithmetic)."""
+        got = self._bits
+        if got is not None:
+            return got
+        bits = np.packbits(self.matrix > 0, axis=1)
+        with self._cache_lock:
+            if self._bits is None:
+                self._bits = bits
+            return self._bits
 
     def _select_topk(
         self,
@@ -340,24 +485,48 @@ class DriverMatrixIndex:
         tied with the k-th score stay candidates, then ascending
         id_cols break ties — and the threshold applied AFTER the limit
         (Q4)."""
-        k = min(int(top_k), self.n)
-        if k < self.n:
+        return self._select_among(
+            None, scores, top_k, score_threshold, id_cols
+        )
+
+    def _select_among(
+        self,
+        idx: np.ndarray | None,
+        scores: np.ndarray,
+        top_k: int,
+        score_threshold: float,
+        id_cols: list[str] | None,
+    ) -> list[dict]:
+        """`_select_topk` over a candidate SUBSET: ``scores[j]`` scores
+        corpus row ``idx[j]`` (``idx=None`` → the full corpus, the
+        historical path). One selection implementation so the exact
+        path and the prefilter reranks cannot drift on tie-breaks or
+        the threshold-after-limit rule."""
+        m = len(scores)
+        k = min(int(top_k), m)
+        if k == 0:
+            return []
+        if k < m:
             part = np.argpartition(-scores, k - 1)[:k]
             kth = scores[part].min()
             cand = np.nonzero(scores >= kth)[0]
         else:
-            cand = np.arange(self.n)
+            cand = np.arange(m)
+
+        def _row(j: int) -> dict:
+            return self.payload[int(idx[j]) if idx is not None else j]
+
         ids = id_cols or []
         ordered = sorted(
             cand.tolist(),
-            key=lambda i: (-scores[i], *[self.payload[i][c] for c in ids]),
+            key=lambda j: (-scores[j], *[_row(j)[c] for c in ids]),
         )[:k]
         out = []
-        for i in ordered:
-            if scores[i] < score_threshold:  # threshold AFTER limit (Q4)
+        for j in ordered:
+            if scores[j] < score_threshold:  # threshold AFTER limit (Q4)
                 continue
-            row = dict(self.payload[i])
-            row["score"] = float(scores[i])
+            row = dict(_row(j))
+            row["score"] = float(scores[j])
             out.append(row)
         return out
 
@@ -368,13 +537,24 @@ class DriverMatrixIndex:
         *,
         score_threshold: float = 0.1,
         id_cols: list[str] | None = None,
+        mrl_dim: int | None = None,
+        mrl_shortlist: int | None = None,
+        hamming_shortlist: int | None = None,
     ) -> list[list[dict]]:
         """Batched twin of :meth:`query`: ONE GEMM scores all Q queries
         against the corpus (``matrix @ Q.T``), then the per-query
         selection reuses the single-query path exactly. Per-query cost
         amortizes the matrix traversal — BLAS reuses each corpus row
         across all Q columns while it is in cache, which a Q-times
-        loop of matrix-vector products cannot."""
+        loop of matrix-vector products cannot.
+
+        With a prefilter dial turned (``mrl_dim`` /
+        ``hamming_shortlist`` — :meth:`query`'s contract, validated by
+        the same shared code), the full-corpus GEMM is SKIPPED: each
+        query runs the prefix/Hamming prefilter (O(n·d') or O(n·d/8)
+        per query) and full-width arithmetic touches only its
+        shortlist rows — the per-query loop here is bounded by the
+        cheap prefilter, not the d-wide corpus pass."""
         Q = np.asarray(
             [[float(x) for x in v] for v in query_vectors], dtype=np.float64
         )
@@ -392,6 +572,29 @@ class DriverMatrixIndex:
             raise ValueError(
                 f"query dimension {Q.shape[1]} != stored dimension {self.dim}"
             )
+        if mrl_dim is not None or hamming_shortlist is not None:
+            out = []
+            for j in range(Q.shape[0]):
+                q = np.ascontiguousarray(Q[j])
+                cand = self._prefilter_candidates(
+                    q,
+                    top_k=top_k,
+                    mrl_dim=mrl_dim,
+                    mrl_shortlist=mrl_shortlist,
+                    hamming_shortlist=hamming_shortlist,
+                )
+                # math.sqrt(dot), not the einsum norm: bit-identical to
+                # the single door (the batch/single parity tests pin it)
+                qn_j = math.sqrt(float(np.dot(q, q)))
+                sub = self._exact_scores_among(cand, q, qn_j)
+                out.append(
+                    self._select_among(
+                        cand, sub, top_k, score_threshold, id_cols
+                    )
+                )
+            return out
+        if mrl_shortlist is not None:
+            raise ValueError("mrl_shortlist requires mrl_dim")
         qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))  # (q,)
         dots = self.matrix @ Q.T  # (n, q) — the one GEMM
         denom = np.outer(self.norms, qn)
@@ -770,3 +973,4 @@ class DriverMatrixIndex:
             row["rrf"] = float(fused[i])
             out.append(row)
         return out
+

@@ -254,7 +254,7 @@ def build_ivf_index(
     import contextlib as _contextlib
     import os as _os
 
-    for _f in (STATS_FILE, RECALL_CURVE_FILE, ADC_CURVE_FILE):
+    for _f in (STATS_FILE, RECALL_CURVE_FILE, ADC_CURVE_FILE, MRL_CURVE_FILE):
         with _contextlib.suppress(OSError):
             _os.remove(_os.path.join(index_path, _f))
     if cluster_col is not None:
@@ -589,6 +589,80 @@ class IVFIndex:
                 return int(point["shortlist"])
         return int(curve[-1]["shortlist"])
 
+    def mrl_curve(self) -> dict | None:
+        """The persisted dim→recall@k curve (`measure_mrl_curve`), or
+        None when never measured."""
+        import json
+        import os
+
+        try:
+            with open(os.path.join(self.path, MRL_CURVE_FILE)) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
+
+    def mrl_curve_staleness(self, payload: dict | None = None) -> dict | None:
+        """MRL twin of `recall_curve_staleness` — live-corpus drift vs
+        the truncation curve's measurement stamp (same preloaded-payload
+        contract, same shared arithmetic)."""
+        if payload is None:
+            payload = self.mrl_curve()
+        return self._staleness_from(payload)
+
+    def mrl_dim_for_recall(
+        self,
+        target_recall: float,
+        *,
+        max_growth: float | None = None,
+        strict: bool = False,
+    ) -> int:
+        """The measured MINIMAL Matryoshka prefix dimension whose
+        held-out recall@k (vs the exact-rerank path at the curve's
+        stamped nprobe and shortlist) reaches ``target_recall`` — the
+        stated-contract resolution of the index's THIRD magic knob,
+        mirroring `nprobe_for_recall` and `adc_shortlist_for_recall`
+        (same staleness budget, same loud-error-when-never-measured
+        policy). Unlike nprobe and the shortlist, recall is NOT
+        mathematically monotone in the prefix dimension (a longer
+        prefix of an un-Matryoshka'd embedding can rank worse), so the
+        resolution is "minimal MEASURED dim meeting the target"; the
+        full-dimension endpoint is 1.0 by construction (prefix = whole
+        vector), so every target resolves."""
+        if not 0.0 < target_recall <= 1.0:
+            raise ValueError(
+                f"target_recall must be in (0, 1], got {target_recall}"
+            )
+        payload = self.mrl_curve()
+        if payload is None or not payload.get("curve"):
+            raise ValueError(
+                f"no MRL truncation curve measured for {self.path}; run "
+                "measure_mrl_curve(index) (engine: "
+                "build_index(mrl_recall_sample=...)) first"
+            )
+        budget = (
+            self.RECALL_CURVE_MAX_GROWTH if max_growth is None else max_growth
+        )
+        stale = self.mrl_curve_staleness(payload)
+        if stale is not None and stale["growth"] > budget:
+            msg = (
+                f"MRL truncation curve for {self.path} is stale: corpus "
+                f"moved {stale['measured_n_docs']} -> "
+                f"{stale['current_n_docs']} rows ({stale['growth']:.0%} > "
+                f"budget {budget:.0%}) since measurement — re-measure "
+                "(measure_mrl_curve) or retrain; resolved dimension "
+                "reflects the OLD corpus"
+            )
+            if strict:
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        curve = sorted(payload["curve"], key=lambda c: int(c["dim"]))
+        for point in curve:
+            if float(point["recall"]) >= target_recall:
+                return int(point["dim"])
+        return int(curve[-1]["dim"])
+
     def probe_clusters(
         self,
         queries: DataFrame,
@@ -657,6 +731,8 @@ class IVFIndex:
         doc_id_col: str = "vec_id",
         vec_col: str = "embedding",
         adc_shortlist: int | None = None,
+        mrl_dim: int | None = None,
+        mrl_shortlist: int | None = None,
         predicate=None,
     ) -> DataFrame:
         """Batch IVF search over the materialized index.
@@ -696,7 +772,43 @@ class IVFIndex:
         leg each — plan size is linear in Q); curation-sized query
         batches belong on `operators.search.ivf_knn_join_shuffled`,
         which raises here instead of degrading silently.
+
+        ``mrl_dim=d'`` (Matryoshka truncation, Kusupati et al. 2022)
+        switches the exact-rerank stage to a prefix-score-then-rerank
+        plan: candidates in the probed partitions are scored on the
+        FIRST d' dimensions only, the top ``mrl_shortlist`` per query
+        (default 4×top_k) survive — deterministic (prefix-score desc,
+        id asc) so a larger shortlist is a strict prefix-superset —
+        and only the survivors are re-scored at full dimension. The
+        per-candidate scoring cost drops from O(d) to O(d') FLOPs; the
+        full-width fold runs for shortlist rows per query instead of
+        every probed row (in this layout the dial trades scoring
+        arithmetic, not bytes read — the byte-level dial is the PQ
+        codes path). Recall vs d' is a MEASURED contract
+        (`measure_mrl_curve` / `mrl_dim_for_recall`), mirroring nprobe
+        and the ADC shortlist. d' ≥ the stored dimension degenerates
+        to exact scoring (the prefix is the whole vector), so results
+        equal the plain exact-rerank path by construction. Mutually
+        exclusive with ``adc_shortlist`` — the two shortlist codecs
+        answer the same question and stacking them compounds
+        unmeasured loss.
         """
+        if mrl_dim is not None and adc_shortlist is not None:
+            raise ValueError(
+                "mrl_dim and adc_shortlist are mutually exclusive — "
+                "each is a separately measured shortlist codec; pick "
+                "the dial whose curve you measured"
+            )
+        if mrl_dim is not None and int(mrl_dim) < 1:
+            raise ValueError(f"mrl_dim must be >= 1, got {mrl_dim}")
+        if mrl_shortlist is not None and mrl_dim is None:
+            raise ValueError("mrl_shortlist requires mrl_dim")
+        if mrl_shortlist is not None and int(mrl_shortlist) < int(top_k):
+            raise ValueError(
+                f"mrl_shortlist ({mrl_shortlist}) must be >= top_k "
+                f"({top_k}) — a smaller shortlist cannot fill the "
+                "result"
+            )
         probe = self.probe_clusters(
             queries, nprobe, query_id_col=query_id_col, query_vec_col=query_vec_col
         )
@@ -786,6 +898,32 @@ class IVFIndex:
             cand = F.broadcast(probe).join(
                 corpus_scan, on=CLUSTER_COL, how="inner"
             )
+            if mrl_dim is not None:
+                # MRL prefix shortlist: score the first d' dims only,
+                # keep the deterministic top-N per query, and let the
+                # shared full-dimension rerank below finish the job.
+                # Both windows partition on query_id, so Catalyst
+                # reuses one exchange (two sorts, one shuffle).
+                short_n = (
+                    int(mrl_shortlist)
+                    if mrl_shortlist is not None
+                    else 4 * int(top_k)
+                )
+                w_pre = Window.partitionBy(query_id_col).orderBy(
+                    F.col("_pre").desc(), F.col(doc_id_col).asc()
+                )
+                cand = (
+                    cand.withColumn(
+                        "_pre",
+                        cosine_similarity(
+                            F.slice(F.col("_qvec"), 1, int(mrl_dim)),
+                            F.slice(F.col(vec_col), 1, int(mrl_dim)),
+                        ),
+                    )
+                    .withColumn("_prn", F.row_number().over(w_pre))
+                    .filter(F.col("_prn") <= short_n)
+                    .drop("_pre", "_prn")
+                )
         scored = cand.withColumn(
             "score", cosine_similarity(F.col("_qvec"), F.col(vec_col))
         )
@@ -907,6 +1045,20 @@ class IVFIndex:
             if assigned is None:
                 return  # empty batch: nothing to place
             corpus_cols = self.corpus().columns
+            # Batch histogram BEFORE the corpus write (r13 fix): the
+            # write into the corpus path invalidates any cached plan
+            # that READS that path — and the engine's append batch is
+            # exactly such a plan (store ANTI-JOIN corpus). Computed
+            # after the write, the recomputed anti-join saw its own
+            # appended rows, returned an empty batch, and the merge
+            # silently kept the OLD n_docs (healed only by the next
+            # verify_stats — staleness budgets and auto-salting read
+            # stale in between). The histogram describes the batch, not
+            # the files, so its value is write-order independent.
+            prev = self.cluster_stats()
+            batch_hist = (
+                _batch_histogram(assigned) if prev is not None else None
+            )
             assigned.select(*corpus_cols).write.mode("append").partitionBy(
                 CLUSTER_COL
             ).parquet(f"{self.path}/{CORPUS_SUBDIR}")
@@ -914,12 +1066,9 @@ class IVFIndex:
             # sound: the plain index is single-maintainer by contract);
             # a pre-stats artifact stays stats-less rather than getting
             # a partial histogram that undercounts the base corpus
-            prev = self.cluster_stats()
             if prev is not None:
                 self._write_stats(
-                    _merge_histograms(
-                        [prev["cluster_sizes"], _batch_histogram(assigned)]
-                    ),
+                    _merge_histograms([prev["cluster_sizes"], batch_hist]),
                     key_type=_cluster_key_type(assigned),
                 )
             if self.has_pq():
@@ -1866,6 +2015,186 @@ def remeasure_adc_curve_like(
         new_index,
         top_k=int(old_payload.get("top_k", 5)),
         nprobe=int(old_payload.get("nprobe", 2)),
+        sample=int(
+            old_payload.get(
+                "requested_sample", old_payload.get("sample", 16)
+            )
+        ),
+        doc_id_col=old_payload.get("doc_id_col", default_doc_id_col),
+        vec_col=old_payload.get("vec_col", default_vec_col),
+    )
+
+
+MRL_CURVE_FILE = "_mrl_curve.json"
+
+
+def measure_mrl_curve(
+    index: "IVFIndex",
+    *,
+    top_k: int = 5,
+    nprobe: int = 2,
+    dims: list[int] | None = None,
+    shortlist: int | None = None,
+    sample: int = 16,
+    vec_col: str = "embedding",
+    doc_id_col: str = "vec_id",
+) -> dict:
+    """Measure recall@``top_k`` vs Matryoshka prefix dimension on a
+    held-out probe sample and persist the curve beside the index — the
+    nprobe treatment (`measure_recall_curve`) applied to the index's
+    THIRD magic knob. `IVFIndex.mrl_dim_for_recall(0.95)` then resolves
+    the measured minimal dimension;
+    `VectorEngine.search_indexed(target_mrl_recall=...)` consumes it.
+
+    Ground truth is the EXACT-rerank IVF search at the same ``nprobe``
+    (the `measure_adc_curve` rule): the dimension knob only controls
+    how faithfully the prefix ORDERS candidates into the shortlist
+    WITHIN the probed clusters, so measuring against the exact path at
+    the same probe isolates exactly the loss this knob buys back. The
+    measurement ``shortlist`` (default 4×top_k — `IVFIndex.search`'s
+    serving default) is part of the stamped contract: a resolution is
+    only honest at the shortlist it was measured with.
+
+    Unlike nprobe and the ADC shortlist, recall is NOT mathematically
+    monotone in the prefix dimension — prefixes of an embedding that
+    was not trained with Matryoshka losses can rank worse at d'=32
+    than d'=16. The full-dimension endpoint IS 1.0 by construction
+    (the prefix is the whole vector, the shortlist is a superset of
+    the exact top-k, and the rerank uses the same fold), so every
+    target resolves.
+
+    ``dims`` defaults to powers of two from 4 up to the stored
+    dimension, plus the dimension itself (the exact endpoint).
+
+    The payload carries the same corpus-state/contract stamps as the
+    other curves (``measured_n_docs``, ``requested_sample``, column
+    names, plus the measurement ``nprobe`` and ``shortlist``) so
+    staleness budgets and rebuild-and-swap re-measurement
+    (`remeasure_mrl_curve_like`) work identically."""
+    import json
+    import os
+    import uuid
+
+    corpus = index.corpus().select(
+        F.col(doc_id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    cent_first = index.centroids().select(
+        F.size(F.col("centroid")).alias("d")
+    ).first()
+    full_dim = int(cent_first["d"])
+    if shortlist is None:
+        shortlist = 4 * int(top_k)
+    if int(shortlist) < int(top_k):
+        raise ValueError(
+            f"shortlist ({shortlist}) must be >= top_k ({top_k})"
+        )
+    if dims is None:
+        dims, d = [], 4
+        while d < full_dim:
+            dims.append(d)
+            d *= 2
+        dims.append(full_dim)
+    dims = sorted({int(d) for d in dims})
+    if dims[0] < 1:
+        raise ValueError(f"dims must be >= 1, got {dims[0]}")
+    probes = (
+        corpus.withColumn("_h", F.xxhash64(F.col(doc_id_col)))
+        .orderBy("_h", F.col(doc_id_col).asc())
+        .limit(int(sample))
+        .select(
+            F.col(doc_id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+        )
+        .persist()
+    )
+    try:
+
+        def _hits(mrl_dim):
+            out: dict = {}
+            for r in index.search(
+                probes,
+                top_k=top_k,
+                nprobe=nprobe,
+                doc_id_col=doc_id_col,
+                vec_col=vec_col,
+                mrl_dim=mrl_dim,
+                mrl_shortlist=None if mrl_dim is None else int(shortlist),
+            ).collect():
+                out.setdefault(r["query_id"], set()).add(r[doc_id_col])
+            return out
+
+        exact = _hits(None)  # exact rerank at the same nprobe
+        n_probes = len(exact)
+        curve = []
+        for d in dims:
+            if int(d) >= full_dim:
+                # the prefix is the whole vector: same ordering, same
+                # fold — recall 1.0 by set identity, no search needed
+                curve.append(
+                    {"dim": int(d), "recall": 1.0 if n_probes else 0.0}
+                )
+                continue
+            approx = _hits(int(d))
+            recall = (
+                sum(
+                    len(exact[q] & approx.get(q, set())) / len(exact[q])
+                    for q in exact
+                )
+                / n_probes
+                if n_probes
+                else 0.0
+            )
+            curve.append({"dim": int(d), "recall": round(recall, 6)})
+    finally:
+        probes.unpersist()
+    stats = index.cluster_stats()
+    measured_n = (
+        int(stats["n_docs"]) if stats is not None else int(corpus.count())
+    )
+    payload = {
+        "top_k": int(top_k),
+        "nprobe": int(nprobe),
+        "shortlist": int(shortlist),
+        "full_dim": full_dim,
+        "sample": n_probes,
+        "requested_sample": int(sample),
+        "measured_n_docs": measured_n,
+        "doc_id_col": doc_id_col,
+        "vec_col": vec_col,
+        "curve": curve,
+    }
+    tmp = os.path.join(index.path, f".mrl.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, os.path.join(index.path, MRL_CURVE_FILE))
+    return payload
+
+
+def remeasure_mrl_curve_like(
+    old_payload: dict | None,
+    new_index: "IVFIndex",
+    *,
+    default_doc_id_col: str = "vec_id",
+    default_vec_col: str = "embedding",
+) -> dict | None:
+    """MRL twin of `remeasure_recall_curve_like`: carry the truncation
+    curve's CONTRACT (top_k, nprobe, shortlist, sample, columns)
+    across a rebuild-and-swap by re-measuring the fresh index under
+    the old stamps. The dims panel re-derives from the NEW index's
+    stored dimension — a re-embedded corpus has a different dimension,
+    and carrying stale dims would measure prefixes that don't exist.
+    No-op when the replaced index never measured one."""
+    if old_payload is None:
+        return None
+    return measure_mrl_curve(
+        new_index,
+        top_k=int(old_payload.get("top_k", 5)),
+        nprobe=int(old_payload.get("nprobe", 2)),
+        shortlist=(
+            int(old_payload["shortlist"])
+            if old_payload.get("shortlist") is not None
+            else None
+        ),
         sample=int(
             old_payload.get(
                 "requested_sample", old_payload.get("sample", 16)

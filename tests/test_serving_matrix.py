@@ -597,3 +597,4 @@ def test_connected_components_empty_edges(spark):
         assert out.columns == ["node", "comp"]
         assert out.count() == 0
         assert stats["strategy"] == "empty" and stats["n_edges"] == 0
+

@@ -30,8 +30,16 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
-MULTS = [1, 4, 16]
+MULTS = [1, 4, 16, 64]
 ID_STRIDE = 10_000_000
+
+#: width policy (r13): the pipeline's heaviest shuffle is the cut
+#: stage's gram inverted index (~one row per token); size the INITIAL
+#: shuffle width for ~2M gram rows per partition and let AQE coalesce
+#: the light stages back down. Fixed 32 is right below ~64M gram rows
+#: (every SF the suite grades); past that the fixed width makes
+#: partitions grow linearly with data — the probe measures both.
+GRAMS_PER_PARTITION = 2_000_000
 
 
 def _scaled_docs(spark, mult: int):
@@ -122,21 +130,45 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # per-token estimate for the width policy, one tiny agg on the base
+    base_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    avg_toks = float(
+        base_docs.agg(
+            F.avg(F.size(F.split(F.col("text"), r"\s+")))
+        ).first()[0]
+    )
+
     print(
-        "| mult | docs | e2e sec | gopher sec | cut sec | weights sec "
-        "| pack sec | e2e sec/mult |",
+        "| mult | docs | e2e sec | e2e AQE-width sec (width) | gopher "
+        "sec | cut sec | weights sec | pack sec | e2e sec/mult |",
         flush=True,
     )
-    print("|---|---|---|---|---|---|---|---|", flush=True)
+    print("|---|---|---|---|---|---|---|---|---|", flush=True)
     for mult in MULTS:
         docs = _scaled_docs(spark, mult)
         n = docs.count()  # materialize the scan outside the timings
 
         # honest end-to-end first (cold for this mult, no extra sinks)
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
         survivors, cut, weighted, packed = _stages(docs)
         t0 = time.time()
         packed.count()
         e2e = time.time() - t0
+
+        # width policy: initial width sized to the gram table, AQE
+        # coalesces the light stages back down
+        import math
+
+        width = max(32, math.ceil(n * avg_toks / GRAMS_PER_PARTITION))
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
+        survivors, cut, weighted, packed = _stages(docs)
+        t0 = time.time()
+        packed.count()
+        e2e_aqe = time.time() - t0
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
 
         # cumulative sinks for stage attribution
         survivors, cut, weighted, packed = _stages(docs)
@@ -157,7 +189,8 @@ def main() -> int:
         weights_s = max(c3 - c2, 0.0)
         pack_s = max(c4 - c3, 0.0)
         print(
-            f"| {mult} | {n} | {e2e:.2f} | {gopher:.2f} | {cut_s:.2f} "
+            f"| {mult} | {n} | {e2e:.2f} | {e2e_aqe:.2f} ({width}) "
+            f"| {gopher:.2f} | {cut_s:.2f} "
             f"| {weights_s:.2f} | {pack_s:.2f} | {e2e / mult:.2f} |",
             flush=True,
         )
