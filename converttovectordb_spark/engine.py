@@ -1963,6 +1963,8 @@ class VectorEngine:
         score_threshold: float | None = None,
         use_index: bool = False,
         nprobe: int = 2,
+        mrl_dim: int | None = None,
+        mrl_shortlist: int | None = None,
         allow_stale: bool = False,
     ) -> DataFrame:
         """Many-queries-at-once search — the join-shaped bulk operator
@@ -1981,11 +1983,23 @@ class VectorEngine:
         `search_indexed`; `score_threshold` still applies after each
         query's top-k). At 100 TB this is the difference between the
         brute path's full-corpus stream and reading ~Q·nprobe/C of the
-        files."""
+        files. ``mrl_dim``/``mrl_shortlist`` turn the Matryoshka
+        truncation dial on that indexed path (single/batch symmetry
+        with `search_indexed` — same prefix-score→rerank plan, same
+        validation); requesting the dial on the brute path raises —
+        its BLAS kernel is full-width by design (knn_join_blas), and a
+        silent full-dim answer would misreport the dial as turned."""
         from converttovectordb_spark.operators.search import knn_join_blas
 
         if not query_texts:
             raise ValueError("query_texts must be non-empty")
+        if (mrl_dim is not None or mrl_shortlist is not None) and (
+            not use_index
+        ):
+            raise ValueError(
+                "mrl_dim/mrl_shortlist require use_index=True — the "
+                "brute batch kernel scores full-width"
+            )
         if not self.store.exists():
             return (
                 self.spark.createDataFrame(
@@ -2014,6 +2028,8 @@ class VectorEngine:
                 nprobe=nprobe,
                 query_id_col="query_index",
                 doc_id_col="_row_id",
+                mrl_dim=mrl_dim,
+                mrl_shortlist=mrl_shortlist,
             )
             if score_threshold is not None:
                 hits = hits.filter(F.col("score") >= score_threshold)

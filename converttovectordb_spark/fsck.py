@@ -326,8 +326,22 @@ def _fsck_lex(engine: "VectorEngine", heal: bool) -> list[dict]:
             ))
     if swap_crash and not heal:
         return out  # torn-append check below would read missing dirs
-    # 2. torn append: doclens ahead of the manifest's exact stats
+    # 2. torn append: doclens ahead of the manifest's exact stats.
+    # A torn META itself (unparseable JSON) must be a finding, not an
+    # fsck crash — the one door has to outlive every corruption class
+    # it reports on.
+    meta_ok = False
     if os.path.exists(os.path.join(path, META_FILE)):
+        try:
+            idx.meta()
+            meta_ok = True
+        except (OSError, ValueError) as exc:
+            out.append(_finding(
+                "lex_index", path, "torn_meta", "error",
+                f"meta manifest is unreadable ({exc}); rebuild with "
+                "build_lex_index()",
+            ))
+    if meta_ok:
         try:
             idx.verify_integrity()
         except RuntimeError as exc:
@@ -365,7 +379,7 @@ def _fsck_lex(engine: "VectorEngine", heal: bool) -> list[dict]:
         ))
     # 5. orphaned rids (same contract as the IVF check): indexed docs
     # the store dropped — BM25 over this index scores ghost rows
-    if os.path.exists(os.path.join(path, META_FILE)) and not swap_crash:
+    if meta_ok and not swap_crash:
         id_col = idx.meta().get("id_col", "doc_id")
         n = _orphan_rids(engine, idx.doclens(), id_col)
         if n:

@@ -262,3 +262,20 @@ def test_cli_fsck_verb(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["healthy"] is False
     assert any(f["check"] == "torn_manifest" for f in out["findings"])
+
+
+def test_lex_torn_meta_is_a_finding_not_a_crash(spark, tmp_path):
+    from converttovectordb_spark.plans.lex_index import META_FILE
+
+    eng = VectorEngine(
+        spark, str(tmp_path / "s10"), embedder=hash_embedder(DIM), dim=DIM,
+        transactional=True,
+    )
+    eng.store.append(_mkdocs(spark, "base"))
+    eng.build_lex_index()
+    with open(
+        os.path.join(f"{eng.store.path}_lexidx", META_FILE), "w"
+    ) as fh:
+        fh.write("{torn")
+    hits = _by_check(eng.fsck(), "torn_meta")
+    assert hits and hits[0]["severity"] == "error"

@@ -495,3 +495,39 @@ def test_rest_query_batch_mrl_dim_matrix_only(spark, tmp_path):
         assert st == 400 and "matrix" in err["error"]
     finally:
         srv2.stop()
+
+
+def test_engine_search_batch_mrl_symmetry(spark, tmp_path):
+    """search_batch(use_index=True, mrl_dim=full) equals the plain
+    indexed batch; the dial on the brute batch path raises instead of
+    silently answering full-width."""
+    from converttovectordb_spark.embeddings import hash_embedder
+    from converttovectordb_spark.engine import VectorEngine
+
+    dim = 8
+
+    def mkdocs(tag, n=10):
+        vecs = [[float(i == j % dim) + 0.01 * j for i in range(dim)]
+                for j in range(n)]
+        return spark.createDataFrame(
+            [(f"{tag}/f{j}.txt", ".txt", 0, 1, f"{tag} doc {j}", v, 0.0)
+             for j, v in enumerate(vecs)],
+            "path string, extension string, chunk_index int, "
+            "total_chunks int, content string, embedding array<float>, "
+            "timestamp double",
+        )
+
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(dim),
+        dim=dim,
+    )
+    eng.store.append(mkdocs("base"))
+    eng.build_index(num_clusters=2)
+    texts = ["base doc 1", "base doc 7"]
+    plain = eng.search_batch(texts, top_k=3, use_index=True).collect()
+    via = eng.search_batch(
+        texts, top_k=3, use_index=True, mrl_dim=dim,
+    ).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, via))
+    with pytest.raises(ValueError, match="use_index"):
+        eng.search_batch(texts, top_k=3, mrl_dim=4)

@@ -139,8 +139,9 @@ def main() -> int:
     )
 
     print(
-        "| mult | docs | e2e sec | e2e AQE-width sec (width) | gopher "
-        "sec | cut sec | weights sec | pack sec | e2e sec/mult |",
+        "| mult | docs | e2e cold sec | e2e policy-width warm sec "
+        "(width) | gopher sec | cut sec | weights sec | pack sec "
+        "| e2e sec/mult |",
         flush=True,
     )
     print("|---|---|---|---|---|---|---|---|---|", flush=True)
