@@ -161,8 +161,10 @@ def _fsck_ivf(engine: "VectorEngine", heal: bool) -> list[dict]:
 
     out: list[dict] = []
     spark = engine.spark
-    index = None
-    # transactional base: CURRENT must resolve
+    # BOTH layouts are checked when both exist (an engine that built
+    # plain then switched to transactional leaves two artifacts on
+    # disk, and the door's contract is "every artifact")
+    indexes: list = []
     base = f"{engine.store.path}_tivf"
     if os.path.isdir(base):
         pointer = os.path.join(base, TransactionalIVFIndex.CURRENT_POINTER)
@@ -175,7 +177,9 @@ def _fsck_ivf(engine: "VectorEngine", heal: bool) -> list[dict]:
             ))
         else:
             try:
-                index = TransactionalIVFIndex.open_current(spark, base)
+                indexes.append(
+                    TransactionalIVFIndex.open_current(spark, base)
+                )
             except (OSError, ValueError) as exc:
                 out.append(_finding(
                     "ivf_index", base, "dangling_current", "error",
@@ -183,10 +187,21 @@ def _fsck_ivf(engine: "VectorEngine", heal: bool) -> list[dict]:
                     "rebuild with build_index(transactional=True)",
                 ))
     plain_path = f"{engine.store.path}_ivf"
-    if index is None and os.path.isdir(plain_path):
-        index = IVFIndex(spark, plain_path)
-    if index is None:
-        return out
+    if os.path.isdir(plain_path):
+        indexes.append(IVFIndex(spark, plain_path))
+    for index in indexes:
+        out.extend(_fsck_one_ivf(engine, index, heal))
+    return out
+
+
+def _fsck_one_ivf(engine: "VectorEngine", index, heal: bool) -> list[dict]:
+    from converttovectordb_spark.plans.ivf_index import (
+        CENTROIDS_SUBDIR,
+        CORPUS_SUBDIR,
+        TransactionalIVFIndex,
+    )
+
+    out: list[dict] = []
     # layout: centroids always; the plain corpus/ dir only for the
     # plain index (the transactional layout reads corpus_batches/
     # through its own manifest, whose integrity open_current already

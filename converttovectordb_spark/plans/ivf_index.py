@@ -1039,12 +1039,37 @@ class IVFIndex:
         if we_persisted:
             new_docs = new_docs.persist()
         try:
-            assigned = self._route_batch(
+            assigned_src = self._route_batch(
                 new_docs, vec_col=vec_col, cluster_col=cluster_col
             )
-            if assigned is None:
+            if assigned_src is None:
                 return  # empty batch: nothing to place
-            corpus_cols = self.corpus().columns
+            self._append_staged(assigned_src, vec_col=vec_col)
+        finally:
+            if we_persisted:
+                new_docs.unpersist()
+
+    def _append_staged(self, assigned_src: DataFrame, *, vec_col: str) -> None:
+        """The plain append's write phase over a LINEAGE-CUT batch
+        (r13 fix; converttovectordb_spark.staging): the corpus write,
+        the histogram merge, and the PQ codes write are separate
+        actions over the routed batch, and the engine's heal delta
+        READS the corpus path the first write APPENDS to —
+        `.persist()` does not survive that (recacheByPath drops the
+        cache; the codes action then re-executed the store-vs-corpus
+        anti-join against the just-grown corpus, the delta evaluated
+        EMPTY, and a PQ-enabled index silently lost the batch's codes
+        forever; the histogram had the same hole). Staging the routed
+        batch through a throwaway parquet dir makes every later action
+        read only the stage. The TRANSACTIONAL append does not need
+        this: it writes fresh uuid dirs, which never overlap an
+        in-flight lineage's paths."""
+        from converttovectordb_spark.staging import stage_batch
+
+        corpus_cols = self.corpus().columns
+        with stage_batch(
+            assigned_src.select(*corpus_cols), self.path
+        ) as assigned:
             # Batch histogram BEFORE the corpus write (r13 fix): the
             # write into the corpus path invalidates any cached plan
             # that READS that path — and the engine's append batch is
@@ -1059,7 +1084,7 @@ class IVFIndex:
             batch_hist = (
                 _batch_histogram(assigned) if prev is not None else None
             )
-            assigned.select(*corpus_cols).write.mode("append").partitionBy(
+            assigned.write.mode("append").partitionBy(
                 CLUSTER_COL
             ).parquet(f"{self.path}/{CORPUS_SUBDIR}")
             # keep the histogram manifest current (read-merge-write is
@@ -1083,9 +1108,6 @@ class IVFIndex:
                 coded.select(*codes_cols).write.mode("append").partitionBy(
                     CLUSTER_COL
                 ).parquet(f"{self.path}/{PQ_CODES_SUBDIR}")
-        finally:
-            if we_persisted:
-                new_docs.unpersist()
 
     def _route_batch(
         self,

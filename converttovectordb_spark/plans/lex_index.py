@@ -285,18 +285,28 @@ class LexicalIndex:
             if meta.get("lowercase")
             else F.col(text_col)
         )
-        # materialize the tokenized delta: the stats probe, the doclens
-        # write, and the postings write are three actions — an
-        # un-persisted upstream lineage would re-execute per action and
-        # could even diverge between them
-        toked = docs.select(
+        # LINEAGE-CUT materialization (r13 fix; converttovectordb_spark.
+        # staging): the stats probe, the doclens write, the postings
+        # write, and the hot-registry agg are four actions, and the
+        # engine's heal delta READS the doclens path this method
+        # WRITES — `.persist()` (the r12 code) does not survive that:
+        # the doclens append invalidates the cached plan, the postings
+        # action re-executed the anti-join against the just-grown
+        # doclens, the delta evaluated EMPTY, and postings were
+        # silently never written (doclens + meta stayed consistent, so
+        # verify_integrity was blind and the token was earned over the
+        # hole). Staging through a throwaway parquet dir makes the
+        # batch's lineage write-proof.
+        from converttovectordb_spark.staging import stage_batch
+
+        toked_src = docs.select(
             F.col(id_col),
             tokens(text).alias("_toks"),
             chash_expr(text_col, bool(meta.get("lowercase"))).alias(
                 "_chash"
             ),
-        ).persist()
-        try:
+        )
+        with stage_batch(toked_src, self.path) as toked:
             doclens = toked.select(
                 id_col,
                 F.size("_toks").cast("bigint").alias("dl"),
@@ -348,8 +358,6 @@ class LexicalIndex:
                     .collect()
                 ):
                     hot_df[r["term"]] += int(r["df"])
-        finally:
-            toked.unpersist()
         _write_meta(
             self.path,
             n_docs=int(meta["n_docs"]) + added,

@@ -8584,6 +8584,12 @@ def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "user_id", "value"
     )
     eps = 1.0 / _PCTL_ACCURACY
+    # the exact distinct runs in its OWN aggregation: a countDistinct
+    # beside percentile_approx makes Catalyst plan an Expand (one row
+    # copy per aggregate set) and the quantile sketch then updates on
+    # the expanded stream — measured 7.7 s combined vs 0.6 + 2.2 s
+    # split at sf0.1 (the exact twin exists only to grade the HLL
+    # bound; production dashboards run the sketch side alone)
     sk = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.count("value").cast("bigint").alias("_nv"),
@@ -8592,17 +8598,26 @@ def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", _HLL_RSD).cast("bigint").alias(
             "_au"
         ),
-        F.countDistinct("user_id").cast("bigint").alias("_u"),
+    ).join(
+        ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").cast("bigint").alias("_u")
+        ),
+        on="event_type",
+    )
+    # flatten the sketch row to SCALAR columns before the re-scan:
+    # element_at over the broadcast array inside six conditional
+    # aggregates re-evaluated the array access per row per agg
+    # (measured 9.2 s vs 0.8 s for this shape at sf0.1)
+    sk = sk.select(
+        "event_type", "n_events", "_nv", "_au", "_u",
+        F.element_at("_p", 1).alias("_p1"),
+        F.element_at("_p", 2).alias("_p2"),
+        F.element_at("_p", 3).alias("_p3"),
     )
     j = ev.join(F.broadcast(sk), on="event_type")
-    aggs = [
-        F.first("n_events").alias("n_events"),
-        F.first("_nv").alias("_nv"),
-        F.first("_au").alias("_au"),
-        F.first("_u").alias("_u"),
-    ]
+    aggs = []
     for i in (1, 2, 3):
-        p = F.element_at(F.col("_p"), i)
+        p = F.col(f"_p{i}")
         aggs.append(
             F.sum(F.when(F.col("value") < p, 1).otherwise(0)).alias(
                 f"_lt{i}"
@@ -8613,7 +8628,9 @@ def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"_le{i}"
             )
         )
-    counted = j.groupBy("event_type").agg(*aggs)
+    counted = j.groupBy(
+        "event_type", "n_events", "_nv", "_au", "_u"
+    ).agg(*aggs)
 
     def ok(i: int, p: float):
         lo = F.floor((F.lit(p) - eps) * F.col("_nv"))
@@ -8660,21 +8677,28 @@ def q_doc_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     booleans are stable, and the check upgrades "the sketch ran" to
     "the sketch kept its documented accuracy"."""
     docs = load(spark, sf_dir, "documents")
+    # sketches and exact distincts in SEPARATE aggregations (the
+    # value_percentiles_approx lesson): three countDistincts force a
+    # 4-way Expand, and HLL sketches updating on the expanded stream
+    # cost more than both passes split
     out = docs.agg(
         F.count(F.lit(1)).cast("bigint").alias("total_docs"),
         F.approx_count_distinct("doc_id", _HLL_RSD).cast("bigint").alias(
             "_ad"
         ),
-        F.countDistinct("doc_id").cast("bigint").alias("_d"),
         F.approx_count_distinct("source", _HLL_RSD).cast("bigint").alias(
             "_as"
         ),
-        F.countDistinct("source").cast("bigint").alias("_s"),
         F.approx_count_distinct("lang", _HLL_RSD).cast("bigint").alias(
             "_al"
         ),
-        F.countDistinct("lang").cast("bigint").alias("_l"),
         _round6(F.avg(F.length("text"))).alias("avg_chars"),
+    ).crossJoin(
+        docs.agg(
+            F.countDistinct("doc_id").cast("bigint").alias("_d"),
+            F.countDistinct("source").cast("bigint").alias("_s"),
+            F.countDistinct("lang").cast("bigint").alias("_l"),
+        )
     )
 
     def ok(a: str, e: str):

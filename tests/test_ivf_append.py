@@ -304,3 +304,44 @@ def test_engine_append_updates_histogram_through_cache_invalidation(
     assert sum(stats["cluster_sizes"].values()) == 16
     # and the heal finds nothing left to fix
     assert eng._index.verify_stats() is False
+
+
+def test_engine_append_pq_codes_survive_cache_invalidation(spark, tmp_path):
+    """r13 regression (staging.py): same invalidation class as the
+    histogram bug, PQ edition — the corpus write dropped the cached
+    heal delta, the codes action re-executed it empty, and a
+    PQ-enabled plain index silently lost every appended batch's codes.
+    The staged append must keep corpus/codes/stats in lockstep."""
+    from converttovectordb_spark.embeddings import hash_embedder
+    from converttovectordb_spark.engine import VectorEngine
+
+    dim = 8
+
+    def mkdocs(tag, n=8):
+        vecs = [
+            [float(i == j % dim) + 0.01 * j for i in range(dim)]
+            for j in range(n)
+        ]
+        return spark.createDataFrame(
+            [(f"{tag}/f{j}.txt", ".txt", 0, 1, f"{tag} doc {j}", vecs[j],
+              0.0) for j in range(n)],
+            "path string, extension string, chunk_index int, "
+            "total_chunks int, content string, embedding array<float>, "
+            "timestamp double",
+        )
+
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(dim), dim=dim
+    )
+    eng.store.append(mkdocs("base"))
+    eng.build_index(num_clusters=2, pq_m=2, pq_k=4)
+    eng.store.append(mkdocs("grow"))
+    assert eng.append_to_index() == 8
+    assert eng._index.corpus().count() == 16
+    assert eng._index.pq_codes().count() == 16
+    assert eng._index.cluster_stats()["n_docs"] == 16
+    # and the ADC path actually serves the appended rows
+    hits = eng.search_indexed(
+        "grow doc 3", top_k=3, nprobe=2, adc_shortlist=8, allow_stale=False
+    ).collect()
+    assert hits

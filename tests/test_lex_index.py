@@ -417,3 +417,48 @@ def test_hot_term_registry_and_elision_dial(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="max_df_frac"):
         idx.bm25(["x"], max_df_frac=0.0)
+
+
+def test_engine_append_postings_survive_cache_invalidation(spark, tmp_path):
+    """r13 regression (staging.py): the engine's heal delta anti-joins
+    the store against the DOCLENS path; the r12 append persisted that
+    lineage and then APPENDED to doclens, which invalidated the cache —
+    the postings action re-executed the anti-join against the grown
+    doclens, found nothing, and silently wrote NO postings (doclens +
+    meta stayed consistent, so verify_integrity was blind and the
+    freshness token was earned over the hole). The staged append must
+    leave the batch's terms retrievable — and no stage debris."""
+    import os
+
+    from converttovectordb_spark.embeddings import hash_embedder
+    from converttovectordb_spark.engine import VectorEngine
+    from converttovectordb_spark.plans.lex_index import LexicalIndex
+
+    dim = 8
+
+    def mkdocs(tag, text, n=6):
+        v = [[1.0] * dim] * n
+        return spark.createDataFrame(
+            [(f"{tag}/f{j}.txt", ".txt", 0, 1, f"{text} {j}", v[j], 0.0)
+             for j in range(n)],
+            "path string, extension string, chunk_index int, "
+            "total_chunks int, content string, embedding array<float>, "
+            "timestamp double",
+        )
+
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(dim),
+        dim=dim, transactional=True,
+    )
+    eng.store.append(mkdocs("base", "alpha beta gamma"))
+    eng.build_lex_index()
+    eng.store.append(mkdocs("grow", "zebra xylophone"))
+    assert eng.append_to_lex_index() == 6
+    idx = LexicalIndex(spark, f"{eng.store.path}_lexidx")
+    assert idx.bm25(["zebra"]).count() == 6
+    assert idx.doclens().count() == 12
+    assert idx.meta()["n_docs"] == 12
+    idx.verify_integrity()  # still self-consistent
+    assert not [
+        n for n in os.listdir(idx.path) if n.startswith("tmp-stage-")
+    ]
