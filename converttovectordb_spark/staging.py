@@ -52,6 +52,10 @@ def stage_batch(df: DataFrame, artifact_root: str):
     stage_dir = os.path.join(artifact_root, f"tmp-stage-{uuid.uuid4().hex}")
     df.write.parquet(stage_dir)
     try:
-        yield df.sparkSession.read.parquet(stage_dir)
+        # explicit schema: an all-empty batch writes only _SUCCESS (no
+        # part files), and schema INFERENCE over that dir would raise —
+        # an empty heal delta (idempotent replay) must stage to an
+        # empty frame, not an error
+        yield df.sparkSession.read.schema(df.schema).parquet(stage_dir)
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
