@@ -255,6 +255,26 @@ def _fsck_one_ivf(engine: "VectorEngine", index, heal: bool) -> list[dict]:
                 f"{index.RECALL_CURVE_MAX_GROWTH:.0%} budget) — "
                 "re-measure or retrain",
             ))
+    # stage debris: a crash between stage_batch's write and cleanup
+    # leaves a tmp-stage-<hex> dir — readers never scan it (they read
+    # the named subdirs), so removal is always safe
+    stage_debris = [
+        n for n in os.listdir(index.path) if n.startswith("tmp-stage-")
+    ]
+    if stage_debris:
+        healed = False
+        if heal:
+            import shutil
+
+            for n in stage_debris:
+                shutil.rmtree(
+                    os.path.join(index.path, n), ignore_errors=True
+                )
+            healed = True
+        out.append(_finding(
+            "ivf_index", index.path, "stage_debris", "warn",
+            f"{len(stage_debris)} crashed-staging dir(s)", healed,
+        ))
     # orphaned rids: index rows whose identity the store has dropped
     # (a clear/out-of-band delete after the build). The serving token
     # catches ANY store change coarsely; this names the finer, truly

@@ -279,3 +279,18 @@ def test_lex_torn_meta_is_a_finding_not_a_crash(spark, tmp_path):
         fh.write("{torn")
     hits = _by_check(eng.fsck(), "torn_meta")
     assert hits and hits[0]["severity"] == "error"
+
+
+def test_ivf_stage_debris_swept(spark, tmp_path):
+    eng = VectorEngine(
+        spark, str(tmp_path / "s11"), embedder=hash_embedder(DIM), dim=DIM
+    )
+    eng.store.append(_mkdocs(spark, "base"))
+    eng.build_index(num_clusters=2)
+    debris = os.path.join(f"{eng.store.path}_ivf", "tmp-stage-deadbeef")
+    os.makedirs(debris)
+    hits = _by_check(eng.fsck(), "stage_debris")
+    assert hits and not hits[0]["healed"] and os.path.isdir(debris)
+    hits = _by_check(eng.fsck(heal=True), "stage_debris")
+    assert hits and hits[0]["healed"] and not os.path.isdir(debris)
+    assert eng.fsck() == []
