@@ -66,7 +66,10 @@ def pack_offsets(
     base, acc = [], 0
     for r in sorted(totals, key=lambda r: r["_bucket"]):
         base.append((r["_bucket"], acc))
-        acc += int(r["_btoks"])
+        # a bucket whose rows are all NULL-token sums to NULL — count
+        # it as 0 (matching sum's null-skipping everywhere else)
+        # instead of TypeError-ing the whole pack
+        acc += int(r["_btoks"] or 0)
     base_df = F.broadcast(
         spark.createDataFrame(base, "_bucket int, _base bigint")
     )
