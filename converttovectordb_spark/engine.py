@@ -1307,6 +1307,8 @@ class VectorEngine:
         corpus: DataFrame | None = None,
         use_index: bool = False,
         nprobe: int = 2,
+        mrl_dim: int | None = None,
+        mrl_shortlist: int | None = None,
         allow_stale: bool = False,
     ) -> DataFrame:
         """Two-stage diverse retrieval: relevance top-``fetch_k``
@@ -1326,9 +1328,20 @@ class VectorEngine:
         rides the IVF probe instead of the full-corpus scan, same
         approximate-recall contract, staleness guard, and nprobe knob
         as `search_indexed`; with nprobe covering every cluster the
-        result is identical to the brute door."""
+        result is identical to the brute door.
+        ``mrl_dim``/``mrl_shortlist`` turn the Matryoshka truncation
+        dial on that indexed relevance stage (r13 — same contract as
+        `search_indexed`); requesting the dial on the brute path
+        raises, like `search_batch`."""
         from converttovectordb_spark.operators.search import mmr_rerank
 
+        if (mrl_dim is not None or mrl_shortlist is not None) and (
+            not use_index
+        ):
+            raise ValueError(
+                "mrl_dim/mrl_shortlist require use_index=True — the "
+                "brute relevance stage scores full-width"
+            )
         if not 0.0 <= mmr_lambda <= 1.0:
             # validate BEFORE the empty-store short-circuit: a bad
             # lambda_ must fail the same way on an empty store as on a
@@ -1378,6 +1391,8 @@ class VectorEngine:
                     top_k=max(int(fetch_k), validate_top_k(top_k)),
                     nprobe=nprobe,
                     doc_id_col="_row_id",
+                    mrl_dim=mrl_dim,
+                    mrl_shortlist=mrl_shortlist,
                 )
                 .withColumnRenamed("_row_id", "_rid")
                 .join(
@@ -1466,6 +1481,8 @@ class VectorEngine:
         corpus: DataFrame | None = None,
         use_index: bool = False,
         nprobe: int = 2,
+        mrl_dim: int | None = None,
+        mrl_shortlist: int | None = None,
         allow_stale: bool = False,
     ) -> DataFrame:
         """Q-query twin of `search_diverse` — the batch shape the
@@ -1505,6 +1522,13 @@ class VectorEngine:
             )
         if not query_texts:
             raise ValueError("query_texts must be non-empty")
+        if (mrl_dim is not None or mrl_shortlist is not None) and (
+            not use_index
+        ):
+            raise ValueError(
+                "mrl_dim/mrl_shortlist require use_index=True — the "
+                "brute candidate stage scores full-width"
+            )
         top_k = validate_top_k(top_k)
         if not self.store.exists():
             empty = (
@@ -1543,6 +1567,8 @@ class VectorEngine:
                     nprobe=nprobe,
                     query_id_col="query_index",
                     doc_id_col="_row_id",
+                    mrl_dim=mrl_dim,
+                    mrl_shortlist=mrl_shortlist,
                 )
                 .withColumnRenamed("_row_id", "_rid")
                 .join(
@@ -1619,6 +1645,8 @@ class VectorEngine:
         corpus: DataFrame | None = None,
         use_index: bool = False,
         nprobe: int = 2,
+        mrl_dim: int | None = None,
+        mrl_shortlist: int | None = None,
         use_lex_index: bool = False,
         allow_stale: bool = False,
     ) -> DataFrame:
@@ -1651,9 +1679,19 @@ class VectorEngine:
         display join-back fetches the ≤2·candidates fused survivors'
         columns. With nprobe covering every cluster the indexed result
         is IDENTICAL to the brute door (tests pin it); at serving
-        nprobe it is approximate exactly like `search_indexed`."""
+        nprobe it is approximate exactly like `search_indexed`.
+        ``mrl_dim``/``mrl_shortlist`` turn the truncation dial on the
+        indexed semantic arm (r13; raises on the brute arm, like
+        `search_batch`)."""
         from converttovectordb_spark.operators.search import bm25_scores
 
+        if (mrl_dim is not None or mrl_shortlist is not None) and (
+            not use_index
+        ):
+            raise ValueError(
+                "mrl_dim/mrl_shortlist require use_index=True — the "
+                "brute semantic arm scores full-width"
+            )
         if corpus is None and not self.store.exists():
             # same schema as the non-empty path (sem_rank/lex_rank/rrf
             # included) so callers that branch on columns or union
@@ -1690,6 +1728,8 @@ class VectorEngine:
                 top_k=validate_top_k(candidates),
                 nprobe=nprobe,
                 doc_id_col="_row_id",
+                mrl_dim=mrl_dim,
+                mrl_shortlist=mrl_shortlist,
             ).select(
                 F.col("_row_id").alias("_rid"),
                 F.col("rank").alias("sem_rank"),
@@ -1771,6 +1811,8 @@ class VectorEngine:
         corpus: DataFrame | None = None,
         use_index: bool = False,
         nprobe: int = 2,
+        mrl_dim: int | None = None,
+        mrl_shortlist: int | None = None,
         use_lex_index: bool = False,
         allow_stale: bool = False,
     ) -> DataFrame:
@@ -1804,6 +1846,13 @@ class VectorEngine:
 
         if not query_texts:
             raise ValueError("query_texts must be non-empty")
+        if (mrl_dim is not None or mrl_shortlist is not None) and (
+            not use_index
+        ):
+            raise ValueError(
+                "mrl_dim/mrl_shortlist require use_index=True — the "
+                "brute semantic arm scores full-width"
+            )
         top_k = validate_top_k(top_k)
         if corpus is None and not self.store.exists():
             return (
@@ -1843,6 +1892,8 @@ class VectorEngine:
                 nprobe=nprobe,
                 query_id_col="query_index",
                 doc_id_col="_row_id",
+                mrl_dim=mrl_dim,
+                mrl_shortlist=mrl_shortlist,
             ).select(
                 "query_index",
                 F.col("_row_id").alias("_rid"),

@@ -531,3 +531,70 @@ def test_engine_search_batch_mrl_symmetry(spark, tmp_path):
     assert sorted(map(tuple, plain)) == sorted(map(tuple, via))
     with pytest.raises(ValueError, match="use_index"):
         eng.search_batch(texts, top_k=3, mrl_dim=4)
+
+
+def test_engine_diverse_and_hybrid_mrl_symmetry(spark, tmp_path):
+    """Every indexed door turns the dial: diverse/hybrid (single and
+    batch) at mrl_dim=full reproduce their plain indexed results; the
+    dial without use_index raises on all four."""
+    from converttovectordb_spark.embeddings import hash_embedder
+    from converttovectordb_spark.engine import VectorEngine
+
+    dim = 8
+
+    def mkdocs(tag, n=10):
+        vecs = [[float(i == j % dim) + 0.01 * j for i in range(dim)]
+                for j in range(n)]
+        return spark.createDataFrame(
+            [(f"{tag}/f{j}.txt", ".txt", 0, 1, f"{tag} doc {j}", v, 0.0)
+             for j, v in enumerate(vecs)],
+            "path string, extension string, chunk_index int, "
+            "total_chunks int, content string, embedding array<float>, "
+            "timestamp double",
+        )
+
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(dim),
+        dim=dim,
+    )
+    eng.store.append(mkdocs("base"))
+    eng.build_index(num_clusters=2)
+    eng.build_lex_index()
+
+    q = "base doc 3"
+    plain_d = eng.search_diverse(q, top_k=3, use_index=True).collect()
+    via_d = eng.search_diverse(
+        q, top_k=3, use_index=True, mrl_dim=dim
+    ).collect()
+    assert sorted(map(tuple, plain_d)) == sorted(map(tuple, via_d))
+
+    plain_db = eng.search_diverse_batch(
+        [q], top_k=3, use_index=True
+    ).collect()
+    via_db = eng.search_diverse_batch(
+        [q], top_k=3, use_index=True, mrl_dim=dim
+    ).collect()
+    assert sorted(map(tuple, plain_db)) == sorted(map(tuple, via_db))
+
+    plain_h = eng.search_hybrid(q, top_k=3, use_index=True).collect()
+    via_h = eng.search_hybrid(
+        q, top_k=3, use_index=True, mrl_dim=dim
+    ).collect()
+    assert sorted(map(tuple, plain_h)) == sorted(map(tuple, via_h))
+
+    plain_hb = eng.search_hybrid_batch(
+        [q], top_k=3, use_index=True
+    ).collect()
+    via_hb = eng.search_hybrid_batch(
+        [q], top_k=3, use_index=True, mrl_dim=dim
+    ).collect()
+    assert sorted(map(tuple, plain_hb)) == sorted(map(tuple, via_hb))
+
+    for fn in (
+        lambda: eng.search_diverse(q, top_k=3, mrl_dim=4),
+        lambda: eng.search_diverse_batch([q], top_k=3, mrl_dim=4),
+        lambda: eng.search_hybrid(q, top_k=3, mrl_dim=4),
+        lambda: eng.search_hybrid_batch([q], top_k=3, mrl_dim=4),
+    ):
+        with pytest.raises(ValueError, match="use_index"):
+            fn()
