@@ -28,7 +28,9 @@ threshold AFTER limit (Q4), and the Q5 dimension-mismatch message.
 from __future__ import annotations
 
 import math
+import os
 import threading
+import uuid
 from contextlib import contextmanager
 
 import numpy as np
@@ -81,6 +83,16 @@ def _pack_bits64(bits_2d: np.ndarray) -> np.ndarray:
     if pad:
         packed = np.pad(packed, ((0, 0), (0, pad)))
     return np.ascontiguousarray(packed).view(np.uint64)
+
+#: Admission multiple of the bits tier over the float matrix tier:
+#: one packed sign bit per dimension vs one float64 cell — the SAME
+#: byte budget admits 64× the cells (the r13 measurement that the
+#: packed layout's value is BYTES, not FLOPs: SCALING.md r13 "The
+#: consumed dials"). A corpus past ``max_cells`` float64 cells but
+#: within ``64 × max_cells`` sign bits serves Hamming-prefiltered
+#: queries from driver memory, reranking survivors via a bounded
+#: sidecar fetch (:class:`BitsMatrixIndex`).
+BITS_ADMISSION_MULTIPLE = 64
 
 #: Separate (smaller) budget for the hybrid lexical cache: per-doc
 #: token Counters cost far more per row than embedding cells, so the
@@ -197,6 +209,83 @@ def point_query_mode(spark):
                     )
 
 
+def _size_probe(df: DataFrame, embedding_col: str):
+    """(n_rows, first_dim, payload_bytes) for driver-tier admission —
+    shared by the matrix and bits tiers so their payload gates cannot
+    drift. One combined count+bytes aggregate plus one first-row dim
+    probe, BEFORE any collect (the transfer itself is the OOM a
+    post-hoc check would arrive too late for). ``first_dim`` is 0 when
+    the corpus is empty."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    var_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.name != embedding_col
+        and isinstance(f.dataType, (T.StringType, T.BinaryType))
+    ]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in var_cols:
+        aggs.append(
+            F.sum(F.coalesce(F.octet_length(F.col(c)), F.lit(0))).alias(
+                f"_b_{c}"
+            )
+        )
+    sizes = df.agg(*aggs).first()
+    n = sizes["n"]
+    if n == 0:
+        return 0, 0, 0
+    first_dim = len(df.select(embedding_col).first()[0])
+    payload_bytes = n * _FIXED_WIDTH_ROW_BYTES + sum(
+        int(sizes[f"_b_{c}"] or 0) for c in var_cols
+    )
+    return n, first_dim, payload_bytes
+
+
+def select_among(
+    payload: list[dict],
+    idx: "np.ndarray | None",
+    scores: np.ndarray,
+    top_k: int,
+    score_threshold: float,
+    id_cols: list[str] | None,
+) -> list[dict]:
+    """The ONE per-query selection rule every driver tier shares
+    (matrix and bits tiers MUST not drift): top-k with the
+    deterministic tie-break — ALL rows tied with the k-th score stay
+    candidates, then ascending ``id_cols`` break ties (Q3) — and the
+    score threshold applied AFTER the limit (Q4). ``scores[j]`` scores
+    ``payload[idx[j]]`` (``idx=None`` → ``payload[j]``)."""
+    m = len(scores)
+    k = min(int(top_k), m)
+    if k == 0:
+        return []
+    if k < m:
+        part = np.argpartition(-scores, k - 1)[:k]
+        kth = scores[part].min()
+        cand = np.nonzero(scores >= kth)[0]
+    else:
+        cand = np.arange(m)
+
+    def _row(j: int) -> dict:
+        return payload[int(idx[j]) if idx is not None else j]
+
+    ids = id_cols or []
+    ordered = sorted(
+        cand.tolist(),
+        key=lambda j: (-scores[j], *[_row(j)[c] for c in ids]),
+    )[:k]
+    out = []
+    for j in ordered:
+        if scores[j] < score_threshold:  # threshold AFTER limit (Q4)
+            continue
+        row = dict(_row(j))
+        row["score"] = float(scores[j])
+        out.append(row)
+    return out
+
+
 class DriverMatrixIndex:
     """An immutable, query-many snapshot of a corpus DataFrame.
 
@@ -248,42 +337,19 @@ class DriverMatrixIndex:
         Admission is two-termed: embedding cells (``n × dim``) AND
         payload bytes (everything else the tier keeps driver-side).
         The payload term is estimated with a Spark aggregate BEFORE any
-        collect — the Arrow transfer itself is the OOM, so a post-hoc
-        ``tbl.nbytes`` check would arrive too late. One combined
-        count+bytes aggregate + one Arrow collect — both at cache-fill
-        time, never on the query path. Rows whose embedding length
-        disagrees with the first row's are a corrupt store; they raise
-        here (the distributed path raises the same Q5-shaped error
-        lazily).
+        collect (`_size_probe` — shared with the bits tier) — the
+        Arrow transfer itself is the OOM, so a post-hoc ``tbl.nbytes``
+        check would arrive too late. One combined count+bytes
+        aggregate + one Arrow collect — both at cache-fill time, never
+        on the query path. Rows whose embedding length disagrees with
+        the first row's are a corrupt store; they raise here (the
+        distributed path raises the same Q5-shaped error lazily).
         """
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
-        var_cols = [
-            f.name
-            for f in df.schema.fields
-            if f.name != embedding_col
-            and isinstance(f.dataType, (T.StringType, T.BinaryType))
-        ]
-        aggs = [F.count(F.lit(1)).alias("n")]
-        for c in var_cols:
-            aggs.append(
-                F.sum(F.coalesce(F.octet_length(F.col(c)), F.lit(0))).alias(
-                    f"_b_{c}"
-                )
-            )
-        sizes = df.agg(*aggs).first()
-        n = sizes["n"]
+        n, first_dim, payload_bytes = _size_probe(df, embedding_col)
         if n == 0:
             return cls(np.zeros((0, 0)), np.zeros(0), [], 0)
-        first_dim = len(
-            df.select(embedding_col).first()[0]
-        )
         if n * first_dim > max_cells:
             return None
-        payload_bytes = n * _FIXED_WIDTH_ROW_BYTES + sum(
-            int(sizes[f"_b_{c}"] or 0) for c in var_cols
-        )
         if payload_bytes > max_payload_bytes:
             return None
         try:
@@ -520,36 +586,13 @@ class DriverMatrixIndex:
     ) -> list[dict]:
         """`_select_topk` over a candidate SUBSET: ``scores[j]`` scores
         corpus row ``idx[j]`` (``idx=None`` → the full corpus, the
-        historical path). One selection implementation so the exact
-        path and the prefilter reranks cannot drift on tie-breaks or
-        the threshold-after-limit rule."""
-        m = len(scores)
-        k = min(int(top_k), m)
-        if k == 0:
-            return []
-        if k < m:
-            part = np.argpartition(-scores, k - 1)[:k]
-            kth = scores[part].min()
-            cand = np.nonzero(scores >= kth)[0]
-        else:
-            cand = np.arange(m)
-
-        def _row(j: int) -> dict:
-            return self.payload[int(idx[j]) if idx is not None else j]
-
-        ids = id_cols or []
-        ordered = sorted(
-            cand.tolist(),
-            key=lambda j: (-scores[j], *[_row(j)[c] for c in ids]),
-        )[:k]
-        out = []
-        for j in ordered:
-            if scores[j] < score_threshold:  # threshold AFTER limit (Q4)
-                continue
-            row = dict(_row(j))
-            row["score"] = float(scores[j])
-            out.append(row)
-        return out
+        historical path). Delegates to the module-level
+        :func:`select_among` — ONE selection implementation shared
+        with the bits tier so no driver tier can drift on tie-breaks
+        or the threshold-after-limit rule."""
+        return select_among(
+            self.payload, idx, scores, top_k, score_threshold, id_cols
+        )
 
     def query_batch(
         self,
@@ -995,3 +1038,381 @@ class DriverMatrixIndex:
             out.append(row)
         return out
 
+
+#: Sidecar column carrying each corpus row's fill-time position — the
+#: join key between the driver-resident bits/payload and the on-disk
+#: full-precision embeddings the rerank fetches.
+BITS_ROW_COL = "_bits_row"
+
+
+class BitsMatrixIndex:
+    """Bits-resident serving tier: packed sign bits + payload in driver
+    memory, full-precision embeddings in an on-disk sidecar.
+
+    The r13 measurement (SCALING.md "The consumed dials") showed the
+    sign-bit layout's value is BYTES, not FLOPs: integer multi-pass
+    Hamming loses to one BLAS GEMV at every N the float matrix tier
+    admits, but the packed layout is 64× smaller — the SAME driver
+    byte budget admits 64× the rows (:data:`BITS_ADMISSION_MULTIPLE`).
+    This tier serves exactly that regime: a corpus past the float
+    matrix's admission budget answers ``hamming_shortlist`` queries
+    from a memory-speed popcount scan (n × d/8 bytes touched), then
+    reranks ONLY the shortlist at full precision via a bounded sidecar
+    fetch (a row-id ``IN`` filter over parquet whose monotone row ids
+    give row-group pruning — the job reads ~shortlist rows, never the
+    corpus). The alternative at this N is the distributed exact scan,
+    which reads n × d × 8 bytes per query.
+
+    Semantics are pinned to
+    ``DriverMatrixIndex.query(hamming_shortlist=...)`` — same packed
+    layout (`_pack_bits64`), same SWAR popcount, same keep-boundary-
+    ties shortlist rule, same exact-cosine rerank (Q1 zero-norm → 0.0)
+    and the SHARED :func:`select_among` (Q3 tie-break, Q4 threshold
+    after limit) — so the graded ``hamming_prefilter_knn`` composition
+    describes both tiers. The reference analog is the memory ceiling
+    its in-RAM store hits (mock_vector_db_api.py:29-30): it has no
+    answer past that ceiling; this tier is ours.
+
+    Build with :meth:`from_dataframe` (returns ``None`` past the bits
+    or payload budget — callers then use the distributed tier). The
+    sidecar parquet is written ONCE at fill (one corpus pass — also
+    the lineage cut that makes the fill-time row ids stable) and owned
+    by this object; call :meth:`close` to remove it.
+    """
+
+    def __init__(
+        self,
+        words: np.ndarray,
+        row_ids: np.ndarray,
+        payload: list[dict],
+        dim: int,
+        *,
+        spark=None,
+        sidecar_path: str | None = None,
+        embedding_col: str = "embedding",
+    ):
+        self.words = words  # (n, ceil(dim/64)) uint64 sign bits
+        self.row_ids = row_ids  # (n,) int64 sidecar row ids
+        self.payload = payload  # row dicts WITHOUT the embedding column
+        self.dim = dim
+        self._spark = spark
+        self.sidecar_path = sidecar_path
+        self._embedding_col = embedding_col
+        self._side = None  # lazy sidecar DataFrame handle
+        self._lock = threading.Lock()
+
+    @property
+    def n(self) -> int:
+        return self.words.shape[0]
+
+    @classmethod
+    def from_dataframe(
+        cls,
+        df: DataFrame,
+        sidecar_dir: str,
+        *,
+        embedding_col: str = "embedding",
+        max_cells: int = DEFAULT_MAX_CELLS,
+        max_payload_bytes: int = DEFAULT_MAX_PAYLOAD_BYTES,
+    ) -> "BitsMatrixIndex | None":
+        """Materialize the bits tier if the corpus fits its budgets,
+        else ``None``.
+
+        Admission: ``n × dim`` sign bits within ``max_cells ×
+        BITS_ADMISSION_MULTIPLE`` (same driver bytes as ``max_cells``
+        float64 cells) AND the same payload-bytes gate as the matrix
+        tier (`_size_probe` — the payload dominates past the matrix
+        budget, so the gate is usually the binding one). The fill
+        writes the sidecar (one corpus pass), packs sign bits
+        executor-side (an Arrow pandas_udf calling the SAME
+        `_pack_bits64` as the matrix tier — the transfer ships n×d/8
+        packed bytes, never n×d×8 floats), and Arrow-collects
+        (row_id, packed words, payload)."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        n, first_dim, payload_bytes = _size_probe(df, embedding_col)
+        if n == 0:
+            return cls(
+                np.zeros((0, 0), dtype=np.uint64),
+                np.zeros(0, dtype=np.int64),
+                [],
+                0,
+                embedding_col=embedding_col,
+            )
+        if n * first_dim > max_cells * BITS_ADMISSION_MULTIPLE:
+            return None
+        if payload_bytes > max_payload_bytes:
+            return None
+        spark = df.sparkSession
+        sidecar_path = os.path.join(
+            sidecar_dir, f"bits-{uuid.uuid4().hex}"
+        )
+        os.makedirs(sidecar_path, exist_ok=True)
+        try:
+            # the write IS the lineage cut: monotonically_increasing_id
+            # is only stable within one job, so the ids are assigned
+            # once, persisted, and every later read (fill collect +
+            # every rerank fetch) sees the same mapping
+            # default (128 MiB) row groups, measured: shrinking them to
+            # 4 MiB to cut per-candidate decode ballooned the fetch 4×
+            # (450 row groups' footers/stats beat the decode saving) —
+            # the bounded fetch is footer-bound, not decode-bound, at
+            # this layout
+            df.withColumn(
+                BITS_ROW_COL, F.monotonically_increasing_id()
+            ).write.parquet(sidecar_path, mode="overwrite")
+            side = spark.read.parquet(sidecar_path)
+            dims = side.agg(
+                F.min(F.size(F.col(embedding_col))).alias("lo"),
+                F.max(F.size(F.col(embedding_col))).alias("hi"),
+            ).first()
+            if int(dims["lo"]) != int(dims["hi"]):
+                raise ValueError(
+                    f"stored embeddings have inconsistent dimensions "
+                    f"({first_dim} vs "
+                    f"{int(dims['lo']) if int(dims['lo']) != first_dim else int(dims['hi'])})"
+                )
+
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("array<long>")
+            def _pack(col):
+                import pandas as pd
+
+                if len(col) == 0:
+                    return pd.Series([], dtype=object)
+                arr = np.vstack(
+                    [np.asarray(v, dtype=np.float64) for v in col]
+                )
+                words = _pack_bits64(arr > 0).view(np.int64)
+                return pd.Series(list(words))
+
+            payload_cols = [
+                c for c in side.columns
+                if c not in (embedding_col, BITS_ROW_COL)
+            ]
+            tbl = side.select(
+                BITS_ROW_COL,
+                *payload_cols,
+                _pack(F.col(embedding_col)).alias("_words"),
+            ).toArrow()
+            row_ids = tbl.column(BITS_ROW_COL).to_numpy().astype(np.int64)
+            wcol = tbl.column("_words").combine_chunks()
+            n_words = (first_dim + 63) // 64
+            flat = wcol.flatten().to_numpy(zero_copy_only=False)
+            words = (
+                np.ascontiguousarray(flat.reshape(n, n_words))
+                .astype(np.int64)
+                .view(np.uint64)
+            )
+            payload = tbl.drop_columns(
+                [BITS_ROW_COL, "_words"]
+            ).to_pylist()
+            order = np.argsort(row_ids, kind="stable")
+            return cls(
+                words[order],
+                row_ids[order],
+                [payload[int(i)] for i in order],
+                first_dim,
+                spark=spark,
+                sidecar_path=sidecar_path,
+                embedding_col=embedding_col,
+            )
+        except Exception:
+            shutil.rmtree(sidecar_path, ignore_errors=True)
+            raise
+
+    def close(self) -> None:
+        """Remove the sidecar parquet (the driver arrays die with the
+        object). Idempotent."""
+        import shutil
+
+        if self.sidecar_path is not None:
+            shutil.rmtree(self.sidecar_path, ignore_errors=True)
+            self.sidecar_path = None
+            self._side = None
+
+    def _sidecar(self):
+        if self._side is None:
+            if self._spark is None or self.sidecar_path is None:
+                raise RuntimeError(
+                    "bits tier has no sidecar (closed or empty-built); "
+                    "rebuild with from_dataframe"
+                )
+            with self._lock:
+                if self._side is None:
+                    self._side = self._spark.read.parquet(
+                        self.sidecar_path
+                    )
+        return self._side
+
+    def _shortlist(
+        self, q: np.ndarray, top_k: int, hamming_shortlist: int | None
+    ) -> np.ndarray:
+        """Candidate row indices by Hamming distance on the packed sign
+        bits — the matrix tier's `_prefilter_candidates` hamming branch
+        verbatim (keep ALL rows tied at the boundary), with the same
+        validation messages. ``hamming_shortlist=None`` defaults to
+        4×top_k (the prefilter IS this tier's serving plan, not an
+        opt-in)."""
+        k = max(int(top_k), 1)
+        n_short = (
+            int(hamming_shortlist)
+            if hamming_shortlist is not None
+            else 4 * k
+        )
+        if n_short < k:
+            raise ValueError(
+                f"hamming_shortlist ({n_short}) must be >= top_k ({k})"
+            )
+        if n_short >= self.n:
+            return np.arange(self.n)
+        qbits = _pack_bits64((q > 0).reshape(1, -1))
+        ham = _popcount64(np.bitwise_xor(self.words, qbits)).sum(
+            axis=1, dtype=np.int64
+        )
+        part = np.argpartition(ham, n_short - 1)[:n_short]
+        kth = ham[part].max()
+        return np.nonzero(ham <= kth)[0]
+
+    def _validate_query(self, query_vector: list[float]) -> np.ndarray:
+        q = np.asarray(
+            [float(x) for x in query_vector], dtype=np.float64
+        )
+        if not np.all(np.isfinite(q)):
+            raise ValueError(
+                "query embedding contains non-finite values (NaN/Infinity)"
+            )
+        if self.n and q.shape[0] != self.dim:
+            raise ValueError(
+                f"query dimension {q.shape[0]} != stored dimension {self.dim}"
+            )
+        return q
+
+    def _fetch_vectors(self, cand: np.ndarray) -> np.ndarray:
+        """Full-precision embeddings for the candidate rows — ONE
+        bounded Spark job: a row-id ``IN`` filter over the sidecar
+        (pushed to parquet; the monotone ids give row-group pruning)
+        selecting two columns. Reads ~|cand| rows; the corpus is never
+        scanned at full width."""
+        from pyspark.sql import functions as F
+
+        ids = [int(self.row_ids[int(j)]) for j in cand]
+        got = (
+            self._sidecar()
+            .filter(F.col(BITS_ROW_COL).isin(ids))
+            .select(BITS_ROW_COL, self._embedding_col)
+            .collect()
+        )
+        by_id = {int(r[0]): r[1] for r in got}
+        if len(by_id) != len(ids):
+            raise RuntimeError(
+                f"bits-tier sidecar fetch returned {len(by_id)} of "
+                f"{len(ids)} rows — the sidecar no longer matches the "
+                "fill (it is immutable by contract; rebuild the cache)"
+            )
+        return np.asarray([by_id[i] for i in ids], dtype=np.float64)
+
+    def _rerank(
+        self,
+        q: np.ndarray,
+        cand: np.ndarray,
+        vecs: np.ndarray,
+        top_k: int,
+        score_threshold: float,
+        id_cols: list[str] | None,
+    ) -> list[dict]:
+        qn = math.sqrt(float(np.dot(q, q)))
+        if qn == 0.0:
+            scores = np.zeros(len(cand))
+        else:
+            norms = np.sqrt(np.einsum("ij,ij->i", vecs, vecs))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = np.where(
+                    norms == 0.0, 0.0, (vecs @ q) / (norms * qn)
+                )
+        return select_among(
+            self.payload, cand, scores, top_k, score_threshold, id_cols
+        )
+
+    def query(
+        self,
+        query_vector: list[float],
+        top_k: int,
+        *,
+        score_threshold: float = 0.1,
+        id_cols: list[str] | None = None,
+        hamming_shortlist: int | None = None,
+    ) -> list[dict]:
+        """Top-k rows as dicts with a ``score`` key — the
+        ``DriverMatrixIndex.query(hamming_shortlist=...)`` contract
+        served from the bits-resident layout: memory-speed Hamming
+        shortlist, bounded sidecar fetch, exact rerank, shared
+        selection."""
+        q = self._validate_query(query_vector)
+        if self.n == 0:
+            return []
+        cand = self._shortlist(q, top_k, hamming_shortlist)
+        vecs = self._fetch_vectors(cand)
+        return self._rerank(
+            q, cand, vecs, top_k, score_threshold, id_cols
+        )
+
+    def query_batch(
+        self,
+        query_vectors: list[list[float]],
+        top_k: int,
+        *,
+        score_threshold: float = 0.1,
+        id_cols: list[str] | None = None,
+        hamming_shortlist: int | None = None,
+    ) -> list[list[dict]]:
+        """Batched twin of :meth:`query`: per-query Hamming shortlists
+        (the popcount scan is the cheap part), then ONE sidecar fetch
+        for the UNION of all candidates — the batch pays one Spark job,
+        not Q — then each query's exact rerank + shared selection.
+        ``results[i]`` answers ``query_vectors[i]`` and equals the
+        single door's answer exactly (same arithmetic, same rules)."""
+        Q = np.asarray(
+            [[float(x) for x in v] for v in query_vectors],
+            dtype=np.float64,
+        )
+        if Q.ndim != 2:
+            raise ValueError(
+                "query embeddings must be equal-length numeric vectors"
+            )
+        if not np.all(np.isfinite(Q)):
+            raise ValueError(
+                "query embedding contains non-finite values (NaN/Infinity)"
+            )
+        if self.n == 0:
+            return [[] for _ in range(Q.shape[0])]
+        if Q.shape[1] != self.dim:
+            raise ValueError(
+                f"query dimension {Q.shape[1]} != stored dimension {self.dim}"
+            )
+        cands = [
+            self._shortlist(
+                np.ascontiguousarray(Q[j]), top_k, hamming_shortlist
+            )
+            for j in range(Q.shape[0])
+        ]
+        union = np.unique(np.concatenate(cands))
+        uvecs = self._fetch_vectors(union)
+        pos = {int(c): i for i, c in enumerate(union)}
+        out = []
+        for j, cand in enumerate(cands):
+            vecs = uvecs[[pos[int(c)] for c in cand]]
+            out.append(
+                self._rerank(
+                    np.ascontiguousarray(Q[j]),
+                    cand,
+                    vecs,
+                    top_k,
+                    score_threshold,
+                    id_cols,
+                )
+            )
+        return out

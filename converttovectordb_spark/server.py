@@ -106,6 +106,13 @@ class VectorDBApi:
         )
         self._corpus = None  # distributed tier: cached DataFrame
         self._matrix = None  # matrix tier: DriverMatrixIndex
+        # bits tier (BitsMatrixIndex) for hamming-dialed queries past
+        # the matrix budget — filled lazily by _bits_handle; the
+        # _filled flag distinguishes "not tried" from "tried, corpus
+        # exceeds the bits budgets too" (None) so over-budget corpora
+        # don't re-probe per request
+        self._bits = None
+        self._bits_filled = False
         # secondary df-tier cache for verbs that need EMBEDDINGS (MMR):
         # the matrix tier strips them, and before r11 a matrix-tier
         # server paid a cold store.load() per /diverse request
@@ -179,9 +186,13 @@ class VectorDBApi:
             self._corpus.unpersist()
         if self._mmr_corpus is not None:
             self._mmr_corpus.unpersist()
+        if self._bits is not None:
+            self._bits.close()  # removes the on-disk sidecar
         self._corpus = None
         self._matrix = None
         self._mmr_corpus = None
+        self._bits = None
+        self._bits_filled = False
         self._corpus_token = None
 
     def _embedding_corpus(self):
@@ -351,6 +362,58 @@ class VectorDBApi:
             raise _ApiError(400, "mrl_shortlist requires mrl_dim")
         return out[0], out[1]
 
+    @staticmethod
+    def _hamming_param(body: dict, mrl_dim: int | None) -> int | None:
+        """Validate the optional sign-bit dial (``hamming_shortlist``)
+        shared by /query and /query_batch. Mutually exclusive with the
+        MRL dial — each prefilter's recall is a separately measured
+        contract (`DriverMatrixIndex._prefilter_candidates`'s rule,
+        surfaced as a 400 instead of a mid-handler 500)."""
+        v = body.get("hamming_shortlist")
+        if v is None:
+            return None
+        if not isinstance(v, int) or isinstance(v, bool) or v <= 0:
+            raise _ApiError(
+                400, "hamming_shortlist must be a positive integer"
+            )
+        if mrl_dim is not None:
+            raise _ApiError(
+                400,
+                "mrl_dim and hamming_shortlist are mutually exclusive — "
+                "each is a separately measured prefilter; pick the dial "
+                "whose curve you measured",
+            )
+        return v
+
+    def _bits_handle(self):
+        """The bits-resident tier for dialed queries past the float
+        matrix's admission budget (``BitsMatrixIndex`` — packed sign
+        bits + payload driver-side, full-precision sidecar on disk;
+        64× the matrix tier's cell admission at the same bytes).
+        Filled lazily on the first ``hamming_shortlist`` request that
+        the matrix tier cannot serve (the fill writes the sidecar —
+        one corpus pass — so it must never tax undialed traffic), and
+        shares the primary cache's token lifecycle. Returns the index,
+        or ``None`` when the corpus exceeds the bits/payload budgets
+        too (callers 400: the distributed door has no Hamming arm)."""
+        import tempfile
+
+        with self._corpus_lock:
+            if self._bits_filled:
+                return self._bits
+            from converttovectordb_spark.operators.serving import (
+                BitsMatrixIndex,
+            )
+
+            self._bits = BitsMatrixIndex.from_dataframe(
+                self.engine.store.load(),
+                tempfile.gettempdir(),
+                max_cells=self._matrix_max_cells,
+                max_payload_bytes=self._matrix_max_payload_bytes,
+            )
+            self._bits_filled = True
+            return self._bits
+
     # -- POST /query (reference :230-312) -------------------------------
     def query(self, body: dict) -> dict:
         start = time.time()
@@ -361,6 +424,7 @@ class VectorDBApi:
         if not isinstance(top_k, int) or isinstance(top_k, bool) or top_k <= 0:
             top_k = 5
         mrl_dim, mrl_shortlist = self._mrl_params(body)
+        hamming_shortlist = self._hamming_param(body, mrl_dim)
 
         eng = self.engine
         if not eng.store.exists():
@@ -385,6 +449,15 @@ class VectorDBApi:
         if version is not None:
             if not isinstance(version, int) or isinstance(version, bool):
                 raise _ApiError(400, "version must be an integer")
+            if hamming_shortlist is not None:
+                # time-travel reads serve distributed, and the
+                # distributed scan has no Hamming arm — a silently
+                # undialled answer would misreport the dial as turned
+                raise _ApiError(
+                    400,
+                    "hamming_shortlist requires a driver-resident "
+                    "tier; time-travel reads serve distributed",
+                )
             # Time travel bypasses the warm cache: snapshots are
             # arbitrary and rare; caching every requested version would
             # let history reads evict the serving corpus.
@@ -411,6 +484,7 @@ class VectorDBApi:
                         id_cols=["path", "chunk_index"],
                         mrl_dim=mrl_dim,
                         mrl_shortlist=mrl_shortlist,
+                        hamming_shortlist=hamming_shortlist,
                     )
                 except ValueError as e:
                     raise _ApiError(400, str(e))
@@ -418,6 +492,43 @@ class VectorDBApi:
                     "results": rows,  # already embedding-free dicts
                     "query_time": time.time() - start,
                     "total_documents_searched": corpus.n,
+                }
+            if hamming_shortlist is not None:
+                # Past the matrix budget, the sign-bit dial is served
+                # by the tier whose layout justifies it: packed bits
+                # driver-side, bounded sidecar rerank fetch — the
+                # regime where the 64×-smaller bytes, not FLOPs, are
+                # the win (SCALING.md). The distributed scan has no
+                # Hamming arm, so past the bits budgets too it's a
+                # 400, like mrl_dim on the distributed batch door.
+                bits = self._bits_handle()
+                if bits is None:
+                    raise _ApiError(
+                        400,
+                        "hamming_shortlist requires a driver-resident "
+                        "tier; this corpus exceeds even the bits "
+                        "tier's admission budget — raise "
+                        "matrix_max_cells/matrix_max_payload_bytes or "
+                        "query undialed",
+                    )
+                from converttovectordb_spark.operators.serving import (
+                    point_query_mode,
+                )
+
+                try:
+                    with point_query_mode(eng.spark):
+                        rows = bits.query(
+                            emb,
+                            top_k,
+                            id_cols=["path", "chunk_index"],
+                            hamming_shortlist=hamming_shortlist,
+                        )
+                except ValueError as e:
+                    raise _ApiError(400, str(e))
+                return {
+                    "results": rows,
+                    "query_time": time.time() - start,
+                    "total_documents_searched": bits.n,
                 }
             docs = corpus
         # One action serves both the rows and the corpus size: count the
@@ -471,6 +582,7 @@ class VectorDBApi:
         if not isinstance(top_k, int) or isinstance(top_k, bool) or top_k <= 0:
             top_k = 5
         mrl_dim, mrl_shortlist = self._mrl_params(body)
+        hamming_shortlist = self._hamming_param(body, mrl_dim)
         eng = self.engine
         if not eng.store.exists():
             return {
@@ -510,6 +622,12 @@ class VectorDBApi:
                     "mrl_dim on /query_batch requires the matrix "
                     "serving tier; time-travel reads serve distributed",
                 )
+            if hamming_shortlist is not None:
+                raise _ApiError(
+                    400,
+                    "hamming_shortlist requires a driver-resident "
+                    "tier; time-travel reads serve distributed",
+                )
             try:
                 snap = eng.load_corpus(at_version=version)
             except ValueError as e:
@@ -533,6 +651,7 @@ class VectorDBApi:
                     id_cols=["path", "chunk_index"],
                     mrl_dim=mrl_dim,
                     mrl_shortlist=mrl_shortlist,
+                    hamming_shortlist=hamming_shortlist,
                 )
             except ValueError as e:
                 raise _ApiError(400, str(e))
@@ -540,6 +659,38 @@ class VectorDBApi:
                 "results": results,
                 "query_time": time.time() - start,
                 "total_documents_searched": corpus.n,
+            }
+        if hamming_shortlist is not None:
+            # same tier rule as /query: past the matrix budget the
+            # sign-bit dial is the bits tier's job (one sidecar fetch
+            # for the whole batch), never a silent undialled answer
+            bits = self._bits_handle()
+            if bits is None:
+                raise _ApiError(
+                    400,
+                    "hamming_shortlist requires a driver-resident "
+                    "tier; this corpus exceeds even the bits tier's "
+                    "admission budget — raise matrix_max_cells/"
+                    "matrix_max_payload_bytes or query undialed",
+                )
+            from converttovectordb_spark.operators.serving import (
+                point_query_mode,
+            )
+
+            try:
+                with point_query_mode(eng.spark):
+                    results = bits.query_batch(
+                        clean,
+                        top_k,
+                        id_cols=["path", "chunk_index"],
+                        hamming_shortlist=hamming_shortlist,
+                    )
+            except ValueError as e:
+                raise _ApiError(400, str(e))
+            return {
+                "results": results,
+                "query_time": time.time() - start,
+                "total_documents_searched": bits.n,
             }
         if mrl_dim is not None:
             # the distributed batch door scores with a full-width BLAS

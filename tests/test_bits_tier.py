@@ -1,0 +1,376 @@
+"""The bits-resident serving tier (packed sign bits + payload in
+driver memory, full-precision sidecar on disk) must be semantically
+identical to `DriverMatrixIndex.query(hamming_shortlist=...)` — the
+graded `hamming_prefilter_knn` composition — at every shortlist, and
+the server must admit it only between the float-matrix and distributed
+budgets."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from converttovectordb_spark.operators.serving import (
+    BITS_ADMISSION_MULTIPLE,
+    BitsMatrixIndex,
+    DriverMatrixIndex,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _corpus(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter(F.col("embedding").isNotNull())
+    )
+
+
+@pytest.fixture(scope="module")
+def both_tiers(spark, tmp_path_factory):
+    df = _corpus(spark)
+    bits = BitsMatrixIndex.from_dataframe(
+        df, str(tmp_path_factory.mktemp("bits"))
+    )
+    matrix = DriverMatrixIndex.from_dataframe(df)
+    yield bits, matrix, df
+    bits.close()
+
+
+def test_bits_matches_matrix_hamming_dial(both_tiers):
+    bits, matrix, df = both_tiers
+    probes = [r["embedding"] for r in df.orderBy("vec_id").limit(4).collect()]
+    for shortlist in (5, 12, 40):
+        for probe in probes:
+            got = bits.query(
+                probe,
+                5,
+                score_threshold=-2.0,
+                id_cols=["vec_id"],
+                hamming_shortlist=shortlist,
+            )
+            want = matrix.query(
+                probe,
+                5,
+                score_threshold=-2.0,
+                id_cols=["vec_id"],
+                hamming_shortlist=shortlist,
+            )
+            assert got == want
+
+
+def test_bits_batch_equals_single(both_tiers):
+    bits, _matrix, df = both_tiers
+    probes = [r["embedding"] for r in df.orderBy("vec_id").limit(3).collect()]
+    batch = bits.query_batch(
+        probes, 4, score_threshold=-2.0, id_cols=["vec_id"],
+        hamming_shortlist=16,
+    )
+    singles = [
+        bits.query(
+            p, 4, score_threshold=-2.0, id_cols=["vec_id"],
+            hamming_shortlist=16,
+        )
+        for p in probes
+    ]
+    assert batch == singles
+
+
+def test_bits_default_shortlist_is_4k(both_tiers):
+    bits, matrix, df = both_tiers
+    probe = df.select("embedding").first()[0]
+    got = bits.query(probe, 5, score_threshold=-2.0, id_cols=["vec_id"])
+    want = matrix.query(
+        probe, 5, score_threshold=-2.0, id_cols=["vec_id"],
+        hamming_shortlist=20,
+    )
+    assert got == want
+
+
+def test_bits_reference_semantics(spark, tmp_path):
+    """Q1 zero-norm → 0.0, Q3 ascending-id tie-break, Q4 threshold
+    AFTER limit, Q5 dimension guard — the shared selection rules, on
+    the bits tier."""
+    rows = [
+        ("b", 1, [1.0, 0.0]),
+        ("a", 2, [1.0, 0.0]),
+        ("a", 1, [1.0, 0.0]),
+        ("c", 1, [-1.0, 1.0]),
+        ("d", 1, [0.0, 0.0]),  # zero norm → score 0.0 (Q1)
+    ]
+    df = spark.createDataFrame(
+        rows, "path string, chunk_index int, embedding array<double>"
+    )
+    idx = BitsMatrixIndex.from_dataframe(df, str(tmp_path))
+    try:
+        got = idx.query(
+            [1.0, 0.0], 4, id_cols=["path", "chunk_index"],
+            hamming_shortlist=5,
+        )
+        # the sub-threshold rows are dropped AFTER the limit (Q4);
+        # exact ties order ascending by (path, chunk_index) (Q3)
+        assert [(r["path"], r["chunk_index"]) for r in got] == [
+            ("a", 1), ("a", 2), ("b", 1),
+        ]
+        with pytest.raises(ValueError, match="query dimension 3"):
+            idx.query([1.0, 0.0, 0.0], 2, id_cols=["path"])
+        with pytest.raises(ValueError, match="non-finite"):
+            idx.query([float("nan"), 0.0], 2, id_cols=["path"])
+        with pytest.raises(ValueError, match="must be >= top_k"):
+            idx.query([1.0, 0.0], 5, hamming_shortlist=2)
+        # zero-norm query → every score 0.0 < threshold → empty
+        assert idx.query([0.0, 0.0], 3, id_cols=["path"]) == []
+    finally:
+        idx.close()
+
+
+def test_bits_admission_budgets(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(64)],
+        "vec_id bigint, embedding array<double>",
+    )
+    # 64 rows × 2 dims = 128 cells: past a 1-cell float budget but
+    # within 1 × BITS_ADMISSION_MULTIPLE = 64... no: 128 > 64 → None;
+    # a 2-cell budget admits (128 <= 128).
+    assert (
+        BitsMatrixIndex.from_dataframe(df, str(tmp_path), max_cells=1)
+        is None
+    )
+    idx = BitsMatrixIndex.from_dataframe(df, str(tmp_path), max_cells=2)
+    assert idx is not None and idx.n == 64
+    idx.close()
+    # the payload gate is shared with the matrix tier
+    wide = df.withColumn("content", F.repeat(F.lit("x"), 1000))
+    assert (
+        BitsMatrixIndex.from_dataframe(
+            wide, str(tmp_path), max_payload_bytes=100
+        )
+        is None
+    )
+    assert BITS_ADMISSION_MULTIPLE == 64
+
+
+def test_bits_empty_corpus(spark, tmp_path):
+    df = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>"
+    )
+    idx = BitsMatrixIndex.from_dataframe(df, str(tmp_path))
+    assert idx.n == 0
+    assert idx.query([1.0, 0.0], 3) == []
+    assert idx.query_batch([[1.0, 0.0]], 3) == [[]]
+
+
+def test_bits_rerank_is_exact_full_precision(spark, tmp_path):
+    """The shortlist rerank must use the FULL-precision embeddings
+    from the sidecar, not the quantized bits: two vectors with the
+    same sign pattern but different magnitudes along a second axis
+    rank by exact cosine."""
+    rows = [
+        (1, [1.0, 0.9]),
+        (2, [1.0, 0.1]),  # same signs as vec 1, different cosine
+        (3, [-1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    idx = BitsMatrixIndex.from_dataframe(df, str(tmp_path))
+    try:
+        got = idx.query(
+            [1.0, 0.05], 1, id_cols=["vec_id"], hamming_shortlist=2
+        )
+        assert [r["vec_id"] for r in got] == [2]
+        q = np.array([1.0, 0.05])
+        v = np.array([1.0, 0.1])
+        want = float(
+            np.dot(q, v) / (math.sqrt(q @ q) * math.sqrt(v @ v))
+        )
+        assert got[0]["score"] == pytest.approx(want, abs=1e-12)
+    finally:
+        idx.close()
+
+
+# ---------------------------------------------------------------------------
+# endpoint admission + parity
+# ---------------------------------------------------------------------------
+
+import json
+import urllib.error
+import urllib.request
+
+from converttovectordb_spark.embeddings import hash_embedder
+from converttovectordb_spark.engine import VectorEngine
+from converttovectordb_spark.server import VectorDBServer
+
+DIM = 8
+
+
+def _unit(i: int) -> list[float]:
+    v = [0.0] * DIM
+    v[i % DIM] = 1.0
+    return v
+
+
+def _call(srv, method, path, body=None):
+    host, port = srv.address
+    req = urllib.request.Request(
+        f"http://{host}:{port}{path}", method=method
+    )
+    data = None
+    if body is not None:
+        data = json.dumps(body).encode()
+        req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req, data=data, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _seed(srv, n=6):
+    docs = [
+        {
+            "path": f"src/f{i}.py",
+            "content": f"document number {i}",
+            "embedding": [x + 0.01 * i for x in _unit(i)],
+            "chunk_index": 0,
+            "total_chunks": 1,
+        }
+        for i in range(n)
+    ]
+    return _call(srv, "POST", "/add_documents", {"documents": docs})
+
+
+def test_server_bits_tier_admission_and_parity(spark, tmp_path):
+    """A corpus past the float-cell budget but within 64× of it serves
+    hamming-dialed queries from the bits tier, matching the matrix
+    tier's answer for the same dial exactly; undialed queries stay on
+    the distributed exact path."""
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(DIM), dim=DIM
+    )
+    # 6 docs × 8 dims = 48 cells: > 1 (matrix rejected), <= 64 (bits ok)
+    srv = VectorDBServer(eng, port=0, matrix_max_cells=1).start()
+    srv_matrix = VectorDBServer(eng, port=0).start()
+    try:
+        _seed(srv, n=6)
+        probe = [x + 0.2 for x in _unit(2)]
+        body = {
+            "query_embedding": probe,
+            "top_k": 3,
+            "hamming_shortlist": 4,
+        }
+        st, dialed = _call(srv, "POST", "/query", body)
+        assert st == 200
+        assert srv.api._bits is not None and srv.api._matrix is None
+        st2, want = _call(srv_matrix, "POST", "/query", body)
+        assert st2 == 200
+        assert srv_matrix.api._matrix is not None
+        assert dialed["results"] == want["results"]
+        assert dialed["total_documents_searched"] == 6
+        # undialed queries on the same server serve the distributed
+        # exact path (the bits tier is dial-only)
+        st3, exact = _call(
+            srv, "POST", "/query", {"query_embedding": probe, "top_k": 3}
+        )
+        assert st3 == 200
+        st4, exact_want = _call(
+            srv_matrix, "POST", "/query",
+            {"query_embedding": probe, "top_k": 3},
+        )
+        got = [(r["path"], round(r["score"], 9)) for r in exact["results"]]
+        want_rows = [
+            (r["path"], round(r["score"], 9)) for r in exact_want["results"]
+        ]
+        assert got == want_rows
+        # batch door: one sidecar fetch, same per-query answers
+        probes = [probe, _unit(1), [0.3] * DIM]
+        stb, batch = _call(
+            srv, "POST", "/query_batch",
+            {"query_embeddings": probes, "top_k": 3, "hamming_shortlist": 4},
+        )
+        assert stb == 200
+        for i, p in enumerate(probes):
+            _, single = _call(
+                srv, "POST", "/query",
+                {"query_embedding": p, "top_k": 3, "hamming_shortlist": 4},
+            )
+            assert batch["results"][i] == single["results"]
+    finally:
+        srv.stop()
+        srv_matrix.stop()
+
+
+def test_server_bits_tier_rejections_and_invalidation(spark, tmp_path):
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(DIM), dim=DIM
+    )
+    srv = VectorDBServer(
+        eng, port=0, matrix_max_cells=1, matrix_max_payload_bytes=1
+    ).start()
+    try:
+        _seed(srv, n=6)
+        probe = _unit(0)
+        # payload budget rejects the bits tier too → 400, never a
+        # silent undialled answer
+        st, out = _call(
+            srv, "POST", "/query",
+            {"query_embedding": probe, "top_k": 3, "hamming_shortlist": 4},
+        )
+        assert st == 400 and "bits tier" in out["error"]
+        # both dials at once → 400 (mutual exclusion)
+        st2, out2 = _call(
+            srv, "POST", "/query",
+            {
+                "query_embedding": probe,
+                "top_k": 3,
+                "hamming_shortlist": 4,
+                "mrl_dim": 2,
+            },
+        )
+        assert st2 == 400 and "mutually exclusive" in out2["error"]
+        st3, out3 = _call(
+            srv, "POST", "/query",
+            {"query_embedding": probe, "hamming_shortlist": "four"},
+        )
+        assert st3 == 400
+    finally:
+        srv.stop()
+
+
+def test_server_bits_sidecar_invalidated_on_write(spark, tmp_path):
+    import os
+
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(DIM), dim=DIM
+    )
+    srv = VectorDBServer(eng, port=0, matrix_max_cells=2).start()
+    try:
+        _seed(srv, n=6)
+        probe = _unit(0)
+        _call(
+            srv, "POST", "/query",
+            {"query_embedding": probe, "top_k": 2, "hamming_shortlist": 3},
+        )
+        bits = srv.api._bits
+        assert bits is not None and os.path.isdir(bits.sidecar_path)
+        side = bits.sidecar_path
+        # a write through the API invalidates the cache AND removes
+        # the on-disk sidecar; the next dialed query refills and sees
+        # the new rows (appends: 6 + 8 docs, still within 2×64 cells)
+        _seed(srv, n=8)
+        st, out = _call(
+            srv, "POST", "/query",
+            {
+                "query_embedding": [x + 0.07 for x in _unit(7)],
+                "top_k": 1,
+                "hamming_shortlist": 3,
+            },
+        )
+        assert st == 200
+        assert not os.path.isdir(side)
+        assert out["total_documents_searched"] == 14
+        assert out["results"][0]["path"] == "src/f7.py"
+    finally:
+        srv.stop()
