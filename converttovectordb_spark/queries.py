@@ -8827,7 +8827,14 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle: (1) tail flush — the operator only emits CLOSED sessions,
     so a per-user sentinel event past the gap horizon closes every
     user's final session (the sentinel's own session dies in state,
-    never emitted); (2) exact money — event values enter the stream as
+    never emitted). The replay therefore runs ``watermark_delay=None``
+    (NoTimeout): under the production default (event-time timeout,
+    r13 verdict #2) the sentinels' own sessions would TIMEOUT-emit as
+    bogus 1-event rows once the watermark passes them — the sentinel
+    trick and the timeout flush are two solutions to the same tail
+    problem and must not stack. The timeout path is pinned instead by
+    tests/test_streaming.py's idle-user tests (same session values,
+    state dropped). (2) exact money — event values enter the stream as
     integer CENTS in a double (exact in float64 far past 2^40), so the
     per-session Python accumulation is exact and order-free like the
     batch side's decimal sum. State is O(users) × 4 scalars — the
@@ -8891,7 +8898,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value"),
         )
     )
-    sess = stream_sessionize(ev, gap_s=1800)
+    sess = stream_sessionize(ev, gap_s=1800, watermark_delay=None)
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")

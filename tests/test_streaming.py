@@ -527,3 +527,140 @@ def test_stream_sink_resolves_published_current(spark, tmp_path):
     # wall-clock stamp (not float(epoch_id))
     row = store.load().filter("path = 'n.md'").first()
     assert row["timestamp"] >= before - 1
+
+
+def _state_user_ids(spark, ckpt: str) -> set[int]:
+    """Distinct grouping keys left in a query's state store (the state
+    data source reads the LAST committed batch's store)."""
+    rows = (
+        spark.read.format("statestore").load(str(ckpt))
+        .select("key.user_id").collect()
+    )
+    return {r["user_id"] for r in rows}
+
+
+def test_stream_sessionize_idle_user_times_out(spark, tmp_path):
+    """r13 verdict #2: a user whose last event is followed only by
+    OTHER users' later events must still have their session emitted —
+    the event-time timeout closes it once the watermark passes the gap
+    deadline — and their state must be DROPPED (bounded state), while
+    a still-live user's open session stays."""
+    import json as _json
+    import os
+    import time as _time
+
+    from converttovectordb_spark.streaming.stateful import stream_sessionize
+
+    src = tmp_path / "idle_src"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def rec(eid, uid, minutes, value):
+        ts = base + dt.timedelta(minutes=minutes)
+        return {"event_id": eid, "ts": ts.isoformat(), "user_id": uid,
+                "event_type": "click", "value": value, "props": "{}"}
+
+    # batch 1: user 1's ONLY events (0, +10 min); user 2 opens too.
+    # batch 2: only user 2 events, 2h later — their arrival advances
+    # the watermark past user 1's gap deadline (12:10 + 30 min).
+    b1 = src / "b1.json"
+    b1.write_text("\n".join(_json.dumps(r) for r in [
+        rec(1, 1, 0, 1.0), rec(2, 1, 10, 2.0), rec(10, 2, 0, 7.0),
+    ]))
+    b2 = src / "b2.json"
+    b2.write_text("\n".join(_json.dumps(r) for r in [
+        rec(11, 2, 120, 1.0), rec(12, 2, 121, 1.0),
+    ]))
+    now = _time.time()
+    os.utime(b1, (now - 60, now - 60))
+    os.utime(b2, (now, now))
+
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    ev = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).json(str(src)))
+    ckpt = tmp_path / "idle_ckpt"
+    out = stream_sessionize(ev, gap_s=1800)  # default: timeout mode
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("idle_sessions_out")
+         .option("checkpointLocation", str(ckpt))
+         .trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.table("idle_sessions_out").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 1 went idle: the timeout emitted their session with exactly
+    # the values a closing event would have (the batch oracle's rows)
+    assert len(by_user[1]) == 1
+    s = by_user[1][0]
+    assert s["session_start"] == base
+    assert s["session_end"] == base + dt.timedelta(minutes=10)
+    assert s["n_events"] == 2 and s["total_value"] == 3.0
+    # user 2's first session closed by their own 2h gap; the open one
+    # (120/121 min) is NOT emitted
+    assert len(by_user[2]) == 1 and by_user[2][0]["n_events"] == 1
+    # bounded state: user 1's entry is GONE; user 2's open session stays
+    assert _state_user_ids(spark, ckpt) == {2}
+
+
+def test_stream_funnel_dead_state_freed_on_timeout(spark, tmp_path):
+    """Funnel state for completed (terminal) and expired (window
+    passed without the next stage) machines is dropped once the
+    watermark passes their deadline; live machines stay. Emitted rows
+    are unchanged — the timeout frees state, it never emits."""
+    import json as _json
+    import os
+    import time as _time
+
+    from converttovectordb_spark.streaming.stateful import stream_funnel
+
+    src = tmp_path / "dead_src"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def rec(eid, uid, minutes, etype):
+        ts = base + dt.timedelta(minutes=minutes)
+        return {"event_id": eid, "ts": ts.isoformat(), "user_id": uid,
+                "event_type": etype, "value": 0.0, "props": "{}"}
+
+    # user 1: view only → expires 24h after the view
+    # user 3: full funnel in-batch → terminal, freed 24h after purchase
+    # user 4: click with no view → no state at all (all-None machine)
+    b1 = src / "b1.json"
+    b1.write_text("\n".join(_json.dumps(r) for r in [
+        rec(1, 1, 0, "view"),
+        rec(30, 3, 0, "view"), rec(31, 3, 5, "click"),
+        rec(32, 3, 10, "purchase"),
+        rec(40, 4, 0, "click"),
+    ]))
+    # user 2's view 3 days later advances the watermark past every
+    # deadline above; their own machine stays live
+    b2 = src / "b2.json"
+    b2.write_text(_json.dumps(rec(20, 2, 3 * 24 * 60, "view")))
+    now = _time.time()
+    os.utime(b1, (now - 60, now - 60))
+    os.utime(b2, (now, now))
+
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    ev = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).json(str(src))
+          .select("user_id", "event_id", "ts", "event_type"))
+    ckpt = tmp_path / "dead_ckpt"
+    out = stream_funnel(ev, window_s=86_400)  # default: timeout mode
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("dead_funnel_out")
+         .option("checkpointLocation", str(ckpt))
+         .trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.table("dead_funnel_out").collect()
+    got = sorted((r["user_id"], r["stage_order"]) for r in rows)
+    assert got == [(1, 1), (2, 1), (3, 1), (3, 2), (3, 3)]
+    # state bounded: 1 (expired) and 3 (terminal) freed, 4 never
+    # parked an all-None machine; only live user 2 remains
+    assert _state_user_ids(spark, ckpt) == {2}
