@@ -77,6 +77,24 @@ def term_bucket(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
+def _derive_hot_df(postings: DataFrame, n_docs: int) -> dict:
+    """The registry rule, in ONE place (build and compaction must
+    derive identically): terms whose exact df is at least
+    HOT_DF_REGISTRY_FRAC of the corpus (min 2), highest-df first,
+    capped at HOT_DF_REGISTRY_CAP. One bounded agg over the postings —
+    the df output is at most |vocabulary| rows pre-limit and the
+    collect is CAP-bounded."""
+    rows = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= max(2, int(HOT_DF_REGISTRY_FRAC * n_docs)))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(HOT_DF_REGISTRY_CAP)
+        .collect()
+    )
+    return {r["term"]: int(r["df"]) for r in rows}
+
+
 def chash_expr(text_col: str, lowercase: bool):
     """Content hash over EXACTLY the text the postings tokenize
     (post-lowercase when the artifact lowercases) — the heal's change
@@ -170,19 +188,7 @@ def build_lexical_index(
         # hot-term registry: the few terms whose postings dominate
         # bucket bytes, recorded with exact df so the elision dial can
         # drop them without reading anything (see HOT_DF_REGISTRY_FRAC)
-        n_docs_built = int(stats["n_docs"])
-        hot_rows = (
-            postings.groupBy("term")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(
-                F.col("df")
-                >= max(2, int(HOT_DF_REGISTRY_FRAC * n_docs_built))
-            )
-            .orderBy(F.col("df").desc(), F.col("term").asc())
-            .limit(HOT_DF_REGISTRY_CAP)
-            .collect()
-        )
-        hot_df = {r["term"]: int(r["df"]) for r in hot_rows}
+        hot_df = _derive_hot_df(postings, int(stats["n_docs"]))
     finally:
         toked.unpersist()
     _write_meta(
@@ -347,8 +353,9 @@ class LexicalIndex:
             # (postings rows are unique per (term, doc)), so the
             # REGISTERED terms' counts update from one tiny agg over
             # the batch; terms crossing the threshold only through
-            # appends wait for the next rebuild (the post-read df
-            # filter in `bm25` still catches them meanwhile)
+            # appends are registered at the next COMPACTION (compact()
+            # re-derives the registry — the post-read df filter in
+            # `bm25` still catches them meanwhile)
             hot_df = dict(meta.get("hot_df") or {})
             if hot_df:
                 for r in (
@@ -394,11 +401,12 @@ class LexicalIndex:
         DROPPED from scoring — standard stopword elision, OFF by
         default (the graded `bm25_indexed` oracle scores every term).
         A registered hot term (meta ``hot_df``, exact df maintained at
-        build/append) is elided DRIVER-side, so its bucket — the
-        postings bytes a stopword query would otherwise drag in —
-        is never probed at all; an unregistered term that crossed the
-        threshold through appends is still caught by the post-read df
-        filter. Changing results for near-zero-idf terms is the
+        build/append and re-derived at compaction) is elided
+        DRIVER-side, so its bucket — the postings bytes a stopword
+        query would otherwise drag in — is never probed at all; an
+        unregistered term that crossed the threshold through appends
+        is still caught by the post-read df filter until the next
+        compaction registers it. Changing results for near-zero-idf terms is the
         documented trade: a term in >f of the corpus contributes
         log((N−df+.5)/(df+.5)+1) ≈ 0 per doc while costing O(df)
         rows to read (measured: tools/lex_skew_probe.py)."""
@@ -554,8 +562,10 @@ class LexicalIndex:
         """Fold the per-append small files: stage fresh bucket-
         co-located postings and a re-coalesced doclens, then swap each
         dir (stage fully → rename old away → rename staged in → delete
-        old). Content-neutral — the `_TOKEN` freshness marker is NOT
-        touched (same rows, same digest basis), and every crash window
+        old), then re-derive the hot-term registry from the compacted
+        postings. Row-content-neutral — the `_TOKEN` freshness marker
+        is NOT touched (same rows, same digest basis; the registry is
+        an optimization table), and every crash window
         leaves either the old dirs intact or a dir absent WITH its
         complete pre-swap `.old.` copy parked beside it, which the
         next maintenance pass restores (`_recover_swap_debris`) —
@@ -595,6 +605,30 @@ class LexicalIndex:
             os.rename(target, old)
             os.rename(staged, target)
             shutil.rmtree(old, ignore_errors=True)
+        # registry refresh (r13 verdict #3): appends only update df for
+        # terms already registered at build, so a term crossing the hot
+        # threshold purely through appends stays elision-INVISIBLE (its
+        # bucket is still probed; the post-read df filter keeps scoring
+        # correct) until a rebuild. Compaction already rewrote every
+        # postings row — re-derive the registry here with the build's
+        # exact rule, so on an append-heavy shifting-vocabulary corpus
+        # the dial's bytes-never-read win tracks the vocabulary at the
+        # same cadence that folds the small files. Row-content-neutral
+        # (the registry is an optimization table, not a correctness
+        # input — `bm25` re-derives df from what it reads), so _TOKEN
+        # is still not touched; a crash before this meta write leaves
+        # the pre-compact registry, which the next maintenance pass
+        # refreshes.
+        meta = self.meta()
+        _write_meta(
+            self.path,
+            n_docs=int(meta["n_docs"]),
+            total_dl=int(meta["total_dl"]),
+            n_buckets=int(meta["n_buckets"]),
+            id_col=meta["id_col"],
+            lowercase=bool(meta.get("lowercase")),
+            hot_df=_derive_hot_df(self.postings(), int(meta["n_docs"])),
+        )
         return before - self.append_debt()
 
     def bm25_batch(self, term_lists: list[list[str]], **kw) -> DataFrame:

@@ -232,7 +232,12 @@ def test_compact_folds_append_debt_content_neutral(spark, corpus, tmp_path):
     names = set(_os.listdir(idx.path))
     assert not any(n.startswith("tmp-") for n in names)
     assert not any(".old." in n for n in names)
-    assert idx.meta() == meta_before
+    # row content + exact stats untouched; the hot-term registry is
+    # the ONE meta field compaction refreshes (r13 verdict #3)
+    meta_after = idx.meta()
+    assert {k: v for k, v in meta_after.items() if k != "hot_df"} == {
+        k: v for k, v in meta_before.items() if k != "hot_df"
+    }
     got = {
         r["doc_id"]: r["bm25"]
         for r in idx.bm25(["spark", "state"]).collect()
@@ -462,3 +467,69 @@ def test_engine_append_postings_survive_cache_invalidation(spark, tmp_path):
     assert not [
         n for n in os.listdir(idx.path) if n.startswith("tmp-stage-")
     ]
+
+
+def test_compaction_registers_append_crossed_hot_terms(spark, tmp_path):
+    """r13 verdict #3: a term that crosses the hot threshold purely
+    through appends is elision-invisible (its bucket still probed;
+    the post-read df filter keeps scoring consistent) until
+    compaction, which re-derives the registry with the build's exact
+    rule — after it the dialed plan's PartitionFilters no longer
+    carry the term's bucket."""
+    from converttovectordb_spark.plans.bucketing import physical_plan
+    from converttovectordb_spark.plans.lex_index import (
+        build_lexical_index,
+        term_bucket,
+    )
+
+    # build: 'flood' in 1 of 20 docs (cold); appends push it into
+    # 21 of 40 (>1% and df>=2 → hot by the build rule)
+    docs = spark.createDataFrame(
+        [(i, f"base doc {i} " + ("flood" if i == 0 else "calm"))
+         for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    idx = build_lexical_index(
+        docs, str(tmp_path / "lex"), lowercase=True, n_buckets=8
+    )
+    assert "flood" not in idx.meta()["hot_df"]
+    more = spark.createDataFrame(
+        [(100 + i, f"extra doc {i} flood") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    idx.append(more)
+    b = term_bucket("flood", 8)
+
+    def probed_buckets():
+        # 'calm' (df 19/40 = 0.475) stays under the 0.5 dial, so the
+        # probe always reads ITS bucket (0) — the assertion is about
+        # whether 'flood''s bucket (7) rides along. Parse the literal
+        # bucket values out of the PartitionFilters ("= N" / "IN (..)"
+        # forms; attribute ids like bucket#487 must not fool it).
+        import re as _re
+
+        plan = physical_plan(
+            idx.bm25(["flood", "calm"], max_df_frac=0.5)
+        )
+        part = plan.split("PartitionFilters:")[1].split("]")[0]
+        vals = set()
+        for m in _re.finditer(r"= (\d+)\)", part):
+            vals.add(int(m.group(1)))
+        for m in _re.finditer(r"IN \(([\d,]+)\)", part):
+            vals.update(int(x) for x in m.group(1).split(","))
+        return vals
+
+    # pre-compaction: unregistered → the bucket IS probed, but the
+    # post-read df filter still drops the term from scoring (40 docs,
+    # df=21 > 0.5*40)
+    assert probed_buckets() == {0, b}
+    assert idx.bm25(["flood"], max_df_frac=0.5).count() == 0
+
+    idx.compact()
+    hot = idx.meta()["hot_df"]
+    assert hot["flood"] == 21  # exact df, the build rule's value
+    assert hot["calm"] == 19   # re-derived for the whole vocabulary
+    # post-compaction: elided DRIVER-side — the bucket never probed
+    assert probed_buckets() == {0}
+    # undialed scoring is untouched by registration
+    assert idx.bm25(["flood"]).count() == 21
