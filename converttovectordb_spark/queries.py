@@ -4487,9 +4487,24 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (byte-identical re-crawls/re-encodes collapse before a single
     expensive decode runs); the hash is computed in the scan
     projection and only (hash, id) rows reach the shuffle — payload
-    bytes never move."""
+    bytes never move.
+
+    The asset view unions a deterministic RE-CRAWL slice (every
+    doc_id ≡ 0 mod 101 reappears byte-identical under a high asset_id
+    — the exact duplication a second crawl of a stable page produces),
+    which de-vacuates the committed record (r13 verdict #4): the
+    generated documents table has no duplicate texts below sf0.1, so
+    the grading-SF green row used to prove only 0 == 0; now every SF
+    grades ≥5 real duplicate groups with min-id keepers."""
     assets = _fake_assets(spark, sf_dir)
-    hashed = assets.filter(F.col("payload").isNotNull()).select(
+    recrawl = assets.filter(F.col("asset_id") % 101 == 0).select(
+        (F.col("asset_id") + 10_000_000).alias("asset_id"),
+        "payload",
+        "duration_ms",
+    )
+    hashed = assets.unionByName(recrawl).filter(
+        F.col("payload").isNotNull()
+    ).select(
         "asset_id",
         F.md5(F.col("payload")).alias("payload_md5"),
         F.octet_length(F.col("payload")).cast("bigint").alias(
@@ -4509,11 +4524,19 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_MEDIA_DEDUP = """
-WITH a AS (
-  SELECT doc_id AS asset_id,
+WITH base AS (
+  SELECT doc_id AS asset_id, text FROM documents
+),
+a AS (
+  SELECT asset_id,
          md5(text) AS payload_md5,
          octet_length(encode(text)) AS payload_bytes
-  FROM documents
+  FROM (
+    SELECT asset_id, text FROM base
+    UNION ALL
+    SELECT asset_id + 10000000 AS asset_id, text
+    FROM base WHERE asset_id % 101 = 0
+  )
   WHERE text IS NOT NULL
 )
 SELECT payload_md5,
@@ -4812,14 +4835,24 @@ WHERE rank <= 3
 
 
 def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join: customers with no orders. The distinct key set is
-    customer-cardinality (SF-scaled), so it gets NO broadcast hint —
-    AQE broadcasts it while small and shuffles both sides on the key at
-    scale, which is the only plan that survives 100 TB."""
+    """Anti join: customers with no RECENT orders (none since
+    1998-06-01 — the dataset's final half-year, the churn-candidate
+    list every CRM pulls). The date filter also de-vacuates the
+    committed correctness record (r13 verdict #4): a no-orders-EVER
+    predicate matched zero customers at the grading SF, so the green
+    row proved only that both engines agree on "nothing"; this
+    predicate is non-empty at every generated SF (3 / 8 / 142 rows at
+    sf0.001/0.01/0.1) while exercising the same plan. The distinct key
+    set is customer-cardinality (SF-scaled), so it gets NO broadcast
+    hint — AQE broadcasts it while small and shuffles both sides on
+    the key at scale, which is the only plan that survives 100 TB."""
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-06-01").cast("timestamp")
     return cust.join(
-        orders.select("o_custkey").distinct(),
+        orders.filter(F.col("o_orderdate") >= cutoff)
+        .select("o_custkey")
+        .distinct(),
         cust.c_custkey == F.col("o_custkey"),
         "left_anti",
     ).select("c_custkey", "c_name", "c_mktsegment")
@@ -4828,7 +4861,10 @@ def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CUST_NO_ORDERS = """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-06-01'
+)
 """
 
 
