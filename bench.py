@@ -106,9 +106,32 @@ def main() -> int:
         file=sys.stderr,
     )
 
+    def noise_sentinel() -> float:
+        """Fixed-work host-noise probe (r13 verdict #6): a constant
+        in-memory aggregate whose cost depends ONLY on the host's
+        momentary condition — no IO, no shuffle, no Python workers.
+        Timed at suite start/middle/end and recorded in the JSON, so a
+        round-over-round BENCH delta can be attributed to host load vs
+        code: two rounds running, window noise manufactured phantom
+        regressions on untouched queries that judge-side idle controls
+        had to clear."""
+        t0 = time.time()
+        # double aggregate: sum(id*id) over 400M longs overflows int64
+        # under ANSI mode; the double fold is the same fixed work
+        spark.range(400_000_000).selectExpr(
+            "sum(id * cast(id as double))"
+        ).collect()
+        return round(time.time() - t0, 3)
+
+    noise_sentinel()  # warm the sentinel's own codegen once, untimed
+    sentinel_secs = {"start": noise_sentinel()}
     timings: dict[str, float] = {}
+    min2: dict[str, bool] = {}
     total = 0.0
-    for name, fn in QUERIES.items():
+    midpoint = len(QUERIES) // 2
+    for qi, (name, fn) in enumerate(QUERIES.items()):
+        if qi == midpoint:
+            sentinel_secs["middle"] = noise_sentinel()
 
         def _one_run() -> float:
             t0 = time.time()
@@ -122,11 +145,16 @@ def main() -> int:
 
         try:
             dt = _one_run()
-            if dt < 1.5:
-                # Sub-second timings are scheduler-noise-dominated and
-                # moved ~2× between rounds; min-of-2 bounds that cheaply
-                # without re-running the expensive queries.
+            if dt < 3.0:
+                # Short timings are scheduler-noise-dominated and moved
+                # ~2× between rounds; min-of-2 bounds that cheaply
+                # without re-running the expensive queries (threshold
+                # raised 1.5 → 3.0 s, r13 verdict #6 — the phantom
+                # drift sat mostly in the 1.5-3 s band). Adds ~60 s of
+                # bounded wall per suite; recorded per query so the
+                # judge can see which numbers are min-of-2.
                 dt = min(dt, _one_run())
+                min2[name] = True
         except Exception as e:  # keep the bench alive; report the failure
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             timings[name] = -1.0
@@ -134,6 +162,8 @@ def main() -> int:
         timings[name] = dt
         total += dt
         print(f"bench: {name} {dt:.2f}s", file=sys.stderr)
+    sentinel_secs["end"] = noise_sentinel()
+    print(f"bench: noise sentinel {sentinel_secs}", file=sys.stderr)
 
     # Reference-comparable headline numbers (BASELINE.md):
     #  * knn_scan_warm_sec — brute-force cosine top-k over the CACHED
@@ -600,6 +630,11 @@ def main() -> int:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "min_of_2": sorted(min2),
+                # fixed-work host-noise probe at suite start/middle/end:
+                # a drifting sentinel marks a noisy window, not a code
+                # regression (compare across rounds before blaming code)
+                "noise_sentinel_sec": sentinel_secs,
                 "sf": sf,
                 "reference_comparison": {
                     "knn_scan_warm_sec": knn_warm,
@@ -688,6 +723,8 @@ def main() -> int:
         "unit": result["unit"],
         "sf": result["sf"],
         "n_queries": len(result.get("queries", {})),
+        "n_min_of_2": len(min2),
+        "noise_sentinel_sec": sentinel_secs,
         "queries_file": "BENCH_local.json",
         "reference_comparison": result.get("reference_comparison", {}),
     }

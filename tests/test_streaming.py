@@ -664,3 +664,117 @@ def test_stream_funnel_dead_state_freed_on_timeout(spark, tmp_path):
     # state bounded: 1 (expired) and 3 (terminal) freed, 4 never
     # parked an all-None machine; only live user 2 remains
     assert _state_user_ids(spark, ckpt) == {2}
+
+
+def test_bucketed_sessionize_matches_per_user_door(spark, tmp_path):
+    """The bucket-routed high-cardinality door must emit EXACTLY the
+    per-user door's rows across micro-batches — carry merge (gap
+    held), carry close (gap exceeded), multi-session batches — in
+    replay mode and in timeout mode (idle users flushed)."""
+    import json as _json
+    import os
+    import time as _time
+
+    from converttovectordb_spark.streaming.stateful import (
+        stream_sessionize,
+        stream_sessionize_bucketed,
+    )
+
+    src = tmp_path / "bkt_src"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def rec(eid, uid, minutes, value):
+        ts = base + dt.timedelta(minutes=minutes)
+        return {"event_id": eid, "ts": ts.isoformat(), "user_id": uid,
+                "event_type": "click", "value": value, "props": "{}"}
+
+    # user 1: open in b1, merged by b2 (gap held), then closed by a
+    #   big gap inside b2 → 1 emitted session spanning batches
+    # user 2: open in b1, b2 arrives past the gap → carry CLOSED, new
+    #   session opens (stays in state in replay mode; timeout-flushed
+    #   in timeout mode)
+    # user 3: two sessions entirely inside b1
+    # user 4: only in b1, idle afterwards (the timeout-mode flush case)
+    b1 = src / "b1.json"
+    b1.write_text("\n".join(_json.dumps(r) for r in [
+        rec(1, 1, 0, 1.0), rec(2, 1, 10, 2.0),
+        rec(10, 2, 0, 5.0),
+        rec(20, 3, 0, 1.0), rec(21, 3, 50, 2.0), rec(22, 3, 55, 3.0),
+        rec(30, 4, 0, 9.0), rec(31, 4, 5, 1.0),
+    ]))
+    b2 = src / "b2.json"
+    b2.write_text("\n".join(_json.dumps(r) for r in [
+        rec(3, 1, 35, 4.0), rec(4, 1, 120, 8.0),
+        rec(11, 2, 240, 6.0),
+    ]))
+    now = _time.time()
+    os.utime(b1, (now - 60, now - 60))
+    os.utime(b2, (now, now))
+
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+
+    def run(door, tag):
+        ev = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+        name = f"bkt_eq_{tag}"
+        q = (door(ev).writeStream.outputMode("append").format("memory")
+             .queryName(name)
+             .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+        rows = sorted(
+            (r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"], r["total_value"])
+            for r in spark.table(name).collect()
+        )
+        spark.catalog.dropTempView(name)
+        return rows
+
+    # replay mode (NoTimeout): closed-by-event sessions only
+    per_user = run(
+        lambda ev: stream_sessionize(ev, gap_s=1800, watermark_delay=None),
+        "user_nt",
+    )
+    bucketed = run(
+        lambda ev: stream_sessionize_bucketed(
+            ev, gap_s=1800, buckets=2, watermark_delay=None
+        ),
+        "bkt_nt",
+    )
+    # closed-by-event: user 1's merged span, user 2's carry close,
+    # user 3's first session (its second stays open, as do 4's and
+    # every user's final one)
+    assert bucketed == per_user and len(per_user) == 3
+    # timeout mode (default): idle users 3 and 4 flush too once user
+    # 2's minute-240 event drags the watermark past their deadlines
+    per_user_t = run(
+        lambda ev: stream_sessionize(ev, gap_s=1800), "user_to"
+    )
+    bucketed_t = run(
+        lambda ev: stream_sessionize_bucketed(ev, gap_s=1800, buckets=2),
+        "bkt_to",
+    )
+    assert bucketed_t == per_user_t
+    assert len(per_user_t) > len(per_user)
+    # bounded state both shapes: only still-live opens remain. The
+    # bucket door's state is array-packed — explode to count users.
+    from pyspark.sql import functions as F
+
+    left_user = set(
+        r["user_id"]
+        for r in spark.read.format("statestore")
+        .load(str(tmp_path / "ck_user_to"))
+        .select("key.user_id").collect()
+    )
+    # timeout-enabled state nests the user schema under `groupState`
+    # (beside the store-managed `timeoutTimestamp`)
+    left_bkt = set(
+        r["uid"]
+        for r in spark.read.format("statestore")
+        .load(str(tmp_path / "ck_bkt_to"))
+        .select(F.explode("value.groupState.uids").alias("uid")).collect()
+    )
+    assert left_bkt == left_user

@@ -92,25 +92,32 @@ def main() -> int:
     q = np.sin(0.7 * 123457.0 + 1.3 * np.arange(DIM)).tolist()
 
     # --- context line: the matrix tier at an ADMITTED N ----------------
-    n_ctx = 500_000
-    ctx = _mk_corpus(spark, n_ctx)
-    t0 = time.perf_counter()
-    midx = DriverMatrixIndex.from_dataframe(ctx)
-    fill_m = time.perf_counter() - t0
-    assert midx is not None
-    ts = []
-    for _ in range(REPS):
+    # (skipped under --n: single-rung re-runs want just that rung)
+    if "--n" not in sys.argv:
+        n_ctx = 500_000
+        ctx = _mk_corpus(spark, n_ctx)
         t0 = time.perf_counter()
-        exact_ctx = midx.query(q, TOP_K, id_cols=["vec_id"])
-        ts.append(time.perf_counter() - t0)
-    print(
-        f"N={n_ctx:>9,} (admitted)  matrix GEMV        : "
-        f"min {min(ts):.4f}s  (fill {fill_m:.1f}s, "
-        f"{midx.matrix.nbytes / 2**20:.0f} MiB driver)"
-    )
-    del midx
+        midx = DriverMatrixIndex.from_dataframe(ctx)
+        fill_m = time.perf_counter() - t0
+        assert midx is not None
+        ts = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            midx.query(q, TOP_K, id_cols=["vec_id"])
+            ts.append(time.perf_counter() - t0)
+        print(
+            f"N={n_ctx:>9,} (admitted)  matrix GEMV        : "
+            f"min {min(ts):.4f}s  (fill {fill_m:.1f}s, "
+            f"{midx.matrix.nbytes / 2**20:.0f} MiB driver)"
+        )
+        del midx
 
-    ladder = [600_000] if quick else [600_000, 1_200_000, 2_400_000]
+    if "--n" in sys.argv:  # single rung, e.g. --n 2400000
+        ladder = [int(sys.argv[sys.argv.index("--n") + 1])]
+    elif quick:
+        ladder = [600_000]
+    else:
+        ladder = [600_000, 1_200_000, 2_400_000]
     for n in ladder:
         assert n * DIM > DEFAULT_MAX_CELLS, "ladder must be past-budget"
         corpus = _mk_corpus(spark, n)
