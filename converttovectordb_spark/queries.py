@@ -8853,11 +8853,14 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The CUSTOM STATEFUL streaming operator under the correctness
-    gate: continuous sessionization via applyInPandasWithState
-    (streaming/stateful.py), driven to completion and compared against
-    the SAME SQL oracle as the batch twin.
+def _stream_sessionize_replay(
+    spark: SparkSession, sf_dir: str, door
+) -> DataFrame:
+    """Shared replay harness for the stateful sessionize doors (the
+    per-user door and the bucket-routed r14 door answer the SAME SQL
+    oracle through it): continuous sessionization via
+    applyInPandasWithState (streaming/stateful.py), driven to
+    completion and compared against the batch twin's oracle.
 
     Two tricks make a stateful Python operator bit-match a relational
     oracle: (1) tail flush — the operator only emits CLOSED sessions,
@@ -8919,8 +8922,6 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (part,) = glob.glob(os.path.join(sent_dir, "part-*.parquet"))
     shutil.move(part, os.path.join(stream_dir, "sentinels.parquet"))
 
-    from converttovectordb_spark.streaming.stateful import stream_sessionize
-
     ev = (
         spark.readStream.schema(schema)
         .parquet(stream_dir)
@@ -8934,7 +8935,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value"),
         )
     )
-    sess = stream_sessionize(ev, gap_s=1800, watermark_delay=None)
+    sess = door(ev)
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -8966,6 +8967,42 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.catalog.dropTempView(name)  # resolved above; no catalog leak
     return out
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-user stateful door under the hash gate (see
+    `_stream_sessionize_replay` for the harness, and its docstring for
+    why the replay pins ``watermark_delay=None``)."""
+    from converttovectordb_spark.streaming.stateful import stream_sessionize
+
+    return _stream_sessionize_replay(
+        spark,
+        sf_dir,
+        lambda ev: stream_sessionize(ev, gap_s=1800, watermark_delay=None),
+    )
+
+
+def q_stream_sessionize_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The r14 bucket-routed high-cardinality door under the SAME hash
+    oracle as the per-user door: one applyInPandasWithState group per
+    user-BUCKET (array-typed state row, one break-scan per batch —
+    `streaming/stateful.py` `stream_sessionize_bucketed`, measured
+    8.7× at 80k users/batch in tools/stateful_bucket_probe.py). Same
+    replay, same sentinel tail-flush, same oracle — grading that the
+    routing rewrite changed the physical shape and nothing else."""
+    from converttovectordb_spark.streaming.stateful import (
+        stream_sessionize_bucketed,
+    )
+
+    return _stream_sessionize_replay(
+        spark,
+        sf_dir,
+        lambda ev: stream_sessionize_bucketed(
+            ev, gap_s=1800, buckets=32, watermark_delay=None
+        ),
+    )
 
 
 def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10593,6 +10630,7 @@ QUERIES = {
     "stream_dedup": q_stream_dedup,
     "stream_quality_gate": q_stream_quality_gate,
     "stream_sessionize": q_stream_sessionize,
+    "stream_sessionize_bucketed": q_stream_sessionize_bucketed,
     # -- SQL analytics representatives --------------------------------
     "pricing_summary": q_pricing_summary,
     "price_band_join": q_price_band_join,
@@ -10798,6 +10836,7 @@ ORACLES = {
     "doc_stats_approx": ORACLE_DOC_STATS_APPROX,
     "sessionize": ORACLE_SESSIONIZE,
     "stream_sessionize": ORACLE_SESSIONIZE,
+    "stream_sessionize_bucketed": ORACLE_SESSIONIZE,
     "mrl_recall_curve": ORACLE_MRL_RECALL_CURVE,
     "binary_quant_recall": ORACLE_BINARY_QUANT_RECALL,
     "mrl_prefix_rerank": ORACLE_MRL_PREFIX_RERANK,
