@@ -56,15 +56,33 @@ def main() -> int:
 
     from pyspark.sql import functions as F
 
+    from pyspark.sql import SparkSession
+
     from converttovectordb_spark.plans.bucketing import physical_plan
     from converttovectordb_spark.plans.ivf_index import build_ivf_index
-    from converttovectordb_spark.session import get_spark
 
-    spark = get_spark("mrl-distributed-probe")
+    # own session: the index build at the big rungs OOMs the default
+    # 1g driver heap (same sizing as tools/bits_tier_probe.py)
+    spark = (
+        SparkSession.builder.appName("mrl-distributed-probe")
+        .master(f"local[{cpus}]")
+        .config("spark.driver.memory", "24g")
+        .config("spark.driver.maxResultSize", "8g")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    ladder = [100_000] if quick else [100_000, 400_000, 1_600_000]
+    if "--n" in sys.argv:  # single rung, e.g. --n 400000
+        ladder = [int(sys.argv[sys.argv.index("--n") + 1])]
+    elif quick:
+        ladder = [100_000]
+    else:
+        ladder = [100_000, 400_000, 1_600_000]
     for n in ladder:
         corpus = _mk_corpus(spark, n)
         with tempfile.TemporaryDirectory(prefix="mrl_probe_") as tmp:
