@@ -412,7 +412,12 @@ class DriverMatrixIndex:
         =N`` is the sign-bit edition: vectors quantize to 1 bit/dim
         (packed uint8 words, cached), candidates rank by Hamming
         distance (xor + popcount — ~d/8 bytes touched per row instead
-        of d float64s), and the N nearest rerank exactly. Both
+        of d float64s), and the N nearest rerank exactly. Latency
+        note, measured (SCALING.md r13/r14): at matrix-tier N the
+        Hamming prefilter is SLOWER than the straight BLAS matvec —
+        the dial exists here for cross-tier semantic parity; the
+        regime where it pays is the corpus the matrix tier cannot
+        admit, served by :class:`BitsMatrixIndex`. Both
         prefilters keep ALL rows tied at the shortlist boundary (the
         `knn_join_blas` tie rule), so results are deterministic and a
         d'=dim / N≥n setting reproduces the exact path by
