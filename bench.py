@@ -145,7 +145,11 @@ def main() -> int:
 
         try:
             dt = _one_run()
-            if dt < 3.0:
+            if dt < 3.0 or qi == 0:
+                # qi == 0: the suite's FIRST query absorbs whatever
+                # session residue the prewarms missed (measured: the
+                # same first query read 3.97 s cold vs ~0.5 s on its
+                # second run in one r14 window) — always min-of-2 it
                 # Short timings are scheduler-noise-dominated and moved
                 # ~2× between rounds; min-of-2 bounds that cheaply
                 # without re-running the expensive queries (threshold

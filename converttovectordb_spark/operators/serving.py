@@ -1049,6 +1049,16 @@ class DriverMatrixIndex:
 #: full-precision embeddings the rerank fetches.
 BITS_ROW_COL = "_bits_row"
 
+#: Upper bound on rows a single bits-tier rerank fetch may collect.
+#: The tier's whole premise is that full-precision vectors do NOT fit
+#: driver memory — a shortlist approaching the corpus size would turn
+#: the "bounded fetch" into exactly the Arrow-collect OOM the tier
+#: exists to avoid (and build a corpus-sized IN plan on the way).
+#: 100k rows at d=384 float64 is ~300 MB transient — safely under the
+#: budgets — while every sane shortlist (a few × top_k) sits orders of
+#: magnitude below it.
+BITS_FETCH_MAX_ROWS = 100_000
+
 
 class BitsMatrixIndex:
     """Bits-resident serving tier: packed sign bits + payload in driver
@@ -1304,6 +1314,15 @@ class BitsMatrixIndex:
         scanned at full width."""
         from pyspark.sql import functions as F
 
+        if len(cand) > BITS_FETCH_MAX_ROWS:
+            raise ValueError(
+                f"hamming_shortlist resolves to {len(cand)} candidate "
+                f"rows, past the bits tier's bounded-fetch budget "
+                f"({BITS_FETCH_MAX_ROWS}); a corpus-sized rerank fetch "
+                "would collect the full-precision vectors this tier "
+                "exists to keep on disk — lower the shortlist, or use "
+                "the distributed exact door"
+            )
         ids = [int(self.row_ids[int(j)]) for j in cand]
         got = (
             self._sidecar()

@@ -374,3 +374,38 @@ def test_server_bits_sidecar_invalidated_on_write(spark, tmp_path):
         assert out["results"][0]["path"] == "src/f7.py"
     finally:
         srv.stop()
+
+
+def test_bits_fetch_budget_guards_corpus_sized_rerank(
+    spark, tmp_path, monkeypatch
+):
+    """A shortlist that resolves to more candidates than the bounded-
+    fetch budget must raise (→ the server's 400), never Arrow-collect
+    the full-precision corpus the tier exists to keep on disk."""
+    import converttovectordb_spark.operators.serving as serving
+
+    # distinct sign pattern per row (the bits of i), so the keep-ties
+    # shortlist rule resolves to ~the requested width, not the corpus
+    rows = [
+        (
+            i,
+            [1.0 if (i >> b) & 1 else -1.0 for b in range(8)],
+        )
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    idx = BitsMatrixIndex.from_dataframe(df, str(tmp_path))
+    try:
+        monkeypatch.setattr(serving, "BITS_FETCH_MAX_ROWS", 10)
+        probe = [1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0]
+        with pytest.raises(ValueError, match="bounded-fetch budget"):
+            idx.query(probe, 5, hamming_shortlist=40)
+        # within budget still serves
+        assert idx.query(
+            probe, 2, score_threshold=-2.0, id_cols=["vec_id"],
+            hamming_shortlist=3,
+        )
+    finally:
+        idx.close()
