@@ -243,6 +243,29 @@ def _size_probe(df: DataFrame, embedding_col: str):
     return n, first_dim, payload_bytes
 
 
+def _as_query_matrix(query_vectors) -> np.ndarray:
+    """(Q, d) float64 matrix from a batch of query vectors, with the
+    batch doors' shared validation: ragged input raises the intended
+    equal-length message (a bare ``np.asarray`` would surface numpy's
+    inhomogeneous-shape text through the server's 400), non-finite
+    values raise the single-door message."""
+    rows = [[float(x) for x in v] for v in query_vectors]
+    if rows and len({len(r) for r in rows}) != 1:
+        raise ValueError(
+            "query embeddings must be equal-length numeric vectors"
+        )
+    Q = np.asarray(rows, dtype=np.float64)
+    if Q.ndim != 2:
+        raise ValueError(
+            "query embeddings must be equal-length numeric vectors"
+        )
+    if not np.all(np.isfinite(Q)):
+        raise ValueError(
+            "query embedding contains non-finite values (NaN/Infinity)"
+        )
+    return Q
+
+
 def select_among(
     payload: list[dict],
     idx: "np.ndarray | None",
@@ -624,17 +647,7 @@ class DriverMatrixIndex:
         per query) and full-width arithmetic touches only its
         shortlist rows — the per-query loop here is bounded by the
         cheap prefilter, not the d-wide corpus pass."""
-        Q = np.asarray(
-            [[float(x) for x in v] for v in query_vectors], dtype=np.float64
-        )
-        if Q.ndim != 2:
-            raise ValueError(
-                "query embeddings must be equal-length numeric vectors"
-            )
-        if not np.all(np.isfinite(Q)):
-            raise ValueError(
-                "query embedding contains non-finite values (NaN/Infinity)"
-            )
+        Q = _as_query_matrix(query_vectors)
         if self.n == 0:
             return [[] for _ in range(Q.shape[0])]
         if Q.shape[1] != self.dim:
@@ -890,18 +903,7 @@ class DriverMatrixIndex:
         if not 0.0 <= lambda_ <= 1.0:
             raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
         k = validate_top_k(top_k)
-        Q = np.asarray(
-            [[float(x) for x in v] for v in query_vectors],
-            dtype=np.float64,
-        )
-        if Q.ndim != 2:
-            raise ValueError(
-                "query embeddings must be equal-length numeric vectors"
-            )
-        if not np.all(np.isfinite(Q)):
-            raise ValueError(
-                "query embedding contains non-finite values (NaN/Infinity)"
-            )
+        Q = _as_query_matrix(query_vectors)
         if self.n == 0:
             return [[] for _ in range(Q.shape[0])]
         if Q.shape[1] != self.dim:
@@ -1048,6 +1050,15 @@ class DriverMatrixIndex:
 #: join key between the driver-resident bits/payload and the on-disk
 #: full-precision embeddings the rerank fetches.
 BITS_ROW_COL = "_bits_row"
+
+#: Row-block size for the bits tier's Hamming scan. The SWAR popcount
+#: allocates ~3 full-size temporaries of its input; an unblocked scan
+#: over a ceiling-admitted corpus (packed words = the WHOLE driver
+#: byte budget) would transiently triple it — the admission gate would
+#: be a lie on the first dialed query. 1M rows × 6 words (d=384) is a
+#: 48 MB working set per temporary, amortizing numpy dispatch while
+#: bounding the transient regardless of corpus size.
+BITS_SCAN_BLOCK_ROWS = 1_048_576
 
 #: Upper bound on rows a single bits-tier rerank fetch may collect.
 #: The tier's whole premise is that full-precision vectors do NOT fit
@@ -1285,12 +1296,29 @@ class BitsMatrixIndex:
         if n_short >= self.n:
             return np.arange(self.n)
         qbits = _pack_bits64((q > 0).reshape(1, -1))
-        ham = _popcount64(np.bitwise_xor(self.words, qbits)).sum(
-            axis=1, dtype=np.int64
-        )
+        # blocked scan: bounds the popcount temporaries to the block's
+        # working set (see BITS_SCAN_BLOCK_ROWS) — the distance array
+        # itself is n × 8 bytes, priced within the tier's budget
+        ham = np.empty(self.n, dtype=np.int64)
+        for lo in range(0, self.n, BITS_SCAN_BLOCK_ROWS):
+            hi = min(lo + BITS_SCAN_BLOCK_ROWS, self.n)
+            ham[lo:hi] = _popcount64(
+                np.bitwise_xor(self.words[lo:hi], qbits)
+            ).sum(axis=1, dtype=np.int64)
         part = np.argpartition(ham, n_short - 1)[:n_short]
         kth = ham[part].max()
-        return np.nonzero(ham <= kth)[0]
+        cand = np.nonzero(ham <= kth)[0]
+        if len(cand) > BITS_FETCH_MAX_ROWS:
+            raise ValueError(
+                f"hamming_shortlist={n_short} keeps {len(cand)} "
+                f"candidate rows after the boundary-tie rule — a "
+                f"degenerate sign-pattern cluster (e.g. many zero or "
+                f"constant-sign embeddings) is tied at the k-th "
+                f"Hamming distance, past the bits tier's bounded-"
+                f"fetch budget ({BITS_FETCH_MAX_ROWS}); this corpus "
+                "slice needs the distributed exact door"
+            )
+        return cand
 
     def _validate_query(self, query_vector: list[float]) -> np.ndarray:
         q = np.asarray(
@@ -1399,18 +1427,7 @@ class BitsMatrixIndex:
         not Q — then each query's exact rerank + shared selection.
         ``results[i]`` answers ``query_vectors[i]`` and equals the
         single door's answer exactly (same arithmetic, same rules)."""
-        Q = np.asarray(
-            [[float(x) for x in v] for v in query_vectors],
-            dtype=np.float64,
-        )
-        if Q.ndim != 2:
-            raise ValueError(
-                "query embeddings must be equal-length numeric vectors"
-            )
-        if not np.all(np.isfinite(Q)):
-            raise ValueError(
-                "query embedding contains non-finite values (NaN/Infinity)"
-            )
+        Q = _as_query_matrix(query_vectors)
         if self.n == 0:
             return [[] for _ in range(Q.shape[0])]
         if Q.shape[1] != self.dim:

@@ -570,8 +570,14 @@ class LexicalIndex:
         complete pre-swap `.old.` copy parked beside it, which the
         next maintenance pass restores (`_recover_swap_debris`) —
         never duplicated rows, never a lost artifact. Single-
-        maintainer by the artifact's contract. Returns the file-count
-        reduction."""
+        maintainer by the artifact's contract — and since r14 that
+        contract explicitly covers the MANIFEST: the registry refresh
+        below is a read-modify-write of meta, so a concurrent
+        `append()`'s meta commit landing between the swap and this
+        write would be clobbered with pre-append n_docs/total_dl
+        (wrong BM25 N/avgdl, not just a stale registry). The engine
+        honors it by compacting only inside `append_to_lex_index`,
+        post-commit. Returns the file-count reduction."""
         import shutil
         import uuid
 

@@ -9039,7 +9039,14 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type").isin("view", "click", "purchase"))
         .select("user_id", "event_id", "ts", "event_type")
     )
-    comp = stream_funnel(ev, window_s=86_400)
+    # replay pins NoTimeout like the sessionize harness: the batch
+    # oracle's first-ever-qualifying-chain semantics require state
+    # that is never freed — under the production timeout default a
+    # multi-batch replay could free an expired machine and let a
+    # returning user re-emit stage rows (journey semantics), and >10
+    # min-late files would be watermark-dropped. Green-at-one-batch is
+    # luck of the file layout, not a contract.
+    comp = stream_funnel(ev, window_s=86_400, watermark_delay=None)
     name = f"stream_funnel_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")

@@ -395,24 +395,53 @@ class VectorDBApi:
         one corpus pass — so it must never tax undialed traffic), and
         shares the primary cache's token lifecycle. Returns the index,
         or ``None`` when the corpus exceeds the bits/payload budgets
-        too (callers 400: the distributed door has no Hamming arm)."""
+        too (callers 400: the distributed door has no Hamming arm).
+
+        The fill runs OUTSIDE the corpus lock — at the tier's target
+        sizes it is a full corpus write plus an Arrow collect, and
+        holding the global lock for that long would block every other
+        endpoint's cache check. Install is double-checked under the
+        lock and token-guarded: if a concurrent fill won, or a write
+        invalidated the caches mid-fill (the token moved), the freshly
+        built index is discarded (sidecar removed) instead of being
+        installed stale."""
         import tempfile
 
-        with self._corpus_lock:
-            if self._bits_filled:
-                return self._bits
-            from converttovectordb_spark.operators.serving import (
-                BitsMatrixIndex,
-            )
+        from converttovectordb_spark.operators.serving import (
+            BitsMatrixIndex,
+        )
 
-            self._bits = BitsMatrixIndex.from_dataframe(
+        for _attempt in range(2):
+            with self._corpus_lock:
+                if self._bits_filled:
+                    return self._bits
+                fill_token = self._corpus_token
+            idx = BitsMatrixIndex.from_dataframe(
                 self.engine.store.load(),
                 tempfile.gettempdir(),
                 max_cells=self._matrix_max_cells,
                 max_payload_bytes=self._matrix_max_payload_bytes,
             )
-            self._bits_filled = True
-            return self._bits
+            with self._corpus_lock:
+                if self._bits_filled:
+                    # a concurrent fill won the install race
+                    if idx is not None:
+                        idx.close()
+                    return self._bits
+                if self._corpus_token == fill_token:
+                    self._bits = idx
+                    self._bits_filled = True
+                    return idx
+                # invalidated mid-fill: the index snapshots a store
+                # state the primary caches no longer serve — discard
+                # and retry against the new token
+                if idx is not None:
+                    idx.close()
+        raise _ApiError(
+            503,
+            "store changed repeatedly during the bits-tier cache "
+            "fill; retry the request",
+        )
 
     # -- POST /query (reference :230-312) -------------------------------
     def query(self, body: dict) -> dict:
