@@ -1060,6 +1060,17 @@ BITS_ROW_COL = "_bits_row"
 #: bounding the transient regardless of corpus size.
 BITS_SCAN_BLOCK_ROWS = 1_048_576
 
+#: Estimated RESIDENT bytes per payload row on the bits tier. The
+#: matrix tier's 16-bytes/row fixed term prices serialized width and
+#: tolerates Python-object inflation because its cell budget caps rows
+#: at ~hundreds of thousands; the bits tier admits 64× the rows, where
+#: `to_pylist()`'s ~300-400 B/row of dict/str overhead — not the
+#: serialized bytes — is what actually fills the driver. Pricing it in
+#: the admission term keeps the documented ~1 GB resident envelope
+#: true in the tier's own regime (256 MB budget / 256 B ≈ 1M rows of
+#: small payloads).
+_BITS_PAYLOAD_ROW_BYTES = 256
+
 #: Upper bound on rows a single bits-tier rerank fetch may collect.
 #: The tier's whole premise is that full-precision vectors do NOT fit
 #: driver memory — a shortlist approaching the corpus size would turn
@@ -1069,6 +1080,13 @@ BITS_SCAN_BLOCK_ROWS = 1_048_576
 #: budgets — while every sane shortlist (a few × top_k) sits orders of
 #: magnitude below it.
 BITS_FETCH_MAX_ROWS = 100_000
+
+
+class BitsTierInvalidated(RuntimeError):
+    """The bits tier was closed (cache invalidation) while a request
+    was arriving — the request raced a write; retrying resolves
+    against the refilled cache. Servers map this to a retryable
+    status, never a client error."""
 
 
 class BitsMatrixIndex:
@@ -1126,6 +1144,23 @@ class BitsMatrixIndex:
         self._embedding_col = embedding_col
         self._side = None  # lazy sidecar DataFrame handle
         self._lock = threading.Lock()
+        # close() is DEFERRED while queries are in flight: invalidation
+        # must not rmtree the sidecar out from under a live fetch (the
+        # reader would 500 on a request that was valid when it
+        # started). Queries refcount _active; close() marks pending
+        # and the last finisher removes the sidecar.
+        self._active = 0
+        self._close_pending = False
+        if sidecar_path is not None:
+            import shutil
+            import weakref
+
+            # GC / interpreter-exit backstop: a server that never
+            # closes its tier (crash, missed stop) must not leak a
+            # full-precision corpus copy in the temp dir forever
+            self._finalizer = weakref.finalize(
+                self, shutil.rmtree, sidecar_path, True
+            )
 
     @property
     def n(self) -> int:
@@ -1169,8 +1204,31 @@ class BitsMatrixIndex:
             )
         if n * first_dim > max_cells * BITS_ADMISSION_MULTIPLE:
             return None
-        if payload_bytes > max_payload_bytes:
+        # re-price the fixed per-row payload term for THIS tier's row
+        # counts: resident cost is to_pylist()'s dict/str overhead,
+        # not serialized width (see _BITS_PAYLOAD_ROW_BYTES) — the
+        # matrix tier's 16 B/row term would admit row counts whose
+        # Python payload alone is several GB
+        if (
+            payload_bytes
+            - n * _FIXED_WIDTH_ROW_BYTES
+            + n * _BITS_PAYLOAD_ROW_BYTES
+        ) > max_payload_bytes:
             return None
+        # dim-consistency check BEFORE the sidecar write: a corrupt
+        # store must raise without first paying (then discarding) the
+        # full corpus pass — especially since a failed fill is retried
+        # by callers
+        dims = df.agg(
+            F.min(F.size(F.col(embedding_col))).alias("lo"),
+            F.max(F.size(F.col(embedding_col))).alias("hi"),
+        ).first()
+        if int(dims["lo"]) != int(dims["hi"]):
+            raise ValueError(
+                f"stored embeddings have inconsistent dimensions "
+                f"({first_dim} vs "
+                f"{int(dims['lo']) if int(dims['lo']) != first_dim else int(dims['hi'])})"
+            )
         spark = df.sparkSession
         sidecar_path = os.path.join(
             sidecar_dir, f"bits-{uuid.uuid4().hex}"
@@ -1190,16 +1248,6 @@ class BitsMatrixIndex:
                 BITS_ROW_COL, F.monotonically_increasing_id()
             ).write.parquet(sidecar_path, mode="overwrite")
             side = spark.read.parquet(sidecar_path)
-            dims = side.agg(
-                F.min(F.size(F.col(embedding_col))).alias("lo"),
-                F.max(F.size(F.col(embedding_col))).alias("hi"),
-            ).first()
-            if int(dims["lo"]) != int(dims["hi"]):
-                raise ValueError(
-                    f"stored embeddings have inconsistent dimensions "
-                    f"({first_dim} vs "
-                    f"{int(dims['lo']) if int(dims['lo']) != first_dim else int(dims['hi'])})"
-                )
 
             from pyspark.sql.functions import pandas_udf
 
@@ -1252,13 +1300,37 @@ class BitsMatrixIndex:
 
     def close(self) -> None:
         """Remove the sidecar parquet (the driver arrays die with the
-        object). Idempotent."""
+        object). Idempotent. Deferred while queries are in flight: the
+        mark blocks NEW entries (they raise `BitsTierInvalidated` —
+        retryable) and the last in-flight query performs the removal,
+        so a live fetch never has its files deleted underneath it."""
+        with self._lock:
+            self._close_pending = True
+            if self._active == 0:
+                self._remove_sidecar_locked()
+
+    def _remove_sidecar_locked(self) -> None:
         import shutil
 
         if self.sidecar_path is not None:
             shutil.rmtree(self.sidecar_path, ignore_errors=True)
             self.sidecar_path = None
             self._side = None
+
+    def _enter_serving(self) -> None:
+        with self._lock:
+            if self._close_pending:
+                raise BitsTierInvalidated(
+                    "bits tier cache was invalidated by a concurrent "
+                    "write; retry the request"
+                )
+            self._active += 1
+
+    def _exit_serving(self) -> None:
+        with self._lock:
+            self._active -= 1
+            if self._close_pending and self._active == 0:
+                self._remove_sidecar_locked()
 
     def _sidecar(self):
         if self._side is None:
@@ -1406,11 +1478,15 @@ class BitsMatrixIndex:
         q = self._validate_query(query_vector)
         if self.n == 0:
             return []
-        cand = self._shortlist(q, top_k, hamming_shortlist)
-        vecs = self._fetch_vectors(cand)
-        return self._rerank(
-            q, cand, vecs, top_k, score_threshold, id_cols
-        )
+        self._enter_serving()
+        try:
+            cand = self._shortlist(q, top_k, hamming_shortlist)
+            vecs = self._fetch_vectors(cand)
+            return self._rerank(
+                q, cand, vecs, top_k, score_threshold, id_cols
+            )
+        finally:
+            self._exit_serving()
 
     def query_batch(
         self,
@@ -1434,26 +1510,30 @@ class BitsMatrixIndex:
             raise ValueError(
                 f"query dimension {Q.shape[1]} != stored dimension {self.dim}"
             )
-        cands = [
-            self._shortlist(
-                np.ascontiguousarray(Q[j]), top_k, hamming_shortlist
-            )
-            for j in range(Q.shape[0])
-        ]
-        union = np.unique(np.concatenate(cands))
-        uvecs = self._fetch_vectors(union)
-        pos = {int(c): i for i, c in enumerate(union)}
-        out = []
-        for j, cand in enumerate(cands):
-            vecs = uvecs[[pos[int(c)] for c in cand]]
-            out.append(
-                self._rerank(
-                    np.ascontiguousarray(Q[j]),
-                    cand,
-                    vecs,
-                    top_k,
-                    score_threshold,
-                    id_cols,
+        self._enter_serving()
+        try:
+            cands = [
+                self._shortlist(
+                    np.ascontiguousarray(Q[j]), top_k, hamming_shortlist
                 )
-            )
-        return out
+                for j in range(Q.shape[0])
+            ]
+            union = np.unique(np.concatenate(cands))
+            uvecs = self._fetch_vectors(union)
+            pos = {int(c): i for i, c in enumerate(union)}
+            out = []
+            for j, cand in enumerate(cands):
+                vecs = uvecs[[pos[int(c)] for c in cand]]
+                out.append(
+                    self._rerank(
+                        np.ascontiguousarray(Q[j]),
+                        cand,
+                        vecs,
+                        top_k,
+                        score_threshold,
+                        id_cols,
+                    )
+                )
+            return out
+        finally:
+            self._exit_serving()

@@ -113,6 +113,12 @@ class VectorDBApi:
         # don't re-probe per request
         self._bits = None
         self._bits_filled = False
+        self._bits_fill_error = None  # negative-cached fill failure
+        # serializes the EXPENSIVE bits fill (a full corpus write):
+        # without it, N concurrent first dialed requests each pay the
+        # fill and N-1 results are discarded. Separate from the corpus
+        # lock so undialed traffic never waits on a fill.
+        self._bits_fill_lock = threading.Lock()
         # secondary df-tier cache for verbs that need EMBEDDINGS (MMR):
         # the matrix tier strips them, and before r11 a matrix-tier
         # server paid a cold store.load() per /diverse request
@@ -193,6 +199,7 @@ class VectorDBApi:
         self._mmr_corpus = None
         self._bits = None
         self._bits_filled = False
+        self._bits_fill_error = None
         self._corpus_token = None
 
     def _embedding_corpus(self):
@@ -400,48 +407,130 @@ class VectorDBApi:
         The fill runs OUTSIDE the corpus lock — at the tier's target
         sizes it is a full corpus write plus an Arrow collect, and
         holding the global lock for that long would block every other
-        endpoint's cache check. Install is double-checked under the
-        lock and token-guarded: if a concurrent fill won, or a write
-        invalidated the caches mid-fill (the token moved), the freshly
-        built index is discarded (sidecar removed) instead of being
-        installed stale."""
+        endpoint's cache check. A dedicated fill lock serializes
+        concurrent dialed requests instead (losers wait on the winner
+        rather than duplicating the corpus pass). Install is
+        double-checked under the corpus lock and token-guarded: if a
+        write invalidated the caches mid-fill (the token moved), the
+        freshly built index is discarded and the fill retried once. A
+        RAISING fill (e.g. inconsistent stored dimensions) is
+        negative-cached — the next dialed request 400s from the cached
+        reason instead of re-paying the fill only to fail again.
+
+        Non-serving outcomes raise `_ApiError` here (over-budget /
+        corrupt-store 400s, churn 503) — both dialed doors share this
+        logic, so the messages cannot drift between them."""
         import tempfile
 
         from converttovectordb_spark.operators.serving import (
             BitsMatrixIndex,
         )
 
-        for _attempt in range(2):
-            with self._corpus_lock:
-                if self._bits_filled:
-                    return self._bits
-                fill_token = self._corpus_token
-            idx = BitsMatrixIndex.from_dataframe(
-                self.engine.store.load(),
-                tempfile.gettempdir(),
-                max_cells=self._matrix_max_cells,
-                max_payload_bytes=self._matrix_max_payload_bytes,
+        def _resolved():
+            if self._bits is not None:
+                return self._bits
+            if self._bits_fill_error is not None:
+                raise _ApiError(
+                    400,
+                    f"bits-tier cache fill failed: "
+                    f"{self._bits_fill_error}",
+                )
+            raise _ApiError(
+                400,
+                "hamming_shortlist requires a driver-resident tier; "
+                "this corpus exceeds even the bits tier's admission "
+                "budget — raise matrix_max_cells/"
+                "matrix_max_payload_bytes or query undialed",
             )
-            with self._corpus_lock:
-                if self._bits_filled:
-                    # a concurrent fill won the install race
+
+        with self._corpus_lock:
+            if self._bits_filled:
+                return _resolved()
+        with self._bits_fill_lock:
+            for _attempt in range(2):
+                with self._corpus_lock:
+                    if self._bits_filled:
+                        return _resolved()
+                    fill_token = self._corpus_token
+                try:
+                    idx = BitsMatrixIndex.from_dataframe(
+                        self.engine.store.load(),
+                        tempfile.gettempdir(),
+                        max_cells=self._matrix_max_cells,
+                        max_payload_bytes=self._matrix_max_payload_bytes,
+                    )
+                except ValueError as e:
+                    with self._corpus_lock:
+                        if self._corpus_token == fill_token:
+                            self._bits = None
+                            self._bits_filled = True
+                            self._bits_fill_error = str(e)
+                    raise _ApiError(
+                        400, f"bits-tier cache fill failed: {e}"
+                    )
+                with self._corpus_lock:
+                    if self._bits_filled:
+                        if idx is not None:
+                            idx.close()
+                        return _resolved()
+                    if self._corpus_token == fill_token:
+                        self._bits = idx
+                        self._bits_filled = True
+                        if idx is None:
+                            return _resolved()
+                        return idx
+                    # invalidated mid-fill: the index snapshots a
+                    # store state the primary caches no longer serve —
+                    # discard and retry against the new token
                     if idx is not None:
                         idx.close()
-                    return self._bits
-                if self._corpus_token == fill_token:
-                    self._bits = idx
-                    self._bits_filled = True
-                    return idx
-                # invalidated mid-fill: the index snapshots a store
-                # state the primary caches no longer serve — discard
-                # and retry against the new token
-                if idx is not None:
-                    idx.close()
         raise _ApiError(
             503,
             "store changed repeatedly during the bits-tier cache "
             "fill; retry the request",
         )
+
+    def _serve_bits(
+        self, vectors, top_k: int, hamming_shortlist: int, start: float,
+        *, batch: bool,
+    ) -> dict:
+        """ONE dispatch for both hamming-dialed doors past the matrix
+        budget (/query and /query_batch used to carry near-identical
+        copies of this block — the select_among lesson, server
+        edition): admission/fill errors surface from `_bits_handle`,
+        a mid-request invalidation maps to a retryable 503, dial
+        misuse to a 400."""
+        from converttovectordb_spark.operators.serving import (
+            BitsTierInvalidated,
+            point_query_mode,
+        )
+
+        bits = self._bits_handle()
+        try:
+            with point_query_mode(self.engine.spark):
+                if batch:
+                    results = bits.query_batch(
+                        vectors,
+                        top_k,
+                        id_cols=["path", "chunk_index"],
+                        hamming_shortlist=hamming_shortlist,
+                    )
+                else:
+                    results = bits.query(
+                        vectors,
+                        top_k,
+                        id_cols=["path", "chunk_index"],
+                        hamming_shortlist=hamming_shortlist,
+                    )
+        except BitsTierInvalidated as e:
+            raise _ApiError(503, str(e))
+        except ValueError as e:
+            raise _ApiError(400, str(e))
+        return {
+            "results": results,
+            "query_time": time.time() - start,
+            "total_documents_searched": bits.n,
+        }
 
     # -- POST /query (reference :230-312) -------------------------------
     def query(self, body: dict) -> dict:
@@ -530,35 +619,9 @@ class VectorDBApi:
                 # the win (SCALING.md). The distributed scan has no
                 # Hamming arm, so past the bits budgets too it's a
                 # 400, like mrl_dim on the distributed batch door.
-                bits = self._bits_handle()
-                if bits is None:
-                    raise _ApiError(
-                        400,
-                        "hamming_shortlist requires a driver-resident "
-                        "tier; this corpus exceeds even the bits "
-                        "tier's admission budget — raise "
-                        "matrix_max_cells/matrix_max_payload_bytes or "
-                        "query undialed",
-                    )
-                from converttovectordb_spark.operators.serving import (
-                    point_query_mode,
+                return self._serve_bits(
+                    emb, top_k, hamming_shortlist, start, batch=False
                 )
-
-                try:
-                    with point_query_mode(eng.spark):
-                        rows = bits.query(
-                            emb,
-                            top_k,
-                            id_cols=["path", "chunk_index"],
-                            hamming_shortlist=hamming_shortlist,
-                        )
-                except ValueError as e:
-                    raise _ApiError(400, str(e))
-                return {
-                    "results": rows,
-                    "query_time": time.time() - start,
-                    "total_documents_searched": bits.n,
-                }
             docs = corpus
         # One action serves both the rows and the corpus size: count the
         # scanned docs as an observe metric on the same search job
@@ -693,34 +756,9 @@ class VectorDBApi:
             # same tier rule as /query: past the matrix budget the
             # sign-bit dial is the bits tier's job (one sidecar fetch
             # for the whole batch), never a silent undialled answer
-            bits = self._bits_handle()
-            if bits is None:
-                raise _ApiError(
-                    400,
-                    "hamming_shortlist requires a driver-resident "
-                    "tier; this corpus exceeds even the bits tier's "
-                    "admission budget — raise matrix_max_cells/"
-                    "matrix_max_payload_bytes or query undialed",
-                )
-            from converttovectordb_spark.operators.serving import (
-                point_query_mode,
+            return self._serve_bits(
+                clean, top_k, hamming_shortlist, start, batch=True
             )
-
-            try:
-                with point_query_mode(eng.spark):
-                    results = bits.query_batch(
-                        clean,
-                        top_k,
-                        id_cols=["path", "chunk_index"],
-                        hamming_shortlist=hamming_shortlist,
-                    )
-            except ValueError as e:
-                raise _ApiError(400, str(e))
-            return {
-                "results": results,
-                "query_time": time.time() - start,
-                "total_documents_searched": bits.n,
-            }
         if mrl_dim is not None:
             # the distributed batch door scores with a full-width BLAS
             # kernel (knn_join_blas) — no prefix arm there yet; a
@@ -1253,3 +1291,9 @@ class VectorDBServer:
         self._httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)
+        # release the serving caches: unpersist the Spark-side ones
+        # and remove the bits tier's on-disk sidecar — without this,
+        # every server lifetime that answered one hamming-dialed query
+        # leaked a full-precision corpus copy in the temp dir (the
+        # weakref finalizer only covers GC/interpreter exit)
+        self.api._invalidate_corpus()

@@ -583,8 +583,28 @@ def _bucket_sessionize_fn(gap_s: int, timeout: bool):
             seg_end = np.concatenate((seg_start[1:], [len(uid)]))
             seg_uid = uid[seg_start]
             seg_n = (seg_end - seg_start).astype(np.int64)
-            cs = np.concatenate(([0.0], np.cumsum(vals)))
-            seg_sum = cs[seg_end] - cs[seg_start]
+            # segment sums from a PER-USER prefix sum, exactly the
+            # per-user door's expression (`cs[e] - cs[s]` over that
+            # user's values alone) — a bucket-wide cumsum would fold
+            # OTHER users' values into the accumulation and diverge in
+            # float ulps on fractional streams, breaking the
+            # emitted-rows-identical contract the equality tests pin.
+            # The per-user Python loop here is a few cheap numpy calls
+            # per user; the per-ROW and per-GROUP costs the door exists
+            # to amortize stay vectorized/bucketed.
+            seg_sum = np.empty(len(seg_start), dtype=np.float64)
+            user_starts = np.flatnonzero(new_user)
+            user_ends = np.concatenate((user_starts[1:], [len(uid)]))
+            si = 0
+            for u_lo, u_hi in zip(user_starts, user_ends):
+                cs = np.concatenate(
+                    ([0.0], np.cumsum(vals[u_lo:u_hi]))
+                )
+                while si < len(seg_start) and seg_start[si] < u_hi:
+                    seg_sum[si] = (
+                        cs[seg_end[si] - u_lo] - cs[seg_start[si] - u_lo]
+                    )
+                    si += 1
             seg_first = ts_us[seg_start]
             seg_last = ts_us[seg_end - 1]
             # last segment per user stays open (next batch may extend)

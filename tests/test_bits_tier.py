@@ -409,3 +409,86 @@ def test_bits_fetch_budget_guards_corpus_sized_rerank(
         )
     finally:
         idx.close()
+
+
+def test_bits_close_deferred_under_live_reader(spark, tmp_path):
+    """Invalidation must not delete the sidecar under an in-flight
+    query: close() defers removal to the last finisher, and new
+    entries after the mark raise the retryable invalidation error."""
+    import os
+
+    from converttovectordb_spark.operators.serving import (
+        BitsTierInvalidated,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, -1.0, float(i % 3)]) for i in range(20)],
+        "vec_id bigint, embedding array<double>",
+    )
+    idx = BitsMatrixIndex.from_dataframe(df, str(tmp_path))
+    side = idx.sidecar_path
+    idx._enter_serving()  # a reader is mid-request
+    idx.close()
+    assert os.path.isdir(side)  # NOT deleted under the reader
+    with pytest.raises(BitsTierInvalidated):
+        idx.query([1.0, 0.0, 0.0, 1.0], 2, hamming_shortlist=3)
+    idx._exit_serving()  # last reader finishes → removal happens
+    assert not os.path.isdir(side)
+    idx.close()  # idempotent
+
+
+def test_server_bits_fill_failure_negative_cached(spark, tmp_path):
+    """A corrupt store (inconsistent embedding dimensions) 400s with
+    the fill reason — and the reason is negative-cached, so repeat
+    dialed requests do not re-pay a corpus pass to fail again."""
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(DIM), dim=DIM
+    )
+    srv = VectorDBServer(eng, port=0, matrix_max_cells=1).start()
+    try:
+        _seed(srv, n=6)
+        # corrupt one row's dimension OUT-OF-BAND (the API door would
+        # reject it): append a short-dim row directly to the store
+        from pyspark.sql import functions as F
+
+        eng.store.append(
+            eng.store.load().limit(1).select(
+                "path", "extension", "chunk_index", "total_chunks",
+                "content",
+                F.slice("embedding", 1, 4).alias("embedding"),
+                "timestamp",
+            )
+        )
+        for _ in range(2):
+            st, out = _call(
+                srv, "POST", "/query",
+                {
+                    "query_embedding": _unit(0),
+                    "top_k": 2,
+                    "hamming_shortlist": 3,
+                },
+            )
+            assert st == 400
+            assert "cache fill failed" in out["error"]
+            assert "inconsistent dimensions" in out["error"]
+    finally:
+        srv.stop()
+
+
+def test_server_stop_removes_bits_sidecar(spark, tmp_path):
+    import os
+
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(DIM), dim=DIM
+    )
+    srv = VectorDBServer(eng, port=0, matrix_max_cells=1).start()
+    _seed(srv, n=6)
+    st, _ = _call(
+        srv, "POST", "/query",
+        {"query_embedding": _unit(0), "top_k": 2, "hamming_shortlist": 3},
+    )
+    assert st == 200
+    side = srv.api._bits.sidecar_path
+    assert os.path.isdir(side)
+    srv.stop()
+    assert not os.path.isdir(side)

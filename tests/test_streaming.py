@@ -696,17 +696,22 @@ def test_bucketed_sessionize_matches_per_user_door(spark, tmp_path):
     #   in timeout mode)
     # user 3: two sessions entirely inside b1
     # user 4: only in b1, idle afterwards (the timeout-mode flush case)
+    # FRACTIONAL values on purpose: interleaved users in one bucket
+    # would fold each other's values into a bucket-wide prefix sum and
+    # diverge from the per-user door in float ulps — the equality
+    # assertion below is the regression pin for the per-user-cumsum
+    # segment arithmetic
     b1 = src / "b1.json"
     b1.write_text("\n".join(_json.dumps(r) for r in [
-        rec(1, 1, 0, 1.0), rec(2, 1, 10, 2.0),
-        rec(10, 2, 0, 5.0),
-        rec(20, 3, 0, 1.0), rec(21, 3, 50, 2.0), rec(22, 3, 55, 3.0),
-        rec(30, 4, 0, 9.0), rec(31, 4, 5, 1.0),
+        rec(1, 1, 0, 0.1), rec(2, 1, 10, 0.2),
+        rec(10, 2, 0, 0.3),
+        rec(20, 3, 0, 0.1), rec(21, 3, 50, 0.7), rec(22, 3, 55, 0.3),
+        rec(30, 4, 0, 0.9), rec(31, 4, 5, 0.1),
     ]))
     b2 = src / "b2.json"
     b2.write_text("\n".join(_json.dumps(r) for r in [
-        rec(3, 1, 35, 4.0), rec(4, 1, 120, 8.0),
-        rec(11, 2, 240, 6.0),
+        rec(3, 1, 35, 0.4), rec(4, 1, 120, 0.8),
+        rec(11, 2, 240, 0.6),
     ]))
     now = _time.time()
     os.utime(b1, (now - 60, now - 60))
