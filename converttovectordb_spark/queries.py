@@ -9005,13 +9005,11 @@ def q_stream_sessionize_bucketed(
     )
 
 
-def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ordered-funnel twin of `q_stream_sessionize`: the second
-    CUSTOM STATEFUL streaming operator under the correctness gate
-    (streaming/stateful.py `stream_funnel` — per-user step machine,
-    three nullable scalars of state), driven to completion and
-    aggregated into the SAME 3-row shape — and SQL oracle — as the
-    batch `funnel_conversion`.
+def _stream_funnel_replay(spark: SparkSession, sf_dir: str, door) -> DataFrame:
+    """Shared replay harness for the funnel stream doors (per-user and
+    bucket-routed): availableNow replay of the events table through
+    ``door``, aggregated into the SAME 3-row shape — and SQL oracle —
+    as the batch `funnel_conversion`.
 
     Simpler than the sessionize harness on purpose: a stage completion
     is known the moment its event arrives, so there is no tail to
@@ -9030,7 +9028,6 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream_dir = tempfile.mkdtemp(prefix="stream_funnel_")
     _symlink_table_into(stream_dir, sf_dir, "events")
-    from converttovectordb_spark.streaming.stateful import stream_funnel
 
     ev = (
         spark.readStream.schema(schema)
@@ -9046,7 +9043,7 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # returning user re-emit stage rows (journey semantics), and >10
     # min-late files would be watermark-dropped. Green-at-one-batch is
     # luck of the file layout, not a contract.
-    comp = stream_funnel(ev, window_s=86_400, watermark_delay=None)
+    comp = door(ev)
     name = f"stream_funnel_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -9091,6 +9088,41 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.catalog.dropTempView(name)  # resolved above; no catalog leak
     return out
+
+
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered-funnel twin of `q_stream_sessionize`: the second
+    CUSTOM STATEFUL streaming operator under the correctness gate
+    (streaming/stateful.py `stream_funnel` — per-user step machine,
+    three nullable scalars of state), via the shared replay harness."""
+    from converttovectordb_spark.streaming.stateful import stream_funnel
+
+    return _stream_funnel_replay(
+        spark,
+        sf_dir,
+        lambda ev: stream_funnel(ev, window_s=86_400, watermark_delay=None),
+    )
+
+
+def q_stream_funnel_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r15 bucket-routed funnel door under the SAME batch oracle
+    as the per-user door: one applyInPandasWithState group per
+    user-BUCKET (array-typed state row, one lexsort + per-user slice
+    advance through the SHARED `_advance_funnel` kernel —
+    `streaming/stateful.py` `stream_funnel_bucketed`). Same replay,
+    same per-type prefilter, same oracle — grading that the routing
+    rewrite changed the physical shape and nothing else."""
+    from converttovectordb_spark.streaming.stateful import (
+        stream_funnel_bucketed,
+    )
+
+    return _stream_funnel_replay(
+        spark,
+        sf_dir,
+        lambda ev: stream_funnel_bucketed(
+            ev, window_s=86_400, buckets=32, watermark_delay=None
+        ),
+    )
 
 
 ORACLE_SESSIONIZE = """
@@ -10638,6 +10670,7 @@ QUERIES = {
     "stream_quality_gate": q_stream_quality_gate,
     "stream_sessionize": q_stream_sessionize,
     "stream_sessionize_bucketed": q_stream_sessionize_bucketed,
+    "stream_funnel_bucketed": q_stream_funnel_bucketed,
     # -- SQL analytics representatives --------------------------------
     "pricing_summary": q_pricing_summary,
     "price_band_join": q_price_band_join,
@@ -10851,6 +10884,7 @@ ORACLES = {
     "funnel_conversion": ORACLE_FUNNEL_CONVERSION,
     "retention_cohorts": ORACLE_RETENTION_COHORTS,
     "stream_funnel": ORACLE_FUNNEL_CONVERSION,
+    "stream_funnel_bucketed": ORACLE_FUNNEL_CONVERSION,
     "neardup_clusters_distributed": ORACLE_NEARDUP_CLUSTERS,
     "media_dedup": ORACLE_MEDIA_DEDUP,
 }

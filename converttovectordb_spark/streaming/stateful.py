@@ -190,9 +190,19 @@ def _sessionize_fn(gap_s: int, timeout: bool):
 
         events = _concat(pdfs)
         if len(events) == 0:
-            state.update((start_us, last_us, n_events, total_value))
-            if timeout and last_us is not None:
-                _arm_timeout(state, last_us + gap_us)
+            # defensive: Spark only invokes groups with data or on
+            # timeout, but if an empty-data invocation ever occurs,
+            # keep real state (re-armed) and DROP empty state — an
+            # all-None entry updated here would have no timeout and
+            # park forever, silently violating the bounded-state
+            # guarantee (ADVICE r14)
+            if last_us is None:
+                if state.exists:
+                    state.remove()
+            else:
+                state.update((start_us, last_us, n_events, total_value))
+                if timeout:
+                    _arm_timeout(state, last_us + gap_us)
             yield _EMPTY_SESSIONS
             return
         ts_us, vals = _group_arrays(events, "value")
@@ -341,6 +351,47 @@ FUNNEL_STATE_SCHEMA = "t0_us bigint, t1_us bigint, t2_us bigint"
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
 
+def _advance_funnel(
+    ts_us: np.ndarray,
+    et: np.ndarray,
+    t0_us,
+    t1_us,
+    t2_us,
+    window_us: int,
+):
+    """Run one user's step machine over their (ts, event_id)-sorted
+    batch slice: three first-set-bit probes replace the row loop; each
+    stage's mask depends only on the PREVIOUS stage's time, so
+    resolving them in order IS the sequential machine. Returns the
+    advanced ``(t0, t1, t2, new_stages)`` — shared by the per-user and
+    bucket-routed doors so their semantics cannot drift."""
+    new_stages: list[tuple[int, int]] = []  # (stage_order, t_us)
+    if t0_us is None:
+        hit = np.flatnonzero(et == _FUNNEL_STEPS[0])
+        if len(hit):
+            t0_us = int(ts_us[hit[0]])
+            new_stages.append((1, t0_us))
+    if t0_us is not None and t1_us is None:
+        hit = np.flatnonzero(
+            (et == _FUNNEL_STEPS[1])
+            & (ts_us > t0_us)
+            & (ts_us <= t0_us + window_us)
+        )
+        if len(hit):
+            t1_us = int(ts_us[hit[0]])
+            new_stages.append((2, t1_us))
+    if t1_us is not None and t2_us is None:
+        hit = np.flatnonzero(
+            (et == _FUNNEL_STEPS[2])
+            & (ts_us > t1_us)
+            & (ts_us <= t1_us + window_us)
+        )
+        if len(hit):
+            t2_us = int(ts_us[hit[0]])
+            new_stages.append((3, t2_us))
+    return t0_us, t1_us, t2_us, new_stages
+
+
 def _funnel_fn(window_s: int, timeout: bool):
     window_us = window_s * 1_000_000
 
@@ -364,32 +415,9 @@ def _funnel_fn(window_s: int, timeout: bool):
         new_stages: list[tuple[int, int]] = []  # (stage_order, t_us)
         if t2_us is None and len(events):
             ts_us, et = _group_arrays(events, "event_type")
-            # three first-set-bit probes replace the row loop; each
-            # stage's mask depends only on the PREVIOUS stage's time,
-            # so resolving them in order is the sequential machine
-            if t0_us is None:
-                hit = np.flatnonzero(et == _FUNNEL_STEPS[0])
-                if len(hit):
-                    t0_us = int(ts_us[hit[0]])
-                    new_stages.append((1, t0_us))
-            if t0_us is not None and t1_us is None:
-                hit = np.flatnonzero(
-                    (et == _FUNNEL_STEPS[1])
-                    & (ts_us > t0_us)
-                    & (ts_us <= t0_us + window_us)
-                )
-                if len(hit):
-                    t1_us = int(ts_us[hit[0]])
-                    new_stages.append((2, t1_us))
-            if t1_us is not None and t2_us is None:
-                hit = np.flatnonzero(
-                    (et == _FUNNEL_STEPS[2])
-                    & (ts_us > t1_us)
-                    & (ts_us <= t1_us + window_us)
-                )
-                if len(hit):
-                    t2_us = int(ts_us[hit[0]])
-                    new_stages.append((3, t2_us))
+            t0_us, t1_us, t2_us, new_stages = _advance_funnel(
+                ts_us, et, t0_us, t1_us, t2_us, window_us
+            )
 
         anchor = t2_us if t2_us is not None else (
             t1_us if t1_us is not None else t0_us
@@ -523,9 +551,16 @@ def _bucket_sessionize_fn(gap_s: int, timeout: bool):
             # sessions — emit and drop every session the watermark has
             # passed, keep the rest, re-arm for the new min
             wm_ms = state.getCurrentWatermarkMs()
+            # strict <, mirroring FlatMapGroupsWithStateExec's
+            # `timeoutTimestamp < watermark` eviction rule: the
+            # per-user door's session armed at exactly wm_ms does NOT
+            # fire this batch, so a deadline landing on the watermark
+            # millisecond must survive here too or the doors' pinned
+            # emitted-rows-identical contract breaks by one batch
+            # (ADVICE r14)
             expired = [
                 u for u, (s, l, n, v) in carry.items()
-                if (l + gap_us) // 1_000 + 1 <= wm_ms
+                if (l + gap_us) // 1_000 + 1 < wm_ms
             ]
             if not expired:
                 _arm_min(state, carry)
@@ -650,15 +685,20 @@ def _bucket_sessionize_fn(gap_s: int, timeout: bool):
                     int(f_n[si]),
                     float(f_sum[si]),
                 )
-        state.update((
-            list(carry),
-            [carry[u][0] for u in carry],
-            [carry[u][1] for u in carry],
-            [carry[u][2] for u in carry],
-            [carry[u][3] for u in carry],
-        ))
-        if timeout:
-            _arm_min(state, carry)
+        if carry:
+            state.update((
+                list(carry),
+                [carry[u][0] for u in carry],
+                [carry[u][1] for u in carry],
+                [carry[u][2] for u in carry],
+                [carry[u][3] for u in carry],
+            ))
+            if timeout:
+                _arm_min(state, carry)
+        elif state.exists:
+            # nothing carried (defensive empty-data invocation): drop
+            # rather than persist an untimed empty-array row forever
+            state.remove()
         if not out_uid:
             yield _EMPTY_SESSIONS
             return
@@ -711,6 +751,191 @@ def stream_sessionize_bucketed(
             _bucket_sessionize_fn(gap_s, timeout=True),
             outputStructType=SESSION_SCHEMA,
             stateStructType=BUCKET_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+#: Bucket-door funnel state: every LIVE machine in the bucket, packed
+#: as parallel arrays in ONE state row. A carried machine always has
+#: t0 set (the per-user door drops all-None machines as equivalent to
+#: absent); t1/t2 use the null sentinel below, since Spark's
+#: state round-trip does not preserve per-element array nulls.
+BUCKET_FUNNEL_STATE_SCHEMA = (
+    "uids array<bigint>, t0s array<bigint>, t1s array<bigint>, "
+    "t2s array<bigint>"
+)
+
+#: "stage not reached" sentinel for the packed t1/t2 arrays — far
+#: outside any epoch-micros value a parquet timestamp can carry
+#: (±2^62 µs ≈ ±146k years).
+_TS_NULL = -(1 << 62)
+
+
+def _bucket_funnel_fn(window_s: int, timeout: bool):
+    window_us = window_s * 1_000_000
+
+    def _anchor(m) -> int:
+        t0, t1, t2 = m
+        return t2 if t2 is not None else (t1 if t1 is not None else t0)
+
+    def _arm_min(state, carry):
+        if carry:
+            _arm_timeout(
+                state,
+                min(_anchor(m) for m in carry.values()) + window_us,
+            )
+
+    def _save(state, carry):
+        if carry:
+            state.update((
+                list(carry),
+                [carry[u][0] for u in carry],
+                [
+                    _TS_NULL if carry[u][1] is None else carry[u][1]
+                    for u in carry
+                ],
+                [
+                    _TS_NULL if carry[u][2] is None else carry[u][2]
+                    for u in carry
+                ],
+            ))
+            if timeout:
+                _arm_min(state, carry)
+        elif state.exists:
+            # nothing carried: drop rather than persist an untimed
+            # empty-array row forever (the sessionize doors' rule)
+            state.remove()
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            uids, t0s, t1s, t2s = state.get
+            carry = {
+                int(u): (
+                    int(a),
+                    None if b == _TS_NULL else int(b),
+                    None if c == _TS_NULL else int(c),
+                )
+                for u, a, b, c in zip(uids, t0s, t1s, t2s)
+            }
+        else:
+            carry = {}
+
+        if timeout and state.hasTimedOut:
+            # drop every machine whose deadline the watermark passed
+            # (terminal retention window, or the next stage's window
+            # closed) — the per-user door's timeout, bucket edition.
+            # Strict <, mirroring FlatMapGroupsWithStateExec's
+            # `timeoutTimestamp < watermark` eviction rule, so a
+            # deadline on the watermark millisecond survives exactly
+            # one more batch like the per-user door's would.
+            wm_ms = state.getCurrentWatermarkMs()
+            carry = {
+                u: m
+                for u, m in carry.items()
+                if not (_anchor(m) + window_us) // 1_000 + 1 < wm_ms
+            }
+            _save(state, carry)
+            yield _EMPTY_FUNNEL
+            return
+
+        events = _concat(pdfs)
+        out: list[tuple[int, int, int]] = []  # (uid, stage_order, t_us)
+        if len(events):
+            ts_i = events["ts"].to_numpy().view(np.int64)
+            uid = events["user_id"].to_numpy()
+            eid = events["event_id"].to_numpy()
+            et = events["event_type"].to_numpy()
+            order = np.lexsort((eid, ts_i, uid))
+            uid = uid[order]
+            ts_us = ts_i[order] // 1_000
+            et = et[order]
+            new_user = np.empty(len(uid), dtype=bool)
+            new_user[0] = True
+            new_user[1:] = uid[1:] != uid[:-1]
+            user_starts = np.flatnonzero(new_user)
+            user_ends = np.concatenate((user_starts[1:], [len(uid)]))
+            # per-user machine over that user's slice — the SHARED
+            # `_advance_funnel` kernel, so the doors cannot drift. The
+            # Python loop is per USER (a few numpy probes each); the
+            # per-GROUP pandas/state floor the door exists to amortize
+            # is paid once per bucket.
+            for u_lo, u_hi in zip(user_starts, user_ends):
+                u = int(uid[u_lo])
+                t0, t1, t2 = carry.get(u, (None, None, None))
+                if t2 is None:
+                    t0, t1, t2, stages = _advance_funnel(
+                        ts_us[u_lo:u_hi], et[u_lo:u_hi],
+                        t0, t1, t2, window_us,
+                    )
+                    out.extend((u, s, t) for s, t in stages)
+                if t0 is None:
+                    # no stage reached: equivalent to absent (per-user
+                    # door's rule) — keep nothing
+                    carry.pop(u, None)
+                else:
+                    carry[u] = (t0, t1, t2)
+        _save(state, carry)
+        if not out:
+            yield _EMPTY_FUNNEL
+            return
+        yield _out_frame(
+            ["user_id", "stage_order", "stage_ts"],
+            [
+                np.asarray([r[0] for r in out], dtype=np.int64),
+                np.asarray([r[1] for r in out], dtype=np.int32),
+                _ns_col([r[2] for r in out]),
+            ],
+        )
+
+    return fn
+
+
+def stream_funnel_bucketed(
+    events: DataFrame,
+    *,
+    window_s: int = 86_400,
+    buckets: int = DEFAULT_SESSION_BUCKETS,
+    watermark_delay: str | None = "10 minutes",
+) -> DataFrame:
+    """`stream_funnel` routed by ``pmod(hash(user_id), buckets)`` —
+    the high-cardinality door, same recipe as
+    `stream_sessionize_bucketed` (r14 verdict #2: the funnel shares
+    the measured ~190 µs/group constructor floor that cost the
+    per-user sessionize door 15 s of pure overhead at 80k users). One
+    applyInPandasWithState group carries ~users/buckets machines: one
+    lexsort segments the bucket by user, each user's slice advances
+    through the SHARED `_advance_funnel` kernel, and the bucket's live
+    machines pack into ONE array-typed state row.
+
+    Emitted rows are IDENTICAL to the per-user door (stage completions
+    emit the moment their event lands; a timeout firing emits nothing
+    — it only frees dead machines); only intra-batch emission order
+    differs. Timeout mode arms each bucket at the MIN deadline over
+    its machines (next-stage window close, or the terminal retention
+    window). One user's events always land in one bucket, so per-user
+    semantics hold by construction."""
+    bucketed = events.withColumn(
+        "_bucket", F.pmod(F.hash("user_id"), F.lit(int(buckets)))
+    )
+    if watermark_delay is None:
+        return bucketed.groupBy("_bucket").applyInPandasWithState(
+            _bucket_funnel_fn(window_s, timeout=False),
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=BUCKET_FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    return (
+        bucketed.withWatermark("ts", watermark_delay)
+        .groupBy("_bucket")
+        .applyInPandasWithState(
+            _bucket_funnel_fn(window_s, timeout=True),
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=BUCKET_FUNNEL_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

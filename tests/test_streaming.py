@@ -783,3 +783,119 @@ def test_bucketed_sessionize_matches_per_user_door(spark, tmp_path):
         .select(F.explode("value.groupState.uids").alias("uid")).collect()
     )
     assert left_bkt == left_user
+
+
+def test_bucketed_funnel_matches_per_user_door(spark, tmp_path):
+    """The bucket-routed funnel door must emit EXACTLY the per-user
+    door's rows across micro-batches — cross-batch stage completion,
+    strict order, window expiry, at-most-once per stage — in replay
+    mode and in timeout mode, and leave the same live machines in
+    state (array-packed)."""
+    import json as _json
+    import os
+    import time as _time
+
+    from converttovectordb_spark.streaming.stateful import (
+        stream_funnel,
+        stream_funnel_bucketed,
+    )
+
+    src = tmp_path / "bkt_funnel_src"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def rec(eid, uid, minutes, etype):
+        ts = base + dt.timedelta(minutes=minutes)
+        return {"event_id": eid, "ts": ts.isoformat(), "user_id": uid,
+                "event_type": etype, "value": 0.0, "props": "{}"}
+
+    # user 1: view(b1) → click(b2, in window) → purchase(b2, 25h after
+    #   the click, OUT of window) — cross-batch advance, stage 3 never
+    # user 2: click BEFORE any view (b1), view later → stage 1 only
+    # user 3: full funnel inside b1 + a second qualifying click that
+    #   must not re-emit stage 2 → terminal, timeout-freed
+    # user 4: click with no view → no state at all
+    # user 5: view only in b1, idle → expired by the watermark in
+    #   timeout mode (state freed; nothing extra emitted)
+    b1 = src / "b1.json"
+    b1.write_text("\n".join(_json.dumps(r) for r in [
+        rec(1, 1, 0, "view"),
+        rec(10, 2, 0, "click"), rec(11, 2, 5, "view"),
+        rec(30, 3, 0, "view"), rec(31, 3, 10, "click"),
+        rec(32, 3, 15, "click"), rec(33, 3, 20, "purchase"),
+        rec(40, 4, 0, "click"),
+        rec(50, 5, 0, "view"),
+    ]))
+    # user 1's click lands in-window in b2; their late purchase and a
+    # 3-days-later view from user 6 drag the watermark past every b1
+    # deadline (timeout mode) while user 6's own machine stays live
+    b2 = src / "b2.json"
+    b2.write_text("\n".join(_json.dumps(r) for r in [
+        rec(2, 1, 30, "click"),
+        rec(3, 1, 30 + 25 * 60, "purchase"),
+        rec(60, 6, 3 * 24 * 60, "view"),
+    ]))
+    now = _time.time()
+    os.utime(b1, (now - 60, now - 60))
+    os.utime(b2, (now, now))
+
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+
+    def run(door, tag):
+        ev = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(str(src))
+              .select("user_id", "event_id", "ts", "event_type"))
+        name = f"bkt_funnel_{tag}"
+        q = (door(ev).writeStream.outputMode("append").format("memory")
+             .queryName(name)
+             .option("checkpointLocation", str(tmp_path / f"fck_{tag}"))
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+        rows = sorted(
+            (r["user_id"], r["stage_order"], r["stage_ts"])
+            for r in spark.table(name).collect()
+        )
+        spark.catalog.dropTempView(name)
+        return rows
+
+    per_user = run(
+        lambda ev: stream_funnel(ev, window_s=86_400, watermark_delay=None),
+        "user_nt",
+    )
+    bucketed = run(
+        lambda ev: stream_funnel_bucketed(
+            ev, window_s=86_400, buckets=2, watermark_delay=None
+        ),
+        "bkt_nt",
+    )
+    assert bucketed == per_user
+    assert sorted(set((u, s) for u, s, _ in per_user)) == [
+        (1, 1), (1, 2), (2, 1), (3, 1), (3, 2), (3, 3), (5, 1), (6, 1),
+    ]
+    # timeout mode: SAME emitted rows (a funnel timeout only frees
+    # state), and the same live machines left on both shapes
+    per_user_t = run(
+        lambda ev: stream_funnel(ev, window_s=86_400), "user_to"
+    )
+    bucketed_t = run(
+        lambda ev: stream_funnel_bucketed(ev, window_s=86_400, buckets=2),
+        "bkt_to",
+    )
+    assert bucketed_t == per_user_t == per_user
+    from pyspark.sql import functions as F
+
+    left_user = set(
+        r["user_id"]
+        for r in spark.read.format("statestore")
+        .load(str(tmp_path / "fck_user_to"))
+        .select("key.user_id").collect()
+    )
+    left_bkt = set(
+        r["uid"]
+        for r in spark.read.format("statestore")
+        .load(str(tmp_path / "fck_bkt_to"))
+        .select(F.explode("value.groupState.uids").alias("uid")).collect()
+    )
+    assert left_bkt == left_user
