@@ -853,6 +853,16 @@ class VectorEngine:
         )
 
     # -- ingest lexical-dedup internals ------------------------------------
+    @property
+    def bits_artifact_path(self) -> str:
+        """Root of the persisted bits-tier artifact (packed sign words
+        + row ids + full-precision sidecar under a CURRENT-pointered
+        version dir — `operators/serving.py` `BitsMatrixIndex`). Same
+        derive-from-store-path convention as the minhash signature
+        artifact; store-token staleness + fsck lifecycle like the
+        IVF/lex artifacts."""
+        return self.store.path.rstrip("/") + "_bits"
+
     def _sig_store(self):
         from converttovectordb_spark.sources.sigstore import (
             MinHashSignatureStore,
@@ -2947,3 +2957,5 @@ class VectorEngine:
         import shutil
 
         shutil.rmtree(self._sig_store().path, ignore_errors=True)
+        # the bits-tier artifact likewise snapshots the cleared corpus
+        shutil.rmtree(self.bits_artifact_path, ignore_errors=True)

@@ -1,15 +1,17 @@
 """One integrity door over every write-side artifact (r12 verdict #3).
 
-The engine persists FOUR crash-recoverable artifacts, each with its own
-module-private integrity/recovery protocol grown over four review
+The engine persists FIVE crash-recoverable artifacts, each with its own
+module-private integrity/recovery protocol grown over five review
 passes: the transactional store's O_EXCL commit log
 (`sources/store.py`), the IVF index's derivable stats manifest + three
 measured-dial curves (`plans/ivf_index.py`), the lexical index's
 doclens-vs-manifest torn-append check and two-rename swap recovery
-(`plans/lex_index.py`), and the minhash signature store's parked-copy
-recovery and debris sweeps (`sources/sigstore.py`). The operator of a
-100 TB store needs ONE verb that runs all of them and reports a typed
-findings list — not four module-private protocols to know about.
+(`plans/lex_index.py`), the minhash signature store's parked-copy
+recovery and debris sweeps (`sources/sigstore.py`), and the bits tier's
+CURRENT-pointered packed-words + sidecar artifact
+(`operators/serving.py`). The operator of a 100 TB store needs ONE verb
+that runs all of them and reports a typed findings list — not five
+module-private protocols to know about.
 
 ``fsck(engine)`` is detect-only by default; ``heal=True`` additionally
 applies every repair the modules already define as safe (histogram
@@ -22,7 +24,7 @@ contract: do not run it concurrently with writers.
 
 Each finding::
 
-    {"artifact": "store|ivf_index|lex_index|sigstore",
+    {"artifact": "store|ivf_index|lex_index|sigstore|bits",
      "path": str, "check": str, "severity": "error|warn|info",
      "detail": str, "healed": bool}
 
@@ -480,6 +482,154 @@ def _fsck_sigstore(engine: "VectorEngine", heal: bool) -> list[dict]:
     return out
 
 
+# -- bits-tier artifact -----------------------------------------------
+
+
+def _fsck_bits(engine: "VectorEngine", heal: bool) -> list[dict]:
+    """The persisted bits-tier artifact (r15): ``<root>/CURRENT`` →
+    ``v-<hex>/{sidecar, words.npy, row_ids.npy, _meta.json}``. Every
+    repair here is safe to auto-apply — the artifact is a DERIVABLE
+    cache of the store (the next dialed request refills it), so heal
+    always reduces to 'remove the broken/stale piece'."""
+    import json
+    import shutil
+
+    from converttovectordb_spark.operators.serving import (
+        BITS_CURRENT_FILE,
+        BITS_META_FILE,
+        BITS_ROWIDS_FILE,
+        BITS_SIDECAR_DIR,
+        BITS_WORDS_FILE,
+        BitsMatrixIndex,
+    )
+    from converttovectordb_spark.sources.sigstore import token_digest
+
+    root = engine.bits_artifact_path
+    out: list[dict] = []
+    if not os.path.isdir(root):
+        return out
+    cur = BitsMatrixIndex._read_current(root)
+    # 1. crash debris: tmp pointer files and version dirs CURRENT does
+    # not reference (a crashed build, or a deferred close that never
+    # ran because the process died)
+    debris = [
+        n for n in os.listdir(root)
+        if n.startswith(".current.")
+        or (n.startswith("v-") and n != cur)
+    ]
+    if debris:
+        healed = False
+        if heal:
+            for n in debris:
+                p = os.path.join(root, n)
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+            healed = True
+        out.append(_finding(
+            "bits", root, "orphan_versions", "warn",
+            f"{len(debris)} unreferenced version dir(s)/tmp pointer(s) "
+            "— crash leftovers; each holds a full-precision corpus "
+            "copy", healed,
+        ))
+
+    def _drop_artifact():
+        for n in (cur, BITS_CURRENT_FILE):
+            p = os.path.join(root, n) if n else None
+            if p and os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            elif p and os.path.isfile(p):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+
+    if cur is None:
+        return out
+    vdir = os.path.join(root, cur)
+    # 2. dangling pointer / unreadable version
+    ok = True
+    detail = None
+    meta = None
+    if not os.path.isdir(vdir):
+        ok, detail = False, f"CURRENT names missing dir {cur!r}"
+    else:
+        try:
+            with open(os.path.join(vdir, BITS_META_FILE)) as fh:
+                meta = json.load(fh)
+            import numpy as np
+
+            words = np.load(
+                os.path.join(vdir, BITS_WORDS_FILE), mmap_mode="r"
+            )
+            rids = np.load(
+                os.path.join(vdir, BITS_ROWIDS_FILE), mmap_mode="r"
+            )
+            n, n_words = int(meta["n"]), int(meta["n_words"])
+            if words.shape != (n, n_words) or rids.shape != (n,):
+                ok, detail = False, (
+                    f"packed arrays {words.shape}/{rids.shape} disagree "
+                    f"with meta (n={n}, n_words={n_words})"
+                )
+            elif not os.path.isdir(os.path.join(vdir, BITS_SIDECAR_DIR)):
+                ok, detail = False, "sidecar parquet missing"
+        except Exception as e:
+            ok, detail = False, f"unreadable ({e})"
+    if not ok:
+        healed = False
+        if heal:
+            _drop_artifact()
+            healed = True
+        out.append(_finding(
+            "bits", root, "corrupt_artifact",
+            "warn" if healed else "error",
+            f"{detail} — dialed queries would re-pay the fill; "
+            + ("removed (refills on demand)" if healed
+               else "run fsck(heal=True) to remove"),
+            healed,
+        ))
+        return out
+    # 3. sidecar row count must match the packed arrays (one bounded
+    # count job — fsck is the offline verb that may scan)
+    side_n = engine.spark.read.parquet(
+        os.path.join(vdir, BITS_SIDECAR_DIR)
+    ).count()
+    if side_n != int(meta["n"]):
+        healed = False
+        if heal:
+            _drop_artifact()
+            healed = True
+        out.append(_finding(
+            "bits", root, "sidecar_mismatch",
+            "warn" if healed else "error",
+            f"sidecar holds {side_n} rows, meta says {meta['n']} — "
+            "the rerank fetch would miss candidates; "
+            + ("removed" if healed else "run fsck(heal=True)"),
+            healed,
+        ))
+        return out
+    # 4. staleness vs the live store
+    digest = token_digest(engine.store.state_token())
+    if meta.get("built_from") != digest:
+        healed = False
+        if heal:
+            _drop_artifact()
+            healed = True
+        out.append(_finding(
+            "bits", root, "stale", "info",
+            "artifact was built from a different store state — the "
+            "serving door ignores it and refills on the next dialed "
+            "request"
+            + ("; removed" if healed else ""),
+            healed,
+        ))
+    return out
+
+
 def fsck(engine: "VectorEngine", *, heal: bool = False) -> list[dict]:
     """Run every artifact's integrity/recovery pass; see module doc.
     Severity-ordered (errors first) for direct display."""
@@ -488,6 +638,7 @@ def fsck(engine: "VectorEngine", *, heal: bool = False) -> list[dict]:
     findings += _fsck_ivf(engine, heal)
     findings += _fsck_lex(engine, heal)
     findings += _fsck_sigstore(engine, heal)
+    findings += _fsck_bits(engine, heal)
     rank = {"error": 0, "warn": 1, "info": 2}
     findings.sort(key=lambda f: (rank[f["severity"]], f["artifact"], f["check"]))
     return findings

@@ -1060,17 +1060,6 @@ BITS_ROW_COL = "_bits_row"
 #: bounding the transient regardless of corpus size.
 BITS_SCAN_BLOCK_ROWS = 1_048_576
 
-#: Estimated RESIDENT bytes per payload row on the bits tier. The
-#: matrix tier's 16-bytes/row fixed term prices serialized width and
-#: tolerates Python-object inflation because its cell budget caps rows
-#: at ~hundreds of thousands; the bits tier admits 64× the rows, where
-#: `to_pylist()`'s ~300-400 B/row of dict/str overhead — not the
-#: serialized bytes — is what actually fills the driver. Pricing it in
-#: the admission term keeps the documented ~1 GB resident envelope
-#: true in the tier's own regime (256 MB budget / 256 B ≈ 1M rows of
-#: small payloads).
-_BITS_PAYLOAD_ROW_BYTES = 256
-
 #: Upper bound on rows a single bits-tier rerank fetch may collect.
 #: The tier's whole premise is that full-precision vectors do NOT fit
 #: driver memory — a shortlist approaching the corpus size would turn
@@ -1089,9 +1078,52 @@ class BitsTierInvalidated(RuntimeError):
     status, never a client error."""
 
 
+class BitsFillRace(RuntimeError):
+    """The corpus changed between the bits-tier fill's admission probe
+    and its collect (row count / word-buffer shape no longer match the
+    probe). Transient by construction — the store moved under the fill
+    — so servers route this to the same retry/503 path as a
+    token-moved invalidation, NEVER to a negative-cached client error
+    (ADVICE r14: only genuine corpus corruption, the inconsistent-
+    dimension ValueError, deserves the 400 + negative cache)."""
+
+
+def bits_resident_cells(n_rows: int, dim: int) -> int:
+    """Driver-resident footprint of a bits-tier corpus, priced in BIT
+    cells against ``max_cells × BITS_ADMISSION_MULTIPLE`` (the same
+    byte budget as ``max_cells`` float64 cells). Per row: the packed
+    sign words (word-padded — padding is real memory), the int64
+    sidecar row id, and the per-query int64 Hamming-distance scratch
+    array, each 64-bit item priced as 64 bit-cells. Nothing else is
+    resident — display payloads ride the SAME bounded sidecar fetch
+    that reranks the shortlist (r14 verdict #1: the r14 design kept
+    `to_pylist()` payload dicts driver-side, and their ~256-400 B/row
+    gated admission ~5× below what the bit layout could hold)."""
+    n_words = (int(dim) + 63) // 64
+    return int(n_rows) * (n_words + 2) * 64
+
+
+#: Artifact-layout names for the persisted bits tier (r14 verdict #1):
+#: ``<root>/CURRENT`` names the live version dir (atomic pointer swap,
+#: the `TransactionalIVFIndex.publish_current` recipe);
+#: ``<root>/v-<hex>/`` holds {sidecar parquet, packed words, row ids,
+#: meta}. The packed words and row ids are deterministic functions of
+#: the store, so they persist under the same store-token staleness +
+#: fsck lifecycle as the IVF/lex artifacts — a server restart loads
+#: them (zero corpus jobs) instead of re-paying the measured 54-100 s
+#: fill at 0.6-2.4M rows.
+BITS_CURRENT_FILE = "CURRENT"
+BITS_META_FILE = "_meta.json"
+BITS_SIDECAR_DIR = "sidecar"
+BITS_WORDS_FILE = "words.npy"
+BITS_ROWIDS_FILE = "row_ids.npy"
+BITS_FORMAT = 1
+
+
 class BitsMatrixIndex:
-    """Bits-resident serving tier: packed sign bits + payload in driver
-    memory, full-precision embeddings in an on-disk sidecar.
+    """Bits-resident serving tier: packed sign bits + sidecar row ids
+    in driver memory; full-precision embeddings AND display payloads
+    in an on-disk parquet sidecar.
 
     The r13 measurement (SCALING.md "The consumed dials") showed the
     sign-bit layout's value is BYTES, not FLOPs: integer multi-pass
@@ -1104,8 +1136,12 @@ class BitsMatrixIndex:
     reranks ONLY the shortlist at full precision via a bounded sidecar
     fetch (a row-id ``IN`` filter over parquet whose monotone row ids
     give row-group pruning — the job reads ~shortlist rows, never the
-    corpus). The alternative at this N is the distributed exact scan,
-    which reads n × d × 8 bytes per query.
+    corpus). That ONE fetch also returns the display columns, so the
+    resident set is packed words + row ids alone
+    (:func:`bits_resident_cells` — ~56 B/row at d=384; the r14 design
+    kept per-row payload dicts resident and its own 256 B/row pricing
+    gated admission ~5× below the bit layout's capacity, r14 verdict
+    #1). Admission is therefore genuinely bits-bound.
 
     Semantics are pinned to
     ``DriverMatrixIndex.query(hamming_shortlist=...)`` — same packed
@@ -1117,137 +1153,144 @@ class BitsMatrixIndex:
     its in-RAM store hits (mock_vector_db_api.py:29-30): it has no
     answer past that ceiling; this tier is ours.
 
-    Build with :meth:`from_dataframe` (returns ``None`` past the bits
-    or payload budget — callers then use the distributed tier). The
-    sidecar parquet is written ONCE at fill (one corpus pass — also
-    the lineage cut that makes the fill-time row ids stable) and owned
-    by this object; call :meth:`close` to remove it.
+    Two lifecycles share one implementation:
+
+    * :meth:`from_dataframe` — EPHEMERAL (tests/probes): a uuid
+      version dir under the caller's temp root, removed by
+      :meth:`close` / GC.
+    * :meth:`build_current` / :meth:`load_current` — PERSISTED (the
+      serving door): versioned dirs under a stable root with an
+      atomic ``CURRENT`` pointer and a store-token-stamped meta, so a
+      restart against an unchanged store loads the packed words +
+      row ids from disk with ZERO corpus jobs (the fill is 54-100 s
+      at 0.6-2.4M rows — ~5 min at the documented ~7M-docs/replica
+      envelope). Staleness/heal/fsck follow the IVF/lex artifact
+      rules (`fsck._fsck_bits`).
     """
 
     def __init__(
         self,
         words: np.ndarray,
         row_ids: np.ndarray,
-        payload: list[dict],
         dim: int,
         *,
         spark=None,
-        sidecar_path: str | None = None,
+        artifact_path: str | None = None,
         embedding_col: str = "embedding",
+        store_token: str | None = None,
+        ephemeral: bool = True,
     ):
         self.words = words  # (n, ceil(dim/64)) uint64 sign bits
         self.row_ids = row_ids  # (n,) int64 sidecar row ids
-        self.payload = payload  # row dicts WITHOUT the embedding column
         self.dim = dim
         self._spark = spark
-        self.sidecar_path = sidecar_path
+        self.artifact_path = artifact_path  # version dir (sidecar+npy+meta)
+        self.store_token = store_token  # token digest the fill saw
+        self._ephemeral = ephemeral
         self._embedding_col = embedding_col
         self._side = None  # lazy sidecar DataFrame handle
+        self._removed = False
         self._lock = threading.Lock()
         # close() is DEFERRED while queries are in flight: invalidation
         # must not rmtree the sidecar out from under a live fetch (the
         # reader would 500 on a request that was valid when it
         # started). Queries refcount _active; close() marks pending
-        # and the last finisher removes the sidecar.
+        # and the last finisher removes the artifact.
         self._active = 0
         self._close_pending = False
-        if sidecar_path is not None:
+        if artifact_path is not None and ephemeral:
             import shutil
             import weakref
 
-            # GC / interpreter-exit backstop: a server that never
-            # closes its tier (crash, missed stop) must not leak a
-            # full-precision corpus copy in the temp dir forever
+            # GC / interpreter-exit backstop for the EPHEMERAL
+            # lifecycle only: a probe that never closes its tier must
+            # not leak a full-precision corpus copy in the temp dir.
+            # Persisted artifacts are the opposite contract — they
+            # must SURVIVE process exit so the next server loads them.
             self._finalizer = weakref.finalize(
-                self, shutil.rmtree, sidecar_path, True
+                self, shutil.rmtree, artifact_path, True
             )
 
     @property
     def n(self) -> int:
         return self.words.shape[0]
 
+    @property
+    def sidecar_path(self) -> str | None:
+        if self.artifact_path is None or self._removed:
+            return None
+        return os.path.join(self.artifact_path, BITS_SIDECAR_DIR)
+
+    # -- build / load ---------------------------------------------------
+
+    @staticmethod
+    def _probe(df: DataFrame, embedding_col: str) -> tuple[int, int]:
+        """(n_rows, dim) in ONE aggregate that doubles as the
+        dim-consistency check — a corrupt store must raise BEFORE the
+        sidecar write pays (then discards) a full corpus pass,
+        especially since a failed fill is retried by callers."""
+        from pyspark.sql import functions as F
+
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.size(F.col(embedding_col))).alias("lo"),
+            F.max(F.size(F.col(embedding_col))).alias("hi"),
+        ).first()
+        n = int(agg["n"])
+        if n == 0:
+            return 0, 0
+        lo, hi = int(agg["lo"]), int(agg["hi"])
+        if lo != hi:
+            raise ValueError(
+                f"stored embeddings have inconsistent dimensions "
+                f"({hi} vs {lo})"
+            )
+        return n, hi
+
     @classmethod
-    def from_dataframe(
+    def _build_at(
         cls,
         df: DataFrame,
-        sidecar_dir: str,
+        version_dir: str,
         *,
-        embedding_col: str = "embedding",
-        max_cells: int = DEFAULT_MAX_CELLS,
-        max_payload_bytes: int = DEFAULT_MAX_PAYLOAD_BYTES,
+        store_token: str | None,
+        embedding_col: str,
+        max_cells: int,
+        ephemeral: bool,
     ) -> "BitsMatrixIndex | None":
-        """Materialize the bits tier if the corpus fits its budgets,
-        else ``None``.
-
-        Admission: ``n × dim`` sign bits within ``max_cells ×
-        BITS_ADMISSION_MULTIPLE`` (same driver bytes as ``max_cells``
-        float64 cells) AND the same payload-bytes gate as the matrix
-        tier (`_size_probe` — the payload dominates past the matrix
-        budget, so the gate is usually the binding one). The fill
-        writes the sidecar (one corpus pass), packs sign bits
-        executor-side (an Arrow pandas_udf calling the SAME
-        `_pack_bits64` as the matrix tier — the transfer ships n×d/8
-        packed bytes, never n×d×8 floats), and Arrow-collects
-        (row_id, packed words, payload)."""
+        import json
         import shutil
 
         from pyspark.sql import functions as F
 
-        n, first_dim, payload_bytes = _size_probe(df, embedding_col)
+        n, dim = cls._probe(df, embedding_col)
         if n == 0:
             return cls(
                 np.zeros((0, 0), dtype=np.uint64),
                 np.zeros(0, dtype=np.int64),
-                [],
                 0,
                 embedding_col=embedding_col,
+                store_token=store_token,
+                ephemeral=ephemeral,
             )
-        if n * first_dim > max_cells * BITS_ADMISSION_MULTIPLE:
+        if bits_resident_cells(n, dim) > max_cells * BITS_ADMISSION_MULTIPLE:
             return None
-        # re-price the fixed per-row payload term for THIS tier's row
-        # counts: resident cost is to_pylist()'s dict/str overhead,
-        # not serialized width (see _BITS_PAYLOAD_ROW_BYTES) — the
-        # matrix tier's 16 B/row term would admit row counts whose
-        # Python payload alone is several GB
-        if (
-            payload_bytes
-            - n * _FIXED_WIDTH_ROW_BYTES
-            + n * _BITS_PAYLOAD_ROW_BYTES
-        ) > max_payload_bytes:
-            return None
-        # dim-consistency check BEFORE the sidecar write: a corrupt
-        # store must raise without first paying (then discarding) the
-        # full corpus pass — especially since a failed fill is retried
-        # by callers
-        dims = df.agg(
-            F.min(F.size(F.col(embedding_col))).alias("lo"),
-            F.max(F.size(F.col(embedding_col))).alias("hi"),
-        ).first()
-        if int(dims["lo"]) != int(dims["hi"]):
-            raise ValueError(
-                f"stored embeddings have inconsistent dimensions "
-                f"({first_dim} vs "
-                f"{int(dims['lo']) if int(dims['lo']) != first_dim else int(dims['hi'])})"
-            )
         spark = df.sparkSession
-        sidecar_path = os.path.join(
-            sidecar_dir, f"bits-{uuid.uuid4().hex}"
-        )
-        os.makedirs(sidecar_path, exist_ok=True)
+        os.makedirs(version_dir, exist_ok=True)
         try:
+            sidecar = os.path.join(version_dir, BITS_SIDECAR_DIR)
             # the write IS the lineage cut: monotonically_increasing_id
             # is only stable within one job, so the ids are assigned
             # once, persisted, and every later read (fill collect +
-            # every rerank fetch) sees the same mapping
+            # every rerank fetch) sees the same mapping.
             # default (128 MiB) row groups, measured: shrinking them to
             # 4 MiB to cut per-candidate decode ballooned the fetch 4×
             # (450 row groups' footers/stats beat the decode saving) —
-            # the bounded fetch is footer-bound, not decode-bound, at
-            # this layout
+            # the bounded fetch is footer-bound, not decode-bound
             df.withColumn(
                 BITS_ROW_COL, F.monotonically_increasing_id()
-            ).write.parquet(sidecar_path, mode="overwrite")
-            side = spark.read.parquet(sidecar_path)
+            ).write.parquet(sidecar, mode="overwrite")
+            side = spark.read.parquet(sidecar)
 
             from pyspark.sql.functions import pandas_udf
 
@@ -1263,59 +1306,250 @@ class BitsMatrixIndex:
                 words = _pack_bits64(arr > 0).view(np.int64)
                 return pd.Series(list(words))
 
-            payload_cols = [
-                c for c in side.columns
-                if c not in (embedding_col, BITS_ROW_COL)
-            ]
+            # the transfer ships n × (8 + d/8) bytes — row ids plus
+            # packed words, never payload strings or n×d×8 floats
             tbl = side.select(
                 BITS_ROW_COL,
-                *payload_cols,
                 _pack(F.col(embedding_col)).alias("_words"),
             ).toArrow()
-            row_ids = tbl.column(BITS_ROW_COL).to_numpy().astype(np.int64)
-            wcol = tbl.column("_words").combine_chunks()
-            n_words = (first_dim + 63) // 64
-            flat = wcol.flatten().to_numpy(zero_copy_only=False)
-            words = (
-                np.ascontiguousarray(flat.reshape(n, n_words))
-                .astype(np.int64)
-                .view(np.uint64)
-            )
-            payload = tbl.drop_columns(
-                [BITS_ROW_COL, "_words"]
-            ).to_pylist()
+            n_words = (dim + 63) // 64
+            try:
+                row_ids = (
+                    tbl.column(BITS_ROW_COL).to_numpy().astype(np.int64)
+                )
+                wcol = tbl.column("_words").combine_chunks()
+                flat = wcol.flatten().to_numpy(zero_copy_only=False)
+                if len(row_ids) != n or flat.shape[0] != n * n_words:
+                    raise BitsFillRace(
+                        f"bits-tier fill collected {len(row_ids)} rows "
+                        f"where the admission probe counted {n} — the "
+                        "store changed during the fill; retry"
+                    )
+                words = (
+                    np.ascontiguousarray(flat.reshape(n, n_words))
+                    .astype(np.int64)
+                    .view(np.uint64)
+                )
+            except BitsFillRace:
+                raise
+            except ValueError as e:
+                # numpy shape errors here mean the collect no longer
+                # matches the probe — a racing write, not corruption
+                raise BitsFillRace(
+                    f"store changed during the bits-tier fill ({e}); "
+                    "retry"
+                ) from e
             order = np.argsort(row_ids, kind="stable")
+            words = np.ascontiguousarray(words[order])
+            row_ids = np.ascontiguousarray(row_ids[order])
+            np.save(os.path.join(version_dir, BITS_WORDS_FILE), words)
+            np.save(os.path.join(version_dir, BITS_ROWIDS_FILE), row_ids)
+            with open(
+                os.path.join(version_dir, BITS_META_FILE), "w"
+            ) as fh:
+                json.dump(
+                    {
+                        "format": BITS_FORMAT,
+                        "n": n,
+                        "dim": dim,
+                        "n_words": n_words,
+                        "embedding_col": embedding_col,
+                        "built_from": store_token,
+                    },
+                    fh,
+                )
             return cls(
-                words[order],
-                row_ids[order],
-                [payload[int(i)] for i in order],
-                first_dim,
+                words,
+                row_ids,
+                dim,
                 spark=spark,
-                sidecar_path=sidecar_path,
+                artifact_path=version_dir,
                 embedding_col=embedding_col,
+                store_token=store_token,
+                ephemeral=ephemeral,
             )
         except Exception:
-            shutil.rmtree(sidecar_path, ignore_errors=True)
+            shutil.rmtree(version_dir, ignore_errors=True)
             raise
 
+    @classmethod
+    def from_dataframe(
+        cls,
+        df: DataFrame,
+        sidecar_dir: str,
+        *,
+        embedding_col: str = "embedding",
+        max_cells: int = DEFAULT_MAX_CELLS,
+    ) -> "BitsMatrixIndex | None":
+        """EPHEMERAL build (tests/probes): materialize the bits tier
+        under a uuid dir in ``sidecar_dir`` if the corpus fits the
+        bits budget, else ``None``. Removed by :meth:`close` / GC."""
+        version_dir = os.path.join(
+            sidecar_dir, f"bits-{uuid.uuid4().hex}"
+        )
+        return cls._build_at(
+            df,
+            version_dir,
+            store_token=None,
+            embedding_col=embedding_col,
+            max_cells=max_cells,
+            ephemeral=True,
+        )
+
+    @staticmethod
+    def _read_current(root: str) -> str | None:
+        try:
+            with open(os.path.join(root, BITS_CURRENT_FILE)) as fh:
+                name = fh.read().strip()
+            return name or None
+        except OSError:
+            return None
+
+    @classmethod
+    def build_current(
+        cls,
+        df: DataFrame,
+        root: str,
+        *,
+        store_token: str | None,
+        embedding_col: str = "embedding",
+        max_cells: int = DEFAULT_MAX_CELLS,
+    ) -> "BitsMatrixIndex | None":
+        """PERSISTED build: sweep crash orphans, build a fresh version
+        dir, atomically repoint ``CURRENT``. Returns ``None`` past the
+        bits budget (the root is left as-is — fsck reports any stale
+        survivor). The previous CURRENT version is NOT swept here: its
+        owner removes it via the deferred :meth:`close`, or the next
+        build / ``fsck --heal`` sweeps it once unreferenced."""
+        import shutil
+
+        os.makedirs(root, exist_ok=True)
+        cur = cls._read_current(root)
+        for name in os.listdir(root):
+            if name.startswith("v-") and name != cur:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            elif name.startswith(".current."):
+                try:
+                    os.remove(os.path.join(root, name))
+                except OSError:
+                    pass
+        version = f"v-{uuid.uuid4().hex}"
+        idx = cls._build_at(
+            df,
+            os.path.join(root, version),
+            store_token=store_token,
+            embedding_col=embedding_col,
+            max_cells=max_cells,
+            ephemeral=False,
+        )
+        if idx is None or idx.n == 0:
+            # over budget, or empty corpus (nothing worth persisting —
+            # the empty index needs no files and re-probing is one
+            # cheap aggregate)
+            return idx
+        tmp = os.path.join(root, f".current.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(version)
+        os.replace(tmp, os.path.join(root, BITS_CURRENT_FILE))
+        return idx
+
+    @classmethod
+    def load_current(
+        cls, spark, root: str, *, embedding_col: str = "embedding"
+    ) -> "BitsMatrixIndex | None":
+        """Open the persisted bits artifact with ZERO Spark jobs: read
+        ``CURRENT`` → meta → mmap the packed words + row ids. Returns
+        ``None`` when absent, dangling, or unreadable — the artifact
+        is a derivable cache, so every load failure resolves to
+        'rebuild' (fsck reports the corruption separately); staleness
+        is the CALLER's check (compare :attr:`store_token` against the
+        live store's digest)."""
+        import json
+
+        cur = cls._read_current(root)
+        if cur is None:
+            return None
+        vdir = os.path.join(root, cur)
+        try:
+            with open(os.path.join(vdir, BITS_META_FILE)) as fh:
+                meta = json.load(fh)
+            if meta.get("format") != BITS_FORMAT:
+                return None
+            # mmap: instant open, lazy page-in — the restart-cheap
+            # contract. The blocked Hamming scan reads it like any
+            # ndarray; removal under live readers is safe on POSIX
+            # (the inode outlives the unlink).
+            words = np.load(
+                os.path.join(vdir, BITS_WORDS_FILE), mmap_mode="r"
+            )
+            row_ids = np.load(os.path.join(vdir, BITS_ROWIDS_FILE))
+            n, dim, n_words = (
+                int(meta["n"]),
+                int(meta["dim"]),
+                int(meta["n_words"]),
+            )
+            if (
+                words.shape != (n, n_words)
+                or words.dtype != np.uint64
+                or row_ids.shape != (n,)
+                or meta.get("embedding_col") != embedding_col
+                or not os.path.isdir(
+                    os.path.join(vdir, BITS_SIDECAR_DIR)
+                )
+            ):
+                return None
+        except Exception:
+            return None
+        return cls(
+            words,
+            row_ids,
+            dim,
+            spark=spark,
+            artifact_path=vdir,
+            embedding_col=embedding_col,
+            store_token=meta.get("built_from"),
+            ephemeral=False,
+        )
+
+    # -- lifecycle ------------------------------------------------------
+
     def close(self) -> None:
-        """Remove the sidecar parquet (the driver arrays die with the
-        object). Idempotent. Deferred while queries are in flight: the
-        mark blocks NEW entries (they raise `BitsTierInvalidated` —
-        retryable) and the last in-flight query performs the removal,
-        so a live fetch never has its files deleted underneath it."""
+        """Remove the artifact (sidecar + packed words; the driver
+        arrays die with the object). Idempotent. Deferred while
+        queries are in flight: the mark blocks NEW entries (they raise
+        `BitsTierInvalidated` — retryable) and the last in-flight
+        query performs the removal, so a live fetch never has its
+        files deleted underneath it. For a PERSISTED index this is the
+        staleness path (the store moved; the artifact is dead weight)
+        — shutdown with a fresh store uses :meth:`release` instead,
+        which keeps the artifact for the next process to load."""
         with self._lock:
             self._close_pending = True
             if self._active == 0:
-                self._remove_sidecar_locked()
+                self._remove_artifact_locked()
 
-    def _remove_sidecar_locked(self) -> None:
+    def release(self) -> None:
+        """Detach without removing: block new queries (retryable
+        `BitsTierInvalidated`), keep every on-disk file. The shutdown
+        path for PERSISTED indexes — the artifact's whole point is
+        that the next server start loads it instead of re-paying the
+        fill."""
+        with self._lock:
+            self._close_pending = True
+            fin = getattr(self, "_finalizer", None)
+            if fin is not None:
+                fin.detach()
+
+    def _remove_artifact_locked(self) -> None:
         import shutil
 
-        if self.sidecar_path is not None:
-            shutil.rmtree(self.sidecar_path, ignore_errors=True)
-            self.sidecar_path = None
+        if self.artifact_path is not None and not self._removed:
+            shutil.rmtree(self.artifact_path, ignore_errors=True)
+            self._removed = True
             self._side = None
+            fin = getattr(self, "_finalizer", None)
+            if fin is not None:
+                fin.detach()
 
     def _enter_serving(self) -> None:
         with self._lock:
@@ -1330,21 +1564,22 @@ class BitsMatrixIndex:
         with self._lock:
             self._active -= 1
             if self._close_pending and self._active == 0:
-                self._remove_sidecar_locked()
+                self._remove_artifact_locked()
 
     def _sidecar(self):
         if self._side is None:
-            if self._spark is None or self.sidecar_path is None:
+            path = self.sidecar_path
+            if self._spark is None or path is None:
                 raise RuntimeError(
                     "bits tier has no sidecar (closed or empty-built); "
-                    "rebuild with from_dataframe"
+                    "rebuild with from_dataframe/build_current"
                 )
             with self._lock:
                 if self._side is None:
-                    self._side = self._spark.read.parquet(
-                        self.sidecar_path
-                    )
+                    self._side = self._spark.read.parquet(path)
         return self._side
+
+    # -- serving --------------------------------------------------------
 
     def _shortlist(
         self, q: np.ndarray, top_k: int, hamming_shortlist: int | None
@@ -1370,7 +1605,7 @@ class BitsMatrixIndex:
         qbits = _pack_bits64((q > 0).reshape(1, -1))
         # blocked scan: bounds the popcount temporaries to the block's
         # working set (see BITS_SCAN_BLOCK_ROWS) — the distance array
-        # itself is n × 8 bytes, priced within the tier's budget
+        # itself is n × 8 bytes, priced in bits_resident_cells
         ham = np.empty(self.n, dtype=np.int64)
         for lo in range(0, self.n, BITS_SCAN_BLOCK_ROWS):
             hi = min(lo + BITS_SCAN_BLOCK_ROWS, self.n)
@@ -1406,12 +1641,16 @@ class BitsMatrixIndex:
             )
         return q
 
-    def _fetch_vectors(self, cand: np.ndarray) -> np.ndarray:
-        """Full-precision embeddings for the candidate rows — ONE
-        bounded Spark job: a row-id ``IN`` filter over the sidecar
-        (pushed to parquet; the monotone ids give row-group pruning)
-        selecting two columns. Reads ~|cand| rows; the corpus is never
-        scanned at full width."""
+    def _fetch_rows(
+        self, cand: np.ndarray
+    ) -> tuple[np.ndarray, list[dict]]:
+        """Full-precision embeddings AND display payloads for the
+        candidate rows — ONE bounded Spark job: a row-id ``IN`` filter
+        over the sidecar (pushed to parquet; the monotone ids give
+        row-group pruning). Reads ~|cand| rows; the corpus is never
+        scanned at full width, and nothing row-shaped is resident
+        outside this call (the r14 verdict-#1 change: the payload used
+        to live driver-side and gated admission)."""
         from pyspark.sql import functions as F
 
         if len(cand) > BITS_FETCH_MAX_ROWS:
@@ -1424,33 +1663,45 @@ class BitsMatrixIndex:
                 "the distributed exact door"
             )
         ids = [int(self.row_ids[int(j)]) for j in cand]
-        got = (
+        tbl = (
             self._sidecar()
             .filter(F.col(BITS_ROW_COL).isin(ids))
-            .select(BITS_ROW_COL, self._embedding_col)
-            .collect()
+            .toArrow()
         )
-        by_id = {int(r[0]): r[1] for r in got}
+        rows = tbl.to_pylist()
+        by_id = {int(r[BITS_ROW_COL]): r for r in rows}
         if len(by_id) != len(ids):
             raise RuntimeError(
                 f"bits-tier sidecar fetch returned {len(by_id)} of "
                 f"{len(ids)} rows — the sidecar no longer matches the "
                 "fill (it is immutable by contract; rebuild the cache)"
             )
-        return np.asarray([by_id[i] for i in ids], dtype=np.float64)
+        vecs = np.asarray(
+            [by_id[i][self._embedding_col] for i in ids],
+            dtype=np.float64,
+        )
+        payload = [
+            {
+                k: v
+                for k, v in by_id[i].items()
+                if k not in (self._embedding_col, BITS_ROW_COL)
+            }
+            for i in ids
+        ]
+        return vecs, payload
 
     def _rerank(
         self,
         q: np.ndarray,
-        cand: np.ndarray,
         vecs: np.ndarray,
+        payload: list[dict],
         top_k: int,
         score_threshold: float,
         id_cols: list[str] | None,
     ) -> list[dict]:
         qn = math.sqrt(float(np.dot(q, q)))
         if qn == 0.0:
-            scores = np.zeros(len(cand))
+            scores = np.zeros(len(payload))
         else:
             norms = np.sqrt(np.einsum("ij,ij->i", vecs, vecs))
             with np.errstate(divide="ignore", invalid="ignore"):
@@ -1458,7 +1709,7 @@ class BitsMatrixIndex:
                     norms == 0.0, 0.0, (vecs @ q) / (norms * qn)
                 )
         return select_among(
-            self.payload, cand, scores, top_k, score_threshold, id_cols
+            payload, None, scores, top_k, score_threshold, id_cols
         )
 
     def query(
@@ -1473,17 +1724,17 @@ class BitsMatrixIndex:
         """Top-k rows as dicts with a ``score`` key — the
         ``DriverMatrixIndex.query(hamming_shortlist=...)`` contract
         served from the bits-resident layout: memory-speed Hamming
-        shortlist, bounded sidecar fetch, exact rerank, shared
-        selection."""
+        shortlist, ONE bounded sidecar fetch (vectors + payload),
+        exact rerank, shared selection."""
         q = self._validate_query(query_vector)
         if self.n == 0:
             return []
         self._enter_serving()
         try:
             cand = self._shortlist(q, top_k, hamming_shortlist)
-            vecs = self._fetch_vectors(cand)
+            vecs, payload = self._fetch_rows(cand)
             return self._rerank(
-                q, cand, vecs, top_k, score_threshold, id_cols
+                q, vecs, payload, top_k, score_threshold, id_cols
             )
         finally:
             self._exit_serving()
@@ -1519,16 +1770,16 @@ class BitsMatrixIndex:
                 for j in range(Q.shape[0])
             ]
             union = np.unique(np.concatenate(cands))
-            uvecs = self._fetch_vectors(union)
+            uvecs, upayload = self._fetch_rows(union)
             pos = {int(c): i for i, c in enumerate(union)}
             out = []
             for j, cand in enumerate(cands):
-                vecs = uvecs[[pos[int(c)] for c in cand]]
+                sel = [pos[int(c)] for c in cand]
                 out.append(
                     self._rerank(
                         np.ascontiguousarray(Q[j]),
-                        cand,
-                        vecs,
+                        uvecs[sel],
+                        [upayload[i] for i in sel],
                         top_k,
                         score_threshold,
                         id_cols,

@@ -187,13 +187,22 @@ class VectorDBApi:
             self._corpus_token = token
             return ("df", cached)
 
-    def _drop_cache_locked(self):
+    def _drop_cache_locked(self, *, keep_bits_artifact: bool = False):
         if self._corpus is not None:
             self._corpus.unpersist()
         if self._mmr_corpus is not None:
             self._mmr_corpus.unpersist()
         if self._bits is not None:
-            self._bits.close()  # removes the on-disk sidecar
+            if keep_bits_artifact:
+                # shutdown with an UNCHANGED store: keep the persisted
+                # artifact so the next server start loads it instead of
+                # re-paying the 54-100 s fill (r14 verdict #1)
+                self._bits.release()
+            else:
+                # the store moved (write-through or out-of-band): the
+                # artifact describes a dead state — remove it (deferred
+                # under in-flight readers)
+                self._bits.close()
         self._corpus = None
         self._matrix = None
         self._mmr_corpus = None
@@ -233,9 +242,9 @@ class VectorDBApi:
                 self._mmr_corpus = cached
             return self._mmr_corpus
 
-    def _invalidate_corpus(self):
+    def _invalidate_corpus(self, *, keep_bits_artifact: bool = False):
         with self._corpus_lock:
-            self._drop_cache_locked()
+            self._drop_cache_locked(keep_bits_artifact=keep_bits_artifact)
 
     # -- POST /add_documents (reference :150-228) -----------------------
     def add_documents(self, body: dict) -> dict:
@@ -409,22 +418,30 @@ class VectorDBApi:
         holding the global lock for that long would block every other
         endpoint's cache check. A dedicated fill lock serializes
         concurrent dialed requests instead (losers wait on the winner
-        rather than duplicating the corpus pass). Install is
-        double-checked under the corpus lock and token-guarded: if a
-        write invalidated the caches mid-fill (the token moved), the
-        freshly built index is discarded and the fill retried once. A
-        RAISING fill (e.g. inconsistent stored dimensions) is
-        negative-cached — the next dialed request 400s from the cached
-        reason instead of re-paying the fill only to fail again.
+        rather than duplicating the corpus pass). The fill tries the
+        PERSISTED artifact first (``engine.bits_artifact_path`` —
+        packed words + row ids + sidecar, store-token-stamped): a
+        token-matched load is ZERO corpus jobs, which is what makes
+        server restarts cheap; only a missing/stale artifact pays the
+        build (which re-persists it). Install is double-checked under
+        the corpus lock and token-guarded: if a write invalidated the
+        caches mid-fill (the token moved), the freshly built index is
+        discarded and the fill retried once. A `BitsFillRace` (the
+        collect no longer matches the admission probe — a racing
+        write, possibly out-of-band) takes the SAME retry path, never
+        the negative cache (ADVICE r14). Only a corrupt-store
+        ValueError (inconsistent stored dimensions) is negative-cached
+        — the next dialed request 400s from the cached reason instead
+        of re-paying the fill only to fail again.
 
         Non-serving outcomes raise `_ApiError` here (over-budget /
         corrupt-store 400s, churn 503) — both dialed doors share this
         logic, so the messages cannot drift between them."""
-        import tempfile
-
         from converttovectordb_spark.operators.serving import (
+            BitsFillRace,
             BitsMatrixIndex,
         )
+        from converttovectordb_spark.sources.sigstore import token_digest
 
         def _resolved():
             if self._bits is not None:
@@ -439,35 +456,54 @@ class VectorDBApi:
                 400,
                 "hamming_shortlist requires a driver-resident tier; "
                 "this corpus exceeds even the bits tier's admission "
-                "budget — raise matrix_max_cells/"
-                "matrix_max_payload_bytes or query undialed",
+                "budget — raise matrix_max_cells or query undialed",
             )
 
         with self._corpus_lock:
             if self._bits_filled:
                 return _resolved()
+        root = self.engine.bits_artifact_path
         with self._bits_fill_lock:
             for _attempt in range(2):
                 with self._corpus_lock:
                     if self._bits_filled:
                         return _resolved()
                     fill_token = self._corpus_token
-                try:
-                    idx = BitsMatrixIndex.from_dataframe(
-                        self.engine.store.load(),
-                        tempfile.gettempdir(),
-                        max_cells=self._matrix_max_cells,
-                        max_payload_bytes=self._matrix_max_payload_bytes,
-                    )
-                except ValueError as e:
-                    with self._corpus_lock:
-                        if self._corpus_token == fill_token:
-                            self._bits = None
-                            self._bits_filled = True
-                            self._bits_fill_error = str(e)
-                    raise _ApiError(
-                        400, f"bits-tier cache fill failed: {e}"
-                    )
+                digest = token_digest(fill_token)
+                idx = None
+                loaded = BitsMatrixIndex.load_current(
+                    self.engine.spark, root
+                )
+                if loaded is not None:
+                    if (
+                        digest is not None
+                        and loaded.store_token == digest
+                    ):
+                        idx = loaded  # restart-cheap: zero corpus jobs
+                    else:
+                        # stale artifact: describes a dead store state
+                        loaded.close()
+                if idx is None:
+                    try:
+                        idx = BitsMatrixIndex.build_current(
+                            self.engine.store.load(),
+                            root,
+                            store_token=digest,
+                            max_cells=self._matrix_max_cells,
+                        )
+                    except BitsFillRace:
+                        # the store changed between probe and collect —
+                        # transient; retry against the new state
+                        continue
+                    except ValueError as e:
+                        with self._corpus_lock:
+                            if self._corpus_token == fill_token:
+                                self._bits = None
+                                self._bits_filled = True
+                                self._bits_fill_error = str(e)
+                        raise _ApiError(
+                            400, f"bits-tier cache fill failed: {e}"
+                        )
                 with self._corpus_lock:
                     if self._bits_filled:
                         if idx is not None:
@@ -1292,8 +1328,8 @@ class VectorDBServer:
         if self._thread is not None:
             self._thread.join(timeout=5)
         # release the serving caches: unpersist the Spark-side ones
-        # and remove the bits tier's on-disk sidecar — without this,
-        # every server lifetime that answered one hamming-dialed query
-        # leaked a full-precision corpus copy in the temp dir (the
-        # weakref finalizer only covers GC/interpreter exit)
-        self.api._invalidate_corpus()
+        # and RELEASE (not remove) the bits tier — the persisted
+        # artifact under the store's `_bits` root is the next server
+        # start's zero-corpus-jobs load; removing it on every stop
+        # would re-pay the 54-100 s fill per restart (r14 verdict #1)
+        self.api._invalidate_corpus(keep_bits_artifact=True)

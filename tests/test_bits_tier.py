@@ -129,28 +129,45 @@ def test_bits_reference_semantics(spark, tmp_path):
 
 
 def test_bits_admission_budgets(spark, tmp_path):
+    from converttovectordb_spark.operators.serving import (
+        bits_resident_cells,
+    )
+
     df = spark.createDataFrame(
         [(i, [float(i), 1.0]) for i in range(64)],
         "vec_id bigint, embedding array<double>",
     )
-    # 64 rows × 2 dims = 128 cells: past a 1-cell float budget but
-    # within 1 × BITS_ADMISSION_MULTIPLE = 64... no: 128 > 64 → None;
-    # a 2-cell budget admits (128 <= 128).
-    assert (
-        BitsMatrixIndex.from_dataframe(df, str(tmp_path), max_cells=1)
-        is None
-    )
-    idx = BitsMatrixIndex.from_dataframe(df, str(tmp_path), max_cells=2)
-    assert idx is not None and idx.n == 64
-    idx.close()
-    # the payload gate is shared with the matrix tier
-    wide = df.withColumn("content", F.repeat(F.lit("x"), 1000))
+    # admission is BITS-bound (r14 verdict #1): resident = packed words
+    # (word-padded) + row ids + distance scratch, priced in bit-cells
+    # against max_cells × 64. 64 rows × 2 dims → 1 word + 2 overhead
+    # items per row = 64 × 3 × 64 = 12288 bit-cells.
+    need = bits_resident_cells(64, 2)
+    assert need == 64 * 3 * 64
     assert (
         BitsMatrixIndex.from_dataframe(
-            wide, str(tmp_path), max_payload_bytes=100
+            df, str(tmp_path), max_cells=need // BITS_ADMISSION_MULTIPLE - 1
         )
         is None
     )
+    idx = BitsMatrixIndex.from_dataframe(
+        df, str(tmp_path), max_cells=need // BITS_ADMISSION_MULTIPLE
+    )
+    assert idx is not None and idx.n == 64
+    idx.close()
+    # NO payload gate: a megabyte-wide content column is sidecar-only
+    # (served from the bounded rerank fetch), so it cannot change
+    # admission — this is what "bits-bound" means
+    wide = df.withColumn("content", F.repeat(F.lit("x"), 1000))
+    idx2 = BitsMatrixIndex.from_dataframe(
+        wide, str(tmp_path), max_cells=need // BITS_ADMISSION_MULTIPLE
+    )
+    assert idx2 is not None and idx2.n == 64
+    got = idx2.query(
+        [1.0, 1.0], 1, score_threshold=-2.0, id_cols=["vec_id"],
+        hamming_shortlist=2,
+    )
+    assert got and got[0]["content"] == "x" * 1000
+    idx2.close()
     assert BITS_ADMISSION_MULTIPLE == 64
 
 
@@ -250,8 +267,10 @@ def test_server_bits_tier_admission_and_parity(spark, tmp_path):
     eng = VectorEngine(
         spark, str(tmp_path / "store"), embedder=hash_embedder(DIM), dim=DIM
     )
-    # 6 docs × 8 dims = 48 cells: > 1 (matrix rejected), <= 64 (bits ok)
-    srv = VectorDBServer(eng, port=0, matrix_max_cells=1).start()
+    # 6 docs × 8 dims = 48 float cells > 20 (matrix rejected); bits
+    # resident = 6 × (1 word + 2 overhead) × 64 = 1152 bit-cells
+    # <= 20 × 64 = 1280 (bits admitted)
+    srv = VectorDBServer(eng, port=0, matrix_max_cells=20).start()
     srv_matrix = VectorDBServer(eng, port=0).start()
     try:
         _seed(srv, n=6)
@@ -306,14 +325,12 @@ def test_server_bits_tier_rejections_and_invalidation(spark, tmp_path):
     eng = VectorEngine(
         spark, str(tmp_path / "store"), embedder=hash_embedder(DIM), dim=DIM
     )
-    srv = VectorDBServer(
-        eng, port=0, matrix_max_cells=1, matrix_max_payload_bytes=1
-    ).start()
+    srv = VectorDBServer(eng, port=0, matrix_max_cells=1).start()
     try:
         _seed(srv, n=6)
         probe = _unit(0)
-        # payload budget rejects the bits tier too → 400, never a
-        # silent undialled answer
+        # a 1-cell budget rejects the bits tier too (64 bit-cells <
+        # the 1152 resident) → 400, never a silent undialled answer
         st, out = _call(
             srv, "POST", "/query",
             {"query_embedding": probe, "top_k": 3, "hamming_shortlist": 4},
@@ -345,7 +362,9 @@ def test_server_bits_sidecar_invalidated_on_write(spark, tmp_path):
     eng = VectorEngine(
         spark, str(tmp_path / "store"), embedder=hash_embedder(DIM), dim=DIM
     )
-    srv = VectorDBServer(eng, port=0, matrix_max_cells=2).start()
+    # float: 48 > 45 (6 docs) and 112 > 45 (14 docs) — matrix rejected
+    # both; bits: 1152 and 2688 bit-cells <= 45 × 64 = 2880 — admitted
+    srv = VectorDBServer(eng, port=0, matrix_max_cells=45).start()
     try:
         _seed(srv, n=6)
         probe = _unit(0)
@@ -475,20 +494,127 @@ def test_server_bits_fill_failure_negative_cached(spark, tmp_path):
         srv.stop()
 
 
-def test_server_stop_removes_bits_sidecar(spark, tmp_path):
+def test_server_restart_loads_persisted_bits_artifact(
+    spark, tmp_path, monkeypatch
+):
+    """r14 verdict #1(b): the packed words + row ids + sidecar persist
+    under the store's `_bits` root across server lifetimes — stop
+    KEEPS the artifact, and a fresh server against the unchanged store
+    serves dialed queries from `load_current` with ZERO corpus jobs
+    (asserted by making the build path explode)."""
     import os
 
     eng = VectorEngine(
         spark, str(tmp_path / "store"), embedder=hash_embedder(DIM), dim=DIM
     )
-    srv = VectorDBServer(eng, port=0, matrix_max_cells=1).start()
+    srv = VectorDBServer(eng, port=0, matrix_max_cells=20).start()
     _seed(srv, n=6)
-    st, _ = _call(
-        srv, "POST", "/query",
-        {"query_embedding": _unit(0), "top_k": 2, "hamming_shortlist": 3},
-    )
+    body = {
+        "query_embedding": _unit(0), "top_k": 2, "hamming_shortlist": 3,
+    }
+    st, first = _call(srv, "POST", "/query", body)
     assert st == 200
     side = srv.api._bits.sidecar_path
-    assert os.path.isdir(side)
+    assert side is not None and os.path.isdir(side)
+    assert side.startswith(eng.bits_artifact_path)
     srv.stop()
-    assert not os.path.isdir(side)
+    # stop released, did NOT remove — the artifact is the next
+    # process's zero-corpus-jobs load
+    assert os.path.isdir(side)
+
+    import converttovectordb_spark.operators.serving as serving
+
+    def _no_build(*a, **k):  # any corpus pass on reopen is the bug
+        raise AssertionError(
+            "restart must load the persisted bits artifact, not refill"
+        )
+
+    monkeypatch.setattr(
+        serving.BitsMatrixIndex, "build_current", _no_build
+    )
+    srv2 = VectorDBServer(eng, port=0, matrix_max_cells=20).start()
+    try:
+        st2, again = _call(srv2, "POST", "/query", body)
+        assert st2 == 200
+        assert again["results"] == first["results"]
+        assert srv2.api._bits.store_token is not None
+    finally:
+        srv2.stop()
+    monkeypatch.undo()
+    # ...and a WRITE invalidates the persisted artifact like any other
+    # cache: the next dialed query refills against the new store state
+    srv3 = VectorDBServer(eng, port=0, matrix_max_cells=45).start()
+    try:
+        _seed(srv3, n=8)
+        st3, out3 = _call(srv3, "POST", "/query", body)
+        assert st3 == 200
+        assert out3["total_documents_searched"] == 14
+        assert not os.path.isdir(side)  # stale version dir swept
+    finally:
+        srv3.stop()
+
+
+def test_bits_fsck_covers_artifact(spark, tmp_path):
+    """The persisted bits artifact sits under the same fsck lifecycle
+    as the other four artifacts: clean tree → no findings; orphan
+    version dirs and corrupt packed arrays are found and healed by
+    removal (the artifact is a derivable cache); a store write makes
+    it stale (info finding, heal = remove)."""
+    import os
+    import shutil
+
+    from converttovectordb_spark.fsck import fsck
+    from converttovectordb_spark.operators.serving import (
+        BITS_WORDS_FILE,
+        BitsMatrixIndex,
+    )
+    from converttovectordb_spark.sources.sigstore import token_digest
+
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(DIM), dim=DIM
+    )
+    docs = spark.createDataFrame(
+        [
+            (f"f{i}.py", ".py", 1, 0, f"doc {i}", _unit(i), 0.0)
+            for i in range(6)
+        ],
+        "path string, extension string, total_chunks int, "
+        "chunk_index int, content string, embedding array<float>, "
+        "timestamp double",
+    )
+    eng.store.append(docs)
+    root = eng.bits_artifact_path
+    idx = BitsMatrixIndex.build_current(
+        eng.store.load(), root,
+        store_token=token_digest(eng.store.state_token()),
+    )
+    assert idx is not None and idx.n == 6
+    assert [f["artifact"] for f in fsck(eng)] == []
+    # orphan version dir (crashed build debris)
+    os.makedirs(os.path.join(root, "v-deadbeef"))
+    found = [f for f in fsck(eng) if f["artifact"] == "bits"]
+    assert [f["check"] for f in found] == ["orphan_versions"]
+    fsck(eng, heal=True)
+    assert not os.path.isdir(os.path.join(root, "v-deadbeef"))
+    # corrupt packed words → error, heal removes the whole artifact
+    words_path = os.path.join(idx.artifact_path, BITS_WORDS_FILE)
+    with open(words_path, "wb") as fh:
+        fh.write(b"garbage")
+    found = [f for f in fsck(eng) if f["artifact"] == "bits"]
+    assert found and found[0]["check"] == "corrupt_artifact"
+    assert found[0]["severity"] == "error"
+    fsck(eng, heal=True)
+    assert BitsMatrixIndex.load_current(spark, root) is None
+    # rebuild, then write to the store → stale (info), healed by removal
+    idx2 = BitsMatrixIndex.build_current(
+        eng.store.load(), root,
+        store_token=token_digest(eng.store.state_token()),
+    )
+    assert idx2 is not None
+    eng.store.append(docs.limit(1))
+    found = [f for f in fsck(eng) if f["artifact"] == "bits"]
+    assert [f["check"] for f in found] == ["stale"]
+    assert found[0]["severity"] == "info"
+    fsck(eng, heal=True)
+    assert BitsMatrixIndex.load_current(spark, root) is None
+    shutil.rmtree(root, ignore_errors=True)
