@@ -124,14 +124,27 @@ def main() -> int:
         return round(time.time() - t0, 3)
 
     noise_sentinel()  # warm the sentinel's own codegen once, untimed
-    sentinel_secs = {"start": noise_sentinel()}
+    # INTERLEAVED series (r14 verdict #4): the r14 start/middle/end
+    # triple showed 0.195→0.379 s drift but could only bracket it; a
+    # reading every ~20 queries localizes a host window to the ~20
+    # queries it actually touched. ~7 extra readings ≈ 2-3 s of wall.
+    sentinel_series: list[dict] = []
+
+    def record_sentinel(pos: int) -> float:
+        s = noise_sentinel()
+        sentinel_series.append({"at": pos, "sec": s})
+        return s
+
+    sentinel_secs = {"start": record_sentinel(0)}
     timings: dict[str, float] = {}
     min2: dict[str, bool] = {}
     total = 0.0
     midpoint = len(QUERIES) // 2
     for qi, (name, fn) in enumerate(QUERIES.items()):
         if qi == midpoint:
-            sentinel_secs["middle"] = noise_sentinel()
+            sentinel_secs["middle"] = record_sentinel(qi)
+        elif qi and qi % 20 == 0:
+            record_sentinel(qi)
 
         def _one_run() -> float:
             t0 = time.time()
@@ -166,7 +179,8 @@ def main() -> int:
         timings[name] = dt
         total += dt
         print(f"bench: {name} {dt:.2f}s", file=sys.stderr)
-    sentinel_secs["end"] = noise_sentinel()
+    sentinel_secs["end"] = record_sentinel(len(QUERIES))
+    sentinel_secs["series"] = sentinel_series
     print(f"bench: noise sentinel {sentinel_secs}", file=sys.stderr)
 
     # Reference-comparable headline numbers (BASELINE.md):
