@@ -142,13 +142,24 @@ def main() -> int:
             run_exact()
             ts_e.append(time.perf_counter() - t0)
 
-        # challenger: bits tier (sidecar fill once, dialed queries)
+        # challenger: bits tier — built through the PERSISTED path
+        # (same corpus pass as the ephemeral fill) so the probe also
+        # prices the restart story: load_current must open the packed
+        # words + row ids with zero corpus jobs
+        root = os.path.join(
+            tempfile.gettempdir(), f"bits_probe_root_{n}"
+        )
         t0 = time.perf_counter()
-        bits = BitsMatrixIndex.from_dataframe(
-            corpus, tempfile.gettempdir()
+        bits = BitsMatrixIndex.build_current(
+            corpus, root, store_token="probe"
         )
         fill_b = time.perf_counter() - t0
         assert bits is not None, "bits admission must hold on the ladder"
+        t0 = time.perf_counter()
+        reloaded = BitsMatrixIndex.load_current(spark, root)
+        load_b = time.perf_counter() - t0
+        assert reloaded is not None and reloaded.n == n
+        reloaded.release()
 
         def run_bits():
             with point_query_mode(spark):
@@ -168,18 +179,24 @@ def main() -> int:
             {r["vec_id"] for r in exact} & {r["vec_id"] for r in dialed}
         )
         float_mib = n * DIM * 8 / 2**20
-        bits_mib = bits.words.nbytes / 2**20
+        # resident = packed words + row ids, the WHOLE driver set
+        # (r15: display payload rides the rerank fetch, not the heap)
+        bits_mib = (bits.words.nbytes + bits.row_ids.nbytes) / 2**20
         print(
             f"N={n:>9,} (past budget)"
             f"\n  distributed exact : min {min(ts_e):.4f}s  "
             f"p50 {sorted(ts_e)[len(ts_e)//2]:.4f}s  (cache fill {fill_df:.1f}s)"
             f"\n  bits tier dialed  : min {min(ts_b):.4f}s  "
             f"p50 {sorted(ts_b)[len(ts_b)//2]:.4f}s  (fill {fill_b:.1f}s, "
+            f"restart load {load_b:.2f}s, "
             f"{bits_mib:.0f} MiB driver vs {float_mib:.0f} MiB float)"
             f"\n  top-{TOP_K} overlap dialed∩exact: {overlap}/{TOP_K}  "
             f"(shortlist={SHORTLIST})"
         )
         bits.close()
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
         cached.unpersist()
 
     spark.stop()
