@@ -206,8 +206,8 @@ def _build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser(
         "fsck",
         help="integrity check over every persisted artifact (store "
-        "commit log, IVF index, lexical index, signature store); "
-        "--heal applies the safe repairs",
+        "commit log, IVF index, lexical index, signature store, bits "
+        "serving artifact); --heal applies the safe repairs",
     )
     sp.add_argument(
         "--heal",
@@ -276,6 +276,20 @@ def _build_parser() -> argparse.ArgumentParser:
         "the exact-rerank path and persist the curve — search_indexed("
         "target_adc_recall=r) then resolves the shortlist from the "
         "measurement",
+    )
+    common(sp)
+
+    sp = sub.add_parser(
+        "build-bits",
+        help="explicitly (re)build the persisted bits-tier serving "
+        "artifact (packed sign words + row ids + sidecar under "
+        "<store>_bits) so a server's first hamming-dialed request "
+        "loads in milliseconds instead of paying the corpus-pass fill",
+    )
+    sp.add_argument(
+        "--max-cells", type=int, default=None,
+        help="override the driver cell budget the admission check "
+        "prices the packed bits against (default: the serving tier's)",
     )
     common(sp)
 
@@ -616,6 +630,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.adc_recall_sample is not None:
             out["adc_curve"] = idx.adc_curve()
         print(json.dumps(out))
+    elif args.command == "build-bits":
+        try:
+            out = eng.build_bits_artifact(max_cells=args.max_cells)
+        except ValueError as e:
+            print(json.dumps({"command": "build-bits", "error": str(e)}))
+            return 1
+        print(json.dumps({"command": "build-bits", **out}))
     elif args.command == "retrain":
         try:
             eng.open_index()  # attach (and heal) the published index

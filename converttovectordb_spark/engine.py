@@ -853,6 +853,50 @@ class VectorEngine:
         )
 
     # -- ingest lexical-dedup internals ------------------------------------
+    def build_bits_artifact(self, *, max_cells: int | None = None) -> dict:
+        """Explicitly (re)build the persisted bits-tier artifact (the
+        r15 'explicit fill' door): one corpus pass writes the sidecar
+        + packed sign words + row ids under `bits_artifact_path`,
+        stamped with the CURRENT store token, so a serving process's
+        first dialed request LOADS (0.00-0.03 s measured) instead of
+        blocking on the 63-123 s fill. Idempotent per store state —
+        re-running against an unchanged store rebuilds (the fill IS
+        the artifact; staleness is what the token guards). Raises
+        ``ValueError`` when the corpus exceeds the bits admission
+        budget or the store is absent."""
+        from converttovectordb_spark.operators.serving import (
+            DEFAULT_MAX_CELLS,
+            BitsMatrixIndex,
+        )
+        from converttovectordb_spark.sources.sigstore import token_digest
+
+        if not self.store.exists():
+            raise ValueError("no store to build the bits artifact from")
+        budget = DEFAULT_MAX_CELLS if max_cells is None else int(max_cells)
+        idx = BitsMatrixIndex.build_current(
+            self.store.load(),
+            self.bits_artifact_path,
+            store_token=token_digest(self.store.state_token()),
+            max_cells=budget,
+        )
+        if idx is None:
+            raise ValueError(
+                "corpus exceeds the bits tier's admission budget "
+                f"(max_cells={budget}); dialed queries need the "
+                "distributed exact door at this size"
+            )
+        out = {
+            "path": self.bits_artifact_path,
+            "rows": idx.n,
+            "dim": idx.dim,
+            "resident_bytes": int(
+                idx.words.nbytes + idx.row_ids.nbytes
+            ),
+            "store_token": idx.store_token,
+        }
+        idx.release()  # keep the artifact; drop the driver arrays
+        return out
+
     @property
     def bits_artifact_path(self) -> str:
         """Root of the persisted bits-tier artifact (packed sign words

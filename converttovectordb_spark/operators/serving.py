@@ -210,9 +210,10 @@ def point_query_mode(spark):
 
 
 def _size_probe(df: DataFrame, embedding_col: str):
-    """(n_rows, first_dim, payload_bytes) for driver-tier admission —
-    shared by the matrix and bits tiers so their payload gates cannot
-    drift. One combined count+bytes aggregate plus one first-row dim
+    """(n_rows, first_dim, payload_bytes) for the MATRIX tier's
+    admission (the bits tier keeps no payload resident — r15 — and
+    probes with its own single aggregate, `BitsMatrixIndex._probe`).
+    One combined count+bytes aggregate plus one first-row dim
     probe, BEFORE any collect (the transfer itself is the OOM a
     post-hoc check would arrive too late for). ``first_dim`` is 0 when
     the corpus is empty."""
@@ -1047,8 +1048,9 @@ class DriverMatrixIndex:
 
 
 #: Sidecar column carrying each corpus row's fill-time position — the
-#: join key between the driver-resident bits/payload and the on-disk
-#: full-precision embeddings the rerank fetches.
+#: join key between the driver-resident packed bits + row ids and the
+#: on-disk full-precision embeddings + display payloads the rerank
+#: fetches.
 BITS_ROW_COL = "_bits_row"
 
 #: Row-block size for the bits tier's Hamming scan. The SWAR popcount

@@ -10358,6 +10358,115 @@ ORDER BY query_id, rank
 """
 
 
+def q_hamming_bits_tier_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION bits-resident serving tier under the hash gate
+    (r15): where `hamming_prefilter_knn` grades the two-stage SHAPE
+    re-expressed in Spark SQL, this runs the actual
+    `operators/serving.py` `BitsMatrixIndex` — ephemeral build (the
+    sidecar write + executor-side `_pack_bits64` pandas_udf + Arrow
+    words collect), then per-probe: the SWAR popcount shortlist, the
+    bounded row-group-pruned sidecar rerank fetch, and the shared
+    `select_among` selection — and grades its ANSWERS against a
+    DuckDB oracle that replays the tier's exact rules, including the
+    KEEP-BOUNDARY-TIES shortlist cut the SQL-shape query's strict
+    row_number cannot express (every row tied at the 12th Hamming
+    distance stays a candidate). Same probes (vec_id < 8), shortlist
+    (12), top-3, vec_id-asc tie-breaks. The rerank arithmetic is
+    numpy float64 BLAS vs the oracle's sequential fold — identical to
+    the last ulp everywhere it matters and rounded to 6 dp like every
+    float-bearing oracle here."""
+    import tempfile
+
+    from converttovectordb_spark.operators.serving import BitsMatrixIndex
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = sorted(
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    )
+    idx = BitsMatrixIndex.from_dataframe(emb, tempfile.gettempdir())
+    try:
+        rows = []
+        for qid, qv in probes:
+            got = idx.query(
+                qv,
+                3,
+                score_threshold=-2.0,
+                id_cols=["vec_id"],
+                hamming_shortlist=12,
+            )
+            for rank, r in enumerate(got, 1):
+                rows.append((qid, r["vec_id"], float(r["score"]), rank))
+    finally:
+        idx.close()
+    return (
+        spark.createDataFrame(
+            rows, "query_id bigint, vec_id bigint, score double, rank int"
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            _round6(F.col("score")).alias("score"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_HAMMING_BITS_TIER = """
+WITH docs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bits AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS b
+  FROM docs
+),
+q AS (SELECT vec_id AS query_id, v AS qv, b AS qb FROM bits
+      WHERE vec_id < 8),
+pairs AS (
+  SELECT q.query_id, d.vec_id, d.v, q.qv,
+         list_sum(list_transform(list_zip(q.qb, d.b),
+                                 x -> abs(x[1] - x[2]))) AS ham
+  FROM q CROSS JOIN bits d
+),
+-- the tier's keep-boundary-ties rule: every row whose Hamming
+-- distance ties the 12th-smallest stays a candidate
+cut AS (
+  SELECT query_id, max(ham) AS kth FROM (
+    SELECT query_id, ham,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ham ASC, vec_id ASC) AS rn
+    FROM pairs
+  ) WHERE rn <= 12 GROUP BY query_id
+),
+short AS (
+  SELECT p.query_id, p.vec_id, p.v, p.qv
+  FROM pairs p JOIN cut c
+    ON p.query_id = c.query_id AND p.ham <= c.kth
+),
+rerank AS (
+  SELECT query_id, vec_id,
+         CASE WHEN sqrt(list_sum(list_transform(qv, x -> x * x))) = 0
+                OR sqrt(list_sum(list_transform(v, x -> x * x))) = 0
+              THEN 0.0
+              ELSE list_sum(list_transform(list_zip(qv, v),
+                                           x -> x[1] * x[2]))
+                   / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                      * sqrt(list_sum(list_transform(v, x -> x * x))))
+         END AS s
+  FROM short
+)
+SELECT query_id, vec_id, round(s, 6) AS score, rank FROM (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, vec_id ASC) AS rank
+  FROM rerank
+) WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-step funnel over the event stream: view → click →
     purchase, each step STRICTLY after the previous step AND within a
@@ -10729,6 +10838,7 @@ QUERIES = {
     # doors' prefix-rerank / hamming-prefilter compositions, hash-graded
     "mrl_prefix_rerank": q_mrl_prefix_rerank,
     "hamming_prefilter_knn": q_hamming_prefilter_knn,
+    "hamming_bits_tier_knn": q_hamming_bits_tier_knn,
     "funnel_conversion": q_funnel_conversion,
     "retention_cohorts": q_retention_cohorts,
     "neardup_clusters_distributed": q_neardup_clusters_distributed,
@@ -10881,6 +10991,7 @@ ORACLES = {
     "binary_quant_recall": ORACLE_BINARY_QUANT_RECALL,
     "mrl_prefix_rerank": ORACLE_MRL_PREFIX_RERANK,
     "hamming_prefilter_knn": ORACLE_HAMMING_PREFILTER_KNN,
+    "hamming_bits_tier_knn": ORACLE_HAMMING_BITS_TIER,
     "funnel_conversion": ORACLE_FUNNEL_CONVERSION,
     "retention_cohorts": ORACLE_RETENTION_COHORTS,
     "stream_funnel": ORACLE_FUNNEL_CONVERSION,

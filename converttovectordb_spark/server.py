@@ -404,14 +404,15 @@ class VectorDBApi:
     def _bits_handle(self):
         """The bits-resident tier for dialed queries past the float
         matrix's admission budget (``BitsMatrixIndex`` — packed sign
-        bits + payload driver-side, full-precision sidecar on disk;
-        64× the matrix tier's cell admission at the same bytes).
+        bits + row ids driver-side, full-precision vectors AND display
+        payloads in the on-disk sidecar; admission is bits-bound,
+        `bits_resident_cells` against 64× the matrix cell budget).
         Filled lazily on the first ``hamming_shortlist`` request that
         the matrix tier cannot serve (the fill writes the sidecar —
         one corpus pass — so it must never tax undialed traffic), and
         shares the primary cache's token lifecycle. Returns the index,
-        or ``None`` when the corpus exceeds the bits/payload budgets
-        too (callers 400: the distributed door has no Hamming arm).
+        or ``None`` when the corpus exceeds the bits budget too
+        (callers 400: the distributed door has no Hamming arm).
 
         The fill runs OUTSIDE the corpus lock — at the tier's target
         sizes it is a full corpus write plus an Arrow collect, and

@@ -618,3 +618,59 @@ def test_bits_fsck_covers_artifact(spark, tmp_path):
     fsck(eng, heal=True)
     assert BitsMatrixIndex.load_current(spark, root) is None
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_engine_build_bits_artifact_explicit_fill(spark, tmp_path):
+    """`engine.build_bits_artifact()` (CLI `build-bits`) prebuilds the
+    persisted artifact so a server's FIRST dialed request loads
+    instead of filling — the explicit-fill half of the r14 verdict-#1
+    lifecycle. Over-budget and absent-store cases raise."""
+    import pytest as _pytest
+
+    eng = VectorEngine(
+        spark, str(tmp_path / "store"), embedder=hash_embedder(DIM), dim=DIM
+    )
+    with _pytest.raises(ValueError, match="no store"):
+        eng.build_bits_artifact()
+    docs = spark.createDataFrame(
+        [
+            (f"f{i}.py", ".py", 1, 0, f"doc {i}", _unit(i), 0.0)
+            for i in range(6)
+        ],
+        "path string, extension string, total_chunks int, "
+        "chunk_index int, content string, embedding array<float>, "
+        "timestamp double",
+    )
+    eng.store.append(docs)
+    with _pytest.raises(ValueError, match="admission budget"):
+        eng.build_bits_artifact(max_cells=1)
+    out = eng.build_bits_artifact(max_cells=20)
+    assert out["rows"] == 6 and out["dim"] == DIM
+    assert out["resident_bytes"] == 6 * (8 + 8)  # 1 word + 1 id per row
+    assert out["store_token"] is not None
+
+    import converttovectordb_spark.operators.serving as serving
+
+    # a server against the same store must LOAD, never fill
+    orig = serving.BitsMatrixIndex.build_current
+
+    def _no_build(*a, **k):
+        raise AssertionError("explicit prebuild must make the server load")
+
+    serving.BitsMatrixIndex.build_current = _no_build
+    try:
+        srv = VectorDBServer(eng, port=0, matrix_max_cells=20).start()
+        try:
+            st, got = _call(
+                srv, "POST", "/query",
+                {
+                    "query_embedding": _unit(0),
+                    "top_k": 2,
+                    "hamming_shortlist": 3,
+                },
+            )
+            assert st == 200 and got["total_documents_searched"] == 6
+        finally:
+            srv.stop()
+    finally:
+        serving.BitsMatrixIndex.build_current = orig

@@ -16,11 +16,19 @@ Replication rules (disjoint keys; density-honest):
     and join fan-in stay constant).
   * documents — doc_id + k·N, text salted with a per-copy suffix so
     exact/ngram stages keep honest cardinality; n_chars recomputed.
-  * embeddings — vec_id + k·N, components re-noised at ~1.6× the
-    row's rms via a deterministic sin ramp (cross-copy cosine ≈ 0.66,
-    well below every near-dup threshold) so LSH/IVF bucket structure
-    grows like fresh data, not like 10-member duplicate clusters that
-    would blow pair space quadratically AS A DATA ARTIFACT.
+  * embeddings — vec_id + k·N; copy k's vector is
+    centroid(label) + π_k(residual) where π_k is a per-copy stride
+    permutation of the residual's coordinates. Validated against the
+    real sf0.1 data: src-vs-copy and copy-vs-copy cosine distributions
+    match the original within-label baseline (mean ≈ 0.01, ~1% above
+    the 0.3 near-dup threshold), while each copy PRESERVES the
+    original's planted near-dup pairs internally (similar residuals
+    stay similar under one permutation) — so pair count grows ~10×
+    like fresh data, never 100× from 10-member duplicate clusters AS
+    A DATA ARTIFACT. (First attempt used a sin-ramp additive jitter;
+    every such noise vector lies in the 2-D span of (sin ψ_i, cos ψ_i)
+    so copies correlated at ~0.88 and the LSH query's pair space blew
+    up 37× — kept here as the cautionary note.)
 
 Each query runs min-of-2 per scale (run 1 absorbs the per-dir
 artifact builds the bench prewarms once). Run:
@@ -83,6 +91,24 @@ def _replicate_into(spark, out_dir: str, mult: int) -> None:
     docs = docs0
     emb0 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     n_emb = emb0.count()
+    d = len(emb0.select("embedding").first()[0])
+    cent = (
+        emb0.select(
+            "label", F.posexplode("embedding").alias("pos", "x")
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "c"))
+            ).alias("cs")
+        )
+        .select(
+            "label", F.expr("transform(cs, s -> s.c)").alias("_cent")
+        )
+    )
+    emb0c = emb0.join(F.broadcast(cent), "label")
     emb = emb0
     for k in range(1, mult):
         ev = ev.unionByName(
@@ -97,17 +123,28 @@ def _replicate_into(spark, out_dir: str, mult: int) -> None:
         docs = docs.unionByName(
             dk.withColumn("n_chars", F.length("text").cast("long"))
         )
-        ek = emb0.withColumn(
-            "vec_id", F.col("vec_id") + F.lit(k * n_emb)
-        ).withColumn(
-            "embedding",
-            F.expr(
-                "transform(embedding, (x, i) -> cast(x + 1.6 * "
-                "sqrt(aggregate(embedding, 0D, (a, y) -> a + cast(y as "
-                "double) * y) / size(embedding)) * "
-                f"sin(vec_id * 12.9898 + i * 78.233 + {k} * 0.7) "
-                "as float))"
-            ),
+        import math
+
+        stride = 2 * k + 3  # odd covers power-of-two dims; guard rest
+        while math.gcd(stride, d) != 1:
+            stride += 2
+        ek = (
+            emb0c.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(k * n_emb)
+            )
+            .withColumn(
+                "embedding",
+                F.expr(
+                    f"transform(sequence(0, {d - 1}), i -> cast("
+                    "element_at(_cent, i + 1) + "
+                    "cast(element_at(embedding, "
+                    f"pmod(i * {stride} + {k}, {d}) + 1) as double) - "
+                    f"element_at(_cent, pmod(i * {stride} + {k}, {d}) "
+                    "+ 1) as float))"
+                ),
+            )
+            .drop("_cent")
+            .select(*emb0.columns)
         )
         emb = emb.unionByName(ek)
     ev.repartition(4 * mult).write.parquet(f"{out_dir}/events.parquet")
