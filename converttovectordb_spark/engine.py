@@ -870,15 +870,31 @@ class VectorEngine:
         )
         from converttovectordb_spark.sources.sigstore import token_digest
 
+        from converttovectordb_spark.operators.serving import BitsFillRace
+
         if not self.store.exists():
             raise ValueError("no store to build the bits artifact from")
         budget = DEFAULT_MAX_CELLS if max_cells is None else int(max_cells)
-        idx = BitsMatrixIndex.build_current(
-            self.store.load(),
-            self.bits_artifact_path,
-            store_token=token_digest(self.store.state_token()),
-            max_cells=budget,
-        )
+        idx = None
+        for attempt in range(2):
+            try:
+                idx = BitsMatrixIndex.build_current(
+                    self.store.load(),
+                    self.bits_artifact_path,
+                    store_token=token_digest(self.store.state_token()),
+                    max_cells=budget,
+                )
+                break
+            except BitsFillRace:
+                # a writer raced the fill (probe vs collect mismatch):
+                # transient by construction — retry once against the
+                # new store state, then surface as the documented
+                # ValueError so CLI/json callers keep one error shape
+                if attempt == 1:
+                    raise ValueError(
+                        "store changed during the bits-artifact build "
+                        "twice; retry when writers are quiet"
+                    )
         if idx is None:
             raise ValueError(
                 "corpus exceeds the bits tier's admission budget "

@@ -1121,6 +1121,49 @@ BITS_WORDS_FILE = "words.npy"
 BITS_ROWIDS_FILE = "row_ids.npy"
 BITS_FORMAT = 1
 
+#: Per-PROCESS refcount of live index objects per artifact version dir,
+#: plus the set of dirs some owner has doomed (asked removed). Two
+#: in-process objects can share one dir — e.g. a deferred-close index
+#: still draining readers while `_bits_handle` re-loads the same
+#: CURRENT and finds it stale — and an unguarded `close()` on either
+#: would rmtree the files under the other's in-flight sidecar fetch.
+#: Rule: every owner retires exactly once (unref; doom if it wanted
+#: removal); the LAST retiree performs the rmtree iff the dir is
+#: doomed. `build_current`'s orphan sweep also skips dirs with live
+#: refs. Cross-PROCESS coordination is out of scope — the artifact
+#: follows the same single-writer/maintainer convention as the
+#: IVF/lex/sigstore artifacts (see `build_current`).
+_BITS_DIR_REFS: dict[str, int] = {}
+_BITS_DIR_DOOMED: set[str] = set()
+_BITS_DIR_LOCK = threading.Lock()
+
+
+def _bits_dir_ref(path: str) -> None:
+    with _BITS_DIR_LOCK:
+        _BITS_DIR_REFS[path] = _BITS_DIR_REFS.get(path, 0) + 1
+
+
+def _bits_dir_unref(path: str, doom: bool) -> bool:
+    """Drop one owner; returns True when the caller (the last owner
+    out) must remove the doomed dir."""
+    with _BITS_DIR_LOCK:
+        if doom:
+            _BITS_DIR_DOOMED.add(path)
+        left = _BITS_DIR_REFS.get(path, 1) - 1
+        if left > 0:
+            _BITS_DIR_REFS[path] = left
+            return False
+        _BITS_DIR_REFS.pop(path, None)
+        if path in _BITS_DIR_DOOMED:
+            _BITS_DIR_DOOMED.discard(path)
+            return True
+        return False
+
+
+def _bits_dirs_live() -> set:
+    with _BITS_DIR_LOCK:
+        return set(_BITS_DIR_REFS)
+
 
 class BitsMatrixIndex:
     """Bits-resident serving tier: packed sign bits + sidecar row ids
@@ -1200,6 +1243,10 @@ class BitsMatrixIndex:
         # and the last finisher removes the artifact.
         self._active = 0
         self._close_pending = False
+        self._keep_artifact = False  # release() vs close() intent
+        self._retired = False  # this owner's single unref happened
+        if artifact_path is not None:
+            _bits_dir_ref(artifact_path)
         if artifact_path is not None and ephemeral:
             import shutil
             import weakref
@@ -1422,14 +1469,22 @@ class BitsMatrixIndex:
         bits budget (the root is left as-is — fsck reports any stale
         survivor). The previous CURRENT version is NOT swept here: its
         owner removes it via the deferred :meth:`close`, or the next
-        build / ``fsck --heal`` sweeps it once unreferenced."""
+        build / ``fsck --heal`` sweeps it once unreferenced. The sweep
+        also skips any version dir a live in-process index still owns
+        (`_BITS_DIR_REFS`) — a deferred-close index draining readers
+        must not lose its files to a concurrent refill. Cross-PROCESS:
+        same single-writer/maintainer convention as the other persisted
+        artifacts — do not run two builders (or a builder beside
+        another process's serving fill) against one store root."""
         import shutil
 
         os.makedirs(root, exist_ok=True)
         cur = cls._read_current(root)
+        live = _bits_dirs_live()
         for name in os.listdir(root):
-            if name.startswith("v-") and name != cur:
-                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            full = os.path.join(root, name)
+            if name.startswith("v-") and name != cur and full not in live:
+                shutil.rmtree(full, ignore_errors=True)
             elif name.startswith(".current."):
                 try:
                     os.remove(os.path.join(root, name))
@@ -1457,7 +1512,12 @@ class BitsMatrixIndex:
 
     @classmethod
     def load_current(
-        cls, spark, root: str, *, embedding_col: str = "embedding"
+        cls,
+        spark,
+        root: str,
+        *,
+        embedding_col: str = "embedding",
+        max_cells: int | None = None,
     ) -> "BitsMatrixIndex | None":
         """Open the persisted bits artifact with ZERO Spark jobs: read
         ``CURRENT`` → meta → mmap the packed words + row ids. Returns
@@ -1465,7 +1525,13 @@ class BitsMatrixIndex:
         is a derivable cache, so every load failure resolves to
         'rebuild' (fsck reports the corruption separately); staleness
         is the CALLER's check (compare :attr:`store_token` against the
-        live store's digest)."""
+        live store's digest). ``max_cells`` re-applies the CALLER's
+        admission budget from the meta alone, BEFORE any array touch:
+        a prebuilt artifact (e.g. `build-bits` under the default
+        budget) must not bypass a smaller serving process's driver
+        gate — the row-id array and per-query distance scratch load
+        eagerly, so admitting by 'it exists on disk' would reintroduce
+        the OOM the budget exists to prevent."""
         import json
 
         cur = cls._read_current(root)
@@ -1476,6 +1542,10 @@ class BitsMatrixIndex:
             with open(os.path.join(vdir, BITS_META_FILE)) as fh:
                 meta = json.load(fh)
             if meta.get("format") != BITS_FORMAT:
+                return None
+            if max_cells is not None and bits_resident_cells(
+                int(meta["n"]), int(meta["dim"])
+            ) > int(max_cells) * BITS_ADMISSION_MULTIPLE:
                 return None
             # mmap: instant open, lazy page-in — the restart-cheap
             # contract. The blocked Hamming scan reads it like any
@@ -1517,41 +1587,57 @@ class BitsMatrixIndex:
 
     def close(self) -> None:
         """Remove the artifact (sidecar + packed words; the driver
-        arrays die with the object). Idempotent. Deferred while
-        queries are in flight: the mark blocks NEW entries (they raise
-        `BitsTierInvalidated` — retryable) and the last in-flight
-        query performs the removal, so a live fetch never has its
-        files deleted underneath it. For a PERSISTED index this is the
-        staleness path (the store moved; the artifact is dead weight)
-        — shutdown with a fresh store uses :meth:`release` instead,
-        which keeps the artifact for the next process to load."""
+        arrays die with the object). Idempotent. Deferred twice over:
+        while THIS object's queries are in flight (the mark blocks NEW
+        entries — retryable `BitsTierInvalidated` — and the last
+        in-flight query retires), and while ANY other in-process index
+        object still owns the same version dir (the per-process dir
+        refcount: the LAST owner out performs the rmtree, so a live
+        fetch never has its files deleted underneath it — not even a
+        fetch running on a different object over the same dir). For a
+        PERSISTED index this is the staleness path (the store moved;
+        the artifact is dead weight) — shutdown with a fresh store
+        uses :meth:`release` instead, which keeps the files."""
         with self._lock:
             self._close_pending = True
+            self._keep_artifact = False
             if self._active == 0:
-                self._remove_artifact_locked()
+                self._retire_locked()
 
     def release(self) -> None:
         """Detach without removing: block new queries (retryable
-        `BitsTierInvalidated`), keep every on-disk file. The shutdown
-        path for PERSISTED indexes — the artifact's whole point is
-        that the next server start loads it instead of re-paying the
-        fill."""
+        `BitsTierInvalidated`), keep every on-disk file — even if a
+        query is in flight RIGHT NOW (the retire path honors the keep
+        intent; before r15's review pass an in-flight query at
+        release time would run the close-style removal and delete the
+        artifact the release promised to keep). The shutdown path for
+        PERSISTED indexes — the artifact's whole point is that the
+        next server start loads it instead of re-paying the fill."""
         with self._lock:
             self._close_pending = True
-            fin = getattr(self, "_finalizer", None)
-            if fin is not None:
-                fin.detach()
+            self._keep_artifact = True
+            if self._active == 0:
+                self._retire_locked()
 
-    def _remove_artifact_locked(self) -> None:
+    def _retire_locked(self) -> None:
+        """This owner's single exit from the dir refcount (idempotent);
+        the last owner out removes the dir iff any owner doomed it."""
         import shutil
 
-        if self.artifact_path is not None and not self._removed:
+        if self._retired:
+            return
+        self._retired = True
+        fin = getattr(self, "_finalizer", None)
+        if fin is not None:
+            fin.detach()
+        if self.artifact_path is None:
+            return
+        self._side = None
+        if _bits_dir_unref(
+            self.artifact_path, doom=not self._keep_artifact
+        ):
             shutil.rmtree(self.artifact_path, ignore_errors=True)
             self._removed = True
-            self._side = None
-            fin = getattr(self, "_finalizer", None)
-            if fin is not None:
-                fin.detach()
 
     def _enter_serving(self) -> None:
         with self._lock:
@@ -1566,7 +1652,7 @@ class BitsMatrixIndex:
         with self._lock:
             self._active -= 1
             if self._close_pending and self._active == 0:
-                self._remove_artifact_locked()
+                self._retire_locked()
 
     def _sidecar(self):
         if self._side is None:

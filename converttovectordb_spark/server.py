@@ -473,7 +473,12 @@ class VectorDBApi:
                 digest = token_digest(fill_token)
                 idx = None
                 loaded = BitsMatrixIndex.load_current(
-                    self.engine.spark, root
+                    self.engine.spark,
+                    root,
+                    # re-apply THIS server's admission budget: a
+                    # prebuilt artifact (default budget) must not
+                    # bypass a smaller configured driver gate
+                    max_cells=self._matrix_max_cells,
                 )
                 if loaded is not None:
                     if (

@@ -422,10 +422,14 @@ def _funnel_fn(window_s: int, timeout: bool):
         anchor = t2_us if t2_us is not None else (
             t1_us if t1_us is not None else t0_us
         )
-        if timeout and anchor is None:
+        if anchor is None:
             # no stage reached: an all-None machine is equivalent to an
             # absent one (a future 'view' starts from scratch either
-            # way) — keep nothing rather than park untimed dead state
+            # way) — keep nothing rather than park dead state. In BOTH
+            # modes (r15 review): NoTimeout used to persist
+            # (None, None, None) forever, silently diverging from the
+            # bucketed door's state footprint on view-less traffic and
+            # falsifying the documented drops-all-None invariant.
             if state.exists:
                 state.remove()
         else:

@@ -674,3 +674,76 @@ def test_engine_build_bits_artifact_explicit_fill(spark, tmp_path):
             srv.stop()
     finally:
         serving.BitsMatrixIndex.build_current = orig
+
+
+def test_bits_release_under_live_reader_keeps_artifact(spark, tmp_path):
+    """r15 review F1: release() while a query is in flight must KEEP
+    the persisted files when the reader drains — before the fix the
+    retire path ran close-style removal and deleted the artifact the
+    release promised the next process."""
+    import os
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id bigint, embedding array<double>",
+    )
+    idx = BitsMatrixIndex.build_current(
+        df, str(tmp_path / "root"), store_token="t"
+    )
+    idx._enter_serving()  # a dialed request is mid-flight
+    idx.release()  # server stop with an unchanged store
+    assert os.path.isdir(idx.artifact_path)
+    idx._exit_serving()  # reader drains
+    assert os.path.isdir(idx.artifact_path)  # KEPT — the whole point
+    assert (
+        BitsMatrixIndex.load_current(spark, str(tmp_path / "root"))
+        is not None
+    )
+
+
+def test_bits_shared_dir_close_waits_for_all_owners(spark, tmp_path):
+    """r15 review F2: two in-process index objects can own ONE version
+    dir (deferred-close old index + a fresh load of the same CURRENT);
+    close() on either must not delete files under the other's
+    in-flight reader — the per-process dir refcount makes the LAST
+    owner out perform the removal."""
+    import os
+
+    root = str(tmp_path / "root")
+    df = spark.createDataFrame(
+        [(i, [float(i), -1.0]) for i in range(8)],
+        "vec_id bigint, embedding array<double>",
+    )
+    a = BitsMatrixIndex.build_current(df, root, store_token="t")
+    b = BitsMatrixIndex.load_current(spark, root)
+    assert b is not None and b.artifact_path == a.artifact_path
+    a._enter_serving()  # a reader is mid-fetch on A
+    b.close()  # B decides the dir is stale
+    assert os.path.isdir(a.artifact_path)  # NOT deleted under A
+    # A can still serve its in-flight work
+    assert a._sidecar().count() == 8
+    a._exit_serving()
+    a.close()  # last owner out → removal happens
+    assert not os.path.isdir(a.artifact_path)
+
+
+def test_bits_load_current_reapplies_admission_budget(spark, tmp_path):
+    """r15 review F4: a prebuilt artifact must not bypass a smaller
+    consumer's admission budget — load_current(max_cells=...) refuses
+    from the meta alone, leaving the artifact intact for
+    bigger-budget consumers."""
+    import os
+
+    root = str(tmp_path / "root")
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(64)],
+        "vec_id bigint, embedding array<double>",
+    )
+    idx = BitsMatrixIndex.build_current(df, root, store_token="t")
+    assert idx is not None
+    idx.release()
+    assert BitsMatrixIndex.load_current(spark, root, max_cells=1) is None
+    assert os.path.isdir(os.path.join(root))  # artifact untouched
+    again = BitsMatrixIndex.load_current(spark, root)
+    assert again is not None and again.n == 64
+    again.release()

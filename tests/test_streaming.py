@@ -874,6 +874,32 @@ def test_bucketed_funnel_matches_per_user_door(spark, tmp_path):
     assert sorted(set((u, s) for u, s, _ in per_user)) == [
         (1, 1), (1, 2), (2, 1), (3, 1), (3, 2), (3, 3), (5, 1), (6, 1),
     ]
+    # r15 review F6: the per-user door must not park (None,None,None)
+    # state for view-less users in NoTimeout mode either — user 4
+    # (click only) is absent from BOTH doors' replay state, so the
+    # doors' state footprints agree in every mode
+    from pyspark.sql import functions as F
+
+    nt_user_state = set(
+        r["user_id"]
+        for r in spark.read.format("statestore")
+        .load(str(tmp_path / "fck_user_nt"))
+        .select("key.user_id").collect()
+    )
+    assert 4 not in nt_user_state
+    bkt_nt = spark.read.format("statestore").load(
+        str(tmp_path / "fck_bkt_nt")
+    )
+    uids_col = (
+        "value.groupState.uids"
+        if "groupState" in bkt_nt.select("value.*").columns
+        else "value.uids"
+    )
+    nt_bkt_state = set(
+        r["uid"]
+        for r in bkt_nt.select(F.explode(uids_col).alias("uid")).collect()
+    )
+    assert nt_bkt_state == nt_user_state
     # timeout mode: SAME emitted rows (a funnel timeout only frees
     # state), and the same live machines left on both shapes
     per_user_t = run(
