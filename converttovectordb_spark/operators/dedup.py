@@ -332,6 +332,7 @@ def minhash_verify_jaccard(
     text_col: str = "text",
     shingle_words: int = 3,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs (a, b).
 
@@ -339,14 +340,23 @@ def minhash_verify_jaccard(
     candidate pair — the verification cost is proportional to the
     candidate set, not the corpus, which is what lets a persisted
     candidate table (built once at ingest) turn the whole near-dup
-    query into candidate-sized work."""
-    ids = (
-        cands.select(F.col("a").alias(id_col))
-        .union(cands.select(F.col("b").alias(id_col)))
-        .distinct()
-    )
-    cdocs = docs.join(ids, id_col, "inner")
-    sh = _exploded_shingles(cdocs, id_col, text_col, shingle_words)
+    query into candidate-sized work.
+
+    ``shingles``: optionally pass the candidate docs' exploded-shingle
+    frame (``_exploded_shingles`` output — (id_col, shingle), distinct
+    per doc) when the caller already has it materialized; the three
+    consumers below (both join sides + the size aggregate) then share
+    one computation instead of re-shingling per consumer."""
+    if shingles is not None:
+        sh = shingles
+    else:
+        ids = (
+            cands.select(F.col("a").alias(id_col))
+            .union(cands.select(F.col("b").alias(id_col)))
+            .distinct()
+        )
+        cdocs = docs.join(ids, id_col, "inner")
+        sh = _exploded_shingles(cdocs, id_col, text_col, shingle_words)
     sa = sh.select(F.col(id_col).alias("a"), F.col("shingle"))
     sb = sh.select(F.col(id_col).alias("b"), F.col("shingle"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))

@@ -48,6 +48,15 @@ def pack_offsets(
     spark = docs.sparkSession
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # The two-phase prefix sum evaluates ``docs`` three times (min/max
+    # probe, bucket-totals collect, the returned windowed plan). When
+    # the input carries an expensive lineage — sequence_pack tokenizes
+    # every document to get ``toks``; curation_pipeline's input is the
+    # whole gopher→substring-cut pipeline — that lineage re-runs 3×.
+    # Persist it once (MEMORY_AND_DISK: spills at scale rather than
+    # OOMs; the frame is id/token-count scalars per doc by contract,
+    # a few dozen bytes per row).
+    docs = docs.persist()
     lo, hi = docs.agg(
         F.min(id_col), F.max(id_col)
     ).first() or (None, None)
