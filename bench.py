@@ -138,6 +138,14 @@ def main() -> int:
     sentinel_secs = {"start": record_sentinel(0)}
     timings: dict[str, float] = {}
     min2: dict[str, bool] = {}
+    # r15 verdict #5: a contaminated host window (sentinel 2-4× its
+    # floor mid-run, BENCH_r15's 274.9 s artifact) must not fabricate a
+    # per-query "regression". Any query measured while the NEAREST
+    # sentinel reading sits above 2× the run's floor-so-far gets a
+    # min-of-2 even above the 3 s threshold, under a bounded extra-wall
+    # budget; which queries were re-run (and why) is recorded.
+    sentinel_rerun: list[str] = []
+    rerun_budget = 60.0  # extra seconds of wall allowed for hot-window re-runs
     total = 0.0
     midpoint = len(QUERIES) // 2
     for qi, (name, fn) in enumerate(QUERIES.items()):
@@ -172,6 +180,15 @@ def main() -> int:
                 # judge can see which numbers are min-of-2.
                 dt = min(dt, _one_run())
                 min2[name] = True
+            else:
+                sent = [s["sec"] for s in sentinel_series]
+                if sent and min(sent) > 0 and sent[-1] > 2.0 * min(sent) \
+                        and rerun_budget > 0.0:
+                    dt2 = _one_run()
+                    rerun_budget -= dt2
+                    dt = min(dt, dt2)
+                    min2[name] = True
+                    sentinel_rerun.append(name)
         except Exception as e:  # keep the bench alive; report the failure
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             timings[name] = -1.0
@@ -649,6 +666,9 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "min_of_2": sorted(min2),
+                # queries re-run because the nearest sentinel reading
+                # sat >2× the run's floor (hot host window, r15 #5)
+                "sentinel_rerun": sentinel_rerun,
                 # fixed-work host-noise probe at suite start/middle/end:
                 # a drifting sentinel marks a noisy window, not a code
                 # regression (compare across rounds before blaming code)
@@ -731,10 +751,20 @@ def main() -> int:
     print(f"bench: wrote {artifact}", file=sys.stderr)
     print(json.dumps(result))
     # FINAL stdout line: a compact summary small enough to survive the
-    # driver's tail-window capture intact (the full line above exceeds
-    # it — BENCH_r{4,5,11}.json all carried "parsed": null because the
-    # head of the big JSON was clipped). Totals + reference comparison
-    # only; the per-query map lives in the full line and BENCH_local.
+    # driver's tail-window capture intact. The capture keeps only the
+    # LAST ~2000 chars of stdout (measured: every committed
+    # BENCH_r*.json tail is exactly 2000 chars, and BENCH_r{4,5,11}
+    # carried "parsed": null whenever the last line overflowed it — the
+    # head of the line was clipped and the JSON no longer parsed). The
+    # r15 PERF could therefore compute NO per-query comparison
+    # (per_query: {}, geomean null) because this line carried only the
+    # total. The full 140-entry map can NEVER fit — the query NAMES
+    # alone sum to 2181 chars — so the line now carries the LARGEST
+    # per-query timings that fit the budget (slowest-first: they hold
+    # the entire optimization signal; the omitted tail is the sub-noise
+    # 0.1-0.5 s floor), sized adaptively so the line stays parseable.
+    # The complete map is in the full line above and BENCH_local.json.
+    ref = result.get("reference_comparison", {})
     summary = {
         "metric": result["metric"],
         "value": result["value"],
@@ -742,10 +772,53 @@ def main() -> int:
         "sf": result["sf"],
         "n_queries": len(result.get("queries", {})),
         "n_min_of_2": len(min2),
-        "noise_sentinel_sec": sentinel_secs,
+        "sentinel_rerun": sentinel_rerun,
+        "queries": {},
+        "queries_inline": "",
+        "noise_sentinel_sec": {
+            k: sentinel_secs[k] for k in ("start", "middle", "end")
+        },
         "queries_file": "BENCH_local.json",
-        "reference_comparison": result.get("reference_comparison", {}),
+        # headline reference numbers only (BASELINE.md comparison);
+        # the full block is in the big line + BENCH_local.json
+        "reference_comparison": {
+            k: ref.get(k)
+            for k in (
+                "knn_scan_warm_sec",
+                "knn_matched_warm_sec",
+                "knn_matched_distributed_sec",
+                "knn_matched_corpus_size",
+                "knn_matched_corpus_dim",
+                "knn_matched_reference_sec",
+                "http_query_p50_sec",
+                "http_hybrid_p50_sec",
+                "pipeline_chunks_per_sec_hash_dim64",
+                "real_model_chunks_per_sec",
+                "dedup_batch_brute_sec",
+                "dedup_batch_pruned_sec",
+                "dedup_batch_lexical_sec",
+            )
+        },
     }
+    tail_budget = 1900  # chars; the capture window is ~2000
+    by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+    inline: dict[str, float] = {}
+    for qname, qsec in by_cost:
+        trial = dict(inline)
+        trial[qname] = qsec
+        summary["queries"] = trial
+        summary["queries_inline"] = (
+            f"top {len(trial)} of {len(timings)} by sec; "
+            "full map in queries_file"
+        )
+        if len(json.dumps(summary, separators=(",", ":"))) > tail_budget:
+            summary["queries"] = inline
+            break
+        inline = trial
+    summary["queries_inline"] = (
+        f"top {len(summary['queries'])} of {len(timings)} by sec; "
+        "full map in queries_file"
+    )
     print(json.dumps(summary, separators=(",", ":")))
     return 0
 

@@ -346,8 +346,19 @@ def minhash_verify_jaccard(
     frame (``_exploded_shingles`` output — (id_col, shingle), distinct
     per doc) when the caller already has it materialized; the three
     consumers below (both join sides + the size aggregate) then share
-    one computation instead of re-shingling per consumer."""
+    one computation instead of re-shingling per consumer. When it is
+    passed, ``docs``/``text_col``/``shingle_words`` are IGNORED — the
+    caller vouches that the frame was shingled with the same
+    parameters and covers every id in ``cands`` (a stale or
+    differently-parameterized frame yields wrong jaccard values or
+    silently dropped pairs); the column contract is asserted here."""
     if shingles is not None:
+        missing = {id_col, "shingle"} - set(shingles.columns)
+        if missing:
+            raise ValueError(
+                "shingles= frame must carry columns "
+                f"({id_col!r}, 'shingle'); missing {sorted(missing)}"
+            )
         sh = shingles
     else:
         ids = (

@@ -55,8 +55,14 @@ def pack_offsets(
     # whole gopher→substring-cut pipeline — that lineage re-runs 3×.
     # Persist it once (MEMORY_AND_DISK: spills at scale rather than
     # OOMs; the frame is id/token-count scalars per doc by contract,
-    # a few dozen bytes per row).
-    docs = docs.persist()
+    # a few dozen bytes per row). The persist must outlive the
+    # RETURNED windowed plan's action, so it cannot be released here:
+    # it is registered with `pins`, and long-lived callers should
+    # `pins.release_pins()` after materializing (the bench's
+    # clearCache covers the bench; see pins module docstring).
+    from converttovectordb_spark import pins
+
+    docs = pins.register(docs.persist())
     lo, hi = docs.agg(
         F.min(id_col), F.max(id_col)
     ).first() or (None, None)

@@ -703,6 +703,7 @@ def ivf_knn_join_shuffled(
     query_label_col: str | None = None,
     cluster_sizes: dict | None = None,
     n_queries: int | None = None,
+    scorer: str = "arrow",
 ) -> DataFrame:
     """IVF KNN join for CORPUS-SCALE query sets (self-join dedup,
     corpus-to-corpus linking, embedding-space audits, hard-negative
@@ -768,6 +769,10 @@ def ivf_knn_join_shuffled(
     never coalesces a user-specified partition count.
     """
     top_k = validate_top_k(top_k)
+    if scorer not in ("arrow", "fold"):
+        raise ValueError(
+            f'scorer must be "arrow" or "fold", got {scorer!r}'
+        )
     if isinstance(salt_buckets, str):
         if salt_buckets != "auto":
             raise ValueError(
@@ -949,32 +954,50 @@ def ivf_knn_join_shuffled(
         join_keys.append("_salt")
     # Explicit width on both join inputs: AQE honors a user partition
     # count, so the post-join scoring stage cannot be byte-coalesced
-    # onto one core (see docstring); the join reuses these exchanges.
+    # onto one core (see docstring); the join/cogroup reuses these
+    # exchanges.
     nparts = int(
         docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
     docs_side = docs_side.repartition(nparts, *join_keys)
     probe = probe.repartition(nparts, *join_keys)
-    cand = probe.join(docs_side, on=join_keys, how="inner")
-    if exclude_self:
-        cand = cand.filter(F.col(query_id_col) != F.col(doc_id_col))
-    if query_label_col is not None:
-        # pre-top-k disqualifier: the joined row's doc cluster/label is
-        # the join key column, the query's own label rode the probe
-        cand = cand.filter(F.col(query_label_col) != F.col(cluster_col))
-    scored = cand.withColumn(
-        "score", dot_product(F.col("_qvec"), F.col("_dvec"))
-    )
-    # Partial prune: same partitionBy prefix as the join key, so the
-    # join's output partitioning satisfies it — local sort, no exchange.
-    wp = Window.partitionBy(*join_keys, query_id_col).orderBy(
-        F.col("score").desc(), F.col(doc_id_col).asc()
-    )
-    pruned = (
-        scored.withColumn("_crank", F.row_number().over(wp))
-        .filter(F.col("_crank") <= top_k)
-        .drop("_crank")
-    )
+    if scorer == "arrow":
+        pruned = _cogroup_score_topk(
+            probe,
+            docs_side,
+            join_keys,
+            top_k=top_k,
+            query_id_col=query_id_col,
+            doc_id_col=doc_id_col,
+            cluster_col=cluster_col,
+            exclude_self=exclude_self,
+            query_label_col=query_label_col,
+        )
+    else:
+        cand = probe.join(docs_side, on=join_keys, how="inner")
+        if exclude_self:
+            cand = cand.filter(F.col(query_id_col) != F.col(doc_id_col))
+        if query_label_col is not None:
+            # pre-top-k disqualifier: the joined row's doc cluster/label
+            # is the join key column, the query's own label rode the
+            # probe
+            cand = cand.filter(
+                F.col(query_label_col) != F.col(cluster_col)
+            )
+        scored = cand.withColumn(
+            "score", dot_product(F.col("_qvec"), F.col("_dvec"))
+        )
+        # Partial prune: same partitionBy prefix as the join key, so the
+        # join's output partitioning satisfies it — local sort, no
+        # exchange.
+        wp = Window.partitionBy(*join_keys, query_id_col).orderBy(
+            F.col("score").desc(), F.col(doc_id_col).asc()
+        )
+        pruned = (
+            scored.withColumn("_crank", F.row_number().over(wp))
+            .filter(F.col("_crank") <= top_k)
+            .drop("_crank")
+        )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(doc_id_col).asc()
     )
@@ -982,6 +1005,118 @@ def ivf_knn_join_shuffled(
         pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select(query_id_col, doc_id_col, "score", "rank")
+    )
+
+
+#: Query rows scored per numpy block inside the Arrow scorer: bounds
+#: the score matrix at chunk×|docs| float64 (4096 × a salt-bounded doc
+#: bucket ≈ tens of MB) without costing vectorization width.
+_ARROW_SCORE_CHUNK = 4096
+
+
+def _cogroup_score_topk(
+    probe: DataFrame,
+    docs_side: DataFrame,
+    join_keys: list[str],
+    *,
+    top_k: int,
+    query_id_col: str,
+    doc_id_col: str,
+    cluster_col: str,
+    exclude_self: bool,
+    query_label_col: str | None,
+) -> DataFrame:
+    """Per-(cluster[, salt]) scoring + partial top-k as ONE cogrouped
+    Arrow stage (guide §4.2), replacing the fold path's equi-join +
+    interpreted `aggregate(zip_with(...))` dot + window prune.
+
+    Higher-order functions bypass whole-stage codegen, so the fold dot
+    is the per-pair cost at every scale (r15 plan audit:
+    `vector_knn_selfjoin_ivf` spends its wall in the interpreted fold).
+    Here each (cluster, salt) group ships BOTH sides to one Python
+    worker as Arrow batches and scores with a numpy column loop:
+
+        acc += q[:, i] ⊗ d[:, i]          (i ascending)
+
+    which performs, per pair, exactly one rounded float64 multiply and
+    one rounded add per dimension in index order — the same rounding
+    sequence as the JVM left fold `acc + (a_i * b_i)`, so scores are
+    BIT-IDENTICAL to the fold path (numpy elementwise ufuncs never fuse
+    into FMA; `np.dot`/BLAS would reorder and break oracle parity).
+    Ties and pruning replicate the fold path's window exactly: docs
+    sorted by id ascending, stable argsort on score descending, top_k
+    per (group, query). Self-pairs and same-label pairs are dropped
+    BEFORE the prune, as in the fold path.
+
+    Memory contract: a group holds O((|Q_g| + |D_g|)·d) vectors plus a
+    chunk×|D_g| score block; salting already bounds |D_g| (that is its
+    job), and probes are scored in `_ARROW_SCORE_CHUNK`-row blocks, so
+    a hot cluster cannot OOM the worker.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qid_t = probe.schema[query_id_col].dataType.simpleString()
+    did_t = docs_side.schema[doc_id_col].dataType.simpleString()
+    out_schema = (
+        f"`{query_id_col}` {qid_t}, `{doc_id_col}` {did_t}, score double"
+    )
+
+    def score_group(qpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                query_id_col: qpdf[query_id_col].iloc[:0],
+                doc_id_col: dpdf[doc_id_col].iloc[:0],
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+        if query_label_col is not None and len(qpdf):
+            qpdf = qpdf[
+                qpdf[query_label_col].to_numpy()
+                != qpdf[cluster_col].to_numpy()
+            ]
+        if not len(qpdf) or not len(dpdf):
+            return empty
+        # doc-id-ascending order makes the stable argsort's tie-break
+        # equal the fold path's (score desc, doc_id asc) window order
+        dpdf = dpdf.sort_values(doc_id_col, kind="stable")
+        dmat = np.stack(dpdf["_dvec"].to_numpy())  # (D, dim) float64
+        dids = dpdf[doc_id_col].to_numpy()
+        qids_all = qpdf[query_id_col].to_numpy()
+        qvecs = qpdf["_qvec"].to_numpy()
+        k = min(top_k, len(dids))
+        out_q, out_d, out_s = [], [], []
+        for lo in range(0, len(qpdf), _ARROW_SCORE_CHUNK):
+            qmat = np.stack(qvecs[lo : lo + _ARROW_SCORE_CHUNK])
+            qids = qids_all[lo : lo + _ARROW_SCORE_CHUNK]
+            scores = np.zeros((qmat.shape[0], dmat.shape[0]))
+            for i in range(qmat.shape[1]):
+                # one rounded multiply + one rounded add per element,
+                # ascending i — the JVM left fold's exact sequence
+                scores += qmat[:, i : i + 1] * dmat[:, i]
+            neg = -scores
+            if exclude_self:
+                # +inf sorts last, past every real candidate; surviving
+                # +inf picks are masked out below
+                neg[qids[:, None] == dids[None, :]] = np.inf
+            order = np.argsort(neg, axis=1, kind="stable")[:, :k]
+            sel_s = np.take_along_axis(scores, order, axis=1)
+            keep = np.isfinite(np.take_along_axis(neg, order, axis=1))
+            out_q.append(np.repeat(qids, k)[keep.ravel()])
+            out_d.append(dids[order].ravel()[keep.ravel()])
+            out_s.append(sel_s.ravel()[keep.ravel()])
+        return pd.DataFrame(
+            {
+                query_id_col: np.concatenate(out_q),
+                doc_id_col: np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    return (
+        probe.groupBy(*[F.col(c) for c in join_keys])
+        .cogroup(docs_side.groupBy(*[F.col(c) for c in join_keys]))
+        .applyInPandas(score_group, schema=out_schema)
     )
 
 

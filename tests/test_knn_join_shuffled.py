@@ -70,16 +70,47 @@ def test_empty_query_side(emb, probes):
     assert out.count() == 0
 
 
-def test_plan_shuffled_join_and_free_partial_topk(spark, emb, probes):
-    """At scale (auto-broadcast off) the rerank must be a shuffled join
-    on (cluster, salt); the partial per-(cluster, salt, query) top-k
-    must ride the join's partitioning (NO exchange of its own); the
-    only per-query exchange is the final pruned one."""
+def test_plan_arrow_cogroup_scorer_default(spark, emb, probes):
+    """The default (r16) scorer runs scoring + the partial per-group
+    top-k as ONE cogrouped Arrow stage over the (cluster, salt)
+    groups — the interpreted aggregate(zip_with) fold is gone from the
+    per-pair path; the only per-query exchange is the final pruned
+    one, fed by at most nprobe·S·k rows per query."""
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         df = ivf_knn_join_shuffled(
             probes, emb, top_k=3, nprobe=2, salt_buckets=2
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapCoGroupsInPandas" in plan
+        # the per-pair join + fold is gone (the zip_with that remains
+        # is the C-sized centroid probe, which stays a JVM HOF on
+        # purpose — its volume is Q×C, not Q×N)
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
+        exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        assert sum(e.startswith("query_id") for e in exchanges) == 1, exchanges
+        # map-side top-k pushdown below the final exchange
+        assert "WindowGroupLimit" in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.enabled")
+
+
+def test_plan_fold_scorer_shuffled_join_and_free_partial_topk(
+    spark, emb, probes
+):
+    """The fold scorer (kept for deployments without Python workers)
+    retains
+    the r14 shape: shuffled equi-join on (cluster, salt), partial
+    per-(cluster, salt, query) top-k riding the join's partitioning
+    (NO exchange of its own), one final per-query exchange."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = ivf_knn_join_shuffled(
+            probes, emb, top_k=3, nprobe=2, salt_buckets=2, scorer="fold"
         )
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
@@ -95,6 +126,32 @@ def test_plan_shuffled_join_and_free_partial_topk(spark, emb, probes):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.enabled")
+
+
+def test_arrow_scorer_bit_identical_to_fold(spark, emb, probes):
+    """The numpy column-loop dot must reproduce the JVM left fold's
+    rounding sequence EXACTLY — full-precision float equality, not
+    rounded: one multiply-round + one add-round per element, ascending
+    index, both paths."""
+    kw = dict(top_k=3, nprobe=2, salt_buckets=2, exclude_self=True)
+    fold = {
+        (r.query_id, r.vec_id): (r.score, r.rank)
+        for r in ivf_knn_join_shuffled(
+            probes, emb, scorer="fold", **kw
+        ).collect()
+    }
+    arrow = {
+        (r.query_id, r.vec_id): (r.score, r.rank)
+        for r in ivf_knn_join_shuffled(
+            probes, emb, scorer="arrow", **kw
+        ).collect()
+    }
+    assert fold == arrow  # exact float64 equality, no rounding
+
+
+def test_scorer_validated(emb, probes):
+    with pytest.raises(ValueError, match="scorer"):
+        ivf_knn_join_shuffled(probes, emb, scorer="blas")
 
 
 def test_composes_with_materialized_index(spark, emb, probes, tmp_path):

@@ -100,3 +100,22 @@ def test_no_global_window_in_plan(spark):
     # partition key
     assert "Window" in plan
     assert not re.search(r"Window \[[^\]]+\], \[\]", plan), plan
+
+
+def test_release_pins_frees_pack_offsets_persist(spark):
+    """pack_offsets persists its input as part of its plan (the 3-action
+    prefix sum); a long-lived caller must be able to release it via
+    pins.release_pins() so repeated calls do not grow the persisted-RDD
+    set for the life of the session (r15 advisory)."""
+    from converttovectordb_spark import pins
+
+    sc = spark.sparkContext
+    pins.release_pins()  # start from a clean registry
+    base = sc._jsc.sc().getPersistentRDDs().size()
+    for _ in range(3):
+        df = _docs(spark, [(i, i % 7) for i in range(50)])
+        pack_offsets(df, n_buckets=4).count()  # materialize
+        assert sc._jsc.sc().getPersistentRDDs().size() > base
+        released = pins.release_pins()
+        assert released >= 1
+        assert sc._jsc.sc().getPersistentRDDs().size() == base

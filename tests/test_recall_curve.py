@@ -348,3 +348,24 @@ def test_rebuild_publishes_only_after_remeasure(spark, tmp_path, monkeypatch):
     )
     assert still.path == old_dir
     assert still.recall_curve() is not None
+
+
+def test_release_pins_frees_query_pins(spark):
+    """queries._pin persists shared subtrees for the life of the plan;
+    a long-lived caller (engine/notebook/server) must be able to drop
+    them via pins.release_pins() so repeated query invocations do not
+    grow the persisted-RDD set (r15 advisory; the bench's clearCache
+    covers only the bench)."""
+    from converttovectordb_spark import pins
+    from converttovectordb_spark.queries import QUERIES
+
+    sc = spark.sparkContext
+    pins.release_pins()
+    base = sc._jsc.sc().getPersistentRDDs().size()
+    for _ in range(2):
+        # dsir_weights still pins (its multi-consumer bucket table won
+        # its r16 A/B); the recall family's pins are conf-gated off
+        QUERIES["dsir_weights"](spark, SF_DIR).count()
+        assert sc._jsc.sc().getPersistentRDDs().size() > base
+        assert pins.release_pins() >= 1
+        assert sc._jsc.sc().getPersistentRDDs().size() == base
