@@ -404,3 +404,45 @@ def test_auto_salt_bounds_hot_cluster_and_matches_unsalted(spark):
     )
     est_q_hot = min(n_q, max(n_q * 2 * 60 / n_docs, min(n_q, 60)))
     assert est_q_hot * per_bucket_docs <= 2 * target
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_arrow_scorer_property_random_ties_and_zeros(spark, seed):
+    """Property guard for the bit-exactness claim: random corpora with
+    DUPLICATED vectors (forced score ties → tie-break path), zero
+    vectors (norm-0 passthrough), and negative components must give
+    full-precision-identical (score, rank) sets on both scorers."""
+    import random
+
+    rng = random.Random(seed)
+    d, n = 7, 60
+    rows = []
+    for i in range(n):
+        if i % 13 == 0:
+            v = [0.0] * d  # zero vector: l2_normalize passes through
+        elif i % 5 == 0 and i > 5:
+            v = rows[i - 1][2]  # duplicate of previous: score ties
+        else:
+            v = [rng.uniform(-2, 2) for _ in range(d)]
+        rows.append((i, i % 3, v))
+    docs = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    probes = docs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    kw = dict(top_k=4, nprobe=2, salt_buckets=3, exclude_self=True)
+    fold = {
+        (r.query_id, r.vec_id): (r.score, r.rank)
+        for r in ivf_knn_join_shuffled(
+            probes, docs, scorer="fold", **kw
+        ).collect()
+    }
+    arrow = {
+        (r.query_id, r.vec_id): (r.score, r.rank)
+        for r in ivf_knn_join_shuffled(
+            probes, docs, scorer="arrow", **kw
+        ).collect()
+    }
+    assert fold == arrow
