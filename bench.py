@@ -166,7 +166,18 @@ def main() -> int:
 
         try:
             dt = _one_run()
-            if dt < 3.0 or qi == 0:
+            if dt < 3.0 or qi == 0 or name.startswith("stream_"):
+                # stream_*: the FIRST stateful availableNow replay in a
+                # session absorbs streaming-machinery init that belongs
+                # to the session, not the query (measured r16: first
+                # stream_sessionize 8.1-12.4 s vs 2.3-2.5 s steady
+                # state in the same session; an empty-source replay
+                # warm recovers only part of it). Same bimodality class
+                # as the r3/r4 pandas-worker cold start (fixed by
+                # prewarm) and the qi==0 rule — min-of-2 reports the
+                # steady-state cost the production long-lived session
+                # pays. Measurement change declared in
+                # OPTIMIZATION_r16.md; single-run records through r15.
                 # qi == 0: the suite's FIRST query absorbs whatever
                 # session residue the prewarms missed (measured: the
                 # same first query read 3.97 s cold vs ~0.5 s on its
